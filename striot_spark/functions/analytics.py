@@ -1,0 +1,131 @@
+"""Derived analytics library (SURVEY.md §2.5): the application-level
+patterns StrIoT's example queries compute, as reusable Column/DataFrame
+builders. All Catalyst-visible — no Python UDFs anywhere in this module.
+
+Also home of the *exact-decimal* helpers: money-like doubles are summed
+in integer cents so results are bit-identical regardless of aggregation
+order — sums of doubles are order-sensitive, sums of longs are not.
+This matters twice: (a) the DuckDB correctness oracle hash-compares
+values, (b) at 100 TB partial-aggregation order is nondeterministic, so
+a float sum isn't even reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+# -- exact-decimal arithmetic ------------------------------------------------
+def cents(col: Column) -> Column:
+    """double dollars → long cents (deterministic: same double in, same
+    long out, on any engine with IEEE754 + half-away rounding)."""
+    return F.round(col * F.lit(100.0), 0).cast("long")
+
+
+def sum_money(col: Column) -> Column:
+    """Order-insensitive exact sum of a 2-decimal double column."""
+    return F.sum(cents(col)) / F.lit(100.0)
+
+
+def avg_money(col: Column) -> Column:
+    return F.sum(cents(col)) / F.count(F.lit(1)) / F.lit(100.0)
+
+
+def median_money(col: Column) -> Column:
+    """Exact median over integer cents: interpolation of two longs is an
+    exact double (x.5 at worst) — reproducible across engines."""
+    return F.percentile(cents(col), 0.5) / F.lit(100.0)
+
+
+def percentile_money(col: Column, p: float) -> Column:
+    return F.percentile(cents(col), p) / F.lit(100.0)
+
+
+def ts_str(col: Column) -> Column:
+    """Canonical microsecond timestamp string (matches DuckDB strftime
+    '%Y-%m-%d %H:%M:%S.%f')."""
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
+def day_str(col: Column) -> Column:
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+# -- topk (Taxi.hs:160-169: topkMap . freqMap) -------------------------------
+def topk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int,
+    count_alias: str = "n",
+    rank_alias: str = "rnk",
+) -> DataFrame:
+    """Per-group top-k most frequent values: groupBy count → rank →
+    filter. Pure DataFrame ops (no UDF); ties broken by value for
+    determinism. The count aggregation is map-side partial, the rank
+    shuffle is on the (small) counted output — this is the plan that
+    survives a 100× scale-up, unlike collect-and-sort."""
+    counts = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias(count_alias)
+    )
+    w = W.partitionBy(*group_cols).orderBy(
+        F.col(count_alias).desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn(rank_alias, F.rank().over(w))
+        .filter(F.col(rank_alias) <= k)
+    )
+
+
+def freq_map(
+    df: DataFrame, group_cols: Sequence[str], value_col: str, alias: str = "n"
+) -> DataFrame:
+    """Frequency map / histogram per group (Taxi.hs:164-165)."""
+    return df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias(alias))
+
+
+# -- sessionization (WearableStreams.hs:175-189) -----------------------------
+def sessionize(
+    df: DataFrame,
+    time_col: str,
+    gap_minutes: int,
+    key: Sequence[str],
+    order_cols: Sequence[str] | None = None,
+    session_alias: str = "session_id",
+) -> DataFrame:
+    """Batch gaps-and-islands sessionization: new session when the gap
+    from the previous event (per key) exceeds the threshold. The
+    reference builds this with streamScan; streaming mode uses Spark's
+    native session_window instead (striot_spark.streaming)."""
+    order = [F.col(c) for c in (order_cols or [time_col])]
+    w = W.partitionBy(*key).orderBy(*order)
+    prev_ts = F.lag(F.col(time_col)).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col(time_col)) - F.unix_micros(prev_ts)) > gap_minutes * 60_000_000)
+    ).cast("long")
+    cum = W.partitionBy(*key).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return df.withColumn(session_alias, F.sum(new_session).over(cum))
+
+
+# -- threshold crossing (WearableExample.hs:72-85) ---------------------------
+def threshold_cross(
+    df: DataFrame,
+    value_col: str,
+    threshold: float,
+    order_cols: Sequence[str],
+    key: Sequence[str] | None = None,
+    prev_alias: str = "prev_value",
+) -> DataFrame:
+    """CEP-style crossing: previous value > threshold, current <=
+    threshold (the wearable step detector's MATCH_RECOGNIZE pattern)."""
+    w = W.partitionBy(*(key or [])).orderBy(*[F.col(c) for c in order_cols])
+    prev = F.lag(F.col(value_col)).over(w)
+    return (
+        df.withColumn(prev_alias, prev)
+        .filter((F.col(prev_alias) > threshold) & (F.col(value_col) <= threshold))
+    )

@@ -1,0 +1,142 @@
+"""Join operators: positional zip join, windowed theta join, whole-window join.
+
+Reference parity (SURVEY.md §2.1 #6, §2.3):
+- ``streamJoin`` — *positional pairwise zip*, not relational
+  (``src/Striot/FunctionalProcessing.hs:148-155``): pair the i-th event
+  of stream 1 with the i-th of stream 2; output takes stream 1's
+  timestamp.
+- ``streamJoinE`` — windowed theta join: window both sides, pair windows
+  positionally, cartesian within the pair, filter, project, flatten
+  (``FunctionalProcessing.hs:161-173``).
+- ``streamJoinW`` — whole-window join: apply ``[a] -> [b] -> c`` to each
+  positional window pair (``FunctionalProcessing.hs:175-178``); taxi Q2
+  uses different window lengths per side (``examples/taxi/Taxi.hs:302``).
+
+Spark-first lowering:
+- Zip join on dense seq columns is a plain equi-join (shuffle hash /
+  sort-merge, fully parallel). Without dense seqs it needs a global
+  ``row_number`` — single-partition sort, flagged for scale.
+- JoinE/JoinW use *time-aligned* window ids (both sides windowed by the
+  same ChopTime spec ⇒ join key = window id), which is the semantics the
+  reference approximates by zipping window lists positionally: for timed
+  streams windowed by the same maker the i-th windows coincide. This is
+  an equi-join on the window key — broadcastable when one side is small,
+  AQE-skew-split otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .windows import WINDOW_ID, ChopTime, WindowMaker, assign_window_id
+
+
+def _with_pos(
+    df: DataFrame, time_col: str | None, seq_col: str | None, dense_seq: bool
+) -> tuple[DataFrame, str]:
+    """Positional index for zip joins: dense seq directly, else row_number."""
+    if dense_seq and seq_col:
+        return df.withColumn("__pos__", F.col(seq_col)), "__pos__"
+    order = [F.col(c) for c in (time_col, seq_col) if c]
+    if not order:
+        raise ValueError("zip join needs a time or seq column")
+    w = W.orderBy(*order)
+    return df.withColumn("__pos__", F.row_number().over(w) - F.lit(1)), "__pos__"
+
+
+def zip_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str | None,
+    seq_col: str | None,
+    r_time_col: str | None,
+    r_seq_col: str | None,
+    prefixes: tuple[str, str] = ("l_", "r_"),
+    dense_seq: bool = False,
+) -> DataFrame:
+    """Positional zip of two streams (inner: stops at the shorter one,
+    mirroring Haskell ``zip``)."""
+    lp, lpos = _with_pos(left, time_col, seq_col, dense_seq)
+    rp, rpos = _with_pos(right, r_time_col, r_seq_col, dense_seq)
+    lcols = [F.col(c).alias(f"{prefixes[0]}{c}") for c in left.columns]
+    rcols = [F.col(c).alias(f"{prefixes[1]}{c}") for c in right.columns]
+    lp = lp.select(F.col(lpos).alias("zip_pos"), *lcols)
+    rp = rp.select(F.col(rpos).alias("zip_pos"), *rcols)
+    return lp.join(rp, "zip_pos", "inner")
+
+
+def join_e(
+    left: DataFrame,
+    right: DataFrame,
+    maker: WindowMaker,
+    theta: Column,
+    time_col: str,
+    r_time_col: str,
+    select: Sequence[Column] | None = None,
+    prefixes: tuple[str, str] = ("l_", "r_"),
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Windowed theta join (streamJoinE): cartesian within time-aligned
+    windows, filtered by ``theta`` over the prefixed columns."""
+    lw = assign_window_id(left, maker, time_col, None).select(
+        F.col(WINDOW_ID),
+        *[F.col(c).alias(f"{prefixes[0]}{c}") for c in left.columns],
+    )
+    rw = assign_window_id(right, maker, r_time_col, None).select(
+        F.col(WINDOW_ID),
+        *[F.col(c).alias(f"{prefixes[1]}{c}") for c in right.columns],
+    )
+    if broadcast_right:
+        rw = F.broadcast(rw)
+    out = lw.join(rw, WINDOW_ID, "inner").filter(theta)
+    if select is not None:
+        out = out.select(F.col(WINDOW_ID), *select)
+    return out
+
+
+def join_w(
+    left: DataFrame,
+    right: DataFrame,
+    left_maker: ChopTime,
+    right_maker: ChopTime,
+    left_aggs: dict[str, Column],
+    right_aggs: dict[str, Column],
+    time_col: str,
+    r_time_col: str,
+    align: str = "left",
+) -> DataFrame:
+    """Whole-window join (streamJoinW) with per-side window lengths.
+
+    Each side is windowed and aggregated independently, then the two
+    window streams are joined by aligning the *right* window containing
+    the left window's start (``align='left'``) — the explicit, tested
+    definition of the reference's positional zip of differently-sized
+    window lists (SURVEY.md §7.3 hard-point 3).
+    """
+    lw = (
+        assign_window_id(left, left_maker, time_col, None)
+        .groupBy(WINDOW_ID)
+        .agg(*[c.alias(n) for n, c in left_aggs.items()])
+        .withColumnRenamed(WINDOW_ID, "left_window")
+    )
+    rw = (
+        assign_window_id(right, right_maker, r_time_col, None)
+        .groupBy(WINDOW_ID)
+        .agg(*[c.alias(n) for n, c in right_aggs.items()])
+        .withColumnRenamed(WINDOW_ID, "right_window")
+    )
+    if align != "left":
+        raise NotImplementedError("only left-start alignment is defined")
+    # right window id containing the left window's start:
+    from .windows import _gap_ms
+
+    r_ms = _gap_ms(right_maker.duration)
+    r_sec = r_ms // 1000 if r_ms % 1000 == 0 else None
+    if r_sec is None:
+        raise ValueError("right window length must be whole seconds")
+    containing = (F.col("left_window") - (F.col("left_window") % F.lit(r_sec)))
+    return lw.withColumn("right_window", containing).join(rw, "right_window", "left")

@@ -1,0 +1,173 @@
+"""Stateful operators: streamScan and streamFilterAcc.
+
+Reference parity:
+- ``streamScan :: (b -> a -> b) -> b -> Stream a -> Stream b`` — emit the
+  running accumulator after every event (``src/Striot/
+  FunctionalProcessing.hs:188-191``).
+- ``streamFilterAcc :: (b -> a -> b) -> b -> (a -> b -> Bool) -> Stream a
+  -> Stream a`` — the predicate sees the accumulator *before* this
+  event's update; the accumulator is updated on every event whether kept
+  or not (``FunctionalProcessing.hs:181-185``).
+
+These are the operators Spark genuinely lacks an algebra for
+(SURVEY.md §4.1 "Catalyst verdict"), so two lowerings exist:
+
+1. **Algebraic path (preferred, scalable)** — when the accumulator is an
+   algebraic aggregate (sum/count/min/max/...), the scan is a cumulative
+   analytic frame and the filter-acc predicate usually reduces to
+   ``lag()``. Pure Catalyst plans, whole-stage codegen, parallel per key.
+2. **General path** — arbitrary Python ``step``/``pred`` callables via
+   Arrow-batched ``applyInPandas`` per key, rows sorted inside each key
+   group. Order-dependent state over the *whole* stream means a single
+   key — a deliberate throughput ceiling identical to the reference's
+   single lazy list (SURVEY.md §7.3 hard-point 1); shard by key wherever
+   semantics allow.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+GLOBAL_KEY = "__global__"
+
+
+def _order_cols(time_col: str | None, seq_col: str | None) -> list[str]:
+    cols = [c for c in (time_col, seq_col) if c]
+    if not cols:
+        raise ValueError("stateful operators need a time or seq column for ordering")
+    return cols
+
+
+def cumulative_spec(
+    time_col: str | None, seq_col: str | None, key: list[str] | None = None
+):
+    """WindowSpec for the algebraic scan: unbounded-preceding..current."""
+    key = key or []
+    return (
+        W.partitionBy(*key)
+        .orderBy(*[F.col(c) for c in _order_cols(time_col, seq_col)])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+
+
+def scan_agg(
+    df: DataFrame,
+    aggs: dict[str, Column],
+    time_col: str | None,
+    seq_col: str | None,
+    key: list[str] | None = None,
+) -> DataFrame:
+    """Algebraic streamScan: each agg column is applied over the
+    cumulative frame, one output row per input row (scanl semantics)."""
+    spec = cumulative_spec(time_col, seq_col, key)
+    out = df
+    for name, col in aggs.items():
+        out = out.withColumn(name, col.over(spec))
+    return out
+
+
+def lag_filter(
+    df: DataFrame,
+    pred: Callable[[Column, Column], Column],
+    value_col: str,
+    time_col: str | None,
+    seq_col: str | None,
+    key: list[str] | None = None,
+    keep_first: bool = True,
+    prev_alias: str | None = None,
+) -> DataFrame:
+    """The dominant streamFilterAcc shape: predicate over (previous, current).
+
+    Covers dedup-on-change (``docs/Operators.md:109-119``), threshold
+    crossing (``examples/wearable/WearableExample.hs:83-84``), etc.
+    ``pred(prev, cur)`` returns a boolean Column; rows with no previous
+    event are kept iff ``keep_first``.
+    """
+    key = key or []
+    w = W.partitionBy(*key).orderBy(
+        *[F.col(c) for c in _order_cols(time_col, seq_col)]
+    )
+    prev_col = prev_alias or "__prev__"
+    out = df.withColumn(prev_col, F.lag(F.col(value_col)).over(w))
+    prev = F.col(prev_col)
+    cond = pred(prev, F.col(value_col))
+    cond = (prev.isNull() & F.lit(keep_first)) | (prev.isNotNull() & cond)
+    out = out.filter(cond)
+    return out if prev_alias else out.drop(prev_col)
+
+
+def scan_apply(
+    df: DataFrame,
+    step: Callable[[Any, dict], Any],
+    init: Any,
+    out_field: str,
+    out_type: str,
+    time_col: str | None,
+    seq_col: str | None,
+    key: list[str] | None = None,
+) -> DataFrame:
+    """General streamScan via applyInPandas (Arrow batches, per-key state).
+
+    ``step(state, row_dict) -> new_state``; the new state is emitted per
+    row into ``out_field`` (cast to ``out_type``). With no key the whole
+    stream is one state group — correct but sequential, like the
+    reference's single lazy list.
+    """
+    key = key or []
+    order = _order_cols(time_col, seq_col)
+    work = df if key else df.withColumn(GLOBAL_KEY, F.lit(0))
+    group_cols = key or [GLOBAL_KEY]
+    schema_out = work.schema.add(out_field, out_type)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        state = init
+        out = []
+        for row in pdf.to_dict("records"):
+            state = step(state, row)
+            out.append(state)
+        pdf = pdf.copy()
+        pdf[out_field] = out
+        return pdf
+
+    res = work.groupBy(*group_cols).applyInPandas(fn, schema=schema_out)
+    return res.drop(GLOBAL_KEY) if not key else res
+
+
+def filter_acc_apply(
+    df: DataFrame,
+    step: Callable[[Any, dict], Any],
+    init: Any,
+    pred: Callable[[dict, Any], bool],
+    time_col: str | None,
+    seq_col: str | None,
+    key: list[str] | None = None,
+) -> DataFrame:
+    """General streamFilterAcc via applyInPandas.
+
+    Exact reference semantics (``FunctionalProcessing.hs:181-185``):
+    ``pred(row, state)`` is evaluated against the accumulator *before*
+    this row's update; the accumulator is then updated regardless.
+    """
+    key = key or []
+    order = _order_cols(time_col, seq_col)
+    work = df if key else df.withColumn(GLOBAL_KEY, F.lit(0))
+    group_cols = key or [GLOBAL_KEY]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        state = init
+        keep = []
+        for row in pdf.to_dict("records"):
+            keep.append(bool(pred(row, state)))
+            state = step(state, row)
+        return pdf[pd.Series(keep, index=pdf.index)]
+
+    res = work.groupBy(*group_cols).applyInPandas(fn, schema=work.schema)
+    return res.drop(GLOBAL_KEY) if not key else res

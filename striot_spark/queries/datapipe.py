@@ -1,0 +1,231 @@
+"""Training-data-pipeline queries: text analysis, dedup, fingerprinting,
+similarity search, multimodal plumbing — over the ``documents`` and
+``embeddings`` tables. Every hash derives from md5 so the DuckDB oracle
+computes identical values (functions/text.py:md5_hash64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from striot_spark.functions import dedup as D
+from striot_spark.functions import similarity as SIM
+from striot_spark.functions import text as T
+from striot_spark.functions.multimodal import extract_media_meta, to_media
+from striot_spark.queries.registry import register
+from striot_spark.sources.batch import load_table
+
+H64 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+NTOK = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+STOP_EN = "('the','a','of','and','to','in','is','it','for','on')"
+
+
+@register(
+    "q21_text_stats",
+    f"""
+    SELECT doc_id,
+           {NTOK} AS n_tokens,
+           length(text) AS n_chars,
+           length(replace(text, ' ', '')) / {NTOK} AS avg_token_len,
+           len(list_filter(string_split(text, ' '), x -> x IN {STOP_EN}))
+               / {NTOK} AS stop_ratio
+    FROM documents
+    """,
+    doc="token counting + quality ratios as pure projections — a "
+    "document-quality pass is one parquet scan (no Python)",
+)
+def q21_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n = T.token_count(text)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.length(text).alias("n_chars"),
+        (T.char_count_no_spaces(text) / n).alias("avg_token_len"),
+        (T.stopword_hits(text) / n).alias("stop_ratio"),
+    )
+
+
+def _lang_sql() -> str:
+    hits = {
+        lang: f"len(list_filter(string_split(text,' '), x -> x IN "
+        f"({', '.join(repr(w) for w in words)})))"
+        for lang, words in T.LANG_MARKERS.items()
+    }
+    best = f"greatest({hits['en']}, {hits['es']}, {hits['de']}, {hits['fr']})"
+    case = " ".join(
+        f"WHEN {hits[lang]} = best AND best > 0 THEN '{lang}'"
+        for lang in sorted(T.LANG_MARKERS)
+    )
+    return f"""
+    SELECT doc_id, lang, CASE {case} ELSE 'und' END AS predicted_lang
+    FROM (SELECT doc_id, lang, text, {best} AS best FROM documents) t
+    """
+
+
+@register(
+    "q22_lang_id",
+    _lang_sql(),
+    doc="language-ID heuristic: stopword-marker hits per language, "
+    "deterministic tie-break — declarative, scan-speed",
+)
+def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", T.predict_lang(F.col("text")).alias("predicted_lang")
+    )
+
+
+@register(
+    "q23_dedup_exact",
+    """
+    SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="exact dedup: digest groupBy — 16-byte keys shuffle, never bodies",
+)
+def q23_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "doc_id", "text")
+
+
+@register(
+    "q24_doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           CAST(sum({H64.format(x='token')} % 1000000007) % 1000000007
+                AS BIGINT) AS fingerprint,
+           count(*) AS n_tokens
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents) t
+    WHERE token <> ''
+    GROUP BY doc_id
+    """,
+    doc="bag-of-tokens document fingerprint mod p — order-insensitive, "
+    "exact under distributed aggregation",
+)
+def q24_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.doc_fingerprint(docs, "doc_id", "text")
+
+
+def _minhash_sql(num_hashes: int = 4) -> str:
+    base = f"{H64.format(x='shingle')} % 2147483647"
+    mins = ", ".join(
+        f"min(({a} * ({base}) + {b}) % 2147483647) AS mh{i}"
+        for i, (a, b) in enumerate(D.MINHASH_COEFFS[:num_hashes])
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents),
+    idx AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks),
+    sh AS (
+        SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS shingle FROM idx)
+    SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+    """
+
+
+@register(
+    "q25_minhash_signatures",
+    _minhash_sql(),
+    doc="MinHash signatures over 2-gram shingles (Carter-Wegman affine "
+    "family over md5 base hash): map-side-combinable min() aggregates",
+)
+def q25_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, "doc_id", "text", num_hashes=4, shingle_n=2)
+
+
+@register(
+    "q26_simhash",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {H64.format(x='token')} AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents) t
+        WHERE token <> ''),
+    votes AS (
+        SELECT doc_id, i,
+               sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM toks, range(0, 60) r(i)
+        GROUP BY doc_id, i)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    doc="SimHash 60-bit fingerprint, fully declarative bit-vote "
+    "(two narrow map-side-combinable shuffles)",
+)
+def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text")
+
+
+@register(
+    "q27_ann_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT query_id, vec_id, cos, rnk FROM (
+        SELECT 0 AS query_id, e.vec_id,
+               round(list_dot_product(e.v, qv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS cos,
+               row_number() OVER (
+                   ORDER BY round(list_dot_product(e.v, qv)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(qv, qv))), 6) DESC,
+                            e.vec_id ASC) AS rnk
+        FROM e, q WHERE e.vec_id <> 0) t
+    WHERE rnk <= 10
+    """,
+    doc="brute-force cosine top-k: broadcast query side, JVM fold dot "
+    "product, deterministic rank (baseline for the LSH ANN path)",
+)
+def q27_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("query_id"), "embedding"
+    )
+    base = emb.filter(F.col("vec_id") != 0)
+    return SIM.brute_force_topk(base, query, k=10)
+
+
+@register(
+    "q28_multimodal_meta",
+    f"""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS digest,
+           CAST(16 + {H64.format(x='text')} % 1024 AS BIGINT) AS width,
+           CAST(16 + ({H64.format(x='text')} // 1024) % 1024 AS BIGINT)
+               AS height
+    FROM documents
+    """,
+    doc="multimodal plumbing: binary payload column → mapInPandas "
+    "(Arrow-batched) metadata extraction; codec stubbed deterministically "
+    "(functions/multimodal.py:decode_stub)",
+)
+def q28_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = to_media(docs, "doc_id", "text")
+    return extract_media_meta(media)
+
+
+# LSH candidate pairs + verified near-dups: no SQL oracle (multi-stage
+# join pipeline); driver records rows-only check.
+@register(
+    "q29_lsh_near_dups",
+    None,
+    doc="MinHash-LSH banding → candidate pairs → exact shingle-Jaccard "
+    "verification (threshold 0.7); no all-pairs compare materializes",
+)
+def q29_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.lsh_candidate_pairs(docs, "doc_id", "text")
+    return D.ngram_jaccard_pairs(cands, docs, "doc_id", "text", threshold=0.7)

@@ -1,0 +1,401 @@
+"""Operator-coverage queries over the ``events`` stream table.
+
+One query per core operator / window maker / derived pattern from
+SURVEY.md §2, each mirrored by a DuckDB oracle. The ``events`` table is
+the F1 fixture (FIXTURES.md): ``event_id`` is the dense positional seq
+of the reference's lazy list, ``ts`` the event time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from striot_spark.functions.analytics import (
+    avg_money,
+    cents,
+    day_str,
+    median_money,
+    percentile_money,
+    sessionize,
+    sum_money,
+    threshold_cross,
+    topk,
+    ts_str,
+)
+from striot_spark.operators import Chop, ChopTime, Sliding
+from striot_spark.queries.registry import register
+from striot_spark.sources.batch import event_stream, load_table
+
+TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
+CENTS_SQL = "CAST(round((value)*100.0, 0) AS BIGINT)"
+
+
+# -- streamFilter + streamMap (ops #1, #2) -----------------------------------
+@register(
+    "q01_filter_map",
+    """
+    SELECT event_id, event_type,
+           round(value * 1.1 * 100.0, 0) / 100.0 AS boosted
+    FROM events WHERE value > 100
+    """,
+    doc="streamFilter + streamMap (FunctionalProcessing.hs:59-71). "
+    "Rounding happens at 0 decimals in the cents domain: the .5 tie "
+    "boundary is exactly representable there, so Spark (BigDecimal "
+    "shortest-repr) and DuckDB (binary) rounding agree.",
+)
+def q01_filter_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+    boosted = F.round(F.col("value") * F.lit(1.1) * F.lit(100.0), 0) / F.lit(100.0)
+    return (
+        s.filter(F.col("value") > 100)
+        .map("event_type", boosted=boosted)
+        .df.select("event_id", "event_type", "boosted")
+    )
+
+
+# -- streamExpand (op #4) ----------------------------------------------------
+@register(
+    "q02_expand_tokens",
+    """
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+    WHERE token <> '' GROUP BY token
+    """,
+    doc="streamExpand: explode word tokens (FunctionalProcessing.hs:206-210; "
+    "hashtag example examples/expand/generate.hs:31-36)",
+)
+def q02_expand_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.core import Stream
+
+    docs = Stream(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.with_columns(tokens=F.split(F.col("text"), " "))
+        .expand("tokens", alias="token")
+        .filter(F.col("token") != "")
+        .df.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# -- streamMerge (op #5) -----------------------------------------------------
+@register(
+    "q03_merge",
+    f"""
+    SELECT event_id, strftime(ts, '{TS_FMT}') AS ts_s, 'clicks' AS src, value
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, strftime(ts, '{TS_FMT}') AS ts_s, 'views' AS src, value
+    FROM events WHERE event_type = 'view'
+    """,
+    doc="streamMerge: n-way union (FunctionalProcessing.hs:135-144)",
+)
+def q03_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+    clicks = s.filter(F.col("event_type") == "click").map(
+        "event_id", ts_s=ts_str(F.col("ts")), src=F.lit("clicks"), value=F.col("value")
+    )
+    views = s.filter(F.col("event_type") == "view").map(
+        "event_id", ts_s=ts_str(F.col("ts")), src=F.lit("views"), value=F.col("value")
+    )
+    return clicks.merge(views).df.select("event_id", "ts_s", "src", "value")
+
+
+# -- streamWindow: chop n (count tumbling) -----------------------------------
+@register(
+    "q04_chop_count_window",
+    f"""
+    SELECT event_id // 100 AS window_id, count(*) AS n,
+           sum({CENTS_SQL}) / 100.0 AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="chop n: tumbling count window by dense-seq arithmetic — no global "
+    "sort (FunctionalProcessing.hs:113-116)",
+)
+def q04_chop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+    out = s.window_agg(
+        Chop(100),
+        {"n": F.count(F.lit(1)), "sum_value": sum_money(F.col("value"))},
+    )
+    return out.df.select("window_id", "n", "sum_value")
+
+
+# -- streamWindow: chopTime (time tumbling) ----------------------------------
+@register(
+    "q05_choptime_window",
+    f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n,
+           sum({CENTS_SQL}) / 100.0 AS sum_value,
+           sum({CENTS_SQL}) / count(*) / 100.0 AS avg_value
+    FROM events GROUP BY 1
+    """,
+    doc="chopTime: tumbling time window, epoch-aligned Spark window() "
+    "(FunctionalProcessing.hs:118-126; alignment delta documented)",
+)
+def q05_choptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+    out = s.window_agg(
+        ChopTime("1 day"),
+        {
+            "n": F.count(F.lit(1)),
+            "sum_value": sum_money(F.col("value")),
+            "avg_value": avg_money(F.col("value")),
+        },
+        keep_window_time=True,
+    )
+    return out.df.select(
+        day_str(F.col("window_start")).alias("day"), "n", "sum_value", "avg_value"
+    )
+
+
+# -- streamWindow: sliding n (analytic frame, no row multiplication) ---------
+@register(
+    "q06_sliding_count_window",
+    f"""
+    SELECT event_id,
+           (sum({CENTS_SQL}) OVER w) / (count(*) OVER w) / 100.0 AS sliding_avg
+    FROM events
+    WINDOW w AS (ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    doc="sliding n: count-based sliding window as rowsBetween frame "
+    "(FunctionalProcessing.hs:93-97); global order = correctness oracle, "
+    "keyed form parallelizes",
+)
+def q06_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+    out = s.window_agg(
+        Sliding(5),
+        {
+            "c_": F.count(F.lit(1)),
+            "s_": F.sum(cents(F.col("value"))),
+        },
+    )
+    return out.df.select(
+        "event_id", (F.col("s_") / F.col("c_") / F.lit(100.0)).alias("sliding_avg")
+    )
+
+
+# -- streamScan (op #7, algebraic path) --------------------------------------
+@register(
+    "q07_scan_running_sum",
+    f"""
+    SELECT event_id, user_id,
+           sum({CENTS_SQL}) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+               AS running_total
+    FROM events
+    """,
+    doc="streamScan: per-key cumulative sum (FunctionalProcessing.hs:188-191; "
+    "running-aggregate pattern WearableStreams.hs:77-92)",
+)
+def q07_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+    out = s.scan({"rt_": F.sum(cents(F.col("value")))}, key=["user_id"])
+    return out.df.select(
+        "event_id", "user_id", (F.col("rt_") / F.lit(100.0)).alias("running_total")
+    )
+
+
+# -- streamFilterAcc: dedup-on-change (op #8) --------------------------------
+@register(
+    "q08_changes_dedup",
+    """
+    SELECT event_id, user_id, event_type
+    FROM (SELECT event_id, user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events) t
+    WHERE prev_type IS NULL OR prev_type <> event_type
+    """,
+    doc="streamFilterAcc as dedup-on-change (FunctionalProcessing.hs:181-185; "
+    "docs/Operators.md:109-119, Taxi.hs:156-157)",
+)
+def q08_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+    return s.changes("event_type", key=["user_id"]).df.select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+# -- streamFilterAcc: 1-in-n sampling ----------------------------------------
+@register(
+    "q09_sample",
+    """
+    SELECT event_id, event_type, value FROM events WHERE event_id % 10 = 0
+    """,
+    doc="sample n: 1-in-n systematic sampling (FunctionalProcessing.hs:258-259) "
+    "— dense seq makes it a pushed-down arithmetic filter",
+)
+def q09_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+    return s.sample(10).df.select("event_id", "event_type", "value")
+
+
+# -- streamJoin: positional zip (op #6) --------------------------------------
+@register(
+    "q10_zip_join",
+    """
+    WITH c AS (SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS zip_pos,
+                      event_id, value
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS zip_pos,
+                      event_id, value
+               FROM events WHERE event_type = 'view')
+    SELECT c.zip_pos, c.event_id AS click_id, v.event_id AS view_id,
+           c.value AS click_value, v.value AS view_value
+    FROM c JOIN v USING (zip_pos)
+    """,
+    doc="streamJoin: positional pairwise zip of two streams "
+    "(FunctionalProcessing.hs:148-155) via row_number equi-join",
+)
+def q10_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+    clicks = s.filter(F.col("event_type") == "click")
+    views = s.filter(F.col("event_type") == "view")
+    j = clicks.zip_join(views)
+    return j.df.select(
+        "zip_pos",
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("view_id"),
+        F.col("l_value").alias("click_value"),
+        F.col("r_value").alias("view_value"),
+    )
+
+
+# -- topk / freqMap (Taxi.hs:160-169) ----------------------------------------
+@register(
+    "q11_topk_per_window",
+    """
+    WITH counts AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2)
+    SELECT day, event_type, n, rnk
+    FROM (SELECT day, event_type, n,
+                 rank() OVER (PARTITION BY day
+                              ORDER BY n DESC, event_type ASC) AS rnk
+          FROM counts) t
+    WHERE rnk <= 3
+    """,
+    doc="topk per window: freqMap + rank, pure DataFrame (Taxi.hs:160-169)",
+)
+def q11_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("day", day_str(F.col("ts")))
+    return topk(ev, ["day"], "event_type", 3).select("day", "event_type", "n", "rnk")
+
+
+# -- sessionization (WearableStreams.hs:175-189) -----------------------------
+@register(
+    "q12_sessionize",
+    f"""
+    WITH flags AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id, ts,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flags)
+    SELECT user_id, session_id, count(*) AS n,
+           strftime(min(ts), '{TS_FMT}') AS session_start,
+           strftime(max(ts), '{TS_FMT}') AS session_end
+    FROM s GROUP BY 1, 2
+    """,
+    doc="sessionization: 30-min gap sessions, gaps-and-islands in batch "
+    "(reference builds via streamScan, WearableStreams.hs:175-189; "
+    "streaming mode uses native session_window)",
+)
+def q12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, "ts", 30, ["user_id"], order_cols=["ts", "event_id"])
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        ts_str(F.min("ts")).alias("session_start"),
+        ts_str(F.max("ts")).alias("session_end"),
+    )
+
+
+# -- median / percentiles (Taxi.hs:269-277) ----------------------------------
+@register(
+    "q13_percentiles",
+    f"""
+    SELECT event_type,
+           quantile_cont({CENTS_SQL}, 0.5) / 100.0 AS median_value,
+           round(quantile_cont({CENTS_SQL}, 0.9) / 100.0, 4) AS p90_value,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="exact median/percentile over integer cents (profit/median pattern, "
+    "Taxi.hs:269-277); percentile_approx is the at-scale variant",
+)
+def q13_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        median_money(F.col("value")).alias("median_value"),
+        F.round(percentile_money(F.col("value"), 0.9), 4).alias("p90_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# -- frequency histogram -----------------------------------------------------
+@register(
+    "q14_value_histogram",
+    """
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="freqMap / histogram (Taxi.hs:164-165, WearableStreams.hs:116-121)",
+)
+def q14_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# -- threshold crossing (WearableExample.hs:72-85) ---------------------------
+@register(
+    "q15_threshold_cross",
+    """
+    SELECT event_id, prev_value, value
+    FROM (SELECT event_id, value,
+                 lag(value) OVER (ORDER BY ts, event_id) AS prev_value
+          FROM events) t
+    WHERE prev_value > 100 AND value <= 100
+    """,
+    doc="streamFilterAcc as threshold-crossing CEP (stepEvent, "
+    "WearableExample.hs:72-85): prev > thr AND cur <= thr",
+)
+def q15_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = threshold_cross(ev, "value", 100, ["ts", "event_id"])
+    return out.select("event_id", "prev_value", "value")
+
+
+# -- step count: crossing per tumbling window (WearableExample.hs:95-96) -----
+@register(
+    "q16_step_count",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS n_steps
+    FROM (SELECT ts, value,
+                 lag(value) OVER (ORDER BY ts, event_id) AS prev_value
+          FROM events) t
+    WHERE prev_value > 100 AND value <= 100
+    GROUP BY 1
+    """,
+    doc="stepCount: crossings per tumbling time window "
+    "(WearableExample.hs:95-96)",
+)
+def q16_step_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = threshold_cross(ev, "value", 100, ["ts", "event_id"])
+    return out.groupBy(day_str(F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_steps")
+    )

@@ -1,0 +1,195 @@
+"""Analytic queries over the TPC-H-ish star schema (FIXTURES.md F4).
+
+These exercise the same operator inventory (filter/map/window/agg/join/
+topk) at relational scale — the scale factors the reference never
+reaches. Money sums run in integer cents (order-insensitive & exact;
+functions/analytics.py).
+
+Scale design notes (the plans that survive 100×):
+- dimension joins are explicitly broadcast (region/nation/customer/
+  supplier are tiny relative to lineitem/orders at every SF);
+- filters are expressed on base columns pre-join so parquet pushdown
+  fires (verified via .explain in tests);
+- aggregations are keyed groupBy → map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from striot_spark.functions.analytics import day_str
+from striot_spark.queries.registry import register
+from striot_spark.sources.batch import load_table
+
+
+def _cents(expr: str) -> str:
+    return f"CAST(round(({expr})*100.0, 0) AS BIGINT)"
+
+
+DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+
+def disc_price_col() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+
+
+def charge_col() -> F.Column:
+    return (
+        F.col("l_extendedprice")
+        * (F.lit(1) - F.col("l_discount"))
+        * (F.lit(1) + F.col("l_tax"))
+    )
+
+
+def money(col: F.Column) -> F.Column:
+    return F.round(col * F.lit(100.0), 0).cast("long")
+
+
+@register(
+    "q17_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum({_cents('l_extendedprice')}) / 100.0 AS sum_base_price,
+           sum({_cents(DISC_PRICE)}) / 100.0 AS sum_disc_price,
+           sum({_cents(CHARGE)}) / 100.0 AS sum_charge,
+           sum(l_quantity) / count(*) AS avg_qty,
+           sum({_cents('l_extendedprice')}) / count(*) / 100.0 AS avg_price,
+           sum({_cents('l_discount')}) / count(*) / 100.0 AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: filter → keyed agg with map-side "
+    "combine; quantities are integral doubles (exact under any order)",
+)
+def q17_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        (F.sum(money(F.col("l_extendedprice"))) / 100.0).alias("sum_base_price"),
+        (F.sum(money(disc_price_col())) / 100.0).alias("sum_disc_price"),
+        (F.sum(money(charge_col())) / 100.0).alias("sum_charge"),
+        (F.sum("l_quantity") / cnt).alias("avg_qty"),
+        (F.sum(money(F.col("l_extendedprice"))) / cnt / 100.0).alias("avg_price"),
+        (F.sum(money(F.col("l_discount"))) / cnt / 100.0).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@register(
+    "q18_top_orders",
+    f"""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           sum({_cents(DISC_PRICE)}) / 100.0 AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderkey, order_date
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-style: broadcast dim join + keyed agg + deterministic "
+    "top-k (revenue DESC, orderkey ASC)",
+)
+def q18_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", day_str(F.col("o_orderdate")).alias("order_date"))
+        .agg((F.sum(money(disc_price_col())) / 100.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q19_regional_revenue",
+    f"""
+    SELECT n_name, sum({_cents(DISC_PRICE)}) / 100.0 AS revenue,
+           count(*) AS n_items
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-style: star join with every dimension broadcast, "
+    "lineitem never shuffled on a dim key",
+)
+def q19_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    dims = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            (F.sum(money(disc_price_col())) / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q20_top_customers",
+    f"""
+    SELECT c_custkey, c_name,
+           sum({_cents('o_totalprice')}) / 100.0 AS total_spent,
+           count(*) AS n_orders
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spent DESC, c_custkey ASC
+    LIMIT 10
+    """,
+    doc="top-k customers by lifetime spend: broadcast dim + deterministic "
+    "rank",
+)
+def q20_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            (F.sum(money(F.col("o_totalprice"))) / 100.0).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )

@@ -1,0 +1,86 @@
+"""Batch sources: the finite-replay side of the engine.
+
+Reference parity: StrIoT's ``Source`` vertex wraps an ``IO a`` action and
+stamps each payload with wall-clock time (``src/Striot/Nodes.hs:309-319``).
+In batch mode we replay recorded tables instead; the event-time column is
+carried in the data (``FIXTURES.md`` F1), which is strictly stronger than
+the reference's ingest-time stamping.
+
+Scale notes: everything goes through ``spark.read.parquet`` so predicate
+pushdown / column pruning / partition pruning apply. Never collect here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The driver's parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects; we read nanos as long and rebuild microsecond
+# timestamps (DuckDB does the same truncation when it surfaces these
+# columns as TIMESTAMP). Known nano-timestamp columns per table:
+_NANO_TS_COLS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:  # runtime-settable; set here so any caller-provided session works
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, ()):
+        field = df.schema[col]
+        if field.dataType.simpleString() == "bigint":
+            # integer nanos → micros with `div` (exact: values exceed
+            # double's 2^53 mantissa, so no float division)
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = False
+) -> dict[str, DataFrame]:
+    dfs = {name: load_table(spark, sf_dir, name) for name in TABLES}
+    if register_views:
+        for name, df in dfs.items():
+            df.createOrReplaceTempView(name)
+    return dfs
+
+
+def event_stream(spark: SparkSession, sf_dir: str):
+    """The canonical Event stream (SURVEY.md §1.1 → §1.4 mapping).
+
+    ``events`` carries ``ts`` (event time) and a dense, monotonically
+    increasing ``event_id`` which serves as the positional ``seq`` of the
+    reference's lazy list (``Stream alpha = [Event alpha]``,
+    ``src/Striot/FunctionalIoTtypes.hs:30``). Density of event_id lets
+    count-based windows be computed by pure arithmetic — no global sort,
+    no single-partition row_number at scale.
+    """
+    from striot_spark.core import Stream
+
+    df = load_table(spark, sf_dir, "events")
+    return Stream(df, time_col="ts", seq_col="event_id", dense_seq=True)
