@@ -308,6 +308,32 @@ class Stream:
             dense_seq=False,
         )
 
+    # -- fused stateful chains (plans/: SURVEY.md §4.1 custom rules) --------
+    def apply_chain(
+        self,
+        ops,
+        value_col: str,
+        out_type: str,
+        key: Sequence[str] | None = None,
+        optimize: bool = True,
+    ) -> "Stream":
+        """Run an op-chain (plans.graph Ops with Python callables) as a
+        single fused applyInPandas stage; the rewrite pass fuses
+        filter/map/expand into neighboring stateful ops first."""
+        from striot_spark.plans.lower import apply_chain as _apply
+
+        df = _apply(
+            self.df,
+            ops,
+            value_col,
+            out_type,
+            self.time_col,
+            self.seq_col,
+            list(key or []),
+            do_optimize=optimize,
+        )
+        return Stream(df, time_col=self.time_col, seq_col=self.seq_col)
+
     # -- derived (SURVEY.md §2.5) -------------------------------------------
     def sample(self, n: int) -> "Stream":
         """1-in-n systematic sampling (``FunctionalProcessing.hs:258-259``).

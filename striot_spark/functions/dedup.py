@@ -150,18 +150,38 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = df.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     ).filter(F.col("token") != "")
+    # Dedupe tokens per doc (min/votes are weight-linear, so hash each
+    # distinct token once and carry its count), then fold the 60 bit-vote
+    # counters JVM-side over the per-doc (hash, count) array — no 60x row
+    # explosion, one map-side-combinable shuffle.
+    counted = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
     h = md5_hash64(F.col("token"))
-    bits = toks.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
-        h.alias("h"),
-    ).withColumn(
-        "vote",
-        F.expr("CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END"),
+    hashes = counted.groupBy(id_col).agg(
+        F.collect_list(F.struct(h.alias("h"), F.col("cnt").alias("cnt"))).alias("hs")
     )
-    votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.expr("CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END")
-        ).alias("simhash")
+    votes = F.expr(
+        """
+        aggregate(
+          hs,
+          array_repeat(CAST(0 AS BIGINT), 60),
+          (acc, s) -> zip_with(
+              acc, sequence(0, 59),
+              (a, b) -> a + CASE WHEN (s.h >> b) & 1 = 1
+                             THEN s.cnt ELSE -s.cnt END))
+        """
+    )
+    fingerprint = F.expr(
+        """
+        aggregate(
+          zip_with(votes, sequence(0, 59),
+                   (v, b) -> CASE WHEN v > 0
+                                  THEN CAST(1 AS BIGINT) << b
+                                  ELSE CAST(0 AS BIGINT) END),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)
+        """
+    )
+    return (
+        hashes.withColumn("votes", votes)
+        .withColumn("simhash", fingerprint)
+        .select(id_col, "simhash")
     )

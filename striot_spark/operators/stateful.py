@@ -123,7 +123,11 @@ def scan_apply(
     order = _order_cols(time_col, seq_col)
     work = df if key else df.withColumn(GLOBAL_KEY, F.lit(0))
     group_cols = key or [GLOBAL_KEY]
-    schema_out = work.schema.add(out_field, out_type)
+    # never .add() onto df.schema — it's a cached, shared object
+    schema_out = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in work.schema.fields]
+        + [f"`{out_field}` {out_type}"]
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order, kind="mergesort")

@@ -161,13 +161,24 @@ def assign_window_id(
         if time_col is None:
             raise ValueError("ChopTime requires a time column")
         # Spark-native tumbling window; start timestamp doubles as the id.
-        win = (
-            F.window(F.col(time_col), maker.duration)
-            if maker.origin is None
-            else F.window(
-                F.col(time_col), maker.duration, maker.duration, maker.origin
+        if maker.origin is None:
+            win = F.window(F.col(time_col), maker.duration)
+        else:
+            # Spark's startTime is an OFFSET interval, not an absolute
+            # instant: reduce the origin timestamp modulo the window
+            # length (first-event alignment, FunctionalProcessing.hs:118)
+            import datetime as _dt
+
+            origin_dt = _dt.datetime.fromisoformat(maker.origin)
+            epoch = _dt.datetime(1970, 1, 1)
+            micros = int((origin_dt - epoch).total_seconds() * 1_000_000)
+            offset = micros % (_gap_ms(maker.duration) * 1000)
+            win = F.window(
+                F.col(time_col),
+                maker.duration,
+                maker.duration,
+                f"{offset} microseconds",
             )
-        )
         return df.withColumn(WINDOW_TIME, win).withColumn(
             WINDOW_ID, F.col(f"{WINDOW_TIME}.start").cast("long")
         )

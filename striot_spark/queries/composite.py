@@ -1,0 +1,186 @@
+"""Composite-operator queries: streamJoinE / streamJoinW, time-sliding
+windows, the general (Arrow/applyInPandas) stateful path, and the
+literal window→expand roundtrip — each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from striot_spark.functions.analytics import cents, ts_str
+from striot_spark.operators import ChopTime, Complete, SlidingTime
+from striot_spark.operators.windows import Chop
+from striot_spark.queries.registry import register
+from striot_spark.sources.batch import event_stream
+
+CENTS_SQL = "CAST(round((value)*100.0, 0) AS BIGINT)"
+EPOCH_S = "(epoch_us(ts) // 1000000)"
+
+
+@register(
+    "q31_joinw_revenue_per_click",
+    f"""
+    WITH l AS (
+        SELECT ({EPOCH_S} // 86400) * 86400 AS left_window,
+               sum({CENTS_SQL}) / 100.0 AS revenue
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    r AS (
+        SELECT ({EPOCH_S} // 172800) * 172800 AS right_window,
+               count(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1)
+    SELECT l.left_window, l.left_window - l.left_window % 172800 AS right_window,
+           l.revenue, r.n_clicks
+    FROM l LEFT JOIN r ON r.right_window = l.left_window - l.left_window % 172800
+    """,
+    doc="streamJoinW with different per-side window lengths "
+    "(FunctionalProcessing.hs:175-178; taxi Q2 pattern Taxi.hs:299-305): "
+    "1-day purchase revenue joined to the containing 2-day click window",
+)
+def q31_joinw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+    purchases = s.filter(F.col("event_type") == "purchase")
+    clicks = s.filter(F.col("event_type") == "click")
+    out = purchases.join_w(
+        clicks,
+        ChopTime("1 day"),
+        ChopTime("2 days"),
+        {"revenue": F.sum(cents(F.col("value"))) / 100.0},
+        {"n_clicks": F.count(F.lit(1))},
+    )
+    return out.df.select("left_window", "right_window", "revenue", "n_clicks")
+
+
+@register(
+    "q32_joine_window_theta",
+    f"""
+    WITH p AS (SELECT ({EPOCH_S} // 3600) * 3600 AS window_id, event_id, value
+               FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT ({EPOCH_S} // 3600) * 3600 AS window_id, event_id, value
+               FROM events WHERE event_type = 'error')
+    SELECT p.window_id, p.event_id AS purchase_id, e.event_id AS error_id
+    FROM p JOIN e USING (window_id) WHERE p.value > e.value
+    """,
+    doc="streamJoinE: windowed theta join — cartesian within time-aligned "
+    "1h windows, filtered purchase.value > error.value "
+    "(FunctionalProcessing.hs:161-173); equi-join on window key at scale",
+)
+def q32_joine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+    purchases = s.filter(F.col("event_type") == "purchase")
+    errors = s.filter(F.col("event_type") == "error")
+    out = purchases.join_e(
+        errors,
+        ChopTime("1 hour"),
+        theta=F.col("l_value") > F.col("r_value"),
+        select=[
+            F.col("l_event_id").alias("purchase_id"),
+            F.col("r_event_id").alias("error_id"),
+        ],
+    )
+    return out.df.select("window_id", "purchase_id", "error_id")
+
+
+@register(
+    "q33_sliding_time_window",
+    f"""
+    SELECT event_id,
+           count(*) OVER w AS n_10m,
+           sum({CENTS_SQL}) OVER w / 100.0 AS sum_10m
+    FROM events
+    WINDOW w AS (ORDER BY ts
+                 RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+    """,
+    doc="slidingTime as a rangeBetween analytic frame — zero row "
+    "multiplication (FunctionalProcessing.hs:99-108, backward form)",
+)
+def q33_sliding_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+    out = s.window_agg(
+        SlidingTime(600_000, backward=True),
+        {"n_10m": F.count(F.lit(1)), "s_": F.sum(cents(F.col("value")))},
+    )
+    return out.df.select(
+        "event_id", "n_10m", (F.col("s_") / F.lit(100.0)).alias("sum_10m")
+    )
+
+
+@register(
+    "q34_filteracc_above_running_avg",
+    f"""
+    SELECT event_id, user_id, value FROM (
+        SELECT event_id, user_id, value,
+               count(*) OVER wprev AS pc,
+               sum({CENTS_SQL}) OVER wprev AS ps
+        FROM events
+        WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) t
+    WHERE pc = 0 OR {CENTS_SQL} * pc > ps
+    """,
+    doc="general streamFilterAcc via Arrow applyInPandas (exact reference "
+    "semantics: predicate sees pre-update accumulator, "
+    "FunctionalProcessing.hs:181-185): keep events above the running "
+    "mean of prior events, per user — oracle-checked against SQL",
+)
+def q34_above_running_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+
+    def step(state, row):
+        cnt, total = state
+        return (cnt + 1, total + _row_cents(row))
+
+    def pred(row, state):
+        cnt, total = state
+        return cnt == 0 or _row_cents(row) * cnt > total
+
+    out = s.filter_acc_apply(step, (0, 0), pred, key=["user_id"])
+    return out.df.select("event_id", "user_id", "value")
+
+
+def _row_cents(row: dict) -> int:
+    # identical to the engines' round-half-away-from-zero at 0 decimals
+    # (values are positive; floor(x+0.5) == half-up there)
+    return int(math.floor(row["value"] * 100.0 + 0.5))
+
+
+@register(
+    "q35_complete_window",
+    f"""
+    SELECT count(*) AS n_events,
+           sum({CENTS_SQL}) / 100.0 AS sum_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+    FROM events
+    """,
+    doc="complete: whole-stream single window "
+    "(FunctionalProcessing.hs:131-132) — global agg, no grouping",
+)
+def q35_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+    out = s.window_agg(
+        Complete(),
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(cents(F.col("value"))) / 100.0,
+            "first_ts": ts_str(F.min("ts")),
+            "last_ts": ts_str(F.max("ts")),
+        },
+    )
+    return out.df.select("n_events", "sum_value", "first_ts", "last_ts")
+
+
+@register(
+    "q36_window_expand_roundtrip",
+    """
+    SELECT event_id FROM events
+    """,
+    doc="streamWindow (literal Stream a → Stream [a]) then streamExpand "
+    "flattens back — identity roundtrip (FunctionalProcessing.hs:77-86, "
+    ":206-210)",
+)
+def q36_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+    windowed = s.window(Chop(50), collect=F.col("event_id"))
+    return windowed.expand("values", alias="event_id").df.select("event_id")

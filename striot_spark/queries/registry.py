@@ -63,6 +63,12 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from striot_spark.queries import datapipe, events_ops, flagship, tpch  # noqa: F401
+    from striot_spark.queries import (  # noqa: F401
+        composite,
+        datapipe,
+        events_ops,
+        flagship,
+        tpch,
+    )
 
     _LOADED = True

@@ -43,7 +43,45 @@ _NANO_TS_COLS = {
 }
 
 
+_SHIPPED_SESSIONS: set[str] = set()
+
+
+def _ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship striot_spark to executor Python workers via addPyFile.
+
+    Arrow-batched operators (applyInPandas/mapInPandas) pickle callables
+    that reference this package by module name; workers spawned by a
+    caller-provided session (the grading driver, a real cluster) do not
+    inherit the driver's sys.path, so the package must travel with the
+    job. Local no-op cost: one zip + addPyFile per session.
+    """
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    try:
+        key = spark.sparkContext.applicationId
+    except Exception:
+        return
+    if key in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = Path(__file__).resolve().parent.parent  # .../striot_spark
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"striot_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                z.write(p, p.relative_to(pkg_dir.parent))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. duplicate add after session restart — harmless
+    _SHIPPED_SESSIONS.add(key)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_package_shipped(spark)
     try:  # runtime-settable; set here so any caller-provided session works
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:

@@ -1,0 +1,1 @@
+from striot_spark.streaming import runtime

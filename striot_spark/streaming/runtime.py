@@ -1,0 +1,225 @@
+"""Structured Streaming lowering — the online half of the engine.
+
+Reference parity: StrIoT's distributed runtime (``src/Striot/
+Nodes.hs:52-167``) runs each operator partition as a process consuming
+an unbounded event list over TCP/Kafka/MQTT with a bounded-channel
+backpressure of 10 events (``Nodes.hs:208-215``). All of that maps onto
+Structured Streaming: sources → transformations → sinks, micro-batch
+admission control as backpressure, checkpointing for exactly-once.
+
+Deliberate capability *additions* over the reference (SURVEY.md §2.6):
+watermarks + late-data policy. The reference lets late events land in
+whichever window is still open; here lateness is explicit and bounded.
+
+The same Stream operators lower as follows in streaming mode:
+- filter/map/expand/merge: identical DataFrame ops (unbounded input);
+- chopTime/session windows: native ``window()`` / ``session_window()``
+  with watermark;
+- scan/filterAcc (general): ``applyInPandasWithState`` per key — state
+  lives in the state store, sharded by key (the single-key form has the
+  same throughput ceiling as the reference's one lazy list);
+- count-based windows (chop n / sliding n): inherently order-dependent →
+  stateful operator per key; exposed only keyed in streaming.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# -- sources -----------------------------------------------------------------
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic source (reference: Source vertex with an IO action run
+    at a rate, ``StreamGraph.hs:117``); columns (timestamp, value)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def file_stream(
+    spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet"
+) -> DataFrame:
+    """File-replay source: new files in ``path`` become micro-batches."""
+    return spark.readStream.schema(schema).format(fmt).load(path)
+
+
+def kafka_stream(
+    spark: SparkSession, bootstrap: str, topic: str, starting: str = "latest"
+) -> DataFrame:
+    """Kafka ingress (reference transport: ``Nodes/Kafka.hs:24-119``).
+    Requires the spark-sql-kafka package on the cluster; not exercised
+    in this container."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting)
+        .load()
+    )
+
+
+# -- windowed aggregation ----------------------------------------------------
+
+
+def window_agg_stream(
+    sdf: DataFrame,
+    time_col: str,
+    duration: str,
+    aggs: dict[str, Column],
+    key: Sequence[str] = (),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling event-time window + watermark (chopTime, streaming form)."""
+    out = (
+        sdf.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), duration), *key)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *key,
+        *aggs.keys(),
+    )
+
+
+def session_agg_stream(
+    sdf: DataFrame,
+    time_col: str,
+    gap: str,
+    aggs: dict[str, Column],
+    key: Sequence[str] = (),
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Native session windows (the capability the reference hand-builds
+    with streamScan, ``examples/wearable/WearableStreams.hs:175-189``)."""
+    out = (
+        sdf.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(F.col(time_col), gap), *key)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *key,
+        *aggs.keys(),
+    )
+
+
+# -- stateful operators ------------------------------------------------------
+
+
+def scan_stream(
+    sdf: DataFrame,
+    step: Callable[[Any, dict], Any],
+    init: Any,
+    out_field: str,
+    out_type: str,
+    key: Sequence[str],
+    time_col: str,
+    state_type: str = "acc double",
+) -> DataFrame:
+    """Streaming streamScan via applyInPandasWithState.
+
+    Per-key state (a single accumulator encoded in ``state_type``);
+    events within a micro-batch are processed in event-time order.
+    Cross-batch order is arrival order — the same guarantee the
+    reference's distributed merge gives (``Nodes/TCP.hs:52-59``).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key = list(key)
+    carry = [*key, time_col]
+    fields = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    out_schema = ", ".join(
+        [f"`{c}` {fields[c]}" for c in carry] + [f"`{out_field}` {out_type}"]
+    )
+
+    def fn(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        acc = state.get[0] if state.exists else init
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col, kind="mergesort")
+            out = []
+            for row in pdf.to_dict("records"):
+                acc = step(acc, row)
+                out.append(acc)
+            res = pdf[carry].copy()
+            res[out_field] = out
+            yield res
+        state.update((acc,))
+
+    return sdf.groupBy(*key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# -- sinks -------------------------------------------------------------------
+
+
+def run_available_now(
+    sdf: DataFrame, query_name: str, checkpoint_dir: str, mode: str = "append"
+) -> DataFrame:
+    """Drain everything currently available into an in-memory table and
+    return it (batch-equivalence testing harness for streaming plans).
+
+    For windowed aggregations use ``mode='complete'``: in append mode a
+    window only emits once the watermark passes its end, so the trailing
+    windows of a drained file stream would be withheld."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(query_name)
+
+
+def to_console(sdf: DataFrame, checkpoint_dir: str, mode: str = "append"):
+    """Console sink (reference: ``Sink`` vertex printing events,
+    ``CompileIoT.hs:269-271``)."""
+    return (
+        sdf.writeStream.format("console")
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def to_parquet(sdf: DataFrame, path: str, checkpoint_dir: str):
+    return (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def to_kafka(sdf: DataFrame, bootstrap: str, topic: str, checkpoint_dir: str):
+    """Kafka egress (reference: ``Nodes/Kafka.hs:52-58``); requires the
+    kafka package on the cluster."""
+    return (
+        sdf.selectExpr("CAST(null AS STRING) AS key", "to_json(struct(*)) AS value")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1,0 +1,163 @@
+"""Operator semantics unit tests (the reference keeps per-operator
+inline tests + properties, SURVEY.md §5.1/5.3; these mirror that on the
+Spark lowering, cross-checking general paths against algebraic paths
+and the pure evaluator)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from striot_spark.core import Stream
+from striot_spark.operators import Chop, ChopTime, Session, Sliding
+from striot_spark.operators.windows import WINDOW_ID, window_skeleton
+from striot_spark.plans.graph import FilterAccOp, FilterOp, MapOp, ScanOp, run_chain
+from striot_spark.sources.batch import event_stream
+
+
+@pytest.fixture(scope="module")
+def ev(spark, sf_dir):
+    return event_stream(spark, sf_dir)
+
+
+def test_zip_join_truncates_to_shorter(spark, ev):
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "signup")
+    n_a, n_b = a.df.count(), b.df.count()
+    joined = a.zip_join(b)
+    assert joined.df.count() == min(n_a, n_b)  # Haskell zip semantics
+
+
+def test_merge_is_multiset_union(spark, ev):
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "view")
+    assert a.merge(b).df.count() == a.df.count() + b.df.count()
+
+
+def test_chop_window_sizes(spark, ev):
+    total = ev.df.count()
+    sizes = (
+        ev.window_agg(Chop(64), {"n": F.count(F.lit(1))})
+        .df.select("n")
+        .collect()
+    )
+    ns = sorted(r["n"] for r in sizes)
+    assert sum(ns) == total
+    assert all(n == 64 for n in ns[:-1]) or ns.count(64) >= len(ns) - 1
+
+
+def test_choptime_origin_alignment(spark, ev):
+    """ChopTime(origin=first event ts) reproduces the reference's
+    first-event-aligned tumbling windows (FunctionalProcessing.hs:118-126)."""
+    first_ts = ev.df.agg(F.min("ts")).collect()[0][0]
+    maker = ChopTime("1 day", origin=str(first_ts))
+    out = ev.window_agg(maker, {"n": F.count(F.lit(1))}, keep_window_time=True)
+    starts = [r["window_start"] for r in out.df.select("window_start").collect()]
+    # every window start is origin + k*1day
+    deltas = {
+        int((s - first_ts).total_seconds()) % 86400 for s in starts
+    }
+    assert deltas == {0}
+
+
+def test_window_skeleton_emits_empty_windows(spark, ev):
+    """Reference emits empty windows (FunctionalProcessing.hs:86); the
+    skeleton left-join reproduces that."""
+    maker = ChopTime("1 hour")
+    agg = ev.window_agg(maker, {"n": F.count(F.lit(1))}).df
+    skel = window_skeleton(ev.df, maker, "ts")
+    full = skel.join(agg, WINDOW_ID, "left").fillna(0, subset=["n"])
+    n_hours = skel.count()
+    assert full.count() == n_hours
+    assert full.filter(F.col("n") == 0).count() > 0  # sparse stream → gaps
+    assert agg.count() < n_hours
+
+
+def test_scan_apply_matches_algebraic_scan(spark, ev):
+    """General Arrow path == analytic-frame path on a cumulative sum."""
+    alg = (
+        ev.scan({"rt": F.sum(F.col("value").cast("long"))}, key=["user_id"])
+        .df.select("event_id", "rt")
+    )
+    gen = ev.scan_apply(
+        lambda st, row: st + int(row["value"]),
+        0,
+        out_field="rt",
+        out_type="long",
+        key=["user_id"],
+    ).df.select("event_id", "rt")
+    assert alg.exceptAll(gen).count() == 0 and gen.exceptAll(alg).count() == 0
+
+
+def test_filter_acc_apply_matches_lag_changes(spark, ev):
+    """General Arrow filterAcc == lag()-based dedup-on-change."""
+    lag_based = ev.changes("event_type", key=["user_id"]).df.select("event_id")
+    gen = ev.filter_acc_apply(
+        step=lambda st, row: row["event_type"],
+        init=None,
+        pred=lambda row, st: st is None or row["event_type"] != st,
+        key=["user_id"],
+    ).df.select("event_id")
+    assert lag_based.exceptAll(gen).count() == 0
+    assert gen.exceptAll(lag_based).count() == 0
+
+
+def test_sample_without_dense_seq(spark, ev):
+    """Fallback row_number sampling picks every n-th by stream order."""
+    filtered = ev.filter(F.col("value") > 50)  # density broken
+    n_in = filtered.df.count()
+    out = filtered.sample(7)
+    assert out.df.count() == (n_in + 6) // 7
+
+
+def test_session_window_maker_matches_sessionize(spark, ev):
+    from striot_spark.functions.analytics import sessionize
+    from striot_spark.operators.windows import assign_window_id
+
+    a = assign_window_id(
+        ev.df, Session("30 minutes"), "ts", "event_id", key=["user_id"]
+    ).select("event_id", F.col(WINDOW_ID).alias("sid"))
+    b = sessionize(
+        ev.df, "ts", 30, ["user_id"], order_cols=["ts", "event_id"]
+    ).select("event_id", F.col("session_id").alias("sid"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_sliding_window_counts(spark, ev):
+    out = ev.window_agg(Sliding(10), {"n": F.count(F.lit(1))}).df
+    ns = [r["n"] for r in out.orderBy("event_id").select("n").collect()]
+    assert ns[:9] == list(range(1, 10))  # ramp-up
+    assert all(n == 10 for n in ns[9:])
+
+
+def test_apply_chain_matches_pure_evaluator(spark, ev):
+    """Fused applyInPandas chain == pure evaluator on collected values."""
+    chain = (
+        MapOp(lambda v: v * 2),
+        FilterOp(lambda v: v > 100),
+        ScanOp(lambda acc, v: acc + v, 0.0),
+        FilterAccOp(lambda acc, v: acc + 1, 0, lambda v, acc: acc % 2 == 0),
+    )
+    out = ev.apply_chain(chain, "value", "double")
+    got = [
+        r["value"]
+        for r in out.df.orderBy("ts", "event_id").select("value").collect()
+    ]
+    vals = [
+        r["value"]
+        for r in ev.df.orderBy("ts", "event_id").select("value").collect()
+    ]
+    assert got == run_chain(chain, vals)
+
+
+def test_apply_chain_is_single_stage(spark, ev):
+    """The fused chain must lower to exactly one FlatMapGroupsInPandas."""
+    chain = (
+        FilterOp(lambda v: v > 0),
+        FilterAccOp(lambda acc, v: v, None, lambda v, acc: v != acc),
+        ScanOp(lambda acc, v: acc + v, 0.0),
+    )
+    out = ev.apply_chain(chain, "value", "double")
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1

@@ -1,0 +1,146 @@
+"""Golden pre/post tests for every rewrite rule — the reference's
+``test_<rule>`` pattern (``LogicalOptimiser.hs:187-194`` and friends):
+apply the rule to a hand-built pre-chain and assert the post-chain is
+semantically identical on concrete inputs, via the pure evaluator.
+
+Pure Python — no SparkSession needed.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from striot_spark.plans.graph import (
+    ExpandOp,
+    FilterAccOp,
+    FilterOp,
+    MapOp,
+    ScanOp,
+    run_chain,
+    run_fused,
+)
+from striot_spark.plans import rewrite as R
+
+INTS = list(range(-20, 40))
+LISTS = [[1, 2], [], [3], [4, 5, 6], [], [7]]
+
+
+def double(v):
+    return v * 2
+
+
+def is_even(v):
+    return v % 2 == 0
+
+
+def is_pos(v):
+    return v > 0
+
+
+def add(acc, v):
+    return acc + v
+
+
+def changed(v, acc):
+    return v != acc
+
+
+CASES = [
+    # (rule, pre-chain, inputs)
+    (R.filter_fuse, (FilterOp(is_even), FilterOp(is_pos)), INTS),
+    (R.map_fuse, (MapOp(double), MapOp(lambda v: v + 1)), INTS),
+    (R.map_filter, (MapOp(double), FilterOp(is_pos)), INTS),
+    (
+        R.filter_filter_acc,
+        (FilterOp(is_even), FilterAccOp(lambda a, v: v, None, changed)),
+        [1, 1, 2, 2, 3, 4, 4, 5, 6, 6],
+    ),
+    (
+        R.filter_acc_filter,
+        (FilterAccOp(lambda a, v: v, None, changed), FilterOp(is_pos)),
+        [1, 1, -2, -2, 3, 3, -4, 5],
+    ),
+    (
+        R.filter_acc_filter_acc,
+        (
+            FilterAccOp(lambda a, v: v, None, changed),
+            FilterAccOp(add, 0, lambda v, acc: acc < 50),
+        ),
+        [1, 1, 2, 3, 3, 40, 10, 5, 5, 2],
+    ),
+    (R.map_scan, (MapOp(double), ScanOp(add, 0)), INTS),
+    (
+        R.map_filter_acc,
+        (MapOp(double), FilterAccOp(lambda a, v: v, None, changed)),
+        [1, 1, 2, 3, 3, 4],
+    ),
+    (R.expand_filter, (ExpandOp(), FilterOp(is_even)), LISTS),
+    (R.expand_map, (ExpandOp(), MapOp(double)), LISTS),
+    (R.expand_expand, (ExpandOp(), ExpandOp()), [[[1, 2], [3]], [], [[4], []]]),
+    (R.expand_scan, (ExpandOp(), ScanOp(add, 0)), LISTS),
+    (
+        R.expand_filter_acc,
+        (ExpandOp(), FilterAccOp(lambda a, v: v, None, changed)),
+        [[1, 1, 2], [2, 3], [], [3, 4, 4]],
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "rule,pre,inputs", CASES, ids=[c[0].__name__ for c in CASES]
+)
+def test_rule_preserves_semantics(rule, pre, inputs):
+    post = rule(pre[0], pre[1])
+    assert post is not None, "rule did not match its own pre-chain"
+    assert run_chain(pre, inputs) == run_chain(post, inputs)
+
+
+@pytest.mark.parametrize(
+    "rule,pre,inputs", CASES, ids=[c[0].__name__ for c in CASES]
+)
+def test_rule_in_optimize_pipeline(rule, pre, inputs):
+    opt = R.optimize(tuple(pre))
+    assert run_chain(pre, inputs) == run_chain(opt, inputs)
+
+
+def test_stateful_chain_fuses_to_one_stage():
+    """filter → filterAcc → filter → filterAcc collapses to a single
+    stateful op (one applyInPandas boundary instead of two+)."""
+    chain = (
+        FilterOp(is_pos),
+        FilterAccOp(lambda a, v: v, None, changed),
+        FilterOp(is_even),
+        FilterAccOp(add, 0, lambda v, acc: acc < 100),
+    )
+    opt = R.optimize(chain)
+    assert R.stateful_stages(opt) == 1
+    data = [random.Random(7).randint(-5, 30) for _ in range(200)]
+    assert run_chain(chain, data) == run_chain(opt, data)
+
+
+def test_fused_kernel_matches_evaluator():
+    chain = (
+        MapOp(double),
+        FilterOp(is_pos),
+        ScanOp(add, 0),
+        FilterAccOp(lambda a, v: v, None, changed),
+    )
+    rng = random.Random(42)
+    data = [rng.randint(-10, 10) for _ in range(300)]
+    assert run_fused(chain, data) == run_chain(chain, data)
+    opt = R.optimize(chain)
+    assert run_fused(opt, data) == run_chain(chain, data)
+
+
+def test_optimize_terminates_and_is_idempotent():
+    chain = (
+        FilterOp(is_pos),
+        FilterOp(is_even),
+        MapOp(double),
+        MapOp(lambda v: v - 1),
+        ScanOp(add, 0),
+    )
+    opt = R.optimize(chain)
+    assert R.optimize(opt) == opt

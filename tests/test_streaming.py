@@ -1,0 +1,118 @@
+"""Streaming-mode tests: the same operators lowered to Structured
+Streaming must agree with their batch lowering (batch is the semantics
+oracle, SURVEY.md §7.3 hard-point 1)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from striot_spark.sources.batch import load_table
+from striot_spark.streaming import runtime as RT
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Stage events as a streaming-source directory (two files → at
+    least two input splits)."""
+    out = tmp_path_factory.mktemp("events_stream")
+    df = load_table(spark, sf_dir, "events")
+    df.repartition(2).write.mode("overwrite").parquet(str(out / "data"))
+    return str(out / "data")
+
+
+@pytest.fixture()
+def ckpt(tmp_path):
+    d = tmp_path / "ckpt"
+    yield str(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _events_schema(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").schema
+
+
+def test_windowed_agg_stream_matches_batch(spark, sf_dir, events_dir, ckpt):
+    sdf = RT.file_stream(spark, events_dir, _events_schema(spark, sf_dir))
+    agg = RT.window_agg_stream(
+        sdf, "ts", "1 day", {"n": F.count(F.lit(1))}, watermark="1 minute"
+    )
+    got = RT.run_available_now(agg, "win_counts", ckpt, mode="complete")
+    stream_rows = {
+        (r["window_start"], r["n"]) for r in got.select("window_start", "n").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    batch_rows = {(r["window_start"], r["n"]) for r in batch.collect()}
+    assert stream_rows == batch_rows
+
+
+def test_session_window_stream_matches_batch_sessionize(
+    spark, sf_dir, events_dir, ckpt
+):
+    from striot_spark.functions.analytics import sessionize
+
+    sdf = RT.file_stream(spark, events_dir, _events_schema(spark, sf_dir))
+    agg = RT.session_agg_stream(
+        sdf,
+        "ts",
+        "30 minutes",
+        {"n": F.count(F.lit(1))},
+        key=["user_id"],
+        watermark="1 minute",
+    )
+    got = RT.run_available_now(agg, "sess_counts", ckpt, mode="complete")
+    stream_sizes = sorted(
+        (r["user_id"], r["n"]) for r in got.select("user_id", "n").collect()
+    )
+    batch = (
+        sessionize(
+            load_table(spark, sf_dir, "events"),
+            "ts",
+            30,
+            ["user_id"],
+            order_cols=["ts", "event_id"],
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    batch_sizes = sorted(
+        (r["user_id"], r["n"]) for r in batch.select("user_id", "n").collect()
+    )
+    assert stream_sizes == batch_sizes
+
+
+def test_scan_stream_matches_batch_scan(spark, sf_dir, events_dir, ckpt):
+    from striot_spark.sources.batch import event_stream
+
+    sdf = RT.file_stream(spark, events_dir, _events_schema(spark, sf_dir))
+    out = RT.scan_stream(
+        sdf,
+        step=lambda acc, row: acc + row["value"],
+        init=0.0,
+        out_field="running",
+        out_type="double",
+        key=["user_id"],
+        time_col="ts",
+    )
+    got = RT.run_available_now(out, "scan_out", ckpt, mode="append")
+    stream_rows = {
+        (r["user_id"], r["ts"], round(r["running"], 6))
+        for r in got.collect()
+    }
+    batch = (
+        event_stream(spark, sf_dir)
+        .scan({"running": F.sum("value")}, key=["user_id"])
+        .df.select("user_id", "ts", "running")
+    )
+    batch_rows = {
+        (r["user_id"], r["ts"], round(r["running"], 6)) for r in batch.collect()
+    }
+    assert stream_rows == batch_rows
