@@ -1,0 +1,43 @@
+"""Memoized-map helpers.
+
+Reference parity: ``streamMapCache`` carries a Map cache through
+streamScan to avoid recomputing an expensive per-value function
+(``examples/caching/Caching.hs:15-20``). On Spark the idiomatic
+equivalents are (a) a broadcast lookup table when the function's domain
+is small/known, (b) ``df.cache()`` for whole-plan reuse — per-executor
+memoization of arbitrary Python functions would be cache-per-worker and
+rarely wins over Arrow-vectorized recomputation.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def broadcast_lookup(
+    df: DataFrame,
+    mapping: Mapping[Any, Any],
+    key_col: str,
+    out_col: str,
+    default: Any = None,
+) -> DataFrame:
+    """Map ``key_col`` through a driver-side dict as a literal MapType
+    expression — Catalyst constant, shipped once per stage, no shuffle
+    and no UDF. For large mappings use a broadcast-join against a
+    DataFrame instead."""
+    kv = F.create_map(*[F.lit(x) for x in chain.from_iterable(mapping.items())])
+    looked = kv[F.col(key_col)]
+    if default is not None:
+        looked = F.coalesce(looked, F.lit(default))
+    return df.withColumn(out_col, looked)
+
+
+def broadcast_join_lookup(
+    df: DataFrame, lookup: DataFrame, key_col: str, how: str = "left"
+) -> DataFrame:
+    """Lookup via explicit broadcast join (the >100-entry regime)."""
+    return df.join(F.broadcast(lookup), key_col, how)

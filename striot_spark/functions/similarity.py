@@ -73,6 +73,42 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    partition_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: score only vectors in the query's coarse partition
+    (an inverted-file cell — here any precomputed cluster/label column).
+
+    At scale the base table is written partitioned/bucketed by
+    ``partition_col``, so a probe reads one cell's files only (partition
+    pruning), and the query side is broadcast — no shuffle of the base
+    table at all.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col), F.col(partition_col), as_double(F.col(vec_col)).alias("v")
+    )
+    q = query_df.select(
+        F.col(query_id_col), F.col(partition_col), as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = base.join(F.broadcast(q), partition_col).withColumn(
+        "cos", F.round(cosine(F.col("v"), F.col("qv")), 6)
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cos", "rnk")
+    )
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: values in
     [-1, 1) from integer arithmetic (no RNG dependency)."""

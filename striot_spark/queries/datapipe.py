@@ -217,6 +217,76 @@ def q28_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(media)
 
 
+@register(
+    "q37_ann_ivf",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT label AS qlabel, v AS qv FROM e WHERE vec_id = 0)
+    SELECT query_id, vec_id, cos, rnk FROM (
+        SELECT 0 AS query_id, e.vec_id,
+               round(list_dot_product(e.v, qv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS cos,
+               row_number() OVER (
+                   ORDER BY round(list_dot_product(e.v, qv)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(qv, qv))), 6) DESC,
+                            e.vec_id ASC) AS rnk
+        FROM e, q WHERE e.label = qlabel AND e.vec_id <> 0) t
+    WHERE rnk <= 5
+    """,
+    doc="IVF-style ANN: probe only the query's coarse partition (label "
+    "= inverted-file cell); base table partition-prunable, query side "
+    "broadcast — the scale path next to the q27 brute-force baseline",
+)
+def q37_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("query_id"), "label", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") != 0)
+    return SIM.ivf_topk(base, query, k=5)
+
+
+@register(
+    "q38_quality_class",
+    f"""
+    SELECT doc_id, n_tokens, stop_ratio,
+           CASE WHEN n_tokens >= 20 AND n_tokens <= 10000
+                     AND stop_ratio >= 0.05 THEN 'keep'
+                WHEN n_tokens >= 5 THEN 'review'
+                ELSE 'drop' END AS quality_class
+    FROM (
+        SELECT doc_id,
+               {NTOK} AS n_tokens,
+               len(list_filter(string_split(text, ' '), x -> x IN {STOP_EN}))
+                   / {NTOK} AS stop_ratio
+        FROM documents) t
+    """,
+    doc="quality-gating classifier over token/stopword stats — the "
+    "keep/review/drop pass of a training-data pipeline, pure projections",
+)
+def q38_quality_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n = T.token_count(text)
+    ratio = T.stopword_hits(text) / n
+    out = docs.select(
+        "doc_id", n.alias("n_tokens"), ratio.alias("stop_ratio")
+    )
+    cls = (
+        F.when(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_tokens") <= 10000)
+            & (F.col("stop_ratio") >= 0.05),
+            F.lit("keep"),
+        )
+        .when(F.col("n_tokens") >= 5, F.lit("review"))
+        .otherwise(F.lit("drop"))
+    )
+    return out.withColumn("quality_class", cls)
+
+
 # LSH candidate pairs + verified near-dups: no SQL oracle (multi-stage
 # join pipeline); driver records rows-only check.
 @register(

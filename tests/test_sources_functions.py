@@ -1,0 +1,78 @@
+"""Tests for CSV sources (taxi F2 parity), broadcast lookup, and the
+taxi Q1 pipeline on synthetic trips."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from striot_spark.functions.caching import broadcast_lookup
+from striot_spark.sources.csv import (
+    frequent_routes,
+    load_taxi_csv,
+    trips_to_journeys,
+)
+
+CSV_ROWS = textwrap.dedent(
+    """\
+    07290D3599E7A0D62097A346EFCC1FB5,E7750A37CAB07D0DFF0AF7E3573AC141,2013-01-01 00:00:00,2013-01-01 00:02:00,120,0.44,-73.956528,40.716976,-73.962440,40.715008,CRD,3.50,0.50,0.50,1.00,0.00,5.50
+    07290D3599E7A0D62097A346EFCC1FB5,E7750A37CAB07D0DFF0AF7E3573AC141,2013-01-01 00:05:00,2013-01-01 00:35:00,1800,1.71,-73.956528,40.716976,-73.962440,40.715008,CSH,6.00,0.50,0.50,0.00,0.00,7.00
+    22D70BF00EEB0ADC83BA8177BB861991,3FF2709163DE7036FCAA4E5A3324E4BF,2013-01-01 00:40:00,2013-01-01 01:10:00,1800,1.48,-200.0,40.715008,-73.962440,40.715008,CSH,6.50,0.50,0.50,0.00,0.00,7.50
+    """
+)
+
+
+@pytest.fixture(scope="module")
+def taxi_csv(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("taxi")
+    p = d / "trips.csv"
+    p.write_text(CSV_ROWS)
+    return str(p)
+
+
+def test_taxi_csv_parses_typed(spark, taxi_csv):
+    df = load_taxi_csv(spark, taxi_csv)
+    assert df.count() == 3
+    row = df.orderBy("pickup_datetime").first()
+    assert row["payment_type"] == "CRD"
+    assert abs(row["fare_amount"] - 3.5) < 1e-6
+    assert row["dropoff_datetime"].minute == 2
+
+
+def test_journeys_filter_out_of_range_cells(spark, taxi_csv):
+    """Row 3 has pickup longitude -200 → cell out of 1..300 range →
+    dropped (inRange, Taxi.hs:107-113)."""
+    j = trips_to_journeys(load_taxi_csv(spark, taxi_csv))
+    assert j.count() == 2
+    cell = j.first()["start_cell"]
+    assert 1 <= cell["clat"] <= 300 and 1 <= cell["clon"] <= 300
+
+
+def test_frequent_routes_dedups_unchanged_windows(spark, taxi_csv):
+    """Both valid trips share one route; Q1 emits the first 30-min
+    window's top-k and dedups the unchanged second window."""
+    out = frequent_routes(load_taxi_csv(spark, taxi_csv), k=3).collect()
+    assert len(out) == 1
+    assert ">" in out[0]["top_routes"]
+
+
+def test_broadcast_lookup_is_shuffle_free(spark, sf_dir):
+    from striot_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = broadcast_lookup(
+        ev,
+        {"click": 1, "view": 2, "purchase": 3},
+        "event_type",
+        "type_code",
+        default=0,
+    )
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    got = {
+        (r["event_type"], r["type_code"])
+        for r in out.select("event_type", "type_code").distinct().collect()
+    }
+    assert ("click", 1) in got and ("error", 0) in got
