@@ -172,6 +172,87 @@ def q35_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q39_sliding_time_forward",
+    f"""
+    SELECT event_id,
+           count(*) OVER w AS n_next_10m
+    FROM events
+    WINDOW w AS (ORDER BY ts
+                 RANGE BETWEEN CURRENT ROW AND INTERVAL 10 MINUTES FOLLOWING)
+    """,
+    doc="slidingTime, reference orientation: each event opens a window "
+    "covering the NEXT 10 minutes (takeTime, "
+    "FunctionalProcessing.hs:99-108) — forward rangeBetween frame",
+)
+def q39_sliding_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+    out = s.window_agg(
+        SlidingTime(600_000, backward=False), {"n_next_10m": F.count(F.lit(1))}
+    )
+    return out.df.select("event_id", "n_next_10m")
+
+
+@register(
+    "q40_empty_windows",
+    f"""
+    WITH bounds AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+    buckets AS (
+        SELECT unnest(generate_series(
+            (epoch_us(lo) // 1000000 // 900) * 900,
+            (epoch_us(hi) // 1000000 // 900) * 900,
+            900)) AS window_id
+        FROM bounds),
+    agg AS (
+        SELECT ({EPOCH_S} // 900) * 900 AS window_id, count(*) AS n
+        FROM events GROUP BY 1)
+    SELECT b.window_id, coalesce(a.n, 0) AS n
+    FROM buckets b LEFT JOIN agg a USING (window_id)
+    """,
+    doc="empty-window emission: the reference emits Event Nothing "
+    "(Just []) for empty chopTime intervals (FunctionalProcessing.hs:86, "
+    "WearableStreams.hs:70-75); reproduced via window-skeleton left join",
+)
+def q40_empty_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.operators.windows import WINDOW_ID, window_skeleton
+
+    s = event_stream(spark, sf_dir)
+    maker = ChopTime("15 minutes")  # sparse enough that empty windows
+    # genuinely occur at every test scale factor
+    agg = s.window_agg(maker, {"n": F.count(F.lit(1))}).df
+    skel = window_skeleton(s.df, maker, "ts")
+    return (
+        skel.join(agg, WINDOW_ID, "left")
+        .fillna(0, subset=["n"])
+        .select("window_id", "n")
+    )
+
+
+@register(
+    "q41_merge_timestamp_order",
+    """
+    SELECT row_number() OVER (ORDER BY ts, event_id) AS pos, event_id, event_type
+    FROM events WHERE event_type IN ('click', 'view', 'signup')
+    """,
+    doc="streamMerge with materialized timestamp order: union of three "
+    "streams re-ordered by (event_time, seq) — the in-memory reference "
+    "merge guarantee (FunctionalProcessing.hs:142-143) on top of "
+    "Spark's unordered union (SURVEY.md §7.3 point 4)",
+)
+def q41_merge_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    s = event_stream(spark, sf_dir)
+    parts = [
+        s.filter(F.col("event_type") == t) for t in ("click", "view", "signup")
+    ]
+    merged = parts[0].merge(*parts[1:])
+    w = W.orderBy("ts", "event_id")
+    return merged.df.select(
+        F.row_number().over(w).alias("pos"), "event_id", "event_type"
+    )
+
+
+@register(
     "q36_window_expand_roundtrip",
     """
     SELECT event_id FROM events
