@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from striot_spark.core.scale import scatter
 from striot_spark.functions.text import md5_hash64, tokens_col
 
 MERSENNE_P = 2_147_483_647  # 2^31-1, classic Carter-Wegman modulus
@@ -38,13 +39,24 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array column (pure Column expr:
-    transform over token index slices)."""
+    """Word n-gram shingles as an array column (pure Column expr).
+
+    n=2 (the common near-dup shingle) takes an O(tokens) path —
+    ``zip_with`` over two shifted slices; the general path slices per
+    index (O(tokens*n) work per doc, measured ~10x slower at n=2)."""
     toks = F.filter(tokens_col(text), lambda t: t != F.lit(""))
-    k = F.size(toks) - (n - 1)
+    sz = F.size(toks)
+    if n == 2:
+        fast = F.zip_with(
+            F.slice(toks, 1, sz - 1),
+            F.slice(toks, 2, sz - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+        return F.when(sz < 2, F.array(F.array_join(toks, " "))).otherwise(fast)
+    k = sz - (n - 1)
     idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
     return F.when(
-        F.size(toks) < n, F.array(F.array_join(toks, " "))
+        sz < n, F.array(F.array_join(toks, " "))
     ).otherwise(
         F.transform(
             idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
@@ -57,21 +69,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document minhash signature columns mh0..mh{k-1}.
 
-    Explode shingles → base hash (md5-derived, engine-reproducible) →
-    per-document min of each affine transform. GroupBy with min() is
-    map-side combinable: the shuffle carries k longs per doc.
+    Pure projection: the shingle array lives inside the row, so each
+    signature is ``array_min(transform(...))`` over it — base hash
+    (md5-derived, engine-reproducible) then the affine family. A 100 TB
+    signature pass is one parquet scan with ZERO shuffles (the earlier
+    explode+groupBy form shuffled every shingle).
     """
     coeffs = MINHASH_COEFFS[:num_hashes]
-    sh = df.select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    base = F.transform(
+        shingles(F.col(text_col), shingle_n),
+        lambda s: md5_hash64(s) % MERSENNE_P,
     )
-    base = md5_hash64(F.col("shingle")) % MERSENNE_P
-    aggs = [
-        F.min((F.lit(a) * base + F.lit(b)) % MERSENNE_P).alias(f"mh{i}")
+    # Persist the base-hash array: Catalyst's CollapseProject would
+    # otherwise inline it into every signature expression, re-running
+    # the md5 pass k times (measured 6x cost at k=6). The cache is a
+    # materialization barrier, so md5 runs once and the k cheap
+    # array_min transforms read the cached array.
+    work = scatter(df).select(F.col(id_col), base.alias("__mh_base")).persist()
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("__mh_base"),
+                lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P,
+            )
+        ).alias(f"mh{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return work.select(F.col(id_col), *sig_cols)
 
 
 def lsh_candidate_pairs(
@@ -81,12 +105,26 @@ def lsh_candidate_pairs(
     num_hashes: int = 6,
     bands: int = 3,
     shingle_n: int = 2,
+    min_sig_agreement: float = 0.5,
 ) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate
     pairs. Join key = (band_id, concatenated in-band minhashes); output
-    (id_a, id_b) with id_a < id_b, distinct."""
+    (id_a, id_b) with id_a < id_b, distinct.
+
+    Candidates are pre-filtered by the minhash Jaccard *estimate* (the
+    fraction of agreeing signature components — an unbiased estimator)
+    before any exact verification: banding with short bands is
+    recall-friendly but false-positive-heavy, and this refinement prunes
+    most FPs with pure column comparisons on longs, long before the
+    expensive shingle-set intersection runs.
+    """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # Signatures are tiny (id + k longs) but expensive to derive (md5
+    # per shingle); a self-join recomputes its lineage on BOTH sides, so
+    # materialize once. At 100 TB the signature table would be written
+    # to storage before candidate generation — persist is the in-session
+    # analogue.
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
     band_cols = []
     for b in range(bands):
         members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -96,11 +134,15 @@ def lsh_candidate_pairs(
                 F.concat_ws("_", *[m.cast("string") for m in members]).alias("sig"),
             )
         )
+    mh_names = [f"mh{i}" for i in range(num_hashes)]
     exploded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
-    ).select(id_col, "bs.band", "bs.sig")
+        F.col(id_col), *mh_names, F.explode(F.array(*band_cols)).alias("bs")
+    ).select(id_col, *mh_names, "bs.band", "bs.sig")
     left = exploded.alias("a")
     right = exploded.alias("b")
+    agree = sum(
+        (F.col(f"a.{m}") == F.col(f"b.{m}")).cast("int") for m in mh_names
+    ) / F.lit(float(num_hashes))
     return (
         left.join(
             right,
@@ -109,8 +151,12 @@ def lsh_candidate_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            agree.alias("est_jaccard"),
         )
+        .filter(F.col("est_jaccard") >= min_sig_agreement)
+        .drop("est_jaccard")
         .distinct()
     )
 
@@ -121,10 +167,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Verify LSH candidates with exact shingle-set Jaccard. Only
     candidate pairs are scored — the shingle arrays join by doc id."""
-    sets_ = df.select(
+    # computed once, joined twice (id_a and id_b sides) → materialize;
+    # scatter() both sides: the set build is CPU-heavy per row, and AQE
+    # coalesces the small candidate shuffle to one partition, which
+    # would serialize the intersect/union work
+    sets_ = scatter(df).select(
         F.col(id_col).alias("sid"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sset"),
-    )
+    ).persist()
+    candidates = scatter(candidates)
     out = (
         candidates.join(sets_.withColumnRenamed("sid", "id_a").withColumnRenamed("sset", "set_a"), "id_a")
         .join(sets_.withColumnRenamed("sid", "id_b").withColumnRenamed("sset", "set_b"), "id_b")
@@ -140,34 +191,34 @@ def ngram_jaccard_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash fingerprint, fully declarative.
-
-    token → 60-bit md5 hash → explode 60 bit positions → weighted vote
-    per (doc, bit) → majority → sum(bit << pos). The (doc, bit) groupBy
-    is map-side combinable; at scale this is two narrow shuffles of
-    (id, long) pairs.
+    """60-bit SimHash fingerprint, fully declarative — and a pure
+    projection: the bit-vote fold runs over the in-row token-hash array
+    (``aggregate`` + ``zip_with``), so a 100 TB fingerprint pass is one
+    parquet scan with ZERO shuffles (the earlier explode+groupBy form
+    shuffled every token). Zero-token docs are dropped (parity with the
+    unnest-based oracle SQL).
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
-    ).filter(F.col("token") != "")
-    # Dedupe tokens per doc (min/votes are weight-linear, so hash each
-    # distinct token once and carry its count), then fold the 60 bit-vote
-    # counters JVM-side over the per-doc (hash, count) array — no 60x row
-    # explosion, one map-side-combinable shuffle.
-    counted = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
-    h = md5_hash64(F.col("token"))
-    hashes = counted.groupBy(id_col).agg(
-        F.collect_list(F.struct(h.alias("h"), F.col("cnt").alias("cnt"))).alias("hs")
-    )
+    hashes = scatter(df).withColumn(
+        "hs",
+        F.expr(
+            """
+            transform(
+              filter(split({text}, ' '), t -> t <> ''),
+              t -> CAST(conv(substring(md5(encode(t, 'UTF-8')), 1, 15),
+                             16, 10) AS BIGINT))
+            """.format(text=text_col)
+        ),
+    ).filter(F.size("hs") > 0)
     votes = F.expr(
         """
         aggregate(
           hs,
           array_repeat(CAST(0 AS BIGINT), 60),
-          (acc, s) -> zip_with(
+          (acc, h) -> zip_with(
               acc, sequence(0, 59),
-              (a, b) -> a + CASE WHEN (s.h >> b) & 1 = 1
-                             THEN s.cnt ELSE -s.cnt END))
+              (a, b) -> a + CASE WHEN (h >> b) & 1 = 1
+                             THEN CAST(1 AS BIGINT)
+                             ELSE CAST(-1 AS BIGINT) END))
         """
     )
     fingerprint = F.expr(
@@ -184,4 +235,61 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         hashes.withColumn("votes", votes)
         .withColumn("simhash", fingerprint)
         .select(id_col, "simhash")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    band_bits: int = 15,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs at scale: band the fingerprint into
+    ``bands`` x ``band_bits``-bit keys, equi-join docs sharing any band
+    (near-dups differ in few bits, so by pigeonhole they agree on at
+    least one band whenever hamming < bands), then verify with exact
+    ``bit_count(xor)``. No all-pairs comparison ever materializes; the
+    join keys are (band, 15-bit int) — tiny shuffle payloads.
+    """
+    # fingerprints are (id, long) but cost an md5 per token to derive;
+    # self-join recomputes lineage per side → materialize once
+    sh = simhash(df, id_col, text_col).persist()
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.key")
+    a, b_ = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -21,6 +21,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from striot_spark.core.scale import scatter
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -89,4 +91,4 @@ def extract_media_meta(media_df: DataFrame) -> DataFrame:
                 }
             )
 
-    return media_df.mapInPandas(fn, schema=MEDIA_META_SCHEMA)
+    return scatter(media_df).mapInPandas(fn, schema=MEDIA_META_SCHEMA)

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from striot_spark.core.scale import scatter
+
 
 def as_double(vec: Column) -> Column:
     """float[] → double[] before any arithmetic: keeps Spark's fold and
@@ -43,6 +45,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def pair_cosine(v: Column, nv: Column, qv: Column, nqv: Column) -> Column:
+    """Cosine from pre-computed per-row norms: norms are computed once
+    per vector BEFORE the join instead of once per candidate pair —
+    identical floats (same fold order, sqrt(a)*sqrt(b) per pair either
+    way), O(rows) instead of O(pairs) norm work."""
+    return dot(v, qv) / (nv * nqv)
+
+
 def brute_force_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -58,12 +68,17 @@ def brute_force_topk(
     """
     from pyspark.sql import Window as W
 
-    base = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    base = scatter(df).select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
     q = query_df.select(
         F.col(query_id_col), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("nqv", norm(F.col("qv")))
     scored = base.crossJoin(F.broadcast(q)).withColumn(
-        "cos", F.round(cosine(F.col("v"), F.col("qv")), 6)
+        "cos",
+        F.round(
+            pair_cosine(F.col("v"), F.col("nv"), F.col("qv"), F.col("nqv")), 6
+        ),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -94,18 +109,60 @@ def ivf_topk(
 
     base = df.select(
         F.col(id_col), F.col(partition_col), as_double(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("nv", norm(F.col("v")))
     q = query_df.select(
         F.col(query_id_col), F.col(partition_col), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("nqv", norm(F.col("qv")))
     scored = base.join(F.broadcast(q), partition_col).withColumn(
-        "cos", F.round(cosine(F.col("v"), F.col("qv")), 6)
+        "cos",
+        F.round(
+            pair_cosine(F.col("v"), F.col("nv"), F.col("qv"), F.col("nqv")), 6
+        ),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, "cos", "rnk")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partition_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: self-join *within* the
+    coarse partition cell (IVF bucket / cluster label), score cosine,
+    keep pairs >= threshold.
+
+    The scale story: candidate generation is an equi-join on the cell
+    id — both sides shuffle once on ``partition_col`` (or zero times if
+    the table is bucketed by it), and only same-cell pairs are ever
+    scored. All-pairs never materializes; skewed cells are AQE's
+    skew-join problem, not a driver loop.
+    """
+    sides = df.select(
+        F.col(id_col), F.col(partition_col), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    a, b = sides.alias("a"), sides.alias("b")
+    cos = F.round(
+        pair_cosine(F.col("a.v"), F.col("a.nv"), F.col("b.v"), F.col("b.nv")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{partition_col}") == F.col(f"b.{partition_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
     )
 
 
@@ -153,14 +210,17 @@ def lsh_topk(
         F.col(id_col),
         as_double(F.col(vec_col)).alias("v"),
         hyperplane_buckets(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+    ).withColumn("nv", norm(F.col("v")))
     q = query_df.select(
         F.col(query_id_col),
         as_double(F.col(vec_col)).alias("qv"),
         hyperplane_buckets(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+    ).withColumn("nqv", norm(F.col("qv")))
     scored = base.join(F.broadcast(q), "bucket").withColumn(
-        "cos", F.round(cosine(F.col("v"), F.col("qv")), 6)
+        "cos",
+        F.round(
+            pair_cosine(F.col("v"), F.col("nv"), F.col("qv"), F.col("nqv")), 6
+        ),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from striot_spark.core.scale import scatter
+
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 # marker words per language for the n-gram/stopword language-ID heuristic
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -21,10 +23,30 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 FINGERPRINT_MOD = 1_000_000_007
+ROLLING_BASE = 31  # polynomial rolling-hash base (Rabin-Karp style)
+
+# BPE-ish tokenizer regex: letter runs, 1-3 digit number chunks (BPE
+# vocabularies split long numbers), single non-alnum marks. Kept to a
+# syntax subset valid in both Java regex (Spark) and RE2 (DuckDB) so the
+# oracle extracts identical tokens.
+BPE_REGEX = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
 
 
 def tokens_col(text: Column) -> Column:
     return F.split(text, " ")
+
+
+def nonempty_tokens(text: Column) -> Column:
+    return F.filter(tokens_col(text), lambda t: t != F.lit(""))
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish subword tokens via regexp_extract_all — JVM-side, no UDF."""
+    return F.regexp_extract_all(text, F.lit(BPE_REGEX), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
 
 
 def token_count(text: Column) -> Column:
@@ -92,14 +114,45 @@ def md5_hash64(col: Column) -> Column:
 
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Bag-of-tokens document fingerprint: sum of per-token 60-bit hashes
-    mod p. Order-insensitive by construction → exact under distributed
-    aggregation; near-duplicate docs with identical token bags collide.
+    mod p. Order-insensitive by construction; near-duplicate docs with
+    identical token bags collide.
+
+    Computed as a pure projection — ``aggregate`` folds the in-row token
+    array, so a 100 TB fingerprint pass is a single parquet scan with
+    ZERO shuffles (the earlier explode+groupBy form shuffled every
+    token). Zero-token docs are dropped (parity with the unnest-based
+    oracle SQL).
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
-    ).filter(F.col("token") != "")
-    contrib = md5_hash64(F.col("token")) % FINGERPRINT_MOD
-    return toks.groupBy(id_col).agg(
-        (F.sum(contrib) % FINGERPRINT_MOD).alias("fingerprint"),
-        F.count(F.lit(1)).alias("n_tokens"),
+    df = scatter(df)
+    toks = nonempty_tokens(F.col(text_col))
+    contrib = F.aggregate(
+        F.transform(toks, lambda t: md5_hash64(t) % FINGERPRINT_MOD),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc + h,
+    )
+    return df.select(
+        F.col(id_col),
+        (contrib % FINGERPRINT_MOD).alias("fingerprint"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+
+def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-SENSITIVE polynomial rolling hash (Rabin-Karp):
+    ``h = fold(acc*B + hash(token) mod p)`` over tokens in document
+    order. Complements the bag fingerprint: reordered docs collide
+    there but not here. Pure projection — the fold runs over the in-row
+    token array, zero shuffles at any scale.
+    """
+    df = scatter(df)
+    toks = nonempty_tokens(F.col(text_col))
+    roll = F.aggregate(
+        F.transform(toks, lambda t: md5_hash64(t) % FINGERPRINT_MOD),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * ROLLING_BASE + h) % FINGERPRINT_MOD,
+    )
+    return df.select(
+        F.col(id_col),
+        roll.alias("rolling_fp"),
+        F.size(toks).cast("long").alias("n_tokens"),
     )

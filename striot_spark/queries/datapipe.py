@@ -287,6 +287,122 @@ def q38_quality_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("quality_class", cls)
 
 
+@register(
+    "q42_embedding_near_dups",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+    """,
+    doc="embedding-cosine near-dup pairs: within-cell (IVF label) "
+    "self-join + JVM fold cosine — candidate generation is one equi-join "
+    "shuffle on the cell id, never all-pairs",
+)
+def q42_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_near_dup_pairs(emb, threshold=0.35)
+
+
+@register(
+    "q43_rolling_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                       list_filter(string_split(text, ' '), x -> x <> ''),
+                       t -> ({H64.format(x='t')}) % 1000000007)),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp,
+           CAST({NTOK} AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    doc="order-SENSITIVE Rabin-Karp rolling fingerprint: polynomial fold "
+    "over the in-row token array — pure projection, zero shuffles at any "
+    "scale (complements the order-insensitive bag fingerprint q24)",
+)
+def q43_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.rolling_fingerprint(docs, "doc_id", "text")
+
+
+@register(
+    "q44_bpe_token_stats",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{T.BPE_REGEX}')) AS n_bpe_tokens,
+           {NTOK} AS n_ws_tokens,
+           length(text)
+               / greatest(len(regexp_extract_all(text, '{T.BPE_REGEX}')), 1)
+               AS chars_per_bpe_token
+    FROM documents
+    """,
+    doc="BPE-ish regex tokenizer (letter runs / <=3-digit number chunks "
+    "/ single marks) vs whitespace token counts — regexp_extract_all "
+    "JVM-side, the token-budget pass of a training-data pipeline",
+)
+def q44_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_bpe = T.bpe_token_count(text)
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        T.token_count(text).alias("n_ws_tokens"),
+        (F.length(text) / F.greatest(n_bpe, F.lit(1))).alias(
+            "chars_per_bpe_token"
+        ),
+    )
+
+
+def _simhash_sql_cte() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {H64.format(x='token')} AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents) t
+        WHERE token <> ''),
+    votes AS (
+        SELECT doc_id, i,
+               sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM toks, range(0, 60) r(i)
+        GROUP BY doc_id, i),
+    sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id)
+    """
+
+
+@register(
+    "q45_simhash_near_dups",
+    _simhash_sql_cte()
+    + """
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a, sh b, range(0, 4) r(band)
+    WHERE a.doc_id < b.doc_id
+      AND ((a.simhash >> (band * 15)) & 32767)
+          = ((b.simhash >> (band * 15)) & 32767)
+      AND bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+    doc="SimHash near-dup pairs: 4x15-bit band equi-join (pigeonhole "
+    "recall for hamming < 4, catches most <=8) + exact bit_count(xor) "
+    "verify — join keys are 15-bit ints, no all-pairs compare",
+)
+def q45_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(
+        docs, "doc_id", "text", bands=4, band_bits=15, max_hamming=8
+    )
+
+
 # LSH candidate pairs + verified near-dups: no SQL oracle (multi-stage
 # join pipeline); driver records rows-only check.
 @register(
