@@ -144,7 +144,10 @@ def cosine_near_dup_pairs(
     scored. All-pairs never materializes; skewed cells are AQE's
     skew-join problem, not a driver loop.
     """
-    sides = df.select(
+    # scatter: if the (small) build side is broadcast, the join output
+    # inherits the probe side's partitioning — a single-partition input
+    # would score every candidate pair on one core
+    sides = scatter(df).select(
         F.col(id_col), F.col(partition_col), as_double(F.col(vec_col)).alias("v")
     ).withColumn("nv", norm(F.col("v")))
     a, b = sides.alias("a"), sides.alias("b")

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 GLOBAL_KEY = "__global__"
+BUCKET = "__bucket__"
 
 
 def _order_cols(time_col: str | None, seq_col: str | None) -> list[str]:
@@ -42,6 +43,29 @@ def _order_cols(time_col: str | None, seq_col: str | None) -> list[str]:
     if not cols:
         raise ValueError("stateful operators need a time or seq column for ordering")
     return cols
+
+
+def _bucketed(df: DataFrame, key: list[str]):
+    """Group plan for the Arrow stateful paths: many small key groups
+    each paying Arrow + pandas-DataFrame setup (~ms per group) dominate
+    the runtime, so shuffle on a BUCKET of the key (defaultParallelism
+    buckets) and iterate the real key groups inside each pandas call.
+    State stays strictly per-key; only the batching changes."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if key:
+        work = df.withColumn(BUCKET, F.pmod(F.hash(*key), F.lit(n)))
+    else:
+        work = df.withColumn(BUCKET, F.lit(0))
+    return work
+
+
+def _per_key_groups(pdf: pd.DataFrame, key: list[str], order: list[str]):
+    """Yield per-key sub-frames sorted by the order columns."""
+    if key:
+        for _, g in pdf.groupby(key, sort=False):
+            yield g.sort_values(order, kind="mergesort")
+    else:
+        yield pdf.sort_values(order, kind="mergesort")
 
 
 def cumulative_spec(
@@ -121,8 +145,7 @@ def scan_apply(
     """
     key = key or []
     order = _order_cols(time_col, seq_col)
-    work = df if key else df.withColumn(GLOBAL_KEY, F.lit(0))
-    group_cols = key or [GLOBAL_KEY]
+    work = _bucketed(df, key)
     # never .add() onto df.schema — it's a cached, shared object
     schema_out = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in work.schema.fields]
@@ -130,18 +153,21 @@ def scan_apply(
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
-        state = init
-        out = []
-        for row in pdf.to_dict("records"):
-            state = step(state, row)
-            out.append(state)
-        pdf = pdf.copy()
-        pdf[out_field] = out
-        return pdf
+        outs = []
+        for g in _per_key_groups(pdf, key, order):
+            cols = g.columns.tolist()
+            state = init
+            acc = []
+            for tup in g.itertuples(index=False, name=None):
+                state = step(state, dict(zip(cols, tup)))
+                acc.append(state)
+            g = g.copy()
+            g[out_field] = acc
+            outs.append(g)
+        return pd.concat(outs) if outs else pdf.iloc[0:0]
 
-    res = work.groupBy(*group_cols).applyInPandas(fn, schema=schema_out)
-    return res.drop(GLOBAL_KEY) if not key else res
+    res = work.groupBy(BUCKET).applyInPandas(fn, schema=schema_out)
+    return res.drop(BUCKET)
 
 
 def filter_acc_apply(
@@ -161,17 +187,20 @@ def filter_acc_apply(
     """
     key = key or []
     order = _order_cols(time_col, seq_col)
-    work = df if key else df.withColumn(GLOBAL_KEY, F.lit(0))
-    group_cols = key or [GLOBAL_KEY]
+    work = _bucketed(df, key)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
-        state = init
-        keep = []
-        for row in pdf.to_dict("records"):
-            keep.append(bool(pred(row, state)))
-            state = step(state, row)
-        return pdf[pd.Series(keep, index=pdf.index)]
+        outs = []
+        for g in _per_key_groups(pdf, key, order):
+            cols = g.columns.tolist()
+            state = init
+            keep = []
+            for tup in g.itertuples(index=False, name=None):
+                row = dict(zip(cols, tup))
+                keep.append(bool(pred(row, state)))
+                state = step(state, row)
+            outs.append(g[pd.Series(keep, index=g.index)])
+        return pd.concat(outs) if outs else pdf.iloc[0:0]
 
-    res = work.groupBy(*group_cols).applyInPandas(fn, schema=work.schema)
-    return res.drop(GLOBAL_KEY) if not key else res
+    res = work.groupBy(BUCKET).applyInPandas(fn, schema=work.schema)
+    return res.drop(BUCKET)

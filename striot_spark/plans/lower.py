@@ -16,10 +16,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from striot_spark.operators.stateful import BUCKET, _bucketed, _per_key_groups
 from striot_spark.plans.graph import Op, compile_fused
 from striot_spark.plans.rewrite import optimize
-
-GLOBAL_KEY = "__global__"
 
 
 def apply_chain(
@@ -48,8 +47,10 @@ def apply_chain(
     if not order:
         raise ValueError("apply_chain needs a time or seq column for ordering")
     carry = [c for c in (*key, *order) if c]
-    work = df if key else df.withColumn(GLOBAL_KEY, F.lit(0))
-    group_cols = key or [GLOBAL_KEY]
+    # bucket the key space so each pandas call handles many key groups —
+    # per-group Arrow/pandas setup dominates with many small keys
+    # (operators/stateful.py:_bucketed)
+    work = _bucketed(df, key)
 
     carry_fields = [work.schema[c] for c in carry]
     schema = ", ".join(
@@ -58,15 +59,19 @@ def apply_chain(
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
-        state = inits
         rows: list[dict[str, Any]] = []
-        for rec in pdf.to_dict("records"):
-            state, emitted = kernel(state, rec[value_col])
-            for out in emitted:
-                row = {c: rec[c] for c in carry}
-                row[value_col] = out
-                rows.append(row)
+        for g in _per_key_groups(pdf, key, order):
+            cols = g.columns.tolist()
+            vi = cols.index(value_col)
+            state = inits
+            for tup in g.itertuples(index=False, name=None):
+                state, emitted = kernel(state, tup[vi])
+                if emitted:
+                    rec = dict(zip(cols, tup))
+                    for out in emitted:
+                        row = {c: rec[c] for c in carry}
+                        row[value_col] = out
+                        rows.append(row)
         return pd.DataFrame(rows, columns=[*carry, value_col])
 
-    return work.groupBy(*group_cols).applyInPandas(fn, schema=schema)
+    return work.groupBy(BUCKET).applyInPandas(fn, schema=schema)
