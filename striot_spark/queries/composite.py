@@ -253,6 +253,64 @@ def q41_merge_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q46_profitability_cells",
+    f"""
+    WITH p AS (
+        SELECT ({EPOCH_S} // 3600) * 3600 AS pwindow,
+               CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS cell,
+               quantile_cont({CENTS_SQL}, 0.5) / 100.0 AS median_profit
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    i AS (
+        SELECT ({EPOCH_S} // 7200) * 7200 AS iwindow,
+               CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS cell,
+               count(DISTINCT user_id) AS n_idle
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT p.pwindow, p.cell, p.median_profit, i.n_idle,
+           p.median_profit / i.n_idle AS profitability
+    FROM p JOIN i ON i.iwindow = p.pwindow - p.pwindow % 7200
+                 AND i.cell = p.cell
+    """,
+    doc="taxi Q2 profitableCells analog (Taxi.hs:257-305): per-cell "
+    "median profit over 1h windows / distinct idle count over the "
+    "containing 2h window — per-key unequal-window joinW with exact "
+    "cents median; both sides shuffle once on (window, cell)",
+)
+def q46_profitability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import median_money
+    from striot_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cell = F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("long")
+    sec = F.col("ts").cast("long")
+    profit = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            (sec - sec % 3600).alias("pwindow"), cell.alias("cell")
+        )
+        .agg(median_money(F.col("value")).alias("median_profit"))
+    )
+    idle = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(
+            (sec - sec % 7200).alias("iwindow"), cell.alias("cell")
+        )
+        .agg(F.countDistinct("user_id").alias("n_idle"))
+    )
+    joined = profit.join(
+        idle,
+        (F.col("iwindow") == F.col("pwindow") - F.col("pwindow") % 7200)
+        & (profit["cell"] == idle["cell"]),
+    )
+    return joined.select(
+        "pwindow",
+        profit["cell"].alias("cell"),
+        "median_profit",
+        "n_idle",
+        (F.col("median_profit") / F.col("n_idle")).alias("profitability"),
+    )
+
+
+@register(
     "q36_window_expand_roundtrip",
     """
     SELECT event_id FROM events

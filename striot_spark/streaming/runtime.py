@@ -168,6 +168,54 @@ def scan_stream(
     )
 
 
+def filter_acc_stream(
+    sdf: DataFrame,
+    step: Callable[[Any, dict], Any],
+    init: tuple,
+    pred: Callable[[dict, Any], bool],
+    key: Sequence[str],
+    time_col: str,
+    state_type: str = "acc double",
+) -> DataFrame:
+    """Streaming streamFilterAcc via applyInPandasWithState.
+
+    Exact reference semantics (``src/Striot/FunctionalProcessing.hs:
+    181-185``): the predicate sees the accumulator *before* this event's
+    update; the accumulator is updated on every event, kept or not.
+    State is a tuple matching ``state_type``'s fields, per key; events
+    within a micro-batch are processed in event-time order, cross-batch
+    order is arrival order (the distributed reference merge guarantee,
+    ``Nodes/TCP.hs:52-59``).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key = list(key)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
+    )
+
+    def fn(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        acc = tuple(state.get) if state.exists else tuple(init)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col, kind="mergesort")
+            keep = []
+            for row in pdf.to_dict("records"):
+                keep.append(bool(pred(row, acc)))
+                acc = tuple(step(acc, row))
+            yield pdf[pd.Series(keep, index=pdf.index)]
+        state.update(acc)
+
+    return sdf.groupBy(*key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # -- sinks -------------------------------------------------------------------
 
 

@@ -1,0 +1,111 @@
+"""Unit tests for the training-data-pipeline operator internals: shingle
+fast path, fingerprint semantics, near-dup pair verification, and the
+scatter parallelism guard."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from striot_spark.core.scale import scatter
+from striot_spark.functions import dedup as D
+from striot_spark.functions import text as T
+
+
+def _shingles(spark, texts, n):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    rows = df.select("id", D.shingles(F.col("text"), n).alias("s")).orderBy("id").collect()
+    return [r["s"] for r in rows]
+
+
+def test_shingles_bigram_fast_path_matches_expected(spark):
+    texts = [
+        "a b c d",
+        "one two",
+        "solo",
+        "",
+        "  spaced   out  ",
+    ]
+    got = _shingles(spark, texts, 2)
+    assert got[0] == ["a b", "b c", "c d"]
+    assert got[1] == ["one two"]
+    assert got[2] == ["solo"]  # fewer tokens than n → whole-text shingle
+    assert got[3] == [""]
+    assert got[4] == ["spaced out"]
+
+
+def test_shingles_bigram_fast_path_matches_general_formula(spark):
+    """The n=2 zip_with fast path must emit exactly what the general
+    slice-per-index path emits (trigram run as the general reference)."""
+    texts = ["w x y z q", "a b c", "a b", "a"]
+    fast = _shingles(spark, texts, 2)
+    # general path expectation computed in python
+    for t, got in zip(texts, fast):
+        toks = [x for x in t.split(" ") if x]
+        exp = (
+            [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+            if len(toks) >= 2
+            else [" ".join(toks)]
+        )
+        assert got == exp
+
+
+def test_rolling_fingerprint_is_order_sensitive_bag_is_not(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha")], "doc_id long, text string"
+    )
+    bag = {r["doc_id"]: r["fingerprint"] for r in T.doc_fingerprint(df, "doc_id", "text").collect()}
+    roll = {r["doc_id"]: r["rolling_fp"] for r in T.rolling_fingerprint(df, "doc_id", "text").collect()}
+    assert bag[0] == bag[1]  # same token bag → same bag fingerprint
+    assert roll[0] != roll[1]  # different order → different rolling hash
+
+
+def test_simhash_near_dup_pairs_hamming_is_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (2, "entirely different content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = D.simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=8).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert by_pair.get((0, 1)) == 0  # identical docs: hamming 0
+    # hamming values must match direct bit_count(xor) of the fingerprints
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(df, "doc_id", "text").collect()}
+    for (a, b), ham in by_pair.items():
+        assert ham == bin(sh[a] ^ sh[b]).count("1")
+
+
+def test_bpe_tokens_splits_long_numbers_and_marks(spark):
+    df = spark.createDataFrame([(0, "hello world2025! x=12345")], "id long, text string")
+    toks = df.select(T.bpe_tokens(F.col("text")).alias("t")).collect()[0]["t"]
+    assert toks == ["hello", "world", "202", "5", "!", "x", "=", "123", "45"]
+
+
+def test_scatter_noop_on_well_partitioned_input(spark):
+    target = spark.sparkContext.defaultParallelism
+    small = spark.range(100)  # range default partitions = defaultParallelism
+    wide = small.repartition(target + 4)
+    assert scatter(wide).rdd.getNumPartitions() == target + 4  # untouched
+    narrow = small.coalesce(1)
+    assert scatter(narrow).rdd.getNumPartitions() == target
+
+
+def test_lsh_candidate_pairs_find_exact_dups(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "spark streams process events with windows and joins"),
+            (1, "spark streams process events with windows and joins"),
+            (2, "completely unrelated text goes here today friends yes"),
+        ],
+        "doc_id long, text string",
+    )
+    cands = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(df, "doc_id", "text").collect()}
+    assert (0, 1) in cands
+    verified = D.ngram_jaccard_pairs(
+        D.lsh_candidate_pairs(df, "doc_id", "text"), df, "doc_id", "text", threshold=0.7
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in verified} == {(0, 1)}
+    assert all(r["jaccard"] == pytest.approx(1.0) for r in verified)

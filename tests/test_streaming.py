@@ -89,6 +89,43 @@ def test_session_window_stream_matches_batch_sessionize(
     assert stream_sizes == batch_sizes
 
 
+def test_filter_acc_stream_matches_batch(spark, sf_dir, events_dir, ckpt):
+    """Dedup-on-change per user (the reference's canonical filterAcc use,
+    docs/Operators.md:109-119) must agree between the streaming lowering
+    (applyInPandasWithState) and the batch general path."""
+    from striot_spark.sources.batch import event_stream
+
+    def step(acc, row):
+        return (row["event_type"],)
+
+    def pred(row, acc):
+        return acc[0] is None or row["event_type"] != acc[0]
+
+    sdf = RT.file_stream(spark, events_dir, _events_schema(spark, sf_dir))
+    out = RT.filter_acc_stream(
+        sdf,
+        step=step,
+        init=(None,),
+        pred=pred,
+        key=["user_id"],
+        time_col="ts",
+        state_type="prev string",
+    )
+    got = RT.run_available_now(out, "facc_out", ckpt, mode="append")
+    stream_rows = {
+        (r["user_id"], r["event_id"]) for r in got.select("user_id", "event_id").collect()
+    }
+    batch = event_stream(spark, sf_dir).filter_acc_apply(
+        step, (None,), pred, key=["user_id"]
+    )
+    batch_rows = {
+        (r["user_id"], r["event_id"])
+        for r in batch.df.select("user_id", "event_id").collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+
+
 def test_scan_stream_matches_batch_scan(spark, sf_dir, events_dir, ckpt):
     from striot_spark.sources.batch import event_stream
 
