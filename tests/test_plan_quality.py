@@ -90,3 +90,51 @@ def test_column_pruning_on_documents(spark, sf_dir):
     assert scan_lines, "no ReadSchema in formatted plan"
     for line in scan_lines:
         assert "lang" not in line and "source" not in line, line
+
+
+def test_text_projection_queries_shuffle_free(spark, sf_dir):
+    """Single-scan projection passes (text stats, quality gating, BPE
+    token stats) must have NO shuffle of any kind — the 100 TB claim."""
+    for q in ("q21_text_stats", "q38_quality_class", "q44_bpe_token_stats"):
+        plan = _executed(spark, q, sf_dir)
+        assert "Exchange" not in plan, q
+
+
+def test_fingerprint_queries_no_hash_shuffle(spark, sf_dir):
+    """Fingerprint passes fold in-row arrays: the only allowed Exchange
+    is scatter()'s RoundRobin fan-out of a tiny local input (a no-op on
+    well-partitioned inputs at scale) — never a hash/range shuffle."""
+    for q in ("q24_doc_fingerprint", "q43_rolling_fingerprint"):
+        plan = _executed(spark, q, sf_dir)
+        for line in plan.splitlines():
+            if "Exchange" in line and "Reused" not in line:
+                assert "roundrobin" in line.lower(), f"{q}: {line}"
+
+
+def test_minhash_caches_base_hash_array(spark, sf_dir):
+    """q25's md5 base pass must sit behind the cache barrier (one pass),
+    not be inlined per signature column."""
+    plan = _executed(spark, "q25_minhash_signatures", sf_dir)
+    assert "InMemoryTableScan" in plan
+    assert plan.count("md5") <= 1  # md5 only inside the cached relation
+
+
+def test_ivf_probe_broadcasts_query(spark, sf_dir):
+    plan = _executed(spark, "q37_ann_ivf", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_near_dup_pair_joins_are_equi_not_cartesian(spark, sf_dir):
+    """Candidate generation must be an equi-join on bucket/cell/band
+    keys; a cartesian/broadcast-nested-loop plan would be O(n^2) rows at
+    scale."""
+    for q in ("q42_embedding_near_dups", "q45_simhash_near_dups"):
+        plan = _executed(spark, q, sf_dir)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_profitability_join_no_cartesian(spark, sf_dir):
+    plan = _executed(spark, "q46_profitability_cells", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
