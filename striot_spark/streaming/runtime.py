@@ -46,10 +46,19 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
 
 
 def file_stream(
-    spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet"
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-replay source: new files in ``path`` become micro-batches."""
-    return spark.readStream.schema(schema).format(fmt).load(path)
+    """File-replay source: new files in ``path`` become micro-batches.
+    ``max_files_per_trigger`` splits a backlog into multiple batches
+    (deterministic multi-batch replay for watermark/late-data tests)."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
 
 
 def kafka_stream(

@@ -89,6 +89,67 @@ def test_session_window_stream_matches_batch_sessionize(
     assert stream_sizes == batch_sizes
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data policy — a deliberate capability ADDITION over the
+    reference (SURVEY.md §2.6: StrIoT lets late events land in whatever
+    window is still open). Two availableNow drains share one checkpoint,
+    so the watermark persists between them: an event arriving in run 2
+    for a window the watermark already closed must be excluded."""
+    import datetime as dt
+    import glob as g
+    import shutil as sh
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    sd = tmp_path / "stream"
+    sd.mkdir()
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def write_one(rows, name):
+        tmp = str(tmp_path / f"tmp_{name}")
+        spark.createDataFrame(rows, "id long, ts timestamp").coalesce(
+            1
+        ).write.parquet(tmp)
+        sh.copy(g.glob(tmp + "/part-*.parquet")[0], str(sd / f"{name}.parquet"))
+
+    def drain():
+        agg = RT.window_agg_stream(
+            RT.file_stream(spark, str(sd), "id long, ts timestamp"),
+            "ts",
+            "5 minutes",
+            {"n": F.count(F.lit(1))},
+            watermark="10 minutes",
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: events at 12:00 and 12:30 → watermark advances to 12:20,
+    # past the end of window [12:00, 12:05)
+    write_one([(1, base), (2, base + dt.timedelta(minutes=30))], "f1")
+    drain()
+    # run 2: id=3 is LATE for the closed [12:00, 12:05) window → dropped
+    write_one(
+        [
+            (3, base + dt.timedelta(minutes=1)),
+            (4, base + dt.timedelta(minutes=31)),
+        ],
+        "f2",
+    )
+    drain()
+    rows = sorted(
+        (r["window_start"], r["n"]) for r in spark.read.parquet(out).collect()
+    )
+    # exactly one closed window emitted, with ONE event — the late
+    # arrival never reached it
+    assert rows == [(base, 1)]
+
+
 def test_filter_acc_stream_matches_batch(spark, sf_dir, events_dir, ckpt):
     """Dedup-on-change per user (the reference's canonical filterAcc use,
     docs/Operators.md:109-119) must agree between the streaming lowering
