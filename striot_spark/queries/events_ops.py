@@ -399,3 +399,43 @@ def q16_step_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(day_str(F.col("ts")).alias("day")).agg(
         F.count(F.lit(1)).alias("n_steps")
     )
+
+
+# -- memoized map / streamMapCache (examples/caching/Caching.hs:15-20) -------
+_CHANNEL_MAP = {
+    "click": "engagement",
+    "view": "engagement",
+    "signup": "conversion",
+    "purchase": "conversion",
+    "error": "ops",
+}
+
+
+@register(
+    "q47_broadcast_enrich",
+    f"""
+    SELECT CASE event_type
+             WHEN 'click' THEN 'engagement'
+             WHEN 'view' THEN 'engagement'
+             WHEN 'signup' THEN 'conversion'
+             WHEN 'purchase' THEN 'conversion'
+             WHEN 'error' THEN 'ops'
+             ELSE 'other' END AS channel,
+           count(*) AS n,
+           sum({CENTS_SQL}) / 100.0 AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="memoized map (streamMapCache, Caching.hs:15-20) as a broadcast "
+    "lookup: the dict becomes a literal MapType Catalyst constant "
+    "shipped once per stage — no shuffle, no UDF, no per-row Python",
+)
+def q47_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.caching import broadcast_lookup
+
+    ev = load_table(spark, sf_dir, "events")
+    enriched = broadcast_lookup(
+        ev, _CHANNEL_MAP, "event_type", "channel", default="other"
+    )
+    return enriched.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n"), sum_money(F.col("value")).alias("sum_value")
+    )

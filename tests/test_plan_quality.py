@@ -137,6 +137,14 @@ def test_near_dup_pair_joins_are_equi_not_cartesian(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, q
 
 
+def test_broadcast_enrich_single_shuffle_no_join(spark, sf_dir):
+    """q47's dict lookup is a literal MapType constant — the plan must
+    contain ONE shuffle (the aggregate) and no join at all."""
+    plan = _executed(spark, "q47_broadcast_enrich", sf_dir)
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
 def test_profitability_join_no_cartesian(spark, sf_dir):
     plan = _executed(spark, "q46_profitability_cells", sf_dir)
     assert "CartesianProduct" not in plan
