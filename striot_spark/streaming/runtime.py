@@ -124,6 +124,40 @@ def session_agg_stream(
     )
 
 
+def join_e_stream(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    window_seconds: int,
+    theta: Column | None = None,
+    watermark: str = "10 minutes",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Streaming streamJoinE (``src/Striot/FunctionalProcessing.hs:
+    161-173``): both streams are bucketed into aligned tumbling windows,
+    joined within the window pair (equi-join on the window id), and
+    filtered by the theta predicate. Watermarks on both sides bound the
+    join state — the capability the reference's in-memory zip lacks.
+
+    Columns are suffixed per side; the theta predicate references the
+    suffixed names.
+    """
+    l = left.withWatermark(time_col, watermark)
+    r = right.withWatermark(time_col, watermark)
+    l = l.select(
+        (F.col(time_col).cast("long") - F.col(time_col).cast("long") % window_seconds)
+        .alias("window_id"),
+        *[F.col(c).alias(f"{c}{suffixes[0]}") for c in left.columns],
+    )
+    r = r.select(
+        (F.col(time_col).cast("long") - F.col(time_col).cast("long") % window_seconds)
+        .alias("window_id"),
+        *[F.col(c).alias(f"{c}{suffixes[1]}") for c in right.columns],
+    )
+    joined = l.join(r, "window_id")
+    return joined.filter(theta) if theta is not None else joined
+
+
 # -- stateful operators ------------------------------------------------------
 
 

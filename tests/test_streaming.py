@@ -187,6 +187,39 @@ def test_filter_acc_stream_matches_batch(spark, sf_dir, events_dir, ckpt):
     assert len(stream_rows) > 0
 
 
+def test_join_e_stream_matches_batch(spark, sf_dir, events_dir, ckpt):
+    """Streaming joinE (windowed theta join of two streams) must agree
+    with the batch q32 lowering on the same data."""
+    schema = _events_schema(spark, sf_dir)
+    purchases = RT.file_stream(spark, events_dir, schema).filter(
+        F.col("event_type") == "purchase"
+    )
+    errors = RT.file_stream(spark, events_dir, schema).filter(
+        F.col("event_type") == "error"
+    )
+    out = RT.join_e_stream(
+        purchases,
+        errors,
+        "ts",
+        3600,
+        theta=F.col("value_l") > F.col("value_r"),
+        watermark="1 minute",
+    ).select("window_id", "event_id_l", "event_id_r")
+    got = RT.run_available_now(out, "joine_out", ckpt, mode="append")
+    stream_rows = {
+        (r["window_id"], r["event_id_l"], r["event_id_r"]) for r in got.collect()
+    }
+    from striot_spark.queries.registry import REGISTRY, _load
+
+    _load()
+    batch = REGISTRY["q32_joine_window_theta"].fn(spark, sf_dir)
+    batch_rows = {
+        (r["window_id"], r["purchase_id"], r["error_id"]) for r in batch.collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+
+
 def test_scan_stream_matches_batch_scan(spark, sf_dir, events_dir, ckpt):
     from striot_spark.sources.batch import event_stream
 
