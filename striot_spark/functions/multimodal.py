@@ -92,3 +92,74 @@ def extract_media_meta(media_df: DataFrame) -> DataFrame:
             )
 
     return scatter(media_df).mapInPandas(fn, schema=MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("media", BinaryType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: real deployments wire an image codec
+    here (see real_decode). The stub keeps the byte-volume semantics —
+    output size proportional to the target area — so partition-size
+    planning behaves like the real operator."""
+    target = max(1, (width * height) // 64)
+    reps = target // max(1, len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas resize: (doc_id, media) → (doc_id, width, height,
+    media). Arrow streams binary batches; no row-at-a-time Python."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "media": pdf["media"].map(
+                        lambda b: resize_stub(bytes(b), width, height)
+                    ),
+                }
+            )
+
+    return scatter(media_df).mapInPandas(fn, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def frame_sample(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """mapInPandas frame sampling: one input row (a 'video' payload)
+    fans out to many frame rows — the row-multiplying shape of a frame
+    extractor. The stub slices fixed-size byte windows; a real deployment
+    decodes at timestamps. Output is (doc_id, frame_idx, frame)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(payload)
+                for i in range(0, max(1, len(b)), every_n_bytes):
+                    ids.append(doc_id)
+                    idxs.append(i // every_n_bytes)
+                    frames.append(b[i : i + every_n_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return scatter(media_df).mapInPandas(fn, schema=FRAME_SCHEMA)

@@ -84,6 +84,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_package_shipped(spark)
     try:  # runtime-settable; set here so any caller-provided session works
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp formatting/window arithmetic must not depend on the
+        # caller session's JVM-default timezone (the driver uses a plain
+        # SparkSession; DuckDB oracle timestamps are TZ-naive ≅ UTC)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -109,3 +109,29 @@ def test_lsh_candidate_pairs_find_exact_dups(spark):
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in verified} == {(0, 1)}
     assert all(r["jaccard"] == pytest.approx(1.0) for r in verified)
+
+
+def test_multimodal_resize_and_frame_sample_plumbing(spark):
+    """The Spark-side plumbing for resize / frame-sample (schema, Arrow
+    batch shape, fan-out) is real; the codec is a deterministic stub."""
+    from striot_spark.functions.multimodal import (
+        frame_sample,
+        resize_media,
+        to_media,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "abcdef" * 40), (1, "xyz")], "doc_id long, text string"
+    )
+    media = to_media(df, "doc_id", "text")
+    resized = resize_media(media, 16, 16).collect()
+    assert {r["doc_id"] for r in resized} == {0, 1}
+    assert all(len(r["media"]) == (16 * 16) // 64 for r in resized)
+    frames = frame_sample(media, every_n_bytes=64).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 240-byte payload → 4 frames of ≤64 bytes; 3-byte payload → 1 frame
+    assert len(by_doc[0]) == 4 and len(by_doc[1]) == 1
+    assert sorted(r["frame_idx"] for r in by_doc[0]) == [0, 1, 2, 3]
+    assert b"".join(bytes(r["frame"]) for r in sorted(by_doc[0], key=lambda r: r["frame_idx"])) == b"abcdef" * 40
