@@ -415,3 +415,50 @@ def q29_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cands = D.lsh_candidate_pairs(docs, "doc_id", "text")
     return D.ngram_jaccard_pairs(cands, docs, "doc_id", "text", threshold=0.7)
+
+
+def _lsh_ann_sql(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
+    from striot_spark.functions.similarity import _hyperplane
+
+    planes = [
+        "[" + ", ".join(repr(c) for c in _hyperplane(dim, 42 + p)) + "]"
+        for p in range(n_planes)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {pl}) >= 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT query_id, vec_id, cos, rnk FROM (
+        SELECT 0 AS query_id, b.vec_id,
+               round(list_dot_product(b.v, qv)
+                     / (sqrt(list_dot_product(b.v, b.v))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS cos,
+               row_number() OVER (
+                   ORDER BY round(list_dot_product(b.v, qv)
+                            / (sqrt(list_dot_product(b.v, b.v))
+                               * sqrt(list_dot_product(qv, qv))), 6) DESC,
+                            b.vec_id ASC) AS rnk
+        FROM b, q WHERE b.bucket = qbucket AND b.vec_id <> 0) t
+    WHERE rnk <= {k}
+    """
+
+
+@register(
+    "q48_ann_lsh",
+    _lsh_ann_sql(),
+    doc="hyperplane-LSH ANN: deterministic sign-bit buckets (seeded "
+    "integer arithmetic, reproducible in any engine) prune the scored "
+    "set ~2^planes; equi-join on the bucket id, query side broadcast",
+)
+def q48_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("query_id"), "embedding"
+    )
+    base = emb.filter(F.col("vec_id") != 0)
+    return SIM.lsh_topk(base, query, dim=64, k=5, n_planes=6)
