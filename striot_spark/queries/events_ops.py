@@ -439,3 +439,44 @@ def q47_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.groupBy("channel").agg(
         F.count(F.lit(1)).alias("n"), sum_money(F.col("value")).alias("sum_value")
     )
+
+
+# -- full wearable chain (WearableExample.hs:66-96) --------------------------
+@register(
+    "q49_wearable_chain",
+    f"""
+    WITH f AS (
+        SELECT event_id, ts, user_id, value FROM events
+        WHERE event_type IN ('click', 'view')),
+    m AS (
+        SELECT ts, event_id,
+               CAST(floor(sqrt(value*value + (user_id%16)*(user_id%16)))
+                    AS BIGINT) AS ed
+        FROM f),
+    c AS (SELECT ts, ed, lag(ed) OVER (ORDER BY ts, event_id) AS prev FROM m)
+    SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS window_id,
+           count(*) AS n_steps
+    FROM c WHERE prev > 120 AND ed <= 120 GROUP BY 1
+    """,
+    doc="the full wearable pipeline as ONE Stream-API chain — "
+    "streamFilter (vibe) >>> streamMap (intSqrt Euclidean distance) >>> "
+    "streamFilterAcc (stepEvent crossing) >>> chopTime count (stepCount); "
+    "WearableExample.hs:66-96, stays declarative end-to-end",
+)
+def q49_wearable_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+    ed = F.floor(
+        F.sqrt(
+            F.col("value") * F.col("value")
+            + (F.col("user_id") % 16) * (F.col("user_id") % 16)
+        )
+    ).cast("long")
+    chain = (
+        s.filter(F.col("event_type").isin("click", "view"))
+        .map("event_id", ed=ed)
+        .filter_acc(
+            lambda prev, cur: (prev > 120) & (cur <= 120), "ed", keep_first=False
+        )
+    )
+    out = chain.window_agg(ChopTime("1 day"), {"n_steps": F.count(F.lit(1))})
+    return out.df.select("window_id", "n_steps")
