@@ -480,3 +480,59 @@ def q49_wearable_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = chain.window_agg(ChopTime("1 day"), {"n_steps": F.count(F.lit(1))})
     return out.df.select("window_id", "n_steps")
+
+
+# -- arbitrary whole-window aggregator (streamWindowAggregate with a ---------
+# -- user fold, FunctionalProcessing.hs:89-90) -------------------------------
+@register(
+    "q50_window_custom_fold",
+    f"""
+    WITH w AS (
+        SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS window_id,
+               ts, event_id, {CENTS_SQL} AS c
+        FROM events),
+    l AS (
+        SELECT window_id, c,
+               lag(c) OVER (PARTITION BY window_id
+                            ORDER BY ts, event_id) AS prev
+        FROM w)
+    SELECT window_id,
+           CAST(sum(CASE WHEN prev IS NULL THEN 0
+                         ELSE (c - prev) * (c - prev) END) AS BIGINT)
+               AS roughness,
+           count(*) AS n
+    FROM l GROUP BY 1
+    """,
+    doc="streamWindowAggregate with an ARBITRARY window function "
+    "(FunctionalProcessing.hs:89-90: any [a] -> b): sum of squared "
+    "consecutive deltas per day, as a declarative in-row fold over "
+    "sort_array(collect_list(...)) — exact integer cents, no Python",
+)
+def q50_window_custom_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    grouped = ev.groupBy(
+        (sec - sec % 86400).alias("window_id")
+    ).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("ts"), F.col("event_id"), cents(F.col("value")).alias("c")
+                )
+            )
+        ).alias("wnd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          wnd,
+          named_struct('prev', CAST(NULL AS BIGINT), 'acc', CAST(0 AS BIGINT)),
+          (s, x) -> named_struct(
+              'prev', x.c,
+              'acc', s.acc + CASE WHEN s.prev IS NULL THEN CAST(0 AS BIGINT)
+                                  ELSE (x.c - s.prev) * (x.c - s.prev) END),
+          s -> s.acc)
+        """
+    )
+    return grouped.select("window_id", fold.alias("roughness"), "n")
