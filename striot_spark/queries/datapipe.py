@@ -403,11 +403,65 @@ def q45_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# LSH candidate pairs + verified near-dups: no SQL oracle (multi-stage
-# join pipeline); driver records rows-only check.
+def _lsh_near_dup_sql() -> str:
+    """DuckDB oracle for the full MinHash-LSH near-dup pipeline:
+    bigram shingles → 6 md5-derived minhashes → 3 bands of 2 →
+    band-bucket join → signature-agreement prefilter (>= 0.5) →
+    exact shingle-set Jaccard verify (>= 0.7). Mirrors
+    functions/dedup.py:lsh_candidate_pairs + ngram_jaccard_pairs."""
+    from striot_spark.functions.dedup import MERSENNE_P, MINHASH_COEFFS
+
+    p = MERSENNE_P
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_case = (
+        "CASE band WHEN 0 THEN mh0::VARCHAR || '_' || mh1::VARCHAR "
+        "WHEN 1 THEN mh2::VARCHAR || '_' || mh3::VARCHAR "
+        "ELSE mh4::VARCHAR || '_' || mh5::VARCHAR END"
+    )
+    agree = " + ".join(f"(a.mh{i} = b.mh{i})::INT" for i in range(6))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents),
+    idx AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks),
+    sh AS (
+        SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS shingle FROM idx),
+    hb AS (
+        SELECT doc_id, shingle,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {p} AS h
+        FROM sh),
+    sigs AS (
+        SELECT doc_id, {mins} FROM hb GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, band,
+               {band_case} AS sig
+        FROM sigs, range(0, 3) r(band)),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        WHERE ({agree}) / 6.0 >= 0.5),
+    sets_ AS (
+        SELECT doc_id, list_distinct(list(shingle)) AS sset
+        FROM sh GROUP BY doc_id)
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.sset, sb.sset))
+               / len(list_distinct(list_concat(sa.sset, sb.sset))) AS jaccard
+        FROM cands c
+        JOIN sets_ sa ON sa.doc_id = c.id_a
+        JOIN sets_ sb ON sb.doc_id = c.id_b) t
+    WHERE jaccard >= 0.7
+    """
+
+
 @register(
     "q29_lsh_near_dups",
-    None,
+    _lsh_near_dup_sql(),
     doc="MinHash-LSH banding → candidate pairs → exact shingle-Jaccard "
     "verification (threshold 0.7); no all-pairs compare materializes",
 )
