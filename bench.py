@@ -34,6 +34,11 @@ def main() -> None:
     # warm up the JVM, codegen, and parquet footer caches outside the
     # timed region — queries should measure compute, not first-touch
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # spin up the Python worker daemons too — otherwise the first
+    # mapInPandas query is charged ~2-4s of interpreter fork/import
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     from striot_spark.sources.batch import load_table
 
     for t in (

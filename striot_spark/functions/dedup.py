@@ -190,6 +190,103 @@ def ngram_jaccard_pairs(
     return out
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 6,
+    bands: int = 3,
+    shingle_n: int = 2,
+    min_sig_agreement: float = 0.5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Fused MinHash-LSH near-dup pipeline: candidates + exact verify.
+
+    Same semantics as ``ngram_jaccard_pairs(lsh_candidate_pairs(...))``
+    but the document corpus is scanned ONCE: a single persisted work
+    table carries both the md5 base-hash array (for signatures) and the
+    distinct shingle set (for the exact-Jaccard verify). The separate
+    functions each scan + shingle + md5 the corpus independently — at
+    100 TB that's the difference between one and two full passes over
+    the document bodies. Downstream joins move only (id, longs) /
+    (id, shingle set) — never the bodies.
+    """
+    coeffs = MINHASH_COEFFS[:num_hashes]
+    rows_per_band = num_hashes // bands
+    sh = shingles(F.col(text_col), shingle_n)
+    # one pass: shingle expr evaluates twice per row (cheap zip_with)
+    # but the dominant md5 transform runs exactly once; persist is the
+    # CollapseProject barrier so the k array_min signature projections
+    # read the cached base array instead of inlining the md5 pass.
+    work = (
+        scatter(df)
+        .select(
+            F.col(id_col),
+            F.array_distinct(sh).alias("sset"),
+            F.transform(sh, lambda s: md5_hash64(s) % MERSENNE_P).alias(
+                "__mh_base"
+            ),
+        )
+        .persist()
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("__mh_base"),
+                lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P,
+            )
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sigs = work.select(F.col(id_col), *sig_cols)
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[m.cast("string") for m in members]).alias("sig"),
+            )
+        )
+    mh_names = [f"mh{i}" for i in range(num_hashes)]
+    exploded = sigs.select(
+        F.col(id_col), *mh_names, F.explode(F.array(*band_cols)).alias("bs")
+    ).select(id_col, *mh_names, "bs.band", "bs.sig")
+    agree = sum(
+        (F.col(f"a.{m}") == F.col(f"b.{m}")).cast("int") for m in mh_names
+    ) / F.lit(float(num_hashes))
+    cands = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(agree >= F.lit(min_sig_agreement))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sets_ = work.select(F.col(id_col).alias("sid"), "sset")
+    # scatter the candidate side: AQE coalesces the tiny distinct
+    # shuffle to 1 partition, which would serialize the set-intersect
+    return (
+        scatter(cands)
+        .join(sets_.withColumnRenamed("sid", "id_a").withColumnRenamed("sset", "set_a"), "id_a")
+        .join(sets_.withColumnRenamed("sid", "id_b").withColumnRenamed("sset", "set_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("set_a", "set_b"))
+            / F.size(F.array_union("set_a", "set_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash fingerprint, fully declarative — and a pure
     projection: the bit-vote fold runs over the in-row token-hash array

@@ -467,8 +467,7 @@ def _lsh_near_dup_sql() -> str:
 )
 def q29_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    cands = D.lsh_candidate_pairs(docs, "doc_id", "text")
-    return D.ngram_jaccard_pairs(cands, docs, "doc_id", "text", threshold=0.7)
+    return D.lsh_near_dup_pairs(docs, "doc_id", "text", threshold=0.7)
 
 
 def _lsh_ann_sql(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:

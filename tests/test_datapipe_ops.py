@@ -109,6 +109,9 @@ def test_lsh_candidate_pairs_find_exact_dups(spark):
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in verified} == {(0, 1)}
     assert all(r["jaccard"] == pytest.approx(1.0) for r in verified)
+    # the fused single-scan pipeline returns exactly the same rows
+    fused = D.lsh_near_dup_pairs(df, "doc_id", "text", threshold=0.7).collect()
+    assert sorted(map(tuple, fused)) == sorted(map(tuple, verified))
 
 
 def test_multimodal_resize_and_frame_sample_plumbing(spark):
