@@ -1,0 +1,77 @@
+"""Deterministic sampling for training-data pipelines.
+
+Production corpus construction needs *reproducible* sampling — the same
+document set on every run, resumable after failure, auditable. RNG-based
+``df.sample`` gives none of that (and its draws depend on partitioning).
+Both operators here derive keep/drop decisions from an md5 hash of the
+row id, so they are pure functions of the data:
+
+- ``hash_sample``: per-stratum keep *rates*. A pure projection + filter —
+  a 100 TB sampling pass is ONE parquet scan with ZERO shuffles, and the
+  filter sits right on top of the scan for Catalyst to push down.
+- ``reservoir_sample``: exactly n rows per stratum, chosen as the n
+  smallest id-hashes (a deterministic reservoir). Needs a per-stratum
+  ordering, so it shuffles on the stratum key — meant for bounded strata
+  (per-language eval slices, per-source audits). For huge strata prefer
+  ``hash_sample`` with rate ≈ n/N, which never concentrates a stratum
+  on one task.
+
+The reference's 1-in-n ``sample`` (FunctionalProcessing.hs:258-259,
+docs/Operators.md:124-129) is the stream-positional cousin
+(core/stream.py:Stream.sample); these are its corpus-scale extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from striot_spark.functions.text import md5_hash64
+
+#: hash buckets per unit of rate — rates are quantized to 1/RESOLUTION
+RESOLUTION = 10_000
+
+
+def _bucket(id_col: str):
+    return md5_hash64(F.col(id_col).cast("string")) % RESOLUTION
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: float | None = None,
+    strata_col: str | None = None,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows (optionally per
+    stratum). A row is kept iff ``md5(id) % RESOLUTION`` falls below the
+    stratum's threshold, so membership is stable across runs, engines,
+    and partitionings; nested samples compose (a 10% sample is a strict
+    subset of the 20% sample with the same key)."""
+    bucket = _bucket(id_col)
+    if strata_col is None:
+        if rate is None:
+            raise ValueError("either rate or (strata_col, rates) required")
+        return df.filter(bucket < int(rate * RESOLUTION))
+    threshold = F.lit(int(default_rate * RESOLUTION))
+    for value, r in sorted((rates or {}).items()):
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(r * RESOLUTION))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
+
+
+def reservoir_sample(
+    df: DataFrame, id_col: str, strata_col: str, n: int
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum: the n smallest
+    id-hashes, ties broken by id. Deterministic analogue of per-group
+    reservoir sampling; one shuffle on the stratum key."""
+    h = _bucket(id_col)
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from striot_spark.functions import dedup as D
+from striot_spark.functions import sampling as SAMP
 from striot_spark.functions import similarity as SIM
 from striot_spark.functions import text as T
 from striot_spark.functions.multimodal import extract_media_meta, to_media
@@ -515,3 +516,51 @@ def q48_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = emb.filter(F.col("vec_id") != 0)
     return SIM.lsh_topk(base, query, dim=64, k=5, n_planes=6)
+
+
+_HB = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000"
+
+
+@register(
+    "q51_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_HB} < CASE source WHEN 'src1' THEN 5000
+                              WHEN 'src7' THEN 2500 ELSE 1000 END
+    """,
+    doc="deterministic hash-bucket stratified sampling (per-source keep "
+    "rates): pure projection + filter, ZERO shuffles at any scale; "
+    "membership is stable across runs/engines/partitionings and nested "
+    "samples compose — the reproducibility contract corpus builds need",
+)
+def q51_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return SAMP.hash_sample(
+        docs,
+        "doc_id",
+        strata_col="source",
+        rates={"src1": 0.5, "src7": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "q52_reservoir_per_lang",
+    f"""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_HB} ASC, doc_id ASC) AS rn
+        FROM documents) t
+    WHERE rn <= 5
+    """,
+    doc="deterministic per-stratum reservoir: exactly n smallest "
+    "id-hashes per language — one shuffle on the stratum key; for huge "
+    "strata use hash_sample(rate=n/N) instead (documented trade-off)",
+)
+def q52_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return SAMP.reservoir_sample(docs, "doc_id", "lang", 5).select(
+        "doc_id", "lang", "source"
+    )

@@ -138,3 +138,44 @@ def test_multimodal_resize_and_frame_sample_plumbing(spark):
     assert len(by_doc[0]) == 4 and len(by_doc[1]) == 1
     assert sorted(r["frame_idx"] for r in by_doc[0]) == [0, 1, 2, 3]
     assert b"".join(bytes(r["frame"]) for r in sorted(by_doc[0], key=lambda r: r["frame_idx"])) == b"abcdef" * 40
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from striot_spark.functions import sampling as S
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s20 = {r["doc_id"] for r in S.hash_sample(df, "doc_id", rate=0.2).collect()}
+    s20_again = {r["doc_id"] for r in S.hash_sample(df, "doc_id", rate=0.2).collect()}
+    s10 = {r["doc_id"] for r in S.hash_sample(df, "doc_id", rate=0.1).collect()}
+    assert s20 == s20_again  # stable across runs
+    assert s10 <= s20  # nested samples compose
+    assert 0.1 < len(s20) / 2000 < 0.3  # near the nominal rate
+
+
+def test_hash_sample_strata_rates(spark):
+    from striot_spark.functions import sampling as S
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "doc_id long, grp string",
+    )
+    out = S.hash_sample(
+        df, "doc_id", strata_col="grp", rates={"a": 0.5}, default_rate=0.0
+    ).collect()
+    assert all(r["grp"] == "a" for r in out)  # default 0 drops stratum b
+    assert 0.3 < len(out) / 1000 < 0.7
+
+
+def test_reservoir_sample_exact_n_per_stratum(spark):
+    from striot_spark.functions import sampling as S
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(300)], "doc_id long, grp string"
+    )
+    out = S.reservoir_sample(df, "doc_id", "grp", 7).collect()
+    counts = {}
+    for r in out:
+        counts[r["grp"]] = counts.get(r["grp"], 0) + 1
+    assert counts == {"g0": 7, "g1": 7, "g2": 7}
+    again = {r["doc_id"] for r in S.reservoir_sample(df, "doc_id", "grp", 7).collect()}
+    assert again == {r["doc_id"] for r in out}  # deterministic
