@@ -149,3 +149,17 @@ def test_profitability_join_no_cartesian(spark, sf_dir):
     plan = _executed(spark, "q46_profitability_cells", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_is_shuffle_free_filter(spark, sf_dir):
+    """hash_sample must be a pure scan->filter->project pipeline: no
+    Exchange of any kind, and only the needed columns read."""
+    plan = _executed(spark, "q51_stratified_sample", sf_dir)
+    assert "Exchange" not in plan
+    fmt = _formatted(spark, "q51_stratified_sample", sf_dir)
+    assert "text" not in fmt.split("ReadSchema")[-1][:200]  # bodies not read
+
+
+def test_reservoir_sample_single_stratum_shuffle(spark, sf_dir):
+    plan = _executed(spark, "q52_reservoir_per_lang", sf_dir)
+    assert plan.count("Exchange") <= 1  # only the stratum-key shuffle
