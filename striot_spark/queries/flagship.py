@@ -71,3 +71,69 @@ def q30_frequent_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev").isNull() | (F.col("prev") != F.col("top_routes")))
         .select("day", "top_routes")
     )
+
+
+def frequent_routes_stream(
+    spark: SparkSession,
+    events_path: str,
+    schema,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming lowering of the flagship frequentRoutes pipeline.
+
+    Two tiers, mirroring how this runs on an unbounded 100 TB/day feed:
+
+    1. **Streaming tier** (incremental, watermarked): per-(day-window,
+       event_type) counts via Structured Streaming state. This is the
+       only tier that sees fact-table volume; its state is one row per
+       (window, type), and the watermark bounds it.
+    2. **Finalize tier** (per emitted window): topk-3 rank, route-list
+       assembly, and dedup-on-change run over the *aggregated* rows —
+       cardinality = windows x event-types, trivially small at any input
+       scale. In production this tail runs in foreachBatch or over the
+       sink table; here it runs after an available-now drain.
+
+    Reference chain: ``examples/taxi/Taxi.hs:173-178`` (source → map →
+    filter → window → topk → dedup-on-change → sink).
+    """
+    from striot_spark.streaming import runtime as RT
+
+    sdf = RT.file_stream(spark, events_path, schema).filter(F.col("value") >= 0)
+    counts = RT.window_agg_stream(
+        sdf,
+        "ts",
+        "1 day",
+        {"n": F.count(F.lit(1))},
+        key=("event_type",),
+        watermark="1 minute",
+    )
+    drained = RT.run_available_now(
+        counts, "fr_stream_counts", checkpoint_dir, mode="complete"
+    )
+    ranked = (
+        drained.withColumn("day", day_str(F.col("window_start")))
+        .withColumn(
+            "rnk",
+            F.rank().over(
+                W.partitionBy("day").orderBy(
+                    F.col("n").desc(), F.col("event_type").asc()
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    lists = ranked.groupBy("day").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rnk", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ",",
+        ).alias("top_routes")
+    )
+    w = W.orderBy("day")
+    return (
+        lists.withColumn("prev", F.lag("top_routes").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("top_routes")))
+        .select("day", "top_routes")
+    )

@@ -247,3 +247,21 @@ def test_scan_stream_matches_batch_scan(spark, sf_dir, events_dir, ckpt):
         (r["user_id"], r["ts"], round(r["running"], 6)) for r in batch.collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_flagship_frequent_routes_stream_matches_batch(
+    spark, sf_dir, events_dir, ckpt
+):
+    """The flagship taxi-Q1 pipeline, lowered to Structured Streaming
+    (incremental watermarked counts + tiny finalize tier), must produce
+    exactly the batch q30 result."""
+    from striot_spark.queries.flagship import (
+        frequent_routes_stream,
+        q30_frequent_routes,
+    )
+
+    got = frequent_routes_stream(
+        spark, events_dir, _events_schema(spark, sf_dir), ckpt
+    ).collect()
+    want = q30_frequent_routes(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
