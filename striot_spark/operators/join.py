@@ -140,3 +140,52 @@ def join_w(
         raise ValueError("right window length must be whole seconds")
     containing = (F.col("left_window") - (F.col("left_window") % F.lit(r_sec)))
     return lw.withColumn("right_window", containing).join(rw, "right_window", "left")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    payload: dict[str, Column],
+    right_seq: str,
+    left_seq: str,
+) -> DataFrame:
+    """As-of (backward) join: each left row is enriched with the payload
+    of the latest right row with ``right.ts <= left.ts`` for the same
+    key — the canonical timeseries enrichment (sensor reading → latest
+    calibration, trade → latest quote). Not in the reference's operator
+    set; included because IoT users of this engine need it and Spark has
+    no native form.
+
+    Scale-first lowering — the union trick, NOT a range join: tag both
+    sides, union them, and carry the right payload forward with
+    ``last(..., ignorenulls=True)`` over a per-key ordered frame. Costs
+    exactly ONE shuffle (on the key) and never materializes candidate
+    ranges; a time-interval join would multiply rows by the overlap
+    factor before filtering. Ties at equal timestamps: right rows sort
+    before left rows (a same-timestamp right row IS visible), ordered
+    among themselves by ``right_seq`` so the result is deterministic.
+
+    ``payload`` maps output names to right-side Columns; names must not
+    collide with left columns.
+    """
+    r = right.select(
+        *key_cols,
+        F.col(ts_col),
+        F.col(right_seq).alias("__tie"),
+        F.lit(0).alias("__side"),
+        *[c.alias(n) for n, c in payload.items()],
+    )
+    l = left.withColumn("__side", F.lit(1)).withColumn(
+        "__tie", F.col(left_seq)
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tie").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for name in payload:
+        u = u.withColumn(name, F.last(F.col(name), ignorenulls=True).over(w))
+    return u.filter(F.col("__side") == 1).drop("__side", "__tie")

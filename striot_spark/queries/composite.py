@@ -323,3 +323,58 @@ def q36_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = event_stream(spark, sf_dir)
     windowed = s.window(Chop(50), collect=F.col("event_id"))
     return windowed.expand("values", alias="event_id").df.select("event_id")
+
+
+@register(
+    "q53_asof_enrich",
+    """
+    WITH l AS (SELECT event_id, user_id, ts, value, 1 AS side,
+                      event_id AS tie,
+                      NULL::DOUBLE AS last_click_value,
+                      NULL::BIGINT AS last_click_id
+               FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT NULL::BIGINT AS event_id, user_id, ts,
+                      NULL::DOUBLE AS value, 0 AS side,
+                      event_id AS tie,
+                      value AS last_click_value,
+                      event_id AS last_click_id
+               FROM events WHERE event_type = 'click'),
+         u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+         c AS (SELECT event_id, user_id, value, side,
+                      last_value(last_click_value IGNORE NULLS) OVER w
+                          AS lcv,
+                      last_value(last_click_id IGNORE NULLS) OVER w AS lci
+               FROM u
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, tie
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW))
+    SELECT event_id, user_id, value, lcv AS last_click_value,
+           lci AS last_click_id
+    FROM c WHERE side = 1
+    """,
+    doc="as-of (backward) join: each purchase enriched with the user's "
+    "latest prior-or-same-time click — union + last(ignorenulls) carry-"
+    "forward, ONE shuffle on the key, no range-join row explosion",
+)
+def q53_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.operators.join import asof_join
+    from striot_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = asof_join(
+        purchases,
+        clicks,
+        ["user_id"],
+        "ts",
+        {
+            "last_click_value": F.col("value"),
+            "last_click_id": F.col("event_id"),
+        },
+        right_seq="event_id",
+        left_seq="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "value", "last_click_value", "last_click_id"
+    )

@@ -161,3 +161,44 @@ def test_apply_chain_is_single_stage(spark, ev):
     out = ev.apply_chain(chain, "value", "double")
     plan = out.df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_asof_join_backward_semantics(spark):
+    """Latest right row at-or-before each left ts, per key; same-ts right
+    rows visible; ties broken by right seq; no prior right -> null."""
+    from striot_spark.operators.join import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (10, 1, 100.0, 5.0),   # after r at ts=90 and the tie pair at 100
+            (11, 1, 95.0, 6.0),    # only r at ts=90 is visible
+            (12, 1, 50.0, 7.0),    # before any right row -> null
+            (13, 2, 100.0, 8.0),   # other key: only its own rights
+        ],
+        "event_id long, user_id long, ts double, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 1, 90.0, 1.0),
+            (101, 1, 100.0, 2.0),  # same ts as left event 10: visible
+            (102, 1, 100.0, 3.0),  # same ts, higher seq wins the tie
+            (103, 2, 60.0, 4.0),
+        ],
+        "event_id long, user_id long, ts double, value double",
+    )
+    out = {
+        r["event_id"]: (r["rv"], r["rid"])
+        for r in asof_join(
+            left,
+            right,
+            ["user_id"],
+            "ts",
+            {"rv": F.col("value"), "rid": F.col("event_id")},
+            right_seq="event_id",
+            left_seq="event_id",
+        ).collect()
+    }
+    assert out[10] == (3.0, 102)  # same-ts ties: highest right seq
+    assert out[11] == (1.0, 100)
+    assert out[12] == (None, None)
+    assert out[13] == (4.0, 103)

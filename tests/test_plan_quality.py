@@ -163,3 +163,11 @@ def test_stratified_sample_is_shuffle_free_filter(spark, sf_dir):
 def test_reservoir_sample_single_stratum_shuffle(spark, sf_dir):
     plan = _executed(spark, "q52_reservoir_per_lang", sf_dir)
     assert plan.count("Exchange") <= 1  # only the stratum-key shuffle
+
+
+def test_asof_join_single_shuffle_no_range_join(spark, sf_dir):
+    """The as-of join must be the union+carry-forward plan: one key
+    shuffle, no join operator at all (and hence no range explosion)."""
+    plan = _executed(spark, "q53_asof_enrich", sf_dir)
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
