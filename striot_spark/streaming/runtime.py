@@ -314,3 +314,21 @@ def to_kafka(sdf: DataFrame, bootstrap: str, topic: str, checkpoint_dir: str):
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def dedup_stream(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first event per key, with state
+    bounded by the watermark (``dropDuplicatesWithinWatermark``). The
+    streaming form of ``functions/dedup.py:exact_dedup`` — on an
+    unbounded feed the dedup state would otherwise grow without bound;
+    the watermark makes it a rolling window of keys, which is the
+    correct contract for at-least-once upstream sources (e.g. Kafka
+    producer retries land within seconds, not days)."""
+    return sdf.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

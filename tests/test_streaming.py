@@ -265,3 +265,27 @@ def test_flagship_frequent_routes_stream_matches_batch(
     ).collect()
     want = q30_frequent_routes(spark, sf_dir).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_dedup_stream_drops_retransmits(spark, sf_dir, events_dir, ckpt):
+    """dropDuplicatesWithinWatermark keeps one row per key when the
+    duplicates arrive inside the watermark (the at-least-once-source
+    contract); result matches batch dropDuplicates on the same keys."""
+    sdf = RT.file_stream(spark, events_dir, _events_schema(spark, sf_dir))
+    deduped = RT.dedup_stream(sdf, ["event_id"], "ts", watermark="365 days")
+    got = RT.run_available_now(deduped, "dedup_stream_t", ckpt, mode="append")
+    batch_n = load_table(spark, sf_dir, "events").dropDuplicates(["event_id"]).count()
+    assert got.count() == batch_n
+    # duplicated input: re-listing the same directory as a second source
+    # is equivalent to a retransmit; a fresh stream over doubled data
+    # still yields one row per event_id
+    doubled = RT.file_stream(spark, events_dir, _events_schema(spark, sf_dir)).unionByName(
+        RT.file_stream(spark, events_dir, _events_schema(spark, sf_dir))
+    )
+    got2 = RT.run_available_now(
+        RT.dedup_stream(doubled, ["event_id"], "ts", watermark="365 days"),
+        "dedup_stream_t2",
+        ckpt + "_2",
+        mode="append",
+    )
+    assert got2.count() == batch_n
