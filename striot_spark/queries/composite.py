@@ -378,3 +378,32 @@ def q53_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "value", "last_click_value", "last_click_id"
     )
+
+
+@register(
+    "q54_time_rollup",
+    f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           count(*) AS n,
+           sum({CENTS_SQL}) / 100.0 AS sum_value
+    FROM events
+    GROUP BY ROLLUP (day, event_type)
+    """,
+    doc="hypertable-style multi-resolution rollup: (day, type) -> (day) "
+    "-> grand total in ONE pass via ROLLUP grouping sets — partial "
+    "aggregation applies at every level, integer-cents sums stay exact "
+    "under distributed combine (not in the reference, SURVEY.md §2.6 — "
+    "free on Spark and table stakes for a metrics store)",
+)
+def q54_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import day_str
+    from striot_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", day_str(F.col("ts"))
+    )
+    return ev.rollup("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents(F.col("value"))) / F.lit(100.0)).alias("sum_value"),
+    )
