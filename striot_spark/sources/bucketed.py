@@ -1,0 +1,53 @@
+"""Bucketed table layout for co-located joins and aggregations.
+
+At 100 TB the dominant cost of a fact-fact join (events ⋈ events,
+impressions ⋈ conversions) is shuffling both sides on the join key.
+Bucketing pre-shuffles ONCE at write time: both tables are hash-split
+into the same number of buckets on the key and sorted within buckets, so
+every later join/groupBy on that key is bucket-to-bucket — zero
+exchanges, no network, sort-merge reads pre-sorted runs. The write-time
+shuffle amortizes over every downstream query that touches the key.
+
+The reference has no storage layer at all (streams exist only in flight,
+SURVEY.md §2.6); this is the Spark-native replacement for its static
+operator-placement idea — co-location by data layout instead of by
+process pinning.
+
+Bucket-count rule of thumb at scale: total_size / bucket_count ≈
+128-512 MB per bucket file per partition; keep it a multiple of cluster
+parallelism so every core reads whole buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    keys: Sequence[str],
+    buckets: int,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Write ``df`` as an external bucketed table (parquet at ``path``,
+    bucket metadata in the session catalog). Joins between tables
+    bucketed the same way on the same keys need no shuffle."""
+    w = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, *keys)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table with its layout metadata (a plain
+    ``spark.read.parquet`` of the same files would lose bucketing and
+    reintroduce the shuffle)."""
+    return spark.table(table)

@@ -76,3 +76,50 @@ def test_broadcast_lookup_is_shuffle_free(spark, sf_dir):
         for r in out.select("event_type", "type_code").distinct().collect()
     }
     assert ("click", 1) in got and ("error", 0) in got
+
+
+def test_bucketed_join_and_agg_have_zero_shuffles(spark, sf_dir, tmp_path):
+    """Tables bucketed on the same key join bucket-to-bucket: the
+    executed plan has NO Exchange; a groupBy on the bucket key is also
+    shuffle-free. This is the write-once-shuffle-never layout for
+    fact-fact joins at scale."""
+    from striot_spark.sources.batch import load_table
+    from striot_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    write_bucketed(
+        ev, "ev_bkt_a", str(tmp_path / "a"), ["user_id"], 8, ["user_id"]
+    )
+    write_bucketed(
+        ev.select("user_id", "event_id", "value"),
+        "ev_bkt_b",
+        str(tmp_path / "b"),
+        ["user_id"],
+        8,
+        ["user_id"],
+    )
+    try:
+        a = read_bucketed(spark, "ev_bkt_a")
+        b = read_bucketed(spark, "ev_bkt_b").withColumnRenamed(
+            "event_id", "r_event_id"
+        ).withColumnRenamed("value", "r_value")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        join_plan = (
+            a.join(b, "user_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in join_plan
+        agg_plan = (
+            a.groupBy("user_id")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in agg_plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS ev_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS ev_bkt_b")
