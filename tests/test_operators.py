@@ -202,3 +202,45 @@ def test_asof_join_backward_semantics(spark):
     assert out[11] == (1.0, 100)
     assert out[12] == (None, None)
     assert out[13] == (4.0, 103)
+
+
+def test_asof_join_matches_bruteforce_on_random_data(spark):
+    """Randomized cross-check: the union+carry-forward lowering must
+    agree with the O(n*m) brute-force definition (latest right row with
+    ts <= left ts, ties -> highest right seq) on adversarial data:
+    duplicate timestamps, keys with no right rows, interleaved orders."""
+    import random
+
+    from striot_spark.operators.join import asof_join
+
+    rng = random.Random(7)
+    lrows = [
+        (i, rng.randint(1, 5), float(rng.randint(0, 20)), float(i))
+        for i in range(60)
+    ]
+    rrows = [
+        (1000 + i, rng.randint(1, 6), float(rng.randint(0, 20)), float(i) / 7)
+        for i in range(80)
+    ]
+    left = spark.createDataFrame(
+        lrows, "event_id long, user_id long, ts double, value double"
+    )
+    right = spark.createDataFrame(
+        rrows, "event_id long, user_id long, ts double, value double"
+    )
+    got = {
+        r["event_id"]: r["rid"]
+        for r in asof_join(
+            left,
+            right,
+            ["user_id"],
+            "ts",
+            {"rid": F.col("event_id")},
+            right_seq="event_id",
+            left_seq="event_id",
+        ).collect()
+    }
+    for eid, key, ts, _ in lrows:
+        cand = [(rts, rid) for rid, rkey, rts, _ in rrows if rkey == key and rts <= ts]
+        want = max(cand)[1] if cand else None
+        assert got[eid] == want, (eid, key, ts)
