@@ -332,3 +332,60 @@ def dedup_stream(
     return sdf.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def sliding_count_stream(
+    sdf: DataFrame,
+    n: int,
+    value_col: str,
+    agg: Callable[[list], Any],
+    key: Sequence[str],
+    time_col: str,
+    out_field: str = "agg",
+    out_type: str = "double",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming count-based sliding window (reference ``sliding n``,
+    ``FunctionalProcessing.hs:93-97``): every event emits ``agg`` over
+    the window of the last ``n`` values (this event included), per key.
+
+    The batch lowering is an analytic ``rowsBetween(-(n-1), 0)`` frame
+    (q06); this is the unbounded-stream form: per-key state is a
+    bounded buffer of the previous ``n-1`` values — O(n) state per key
+    regardless of stream length, the SURVEY §2.2 'stateful buffer'
+    strategy. Events within a micro-batch are processed in event-time
+    order; cross-batch order is arrival order (the reference's
+    distributed-merge guarantee, ``Nodes/TCP.hs:52-59``).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key = list(key)
+    carry = [*key, time_col]
+    fields = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    out_schema = ", ".join(
+        [f"`{c}` {fields[c]}" for c in carry] + [f"`{out_field}` {out_type}"]
+    )
+    sort_cols = [time_col] if tiebreak is None else [time_col, tiebreak]
+
+    def fn(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        buf = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+            out = []
+            for v in pdf[value_col].tolist():
+                out.append(agg(buf[-(n - 1):] + [v] if n > 1 else [v]))
+                buf = (buf + [v])[-(n - 1):] if n > 1 else []
+            res = pdf[carry].copy()
+            res[out_field] = out
+            yield res
+        state.update((buf,))
+
+    return sdf.groupBy(*key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="buf array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

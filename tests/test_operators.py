@@ -244,3 +244,31 @@ def test_asof_join_matches_bruteforce_on_random_data(spark):
         cand = [(rts, rid) for rid, rkey, rts, _ in rrows if rkey == key and rts <= ts]
         want = max(cand)[1] if cand else None
         assert got[eid] == want, (eid, key, ts)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must return exactly the rows of the plain equi-join,
+    with left rows of a hot key spread across salt ids."""
+    from striot_spark.core.scale import salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(5)],
+        "k long, lv long",
+    )
+    right = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, rv long")
+    got = salted_join(left, right, "k", salt=8)
+    want = left.join(right, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the hot key's rows really do carry multiple salt ids
+    import pyspark.sql.functions as F
+    n_salts = (
+        left.withColumn(
+            "__salt",
+            F.pmod(F.hash(F.struct(*[F.col(c) for c in left.columns])), F.lit(8)),
+        )
+        .filter(F.col("k") == 1)
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1

@@ -289,3 +289,39 @@ def test_dedup_stream_drops_retransmits(spark, sf_dir, events_dir, ckpt):
         mode="append",
     )
     assert got2.count() == batch_n
+
+
+def test_sliding_count_stream_matches_batch_frame(spark, sf_dir, events_dir, ckpt):
+    """Per-key streaming sliding-n window must equal the batch analytic
+    rowsBetween(-(n-1), 0) frame (the q06 lowering, partitioned by key)."""
+    from pyspark.sql import Window as W
+
+    sdf = RT.file_stream(spark, events_dir, _events_schema(spark, sf_dir))
+    got = RT.run_available_now(
+        RT.sliding_count_stream(
+            sdf,
+            3,
+            "value",
+            lambda xs: float(sum(xs)),
+            key=["user_id"],
+            time_col="ts",
+            out_field="sum3",
+            tiebreak="event_id",
+        ),
+        "slide_stream_t",
+        ckpt,
+        mode="append",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("sum3", F.sum("value").over(w))
+        .select("user_id", "ts", "sum3")
+    )
+    g = sorted((r["user_id"], r["ts"], round(r["sum3"], 6)) for r in got.collect())
+    b = sorted((r["user_id"], r["ts"], round(r["sum3"], 6)) for r in batch.collect())
+    assert g == b
