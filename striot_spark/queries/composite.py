@@ -407,3 +407,53 @@ def q54_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum(cents(F.col("value"))) / F.lit(100.0)).alias("sum_value"),
     )
+
+
+@register(
+    "q55_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="semi-structured payloads: JSON props parsed JVM-side with "
+    "get_json_object (no Python), aggregated with map-side combine — "
+    "the metadata-sidecar pattern every training corpus carries",
+)
+def q55_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "q56_daily_distinct_users",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+    doc="exact windowed distinct count: Spark lowers to a two-phase "
+    "plan (partial dedup on (day, user) map-side, then count) — the "
+    "distinct shuffle carries unique pairs, not raw events",
+)
+def q56_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import day_str
+    from striot_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", day_str(F.col("ts"))
+    )
+    return ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
