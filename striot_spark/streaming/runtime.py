@@ -86,11 +86,16 @@ def window_agg_stream(
     aggs: dict[str, Column],
     key: Sequence[str] = (),
     watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window + watermark (chopTime, streaming form)."""
+    """Tumbling event-time window + watermark (chopTime, streaming
+    form). With ``slide``, an overlapping sliding window — Spark's
+    native scale-path for slidingTime (SURVEY.md §2.2: per-event slide
+    explodes row counts; a coarse slide granularity is the documented
+    100 TB default, the per-event form stays batch-only)."""
     out = (
         sdf.withWatermark(time_col, watermark)
-        .groupBy(F.window(F.col(time_col), duration), *key)
+        .groupBy(F.window(F.col(time_col), duration, slide or duration), *key)
         .agg(*[c.alias(n) for n, c in aggs.items()])
     )
     return out.select(

@@ -325,3 +325,27 @@ def test_sliding_count_stream_matches_batch_frame(spark, sf_dir, events_dir, ckp
     g = sorted((r["user_id"], r["ts"], round(r["sum3"], 6)) for r in got.collect())
     b = sorted((r["user_id"], r["ts"], round(r["sum3"], 6)) for r in batch.collect())
     assert g == b
+
+
+def test_sliding_window_agg_stream_matches_batch(spark, sf_dir, events_dir, ckpt):
+    """Sliding streaming windows (12h slide over 1-day windows) must
+    match the batch groupBy(window(ts, dur, slide)) lowering."""
+    sdf = RT.file_stream(spark, events_dir, _events_schema(spark, sf_dir))
+    agg = RT.window_agg_stream(
+        sdf,
+        "ts",
+        "1 day",
+        {"n": F.count(F.lit(1))},
+        watermark="1 minute",
+        slide="12 hours",
+    )
+    got = RT.run_available_now(agg, "slide_win_t", ckpt, mode="complete")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    assert {(r["window_start"], r["n"]) for r in got.select("window_start", "n").collect()} == {
+        (r["window_start"], r["n"]) for r in batch.collect()
+    }
