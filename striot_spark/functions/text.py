@@ -156,3 +156,45 @@ def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         roll.alias("rolling_fp"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard LLM-corpus preprocessing step (context-window packing with
+    overlap so no boundary-spanning content is lost).
+
+    Chunk i covers tokens [i*stride, i*stride + max_tokens) with
+    stride = max_tokens - overlap; the final chunk may be short. Fully
+    JVM-side: the chunk index range and slices are Column expressions
+    (sequence/transform/slice) fanned out with ONE explode — a 100 TB
+    chunking pass is a single scan with zero shuffles and zero Python.
+    Output: (id, chunk_idx, chunk_text, n_tokens).
+    """
+    stride = max_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than max_tokens")
+    toks = nonempty_tokens(F.col(text_col))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil(
+            (F.size(F.col("__toks")) - F.lit(overlap)) / F.lit(float(stride))
+        ).cast("long"),
+    )
+    chunk = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    piece = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, max_tokens)
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.col("__toks"), chunk)
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.array_join(piece, " ").alias("chunk_text"),
+            F.size(piece).alias("n_tokens"),
+        )
+    )

@@ -564,3 +564,30 @@ def q52_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SAMP.reservoir_sample(docs, "doc_id", "lang", 5).select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "q57_chunk_documents",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents),
+    n AS (
+        SELECT doc_id, tk,
+               greatest(1, CAST(ceil((len(tk) - 16) / 48.0) AS BIGINT)) AS m
+        FROM toks),
+    c AS (
+        SELECT doc_id, tk, unnest(range(0, m)) AS chunk_idx FROM n)
+    SELECT doc_id, chunk_idx,
+           array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+               AS chunk_text,
+           len(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS n_tokens
+    FROM c
+    """,
+    doc="context-window chunking with overlap (64-token chunks, stride "
+    "48): sequence/slice/explode — one scan, zero shuffles, zero "
+    "Python; the LLM-corpus packing step",
+)
+def q57_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.chunk_documents(docs, "doc_id", "text", max_tokens=64, overlap=16)

@@ -179,3 +179,33 @@ def test_reservoir_sample_exact_n_per_stratum(spark):
     assert counts == {"g0": 7, "g1": 7, "g2": 7}
     again = {r["doc_id"] for r in S.reservoir_sample(df, "doc_id", "grp", 7).collect()}
     assert again == {r["doc_id"] for r in out}  # deterministic
+
+
+def test_chunk_documents_overlap_and_reconstruction(spark):
+    df = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(100))),  # 100 tokens
+            (1, "short doc"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        T.chunk_documents(df, "doc_id", "text", max_tokens=10, overlap=2).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # stride 8: chunks cover [0,10) [8,18) ... last must reach token 99
+    chunks0 = by_doc[0]
+    assert chunks0[0]["chunk_text"].split()[0] == "t0"
+    for prev, cur in zip(chunks0, chunks0[1:]):
+        ptoks, ctoks = prev["chunk_text"].split(), cur["chunk_text"].split()
+        assert ptoks[-2:] == ctoks[:2]  # 2-token overlap
+    covered = []
+    for c in chunks0:
+        covered.extend(c["chunk_text"].split()[2:] if covered else c["chunk_text"].split())
+    assert covered == [f"t{i}" for i in range(100)]  # lossless coverage
+    assert [r["chunk_idx"] for r in by_doc[1]] == [0]
+    assert by_doc[2][0]["n_tokens"] == 0  # empty doc -> one empty chunk
