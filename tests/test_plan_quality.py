@@ -171,3 +171,11 @@ def test_asof_join_single_shuffle_no_range_join(spark, sf_dir):
     plan = _executed(spark, "q53_asof_enrich", sf_dir)
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Chunking must be scan -> project -> generate (explode): no
+    Exchange beyond the scatter fan-out of the 1-partition test file."""
+    plan = _executed(spark, "q57_chunk_documents", sf_dir)
+    assert "hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
