@@ -591,3 +591,68 @@ def q52_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q57_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.chunk_documents(docs, "doc_id", "text", max_tokens=64, overlap=16)
+
+
+@register(
+    "q58_corpus_build",
+    f"""
+    WITH kept AS (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents),
+    quality AS (
+        SELECT doc_id, text,
+               {NTOK} AS nt,
+               len(list_filter(string_split(text, ' '),
+                               x -> x IN {STOP_EN})) AS stops
+        FROM kept WHERE rn = 1),
+    gated AS (
+        SELECT doc_id, text FROM quality
+        WHERE nt >= 20 AND nt <= 10000 AND stops / nt >= 0.05),
+    sampled AS (
+        SELECT doc_id, text FROM gated
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+              % 10000 < 5000),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM sampled),
+    n AS (
+        SELECT doc_id, tk,
+               greatest(1, CAST(ceil((len(tk) - 16) / 48.0) AS BIGINT)) AS m
+        FROM toks),
+    c AS (
+        SELECT doc_id, tk, unnest(range(0, m)) AS chunk_idx FROM n)
+    SELECT doc_id, chunk_idx,
+           array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+               AS chunk_text,
+           len(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS n_tokens
+    FROM c
+    """,
+    doc="end-to-end corpus build in ONE plan: exact dedup (keep first "
+    "per digest) → quality gate (q38 'keep' rule) → deterministic 50% "
+    "hash sample → 64-token chunks with overlap 16 — the full "
+    "training-data pipeline; only the dedup step shuffles (16-byte "
+    "digests), everything else is scan-local",
+)
+def q58_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5(F.encode(F.col("text"), "UTF-8"))).orderBy(
+        "doc_id"
+    )
+    kept = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    n = T.token_count(F.col("text"))
+    gated = kept.filter(
+        (n >= 20)
+        & (n <= 10000)
+        & (T.stopword_hits(F.col("text")) / n >= 0.05)
+    )
+    sampled = SAMP.hash_sample(gated, "doc_id", rate=0.5)
+    return T.chunk_documents(sampled, "doc_id", "text", max_tokens=64, overlap=16)
