@@ -142,6 +142,67 @@ def join_w(
     return lw.withColumn("right_window", containing).join(rw, "right_window", "left")
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_sec: float,
+    upper_sec: float,
+) -> DataFrame:
+    """Bounded time-interval (range) join: pair each left row with every
+    right row sharing ``key_cols`` whose timestamp falls in
+    ``[left_ts + lower_sec, left_ts + upper_sec]`` (both ends
+    inclusive). The batch form of Structured Streaming's time-interval
+    stream-stream join; not in the reference's operator set (its only
+    joins are positional zips, SURVEY.md §2.1 #6).
+
+    Scale-first lowering — *binned* range join, not a theta join. A
+    plain ``l.join(r, key & range)`` degenerates inside each key to an
+    O(n_l x n_r) nested-loop compare; with hot keys (one user owning
+    millions of events) a single task does quadratic work. Instead both
+    sides are bucketed into time bins of width ``upper - lower``: each
+    left interval starts in exactly one bin, a right row can only match
+    intervals starting in its own or the previous bin, so RIGHT is
+    replicated x2 into ``{bin-1, bin}`` and the join becomes an
+    equi-join on ``(keys..., bin)`` with a residual range filter.
+    Candidates per pair are bounded by bin occupancy, the equi-join is
+    shuffle-parallel on (key, bin) — finer than key alone, so a hot key
+    spreads across time — and AQE skew-split applies.
+
+    Arithmetic is integer microseconds end-to-end (``unix_micros``) so
+    boundary comparisons are exact, never float-rounded.
+
+    Non-key column names must be disjoint between the two sides (rename
+    before calling); ``key_cols`` are merged in the output.
+    """
+    if upper_sec <= lower_sec:
+        raise ValueError("interval_join requires upper_sec > lower_sec")
+    lower_us = int(round(lower_sec * 1_000_000))
+    upper_us = int(round(upper_sec * 1_000_000))
+    w = upper_us - lower_us
+
+    def _bin(x: Column) -> Column:
+        return ((x - F.pmod(x, F.lit(w))) / F.lit(w)).cast("long")
+
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    l2 = left.withColumn("__lus", l_us).withColumn(
+        "__bin", _bin(F.col("__lus") + F.lit(lower_us))
+    )
+    rb = _bin(r_us)
+    r2 = (
+        right.withColumn("__rus", r_us)
+        .withColumn("__bin", F.explode(F.array(rb - 1, rb)))
+    )
+    out = l2.join(r2, [*key_cols, "__bin"]).filter(
+        (F.col("__rus") >= F.col("__lus") + F.lit(lower_us))
+        & (F.col("__rus") <= F.col("__lus") + F.lit(upper_us))
+    )
+    return out.drop("__bin", "__lus", "__rus")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

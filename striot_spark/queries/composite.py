@@ -457,3 +457,133 @@ def q56_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "q59_interval_join",
+    f"""
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+                      value
+               FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id, c.user_id,
+           epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us,
+           CAST(round(p.value * 100.0, 0) AS BIGINT) / 100.0
+               AS purchase_value
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    """,
+    doc="bounded time-interval join (click -> purchases by the same "
+    "user within 1h) via the binned range-join lowering in "
+    "operators/join.py:interval_join — equi-join on (key, time-bin) "
+    "with x2 right replication instead of a per-key nested loop; the "
+    "batch form of streaming's time-interval join (not in the "
+    "reference: its only joins are positional zips, SURVEY.md §2.1 #6)",
+)
+def q59_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.operators.join import interval_join
+    from striot_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    out = interval_join(
+        clicks, purchases, ["user_id"], "click_ts", "purchase_ts",
+        0.0, 3600.0,
+    )
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("purchase_ts"))
+            - F.unix_micros(F.col("click_ts"))
+        ).alias("gap_us"),
+        (cents(F.col("value")) / F.lit(100.0)).alias("purchase_value"),
+    )
+
+
+@register(
+    "q60_salted_skew_join",
+    f"""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           sum({CENTS_SQL}) / 100.0 AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="skew-resistant salted equi-join (core/scale.py:salted_join): "
+    "each left key spreads across 16 salt buckets, right side "
+    "replicated x16 — the explicit tool for keys AQE skew-split "
+    "cannot divide (a sort-merge join still sorts one key's rows in "
+    "one task); result identical to the plain join, verified by the "
+    "plain-join oracle",
+)
+def q60_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.core.scale import salted_join
+    from striot_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, "user_id", salt=16)
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(cents(F.col("value"))) / F.lit(100.0)).alias("sum_value"),
+    )
+
+
+@register(
+    "q61_approx_aggregates",
+    f"""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE AS approx_distinct_ok,
+           TRUE AS approx_p50_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="approximate aggregates with an explicit tolerance contract "
+    "(not in the reference, SURVEY.md §2.6; at 100 TB exact distinct "
+    "shuffles every unique pair while HLL ships fixed-size sketches "
+    "that merge map-side): per type, HLL approx_count_distinct(rsd=1%) "
+    "must land within 5% of exact, and percentile_approx(value, 0.5) "
+    "within 5% of the exact median — the booleans are oracle-checked, "
+    "so a sketch drifting out of tolerance fails the hash compare",
+)
+def q61_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cents_col = cents(F.col("value"))
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("__n_approx"),
+        (F.percentile(cents_col, F.lit(0.5)) / 100.0).alias("__p50_exact"),
+        (F.percentile_approx(cents_col, F.lit(0.5)) / 100.0).alias(
+            "__p50_approx"
+        ),
+    )
+    tol = lambda a, b: (  # noqa: E731
+        F.abs(F.col(a) - F.col(b)) <= 0.05 * F.abs(F.col(b))
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        tol("__n_approx", "n_exact").alias("approx_distinct_ok"),
+        tol("__p50_approx", "__p50_exact").alias("approx_p50_ok"),
+    )

@@ -272,3 +272,66 @@ def test_salted_join_matches_plain_join(spark):
         .count()
     )
     assert n_salts > 1
+
+
+def test_interval_join_boundaries_and_bins(spark):
+    """Inclusive [lower, upper] bounds in exact microseconds; matches
+    across time-bin boundaries; keys partition the match space."""
+    from striot_spark.operators.join import interval_join
+
+    t0 = 1_000_000_000_000_000  # epoch micros
+    S = 1_000_000
+    left = spark.createDataFrame(
+        [(1, 1, t0), (2, 2, t0)], "lid long, k long, lus long"
+    ).select("lid", "k", F.timestamp_micros("lus").alias("lts"))
+    right = spark.createDataFrame(
+        [
+            (10, 1, t0),                 # gap 0: lower bound, inclusive
+            (11, 1, t0 + 3600 * S),      # upper bound, inclusive
+            (12, 1, t0 + 3600 * S + 1),  # 1us past upper: out
+            (13, 1, t0 - 1),             # 1us before lower: out
+            (14, 1, t0 + 3000 * S),      # lands in the NEXT time bin
+            (15, 2, t0 + 5 * S),         # other key
+        ],
+        "rid long, k long, rus long",
+    ).select("rid", "k", F.timestamp_micros("rus").alias("rts"))
+    out = interval_join(left, right, ["k"], "lts", "rts", 0.0, 3600.0)
+    pairs = {(r["lid"], r["rid"]) for r in out.collect()}
+    assert pairs == {(1, 10), (1, 11), (1, 14), (2, 15)}
+
+
+def test_interval_join_matches_bruteforce_on_random_data(spark):
+    """Binned lowering == brute-force O(n^2) reference, including a
+    negative lower bound (backward+forward window)."""
+    import random
+
+    from striot_spark.operators.join import interval_join
+
+    rng = random.Random(7)
+    t0 = 1_700_000_000_000_000
+    S = 1_000_000
+    lows, ups = -60.0, 120.0
+    lrows = [
+        (i, rng.randrange(3), t0 + rng.randrange(0, 3600) * S // 2)
+        for i in range(120)
+    ]
+    rrows = [
+        (i, rng.randrange(3), t0 + rng.randrange(0, 3600) * S // 2)
+        for i in range(120)
+    ]
+    expected = {
+        (l[0], r[0])
+        for l in lrows
+        for r in rrows
+        if l[1] == r[1]
+        and l[2] + int(lows * S) <= r[2] <= l[2] + int(ups * S)
+    }
+    left = spark.createDataFrame(
+        lrows, "lid long, k long, lus long"
+    ).select("lid", "k", F.timestamp_micros("lus").alias("lts"))
+    right = spark.createDataFrame(
+        rrows, "rid long, k long, rus long"
+    ).select("rid", "k", F.timestamp_micros("rus").alias("rts"))
+    out = interval_join(left, right, ["k"], "lts", "rts", lows, ups)
+    got = {(r["lid"], r["rid"]) for r in out.collect()}
+    assert got == expected

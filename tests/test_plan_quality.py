@@ -179,3 +179,19 @@ def test_chunking_is_shuffle_free(spark, sf_dir):
     plan = _executed(spark, "q57_chunk_documents", sf_dir)
     assert "hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+
+def test_interval_join_is_binned_equi_join(spark, sf_dir):
+    """q59 must lower to a hash equi-join on (key, time-bin) with a
+    residual range filter — never a nested-loop/cartesian theta join."""
+    plan = _executed(spark, "q59_interval_join", sf_dir)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+    assert "__bin" in plan  # the bin column is a join key
+
+
+def test_salted_join_is_hash_join_no_nested_loop(spark, sf_dir):
+    plan = _executed(spark, "q60_salted_skew_join", sf_dir)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+    assert "__salt" in plan  # salt participates in the join keys
