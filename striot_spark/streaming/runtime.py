@@ -163,6 +163,55 @@ def join_e_stream(
     return joined.filter(theta) if theta is not None else joined
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_sec: float,
+    upper_sec: float,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming bounded time-interval join: each left row pairs with
+    right rows of the same key whose event time falls in
+    ``[left_ts + lower_sec, left_ts + upper_sec]`` (inclusive) — the
+    streaming form of ``operators/join.py:interval_join``, lowered to
+    Spark's native stream-stream inner join with a time-range
+    condition.
+
+    The range condition is written directly on the two watermarked
+    event-time columns (not on derived epoch values) so Spark can
+    derive state-eviction bounds from it: a buffered right row is
+    dropped once the left watermark passes ``right_ts - lower``, a
+    left row once the right watermark passes ``left_ts + upper``.
+    Without a recognizable time-range condition, stream-stream join
+    state grows forever.
+
+    ``left_ts``/``right_ts`` and non-key columns must have distinct
+    names across the sides (rename before calling); ``key_cols`` may
+    share names — the right side's copies are dropped from the output.
+    """
+    lower_us = int(round(lower_sec * 1_000_000))
+    upper_us = int(round(upper_sec * 1_000_000))
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    rk = {k: f"__rk_{k}" for k in key_cols}
+    r = r.select(
+        *[F.col(c).alias(rk.get(c, c)) for c in right.columns]
+    )
+    cond = (
+        F.col(right_ts)
+        >= F.col(left_ts) + F.expr(f"INTERVAL {lower_us} MICROSECOND")
+    ) & (
+        F.col(right_ts)
+        <= F.col(left_ts) + F.expr(f"INTERVAL {upper_us} MICROSECOND")
+    )
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(rk[k]))
+    return l.join(r, cond, "inner").drop(*rk.values())
+
+
 # -- stateful operators ------------------------------------------------------
 
 

@@ -349,3 +349,52 @@ def test_sliding_window_agg_stream_matches_batch(spark, sf_dir, events_dir, ckpt
     assert {(r["window_start"], r["n"]) for r in got.select("window_start", "n").collect()} == {
         (r["window_start"], r["n"]) for r in batch.collect()
     }
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, events_dir, ckpt):
+    """Streaming time-interval join (native stream-stream range join)
+    must agree with the batch binned lowering (q59) on the same data."""
+    schema = _events_schema(spark, sf_dir)
+    clicks = (
+        RT.file_stream(spark, events_dir, schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        RT.file_stream(spark, events_dir, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    out = RT.interval_join_stream(
+        clicks,
+        purchases,
+        ["user_id"],
+        "click_ts",
+        "purchase_ts",
+        0.0,
+        3600.0,
+        watermark="1 minute",
+    ).select("click_id", "purchase_id", "user_id")
+    got = RT.run_available_now(out, "ij_out", ckpt, mode="append")
+    stream_rows = {
+        (r["click_id"], r["purchase_id"], r["user_id"])
+        for r in got.collect()
+    }
+    from striot_spark.queries.registry import REGISTRY, _load
+
+    _load()
+    batch = REGISTRY["q59_interval_join"].fn(spark, sf_dir)
+    batch_rows = {
+        (r["click_id"], r["purchase_id"], r["user_id"])
+        for r in batch.collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
