@@ -8,6 +8,8 @@ document-quality pass should be a single parquet scan + projection.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -197,4 +199,40 @@ def chunk_documents(
             F.array_join(piece, " ").alias("chunk_text"),
             F.size(piece).alias("n_tokens"),
         )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shard_cols: Sequence[str],
+    budget: int,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs — the
+    sequence-packing step that follows chunking in an LLM data
+    pipeline (batch N docs into ~budget-token groups for tokenizer
+    throughput / sample construction).
+
+    Deterministic first-fit in ``id_col`` order within each shard: a
+    doc's pack is ``floor(prev_cumulative_tokens / budget)``, so packs
+    are contiguous runs and a pack overflows its budget by at most its
+    final document. One shuffle (on ``shard_cols``) and one sort per
+    shard; at 100 TB the shard key must be fine-grained (lang x hash
+    bucket, not lang alone) so no single shard serializes — the packing
+    rule is per-shard, so sharding finer only multiplies pack streams.
+    Output: shard cols + (id, n_tokens, pack_id).
+    """
+    from pyspark.sql import Window as W
+
+    toks = token_count(F.col(text_col))
+    w = (
+        W.partitionBy(*shard_cols)
+        .orderBy(F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        df.select(*shard_cols, F.col(id_col), toks.alias("n_tokens"))
+        .withColumn("pack_id", F.floor(prev_cum / F.lit(budget)))
     )

@@ -656,3 +656,30 @@ def q58_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sampled = SAMP.hash_sample(gated, "doc_id", rate=0.5)
     return T.chunk_documents(sampled, "doc_id", "text", max_tokens=64, overlap=16)
+
+
+@register(
+    "q62_sequence_pack",
+    f"""
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor(prev_cum / 256.0) AS BIGINT) AS pack_id
+    FROM (
+        SELECT doc_id, lang, {NTOK} AS n_tokens,
+               coalesce(sum({NTOK}) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prev_cum
+        FROM documents)
+    """,
+    doc="sequence packing for training batches: deterministic first-fit "
+    "of docs into 256-token packs per lang shard via a cumulative-sum "
+    "window (functions/text.py:pack_sequences) — one shuffle on the "
+    "shard key, pack overflows its budget by at most one doc; at scale "
+    "the shard key is lang x hash bucket so no shard serializes",
+)
+def q62_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.text import pack_sequences
+    from striot_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", ["lang"], budget=256)

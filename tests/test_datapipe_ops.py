@@ -209,3 +209,27 @@ def test_chunk_documents_overlap_and_reconstruction(spark):
     assert covered == [f"t{i}" for i in range(100)]  # lossless coverage
     assert [r["chunk_idx"] for r in by_doc[1]] == [0]
     assert by_doc[2][0]["n_tokens"] == 0  # empty doc -> one empty chunk
+
+
+def test_pack_sequences_first_fit_property(spark):
+    """Pack assignment == brute-force cumulative first-fit per shard;
+    a pack exceeds its budget by at most its final document."""
+    import random
+
+    from striot_spark.functions.text import pack_sequences
+
+    rng = random.Random(13)
+    rows = [
+        (i, rng.choice(["en", "de"]), " ".join(["w"] * rng.randrange(1, 40)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["doc_id"]): (r["lang"], r["n_tokens"], r["pack_id"])
+        for r in pack_sequences(df, "doc_id", "text", ["lang"], 64).collect()
+    }
+    cum = {"en": 0, "de": 0}
+    for i, lang, text in rows:  # doc_id order within shard
+        ntok = len(text.split())
+        assert got[i] == (lang, ntok, cum[lang] // 64), i
+        cum[lang] += ntok
