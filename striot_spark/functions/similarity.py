@@ -231,3 +231,59 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, "cos", "rnk")
     )
+
+
+def nearest_centroid(
+    base: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine — the
+    coarse-quantizer build step for IVF (``ivf_topk`` consumes the
+    resulting cell column) and the E-step of k-means.
+
+    The centroid set is small by construction (k cells), so it is
+    collected ONCE and inlined as literal arrays: assignment becomes a
+    pure projection — one scan, zero joins, zero shuffles, and the
+    quantizer travels inside the plan to every task. Per row: k fold
+    dot-products (JVM higher-order functions, no Python). Argmax via
+    ``array_max`` over (cos, -centroid_id) structs — ties pick the
+    smaller centroid id, deterministically.
+
+    Centroid norms are computed driver-side with the same sequential
+    left-fold the engines use, so cosines stay bit-identical to the
+    oracle's ``list_dot_product`` math.
+    """
+    import math
+
+    rows = centroids.select(cid_col, vec_col).collect()
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]]) for r in rows
+    )
+    if not cents:
+        raise ValueError("empty centroid set")
+    b = scatter(base).select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__nv", norm(F.col("__v")))
+    choices = []
+    for cid, vec in cents:
+        nc = math.sqrt(sum(x * x for x in vec))
+        cl = F.array(*[F.lit(x) for x in vec])
+        cos = F.round(
+            dot(F.col("__v"), cl) / (F.col("__nv") * F.lit(nc)), 6
+        )
+        choices.append(
+            F.struct(
+                cos.alias("cos"),
+                F.lit(-cid).cast("long").alias("__ncid"),
+            )
+        )
+    best = F.array_max(F.array(*choices))
+    return b.select(
+        F.col(id_col),
+        (-best["__ncid"]).alias(cid_col),
+        best["cos"].alias("cos"),
+    )

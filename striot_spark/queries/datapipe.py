@@ -683,3 +683,39 @@ def q62_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, "doc_id", "text", ["lang"], budget=256)
+
+
+@register(
+    "q63_nearest_centroid",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+               WHERE vec_id < 8)
+    SELECT vec_id, centroid_id, cos FROM (
+        SELECT e.vec_id, c.centroid_id,
+               round(list_dot_product(e.v, cv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(cv, cv))), 6) AS cos,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_dot_product(e.v, cv)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                            c.centroid_id ASC) AS rnk
+        FROM e, c WHERE e.vec_id >= 8) t
+    WHERE rnk = 1
+    """,
+    doc="nearest-centroid assignment (IVF coarse-quantizer build / "
+    "k-means E-step): the k centroids are collected once and inlined "
+    "as literal arrays, so assignment is a pure projection — one scan, "
+    "zero joins/shuffles, k JVM fold dot-products per row, argmax via "
+    "array_max over (cos, -cid) structs with deterministic ties",
+)
+def q63_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return SIM.nearest_centroid(
+        emb.filter(F.col("vec_id") >= 8), cents
+    )

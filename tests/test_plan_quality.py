@@ -195,3 +195,10 @@ def test_salted_join_is_hash_join_no_nested_loop(spark, sf_dir):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan
     assert "__salt" in plan  # salt participates in the join keys
+
+
+def test_nearest_centroid_is_projection_no_join(spark, sf_dir):
+    """q63 inlines centroids as literals: no join, no hash shuffle —
+    the only allowed Exchange is the small-input scatter round-robin."""
+    plan = _executed(spark, "q63_nearest_centroid", sf_dir)
+    assert "Join" not in plan and "hashpartitioning" not in plan
