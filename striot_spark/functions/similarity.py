@@ -287,3 +287,61 @@ def nearest_centroid(
         (-best["__ncid"]).alias(cid_col),
         best["cos"].alias("cos"),
     )
+
+
+def kmeans(
+    df: DataFrame,
+    k: int,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Spherical k-means (Lloyd's) over an embedding column — the
+    iterative companion to ``nearest_centroid``: cluster a corpus to
+    BUILD the IVF cell structure instead of relying on a given label.
+
+    Per iteration: E-step = ``nearest_centroid`` (zero-shuffle
+    projection, centroids inlined as literals); M-step = per-dimension
+    ``avg`` aggregates (dim JVM-side columns, ONE shuffle on the
+    cluster id, map-side combine) collecting exactly k x dim floats to
+    the driver — driver traffic is independent of row count, so the
+    loop works unchanged at 100 TB. Init is deterministic: the k rows
+    with the smallest ids (reproducible, seed-free).
+
+    Returns (assignment DataFrame (id, centroid_id, cos), final
+    centroid list). Iterative and engine-specific — exercised by a
+    rows-only driver check plus a convergence unit test, not a DuckDB
+    oracle.
+    """
+    init = (
+        df.select(id_col, vec_col)
+        .orderBy(F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r[1]] for r in init]
+    dim = len(cents[0])
+    assigned = None
+    for _ in range(max_iter):
+        cdf = df.sparkSession.createDataFrame(
+            [(i, v) for i, v in enumerate(cents)],
+            f"centroid_id long, {vec_col} array<double>",
+        )
+        assigned = nearest_centroid(
+            df, cdf, id_col=id_col, vec_col=vec_col
+        )
+        base = df.select(id_col, vec_col).join(
+            F.broadcast(assigned.select(id_col, "centroid_id")), id_col
+        )
+        rows = (
+            base.groupBy("centroid_id")
+            .agg(*[
+                F.avg(F.col(vec_col)[i].cast("double")).alias(f"d{i}")
+                for i in range(dim)
+            ])
+            .collect()
+        )
+        new = {r["centroid_id"]: [r[f"d{i}"] for i in range(dim)] for r in rows}
+        # a centroid that lost every point keeps its previous position
+        cents = [new.get(i, cents[i]) for i in range(k)]
+    return assigned, cents

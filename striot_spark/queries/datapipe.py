@@ -719,3 +719,20 @@ def q63_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.nearest_centroid(
         emb.filter(F.col("vec_id") >= 8), cents
     )
+
+
+@register(
+    "q64_kmeans_clusters",
+    None,  # iterative, engine-specific float averaging: rows-only check
+    doc="spherical k-means (Lloyd's) building IVF cells from scratch: "
+    "E-step is the zero-shuffle nearest_centroid projection, M-step is "
+    "dim per-dimension avg aggregates (one shuffle, map-side combine), "
+    "k x dim floats to the driver per iteration — driver traffic "
+    "independent of corpus size; convergence unit-tested on synthetic "
+    "blobs, assignment checked rows-only (no SQL oracle for an "
+    "iterative algorithm)",
+)
+def q64_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = SIM.kmeans(emb, k=8, max_iter=3)
+    return assigned

@@ -233,3 +233,29 @@ def test_pack_sequences_first_fit_property(spark):
         ntok = len(text.split())
         assert got[i] == (lang, ntok, cum[lang] // 64), i
         cum[lang] += ntok
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    """Spherical k-means must exactly recover three well-separated
+    direction clusters and converge to stable centroids."""
+    import random
+
+    from striot_spark.functions.similarity import kmeans
+
+    rng = random.Random(3)
+    axes = [(10.0, 0.0, 0.0), (0.0, 10.0, 0.0), (0.0, 0.0, 10.0)]
+    rows = []
+    for i in range(90):
+        ax = axes[i % 3]
+        rows.append((i, [a + rng.uniform(-0.5, 0.5) for a in ax]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = kmeans(df, k=3, max_iter=4)
+    got = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    # every blob lands in one cluster, clusters are distinct
+    labels = [{got[i] for i in range(90) if i % 3 == b} for b in range(3)]
+    assert all(len(s) == 1 for s in labels)
+    assert len(set().union(*labels)) == 3
+    # each centroid points along its blob's axis
+    for s, b in zip(labels, range(3)):
+        c = cents[s.pop()]
+        assert max(range(3), key=lambda d: c[d]) == b
