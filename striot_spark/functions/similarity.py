@@ -295,6 +295,7 @@ def kmeans(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quant: int = 1_000_000,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Spherical k-means (Lloyd's) over an embedding column — the
     iterative companion to ``nearest_centroid``: cluster a corpus to
@@ -303,9 +304,9 @@ def kmeans(
     Each iteration is ONE action with ONE exchange: the E-step argmax
     (centroids inlined as literals, same machinery as
     ``nearest_centroid``) is fused into the M-step projection, which
-    posexplodes to (cluster, dim_pos, val) and avg-aggregates — after
+    posexplodes to (cluster, dim_pos, val) and aggregates — after
     map-side combine the shuffle carries only k x dim partial sums,
-    and exactly k x dim floats reach the driver, independent of row
+    and exactly k x dim values reach the driver, independent of row
     count. The scored base (vector + norm) is persisted once so every
     iteration starts from the cache, and the per-row norm is
     materialized instead of being re-inlined k times by
@@ -314,14 +315,27 @@ def kmeans(
     Init is deterministic: the k rows with the smallest ids
     (reproducible, seed-free).
 
+    **Deterministic M-step:** per-dimension means are computed as
+    EXACT integer sums of quantized coordinates
+    (``floor(x*quant + 0.5)`` as long) with ONE double division on
+    the driver. Long addition is associative/commutative, so the
+    centroids are bit-identical regardless of partitioning, task
+    order, AQE re-plans, or speculative retries — a rerun on 1000
+    executors clusters identically, and an external engine (DuckDB
+    oracle) reproduces the math exactly. A float ``avg`` M-step, by
+    contrast, drifts with reduce order. The uniform 1/quant scale
+    cancels in cosine, so centroids stay in quantized units
+    (headroom: |x|*quant*rows_per_cluster must stay < 2^63 — at
+    quant=1e6 and unit-norm-ish data that is ~1e11 rows per cluster).
+
     At 100 TB, train the quantizer on a ``hash_sample`` of the corpus
     (standard IVF practice), then assign the full corpus once with the
     zero-shuffle ``nearest_centroid`` projection.
 
     Returns (assignment DataFrame (id, centroid_id, cos), final
-    centroid list). Iterative and engine-specific — exercised by a
-    rows-only driver check plus a convergence unit test, not a DuckDB
-    oracle.
+    centroid list). The assignment is persisted and materialized
+    before the scored base is dropped, so collecting it later does
+    not recompute the scatter+norm lineage.
     """
     init = (
         df.select(id_col, vec_col)
@@ -368,12 +382,23 @@ def kmeans(
                     F.posexplode(F.col("__v")).alias("p", "x"),
                 )
                 .groupBy("centroid_id", "p")
-                .agg(F.avg("x").alias("m"))
+                .agg(
+                    F.sum(
+                        F.floor(
+                            F.col("x") * F.lit(float(quant)) + F.lit(0.5)
+                        ).cast("long")
+                    ).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
                 .collect()
             )
             new: dict[int, list[float]] = {}
             for r in rows:
-                new.setdefault(r["centroid_id"], [0.0] * dim)[r["p"]] = r["m"]
+                # convert-then-divide (not exact-rational divide) to
+                # mirror CAST(sum AS DOUBLE)/count in external engines
+                new.setdefault(r["centroid_id"], [0.0] * dim)[r["p"]] = (
+                    float(r["s"]) / float(r["n"])
+                )
             # a centroid that lost every point keeps its previous position
             cents = [new.get(i, cents[i]) for i in range(k)]
         b = best(cents)
@@ -381,7 +406,8 @@ def kmeans(
             F.col(id_col),
             (-b["__ncid"]).alias("centroid_id"),
             b["cos"].alias("cos"),
-        )
+        ).persist()
+        assigned.count()  # materialize off the cached base, pre-unpersist
         return assigned, cents
     finally:
         base.unpersist()

@@ -414,7 +414,8 @@ def q54_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
     """,

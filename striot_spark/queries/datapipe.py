@@ -723,16 +723,60 @@ def q63_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q64_kmeans_clusters",
-    None,  # iterative, engine-specific float averaging: rows-only check
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                      AS cid,
+                  v AS cv
+           FROM e
+           QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+         a1 AS (
+           SELECT vec_id, cid, v FROM (
+               SELECT e.vec_id, c0.cid, e.v,
+                      row_number() OVER (
+                          PARTITION BY e.vec_id
+                          ORDER BY round(list_dot_product(e.v, cv)
+                                   / (sqrt(list_dot_product(e.v, e.v))
+                                      * sqrt(list_dot_product(cv, cv))),
+                                   6) DESC,
+                                   c0.cid ASC) AS rnk
+               FROM e, c0) t
+           WHERE rnk = 1),
+         m AS (
+           SELECT cid, p,
+                  CAST(sum(CAST(floor(v[p] * 1000000 + 0.5) AS BIGINT))
+                       AS DOUBLE) / count(*) AS comp
+           FROM a1 CROSS JOIN range(1, 65) t(p)
+           GROUP BY cid, p),
+         c1 AS (SELECT cid, list(comp ORDER BY p) AS cv FROM m GROUP BY cid)
+    SELECT vec_id, centroid_id, cos FROM (
+        SELECT e.vec_id, c1.cid AS centroid_id,
+               round(list_dot_product(e.v, c1.cv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c1.cv, c1.cv))), 6) AS cos,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_dot_product(e.v, c1.cv)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(c1.cv, c1.cv))),
+                            6) DESC,
+                            c1.cid ASC) AS rnk
+        FROM e, c1) t
+    WHERE rnk = 1
+    """,
     doc="spherical k-means (Lloyd's) building IVF cells from scratch: "
-    "E-step is the zero-shuffle nearest_centroid projection, M-step is "
-    "dim per-dimension avg aggregates (one shuffle, map-side combine), "
-    "k x dim floats to the driver per iteration — driver traffic "
-    "independent of corpus size; convergence unit-tested on synthetic "
-    "blobs, assignment checked rows-only (no SQL oracle for an "
-    "iterative algorithm)",
+    "E-step is the zero-shuffle nearest_centroid projection fused into "
+    "the M-step, whose per-dimension means are EXACT integer sums of "
+    "1e-6-quantized coordinates (one shuffle, map-side combine, k x dim "
+    "longs to the driver) — long addition commutes, so centroids are "
+    "bit-identical under any partitioning/retry order and the full "
+    "E->M->E iteration is reproduced by a DuckDB oracle (registered "
+    "here as one Lloyd iteration so the driver hash-checks the real "
+    "E/M machinery; multi-iteration convergence is unit-tested on "
+    "synthetic blobs)",
 )
 def q64_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, _ = SIM.kmeans(emb, k=8, max_iter=3)
+    assigned, _ = SIM.kmeans(emb, k=8, max_iter=1)
     return assigned

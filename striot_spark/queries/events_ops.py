@@ -299,9 +299,10 @@ def q11_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
         SELECT user_id, ts,
-               sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_id
+               CAST(sum(ns) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_id
         FROM flags)
     SELECT user_id, session_id, count(*) AS n,
            strftime(min(ts), '{TS_FMT}') AS session_start,
