@@ -14,6 +14,73 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def global_index(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Scale-safe global 0-based row numbering by ``order_cols`` — the
+    fallback for zip-join / sample / chop when the stream has no dense
+    seq column.
+
+    A bare ``row_number() OVER (ORDER BY ...)`` funnels the whole input
+    through ONE task (``Exchange SinglePartition`` + single sort) — a
+    non-starter at 100 TB. This is the zipWithIndex-style two-pass form:
+
+      1. range-repartition on the order key (parallel distributed sort;
+         ``localCheckpoint`` pins the sampled range bounds so both
+         downstream actions see identical partition assignment),
+      2. count rows per partition (#partitions rows to the driver) and
+         prefix-sum them into per-partition start offsets,
+      3. local ``row_number`` within each range partition (window keyed
+         by ``spark_partition_id`` — parallel, no single-partition
+         exchange) plus the broadcast-joined offset.
+
+    Ties in ``order_cols`` get an arbitrary but stable order, same
+    contract as the single-sort form. Cost: one range shuffle + one
+    pid-keyed shuffle, both fully parallel.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    n = partitions or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        df.rdd.getNumPartitions(),
+    )
+    pid = "__gidx_pid__"
+    base = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r[0], r[1]) for r in base.groupBy(pid).count().collect()
+    )
+    offsets, acc = [], 0
+    for p, c in counts:
+        offsets.append((p, acc))
+        acc += c
+    if len(offsets) <= 1:
+        w = W.partitionBy(F.lit(1)).orderBy(*order_cols)
+        return base.drop(pid).withColumn(
+            out_col, F.row_number().over(w) - F.lit(1)
+        )
+    off_df = spark.createDataFrame(
+        offsets, f"{pid} int, __gidx_off__ long"
+    )
+    w = W.partitionBy(pid).orderBy(*order_cols)
+    return (
+        base.join(F.broadcast(off_df), pid)
+        .withColumn(
+            out_col,
+            F.row_number().over(w) - F.lit(1) + F.col("__gidx_off__"),
+        )
+        .drop(pid, "__gidx_off__")
+    )
+
+
 def scatter(df: DataFrame, multiple: int = 1) -> DataFrame:
     """Repartition ``df`` up to ``defaultParallelism * multiple``
     partitions iff it currently has fewer — use right before CPU-heavy

@@ -340,13 +340,13 @@ class Stream:
         With a dense seq this is a pushed-down arithmetic filter."""
         if self.seq_col and self.dense_seq:
             return self.filter(F.col(self.seq_col) % n == 0)
-        # no dense seq: number the stream, keep every n-th (global sort —
-        # correctness path; at scale carry a dense seq from the source)
-        from pyspark.sql import Window as W
+        # no dense seq: two-pass partition-offset numbering (parallel),
+        # then keep every n-th
+        from striot_spark.core.scale import global_index
 
-        w = W.orderBy(*[F.col(c) for c in (self.time_col, self.seq_col) if c])
+        order = [F.col(c) for c in (self.time_col, self.seq_col) if c]
         df = (
-            self.df.withColumn("__rn__", F.row_number().over(w) - F.lit(1))
+            global_index(self.df, order, "__rn__")
             .filter(F.col("__rn__") % n == 0)
             .drop("__rn__")
         )

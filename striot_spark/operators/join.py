@@ -38,14 +38,16 @@ from .windows import WINDOW_ID, ChopTime, WindowMaker, assign_window_id
 def _with_pos(
     df: DataFrame, time_col: str | None, seq_col: str | None, dense_seq: bool
 ) -> tuple[DataFrame, str]:
-    """Positional index for zip joins: dense seq directly, else row_number."""
+    """Positional index for zip joins: dense seq directly, else the
+    two-pass partition-offset numbering (never a single-partition sort)."""
     if dense_seq and seq_col:
         return df.withColumn("__pos__", F.col(seq_col)), "__pos__"
     order = [F.col(c) for c in (time_col, seq_col) if c]
     if not order:
         raise ValueError("zip join needs a time or seq column")
-    w = W.orderBy(*order)
-    return df.withColumn("__pos__", F.row_number().over(w) - F.lit(1)), "__pos__"
+    from striot_spark.core.scale import global_index
+
+    return global_index(df, order, "__pos__"), "__pos__"
 
 
 def zip_join(

@@ -153,9 +153,21 @@ def assign_window_id(
     if isinstance(maker, Chop):
         if dense_seq and seq_col and not key:
             wid = (F.col(seq_col) / maker.n).cast("long")
-        else:
+        elif key:
+            # keyed: the window is already partitioned -> parallel
             w = W.partitionBy(*key).orderBy(*_ordering(time_col, seq_col))
             wid = ((F.row_number().over(w) - F.lit(1)) / maker.n).cast("long")
+        else:
+            # un-keyed, no dense seq: two-pass partition-offset
+            # numbering instead of a single-partition global sort
+            from striot_spark.core.scale import global_index
+
+            df = global_index(
+                df, list(_ordering(time_col, seq_col)), "__chop_rn__"
+            )
+            return df.withColumn(
+                WINDOW_ID, (F.col("__chop_rn__") / maker.n).cast("long")
+            ).drop("__chop_rn__")
         return df.withColumn(WINDOW_ID, wid)
     if isinstance(maker, ChopTime):
         if time_col is None:

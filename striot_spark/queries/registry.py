@@ -41,17 +41,64 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+# Driver sweep order. The round-1 driver sweep stopped after exactly the
+# first 50 registry entries, leaving 14 oracle-backed queries without a
+# CORRECTNESS row. Emit queries() in an explicit order: (1) the queries
+# that round showed unverified plus any whose oracle just changed, then
+# (2) the rest in registration order, with (3) the slowest
+# already-confirmed queries last — so if a sweep budget truncates again,
+# it cuts re-confirmation of known-green slow queries, not fresh rows.
+_SWEEP_FIRST = [
+    "q11_topk_per_window",
+    "q12_sessionize",
+    "q13_percentiles",
+    "q14_value_histogram",
+    "q15_threshold_cross",
+    "q16_step_count",
+    "q17_pricing_summary",
+    "q18_top_orders",
+    "q19_regional_revenue",
+    "q20_top_customers",
+    "q30_frequent_routes",
+    "q47_broadcast_enrich",
+    "q49_wearable_chain",
+    "q50_window_custom_fold",
+    "q55_json_props",
+    "q64_kmeans_clusters",
+]
+_SWEEP_LAST = [
+    "q34_filteracc_above_running_avg",
+    "q45_simhash_near_dups",
+    "q48_ann_lsh",
+    "q29_lsh_near_dups",
+]
+
+
+def _ordered_names() -> list[str]:
+    mid = [
+        n
+        for n in REGISTRY
+        if n not in _SWEEP_FIRST and n not in _SWEEP_LAST
+    ]
+    known = set(REGISTRY)
+    return (
+        [n for n in _SWEEP_FIRST if n in known]
+        + mid
+        + [n for n in _SWEEP_LAST if n in known]
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
     _load()
     return {
-        name: spec.oracle
-        for name, spec in REGISTRY.items()
-        if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
     }
 
 

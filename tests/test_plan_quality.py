@@ -14,6 +14,8 @@ import io
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from striot_spark.queries.registry import REGISTRY, _load
 
 _load()
@@ -202,3 +204,37 @@ def test_nearest_centroid_is_projection_no_join(spark, sf_dir):
     the only allowed Exchange is the small-input scatter round-robin."""
     plan = _executed(spark, "q63_nearest_centroid", sf_dir)
     assert "Join" not in plan and "hashpartitioning" not in plan
+
+
+def test_global_numbering_fallback_never_single_partition(spark, sf_dir):
+    """zip-join / sample / chop without a dense seq must use the
+    two-pass partition-offset numbering — no Exchange SinglePartition
+    (the one-task global sort) anywhere in their plans."""
+    from striot_spark.operators import Chop
+    from striot_spark.operators.windows import assign_window_id
+    from striot_spark.sources.batch import event_stream
+
+    s = event_stream(spark, sf_dir).filter(F.col("value") > 50)  # density broken
+
+    sampled = s.sample(7).df
+    zj = s.zip_join(s.map("value", v2=F.col("value") * 2)).df
+    chopped = assign_window_id(s.df, Chop(64), "ts", "event_id")
+
+    for name, df in (("sample", sampled), ("zip_join", zj), ("chop", chopped)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, name
+        # numbering window is keyed by the checkpointed range-partition
+        # id -> parallel (the range sort itself sits behind the
+        # localCheckpoint, so it doesn't appear in this plan)
+        assert "__gidx_pid__" in plan, name
+
+
+def test_global_index_matches_single_sort(spark):
+    """Two-pass numbering == the order rank, on a many-partition input."""
+    from striot_spark.core.scale import global_index
+
+    rows = [(i * 37 % 1000, f"v{i}") for i in range(1000)]  # shuffled keys
+    df = spark.createDataFrame(rows, "k long, v string").repartition(16)
+    out = global_index(df, [F.col("k")], "idx")
+    got = {r["k"]: r["idx"] for r in out.collect()}
+    assert got == {k: rank for rank, k in enumerate(sorted(got))}
