@@ -74,16 +74,32 @@ class Stream:
         return self._with(self.df.filter(predicate), dense_seq=False)
 
     # -- 2. streamMap (FunctionalProcessing.hs:67-71) -----------------------
-    def map(self, *keep: str, **exprs: Column) -> "Stream":
+    def map(
+        self, *keep: str, null_passthrough: str | None = None, **exprs: Column
+    ) -> "Stream":
         """Project to ``keep`` columns plus aliased expression columns.
-        Time/seq columns are carried automatically when present."""
+        Time/seq columns are carried automatically when present.
+
+        ``null_passthrough`` names the payload column for the
+        reference's dataless-event rule (``FunctionalProcessing.hs:70``):
+        rows whose payload is NULL map to NULL regardless of the
+        expression (most Spark expressions are null-strict already; the
+        guard makes non-strict ones — coalesce, literals, when — comply
+        too).
+        """
         carried = [
             c
             for c in (self.time_col, self.seq_col)
             if c and c not in keep and c not in exprs
         ]
+
+        def guard(e: Column) -> Column:
+            if null_passthrough is None:
+                return e
+            return F.when(F.col(null_passthrough).isNotNull(), e)
+
         cols = [F.col(c) for c in (*carried, *keep)] + [
-            e.alias(n) for n, e in exprs.items()
+            guard(e).alias(n) for n, e in exprs.items()
         ]
         return self._with(self.df.select(*cols))
 
@@ -234,11 +250,21 @@ class Stream:
 
     # -- 7. streamScan (FunctionalProcessing.hs:188-191) --------------------
     def scan(
-        self, aggs: dict[str, Column], key: Sequence[str] | None = None
+        self,
+        aggs: dict[str, Column],
+        key: Sequence[str] | None = None,
+        null_passthrough: str | None = None,
     ) -> "Stream":
         """Algebraic scan: cumulative analytic frame per key (scalable)."""
         return self._with(
-            S.scan_agg(self.df, aggs, self.time_col, self.seq_col, list(key or []))
+            S.scan_agg(
+                self.df,
+                aggs,
+                self.time_col,
+                self.seq_col,
+                list(key or []),
+                null_passthrough,
+            )
         )
 
     def scan_apply(
@@ -248,6 +274,7 @@ class Stream:
         out_field: str,
         out_type: str,
         key: Sequence[str] | None = None,
+        null_passthrough: str | None = None,
     ) -> "Stream":
         """General scan with an arbitrary Python step function."""
         return self._with(
@@ -260,6 +287,7 @@ class Stream:
                 self.time_col,
                 self.seq_col,
                 list(key or []),
+                null_passthrough,
             )
         )
 
@@ -271,6 +299,7 @@ class Stream:
         key: Sequence[str] | None = None,
         keep_first: bool = True,
         prev_alias: str | None = None,
+        null_passthrough: bool = False,
     ) -> "Stream":
         """Algebraic filter-acc for the dominant prev/current shape
         (dedup-on-change, threshold crossing)."""
@@ -284,6 +313,7 @@ class Stream:
                 list(key or []),
                 keep_first,
                 prev_alias,
+                null_passthrough,
             ),
             dense_seq=False,
         )
@@ -294,6 +324,7 @@ class Stream:
         init: Any,
         pred: Callable[[dict, Any], bool],
         key: Sequence[str] | None = None,
+        null_passthrough: str | None = None,
     ) -> "Stream":
         return self._with(
             S.filter_acc_apply(
@@ -304,6 +335,7 @@ class Stream:
                 self.time_col,
                 self.seq_col,
                 list(key or []),
+                null_passthrough,
             ),
             dense_seq=False,
         )

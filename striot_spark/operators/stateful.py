@@ -86,13 +86,24 @@ def scan_agg(
     time_col: str | None,
     seq_col: str | None,
     key: list[str] | None = None,
+    null_passthrough: str | None = None,
 ) -> DataFrame:
     """Algebraic streamScan: each agg column is applied over the
-    cumulative frame, one output row per input row (scanl semantics)."""
+    cumulative frame, one output row per input row (scanl semantics).
+
+    ``null_passthrough`` names the payload column for the reference's
+    dataless-event rule (``FunctionalProcessing.hs:191``): rows whose
+    payload is NULL emit NULL (not the running value) and never update
+    the accumulator — SQL aggregates already skip NULL inputs, so only
+    the output needs masking.
+    """
     spec = cumulative_spec(time_col, seq_col, key)
     out = df
     for name, col in aggs.items():
-        out = out.withColumn(name, col.over(spec))
+        expr = col.over(spec)
+        if null_passthrough:
+            expr = F.when(F.col(null_passthrough).isNotNull(), expr)
+        out = out.withColumn(name, expr)
     return out
 
 
@@ -105,6 +116,7 @@ def lag_filter(
     key: list[str] | None = None,
     keep_first: bool = True,
     prev_alias: str | None = None,
+    null_passthrough: bool = False,
 ) -> DataFrame:
     """The dominant streamFilterAcc shape: predicate over (previous, current).
 
@@ -112,16 +124,30 @@ def lag_filter(
     crossing (``examples/wearable/WearableExample.hs:83-84``), etc.
     ``pred(prev, cur)`` returns a boolean Column; rows with no previous
     event are kept iff ``keep_first``.
+
+    ``null_passthrough`` applies the reference's dataless-event rule
+    (``FunctionalProcessing.hs:185``): NULL-payload rows always pass and
+    don't advance the accumulator — "previous" becomes the last
+    *non-null* value before the row (``last(ignorenulls)`` over the
+    preceding frame instead of ``lag``).
     """
     key = key or []
     w = W.partitionBy(*key).orderBy(
         *[F.col(c) for c in _order_cols(time_col, seq_col)]
     )
     prev_col = prev_alias or "__prev__"
-    out = df.withColumn(prev_col, F.lag(F.col(value_col)).over(w))
+    if null_passthrough:
+        prev_expr = F.last(F.col(value_col), ignorenulls=True).over(
+            w.rowsBetween(W.unboundedPreceding, -1)
+        )
+    else:
+        prev_expr = F.lag(F.col(value_col)).over(w)
+    out = df.withColumn(prev_col, prev_expr)
     prev = F.col(prev_col)
     cond = pred(prev, F.col(value_col))
     cond = (prev.isNull() & F.lit(keep_first)) | (prev.isNotNull() & cond)
+    if null_passthrough:
+        cond = F.col(value_col).isNull() | cond
     out = out.filter(cond)
     return out if prev_alias else out.drop(prev_col)
 
@@ -135,13 +161,16 @@ def scan_apply(
     time_col: str | None,
     seq_col: str | None,
     key: list[str] | None = None,
+    null_passthrough: str | None = None,
 ) -> DataFrame:
     """General streamScan via applyInPandas (Arrow batches, per-key state).
 
     ``step(state, row_dict) -> new_state``; the new state is emitted per
     row into ``out_field`` (cast to ``out_type``). With no key the whole
     stream is one state group — correct but sequential, like the
-    reference's single lazy list.
+    reference's single lazy list. ``null_passthrough`` names the payload
+    column: NULL-payload rows emit NULL and skip the step
+    (``FunctionalProcessing.hs:191``).
     """
     key = key or []
     order = _order_cols(time_col, seq_col)
@@ -159,7 +188,13 @@ def scan_apply(
             state = init
             acc = []
             for tup in g.itertuples(index=False, name=None):
-                state = step(state, dict(zip(cols, tup)))
+                row = dict(zip(cols, tup))
+                if null_passthrough is not None and pd.isna(
+                    row[null_passthrough]
+                ):
+                    acc.append(None)  # dataless event passes unchanged
+                    continue
+                state = step(state, row)
                 acc.append(state)
             g = g.copy()
             g[out_field] = acc
@@ -178,12 +213,15 @@ def filter_acc_apply(
     time_col: str | None,
     seq_col: str | None,
     key: list[str] | None = None,
+    null_passthrough: str | None = None,
 ) -> DataFrame:
     """General streamFilterAcc via applyInPandas.
 
     Exact reference semantics (``FunctionalProcessing.hs:181-185``):
     ``pred(row, state)`` is evaluated against the accumulator *before*
     this row's update; the accumulator is then updated regardless.
+    ``null_passthrough`` names the payload column: NULL-payload rows
+    always pass and never touch the accumulator (``:185``).
     """
     key = key or []
     order = _order_cols(time_col, seq_col)
@@ -197,6 +235,11 @@ def filter_acc_apply(
             keep = []
             for tup in g.itertuples(index=False, name=None):
                 row = dict(zip(cols, tup))
+                if null_passthrough is not None and pd.isna(
+                    row[null_passthrough]
+                ):
+                    keep.append(True)  # dataless event passes
+                    continue
                 keep.append(bool(pred(row, state)))
                 state = step(state, row)
             outs.append(g[pd.Series(keep, index=g.index)])

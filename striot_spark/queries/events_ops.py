@@ -537,3 +537,63 @@ def q50_window_custom_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return grouped.select("window_id", fold.alias("roughness"), "n")
+
+
+# -- dataless-event pass-through across map/scan/filterAcc -------------------
+@register(
+    "q66_null_passthrough_chain",
+    f"""
+    WITH src AS (
+        SELECT event_id, ts, user_id,
+               CASE WHEN event_type <> 'view' THEN value END AS value
+        FROM events),
+    m AS (
+        SELECT event_id, ts, user_id, value * 2 AS doubled FROM src),
+    sc AS (
+        SELECT event_id, ts, user_id, doubled,
+               CASE WHEN doubled IS NOT NULL THEN
+                   sum(CAST(round((doubled)*100.0, 0) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / 100.0
+               END AS running_total,
+               last_value(doubled IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        FROM m)
+    SELECT event_id, user_id, doubled, running_total
+    FROM sc
+    WHERE doubled IS NULL OR prev IS NULL OR doubled <> prev
+    """,
+    doc="the reference's dataless-event rule through a full operator "
+    "chain (FunctionalProcessing.hs:70,185,191): 'view' events are "
+    "stripped to timestamp-only, then map doubles (NULL passes), scan "
+    "accumulates a running cents total (NULL emits NULL, accumulator "
+    "untouched), and filterAcc dedup-on-change compares each data event "
+    "against the last NON-NULL value while NULL events always pass",
+)
+def q66_null_passthrough_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = event_stream(spark, sf_dir)
+    # strip 'view' payloads -> timestamp-only events
+    s = s.with_columns(
+        value=F.when(F.col("event_type") != "view", F.col("value"))
+    )
+    s = s.map("user_id", null_passthrough="value", doubled=F.col("value") * 2)
+    s = s.scan(
+        {"rt_": F.sum(cents(F.col("doubled")))},
+        key=["user_id"],
+        null_passthrough="doubled",
+    )
+    s = s.filter_acc(
+        lambda prev, cur: prev != cur,
+        "doubled",
+        key=["user_id"],
+        keep_first=True,
+        null_passthrough=True,
+    )
+    return s.df.select(
+        "event_id",
+        "user_id",
+        "doubled",
+        (F.col("rt_") / F.lit(100.0)).alias("running_total"),
+    )

@@ -335,3 +335,82 @@ def test_interval_join_matches_bruteforce_on_random_data(spark):
     out = interval_join(left, right, ["k"], "lts", "rts", lows, ups)
     got = {(r["lid"], r["rid"]) for r in out.collect()}
     assert got == expected
+
+
+# -- dataless (timestamp-only) event pass-through ----------------------------
+# Reference properties: FunctionalProcessing.hs:70 (map), :185 (filterAcc),
+# :191 (scan) — events without data pass through unchanged and never touch
+# operator state.
+
+
+@pytest.fixture(scope="module")
+def nulls(spark):
+    """Stream with interleaved dataless events (value NULL)."""
+    rows = [
+        (0, 1.0), (1, None), (2, 2.0), (3, 2.0), (4, None),
+        (5, 2.0), (6, 3.0), (7, None), (8, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "seq long, value double")
+    return Stream(df, time_col=None, seq_col="seq", dense_seq=True)
+
+
+def test_map_null_passthrough_defeats_non_strict_exprs(spark, nulls):
+    """Even a non-null-strict expression (coalesce) must emit NULL for a
+    dataless event under null_passthrough."""
+    out = nulls.map(
+        null_passthrough="value", v=F.coalesce(F.col("value") * 2, F.lit(-1.0))
+    )
+    got = {r["seq"]: r["v"] for r in out.df.collect()}
+    assert got[1] is None and got[4] is None and got[7] is None
+    assert got[0] == 2.0 and got[6] == 6.0
+
+
+def test_scan_null_passthrough_skips_accumulator(spark, nulls):
+    out = nulls.scan(
+        {"rt": F.sum(F.col("value"))}, null_passthrough="value"
+    )
+    got = {r["seq"]: r["rt"] for r in out.df.collect()}
+    # dataless rows emit NULL, and the accumulator resumes unchanged
+    assert got == {0: 1.0, 1: None, 2: 3.0, 3: 5.0, 4: None,
+                   5: 7.0, 6: 10.0, 7: None, 8: 13.0}
+
+
+def test_scan_apply_null_passthrough_matches_algebraic(spark, nulls):
+    alg = nulls.scan({"rt": F.sum(F.col("value"))}, null_passthrough="value")
+    gen = nulls.scan_apply(
+        step=lambda st, row: (st or 0.0) + row["value"],
+        init=None,
+        out_field="rt",
+        out_type="double",
+        null_passthrough="value",
+    )
+    a = {r["seq"]: r["rt"] for r in alg.df.collect()}
+    b = {r["seq"]: r["rt"] for r in gen.df.collect()}
+    assert a == b
+
+
+def test_filter_acc_null_passthrough_changes(spark, nulls):
+    """Dedup-on-change: NULL rows always pass; data rows compare against
+    the last NON-NULL value (so 2.0 after [2.0, NULL] is still a dup)."""
+    out = nulls.filter_acc(
+        lambda prev, cur: prev != cur, "value", null_passthrough=True
+    )
+    kept = sorted(r["seq"] for r in out.df.collect())
+    # seq3 (2.0 after 2.0) and seq5 (2.0 after NULL, last data 2.0) and
+    # seq8 (3.0 after NULL, last data 3.0) are dups; NULLs 1,4,7 pass
+    assert kept == [0, 1, 2, 4, 6, 7]
+
+
+def test_filter_acc_apply_null_passthrough_matches_lag(spark, nulls):
+    lag_based = nulls.filter_acc(
+        lambda prev, cur: prev != cur, "value", null_passthrough=True
+    )
+    gen = nulls.filter_acc_apply(
+        step=lambda st, row: row["value"],
+        init=None,
+        pred=lambda row, st: st is None or row["value"] != st,
+        null_passthrough="value",
+    )
+    a = sorted(r["seq"] for r in lag_based.df.collect())
+    b = sorted(r["seq"] for r in gen.df.collect())
+    assert a == b
