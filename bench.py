@@ -53,8 +53,15 @@ def main() -> None:
     # .persist() data from the first run (Spark's CacheManager matches
     # by plan equality, so the repeat would otherwise read cached
     # intermediates) — only JVM/codegen/footer warmup carries over.
+    # streaming-drain queries are correctness-gated (q65 == q30's oracle)
+    # but their wall time measures checkpoint replay, not engine
+    # throughput — keep the bench a batch-compute signal
+    skip = {"q65_frequent_routes_stream"}
+
     timings: dict[str, float] = {}
     for name, fn in sorted(all_queries().items()):
+        if name in skip:
+            continue
         best = float("inf")
         for _ in range(2):
             spark.catalog.clearCache()

@@ -21,9 +21,7 @@ from striot_spark.queries.registry import register
 from striot_spark.sources.batch import load_table
 
 
-@register(
-    "q30_frequent_routes",
-    """
+_FREQUENT_ROUTES_SQL = """
     WITH counts AS (
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                event_type, count(*) AS n
@@ -43,7 +41,12 @@ from striot_spark.sources.batch import load_table
                  lag(top_routes) OVER (ORDER BY day) AS prev
           FROM lists) t
     WHERE prev IS NULL OR prev <> top_routes
-    """,
+    """
+
+
+@register(
+    "q30_frequent_routes",
+    _FREQUENT_ROUTES_SQL,
     doc="flagship frequentRoutes (Taxi.hs:173-178): window → topk → "
     "dedup-on-change, all Catalyst-visible",
 )
@@ -137,3 +140,44 @@ def frequent_routes_stream(
         .filter(F.col("prev").isNull() | (F.col("prev") != F.col("top_routes")))
         .select("day", "top_routes")
     )
+
+
+# -- streaming flagship under the correctness gate ---------------------------
+
+_STAGED: dict[str, str] = {}
+
+
+def _stage_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as a streaming-source directory (the file
+    source lists a directory; the testdata dir mixes all tables, and its
+    TIMESTAMP(NANOS) encoding needs the load_table shim anyway). Cached
+    per sf_dir for the process lifetime."""
+    import tempfile
+
+    path = _STAGED.get(sf_dir)
+    if path is not None:
+        return path
+    out = tempfile.mkdtemp(prefix="striot_fr_stream_src_")
+    load_table(spark, sf_dir, "events").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(out)
+    _STAGED[sf_dir] = out
+    return out
+
+
+@register(
+    "q65_frequent_routes_stream",
+    _FREQUENT_ROUTES_SQL,
+    doc="the flagship frequentRoutes pipeline lowered to Structured "
+    "Streaming (file-replay source → watermarked incremental day/type "
+    "counts → tiny finalize tier: topk, route list, dedup-on-change) and "
+    "drained available-now — streaming parity holds against the SAME "
+    "DuckDB oracle as batch q30 (Taxi.hs:173-178)",
+)
+def q65_frequent_routes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    ck = tempfile.mkdtemp(prefix="striot_fr_stream_ck_")
+    return frequent_routes_stream(spark, src, schema, ck)

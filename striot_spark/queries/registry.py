@@ -65,6 +65,7 @@ _SWEEP_FIRST = [
     "q50_window_custom_fold",
     "q55_json_props",
     "q64_kmeans_clusters",
+    "q65_frequent_routes_stream",
     "q66_null_passthrough_chain",
 ]
 _SWEEP_LAST = [
