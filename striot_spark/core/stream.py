@@ -130,11 +130,11 @@ class Stream:
             self.df, maker, self.time_col, self.seq_col, key, self.dense_seq
         )
         payload = collect if collect is not None else F.struct(*self.df.columns)
-        grouped = df.groupBy(*key, Wm.WINDOW_ID).agg(
-            F.collect_list(payload).alias("values"),
-            F.min(self.time_col).alias(self.time_col) if self.time_col else F.lit(None),
-        )
-        # window event takes the first event's timestamp (reference :85)
+        aggs = [F.collect_list(payload).alias("values")]
+        if self.time_col:
+            # window event takes the first event's timestamp (reference :85)
+            aggs.append(F.min(self.time_col).alias(self.time_col))
+        grouped = df.groupBy(*key, Wm.WINDOW_ID).agg(*aggs)
         return Stream(grouped, time_col=self.time_col, seq_col=None)
 
     # -- streamWindowAggregate (FunctionalProcessing.hs:89-90) --------------

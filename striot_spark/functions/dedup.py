@@ -43,7 +43,14 @@ def shingles(text: Column, n: int = 3) -> Column:
 
     n=2 (the common near-dup shingle) takes an O(tokens) path —
     ``zip_with`` over two shifted slices; the general path slices per
-    index (O(tokens*n) work per doc, measured ~10x slower at n=2)."""
+    index (O(tokens*n) work per doc, measured ~10x slower at n=2).
+
+    Docs with fewer than ``n`` tokens yield an EMPTY array (they have no
+    n-gram set to compare, and signature builders drop them) — matching
+    the oracle SQL's ``range(1, len(tk))`` shingle CTE, which emits no
+    rows for them.
+    """
+    empty = F.array().cast("array<string>")
     toks = F.filter(tokens_col(text), lambda t: t != F.lit(""))
     sz = F.size(toks)
     if n == 2:
@@ -52,12 +59,10 @@ def shingles(text: Column, n: int = 3) -> Column:
             F.slice(toks, 2, sz - 1),
             lambda x, y: F.concat(x, F.lit(" "), y),
         )
-        return F.when(sz < 2, F.array(F.array_join(toks, " "))).otherwise(fast)
+        return F.when(sz < 2, empty).otherwise(fast)
     k = sz - (n - 1)
     idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
-    return F.when(
-        sz < n, F.array(F.array_join(toks, " "))
-    ).otherwise(
+    return F.when(sz < n, empty).otherwise(
         F.transform(
             idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
         )
@@ -85,7 +90,16 @@ def minhash_signatures(
     # the md5 pass k times (measured 6x cost at k=6). The cache is a
     # materialization barrier, so md5 runs once and the k cheap
     # array_min transforms read the cached array.
-    work = scatter(df).select(F.col(id_col), base.alias("__mh_base")).persist()
+    # docs with no shingles (under shingle_n tokens) have no signature;
+    # the filter sits ABOVE the persist barrier so its predicate reads
+    # the cached array instead of being pushed into (and duplicating)
+    # the md5 projection
+    work = (
+        scatter(df)
+        .select(F.col(id_col), base.alias("__mh_base"))
+        .persist()
+        .filter(F.size("__mh_base") > 0)
+    )
     sig_cols = [
         F.array_min(
             F.transform(
@@ -228,6 +242,9 @@ def lsh_near_dup_pairs(
             ),
         )
         .persist()
+        # above the barrier: shingle-less docs can't pair (and the
+        # predicate must not be pushed into the md5 projection)
+        .filter(F.size("__mh_base") > 0)
     )
     sig_cols = [
         F.array_min(

@@ -146,20 +146,32 @@ def join_e_stream(
 
     Columns are suffixed per side; the theta predicate references the
     suffixed names.
+
+    The join key is ``F.window(time_col, ...)`` equality — NOT
+    hand-rolled epoch arithmetic: the window struct carries the
+    event-time watermark metadata through the projection, which is what
+    lets Spark derive state-eviction predicates for the stream-stream
+    join. (An aliased ``cast/mod`` expression drops that metadata, and
+    join state then grows unboundedly on an unbounded feed.) The public
+    ``window_id`` output column (epoch seconds of the window start,
+    identical to the batch lowering's id) is derived AFTER the join.
     """
+    dur = f"{window_seconds} seconds"
     l = left.withWatermark(time_col, watermark)
     r = right.withWatermark(time_col, watermark)
     l = l.select(
-        (F.col(time_col).cast("long") - F.col(time_col).cast("long") % window_seconds)
-        .alias("window_id"),
+        F.window(F.col(time_col), dur).alias("__win"),
         *[F.col(c).alias(f"{c}{suffixes[0]}") for c in left.columns],
     )
     r = r.select(
-        (F.col(time_col).cast("long") - F.col(time_col).cast("long") % window_seconds)
-        .alias("window_id"),
+        F.window(F.col(time_col), dur).alias("__win"),
         *[F.col(c).alias(f"{c}{suffixes[1]}") for c in right.columns],
     )
-    joined = l.join(r, "window_id")
+    joined = (
+        l.join(r, "__win")
+        .withColumn("window_id", F.col("__win.start").cast("long"))
+        .drop("__win")
+    )
     return joined.filter(theta) if theta is not None else joined
 
 

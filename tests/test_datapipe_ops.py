@@ -29,8 +29,8 @@ def test_shingles_bigram_fast_path_matches_expected(spark):
     got = _shingles(spark, texts, 2)
     assert got[0] == ["a b", "b c", "c d"]
     assert got[1] == ["one two"]
-    assert got[2] == ["solo"]  # fewer tokens than n → whole-text shingle
-    assert got[3] == [""]
+    assert got[2] == []  # fewer tokens than n → no shingle set
+    assert got[3] == []
     assert got[4] == ["spaced out"]
 
 
@@ -42,11 +42,7 @@ def test_shingles_bigram_fast_path_matches_general_formula(spark):
     # general path expectation computed in python
     for t, got in zip(texts, fast):
         toks = [x for x in t.split(" ") if x]
-        exp = (
-            [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
-            if len(toks) >= 2
-            else [" ".join(toks)]
-        )
+        exp = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
         assert got == exp
 
 
@@ -259,3 +255,33 @@ def test_kmeans_recovers_separated_blobs(spark):
     for s, b in zip(labels, range(3)):
         c = cents[s.pop()]
         assert max(range(3), key=lambda d: c[d]) == b
+
+
+def test_short_docs_have_no_shingles_or_signatures(spark):
+    """Docs with fewer than shingle_n tokens must vanish from the
+    signature/pair tiers (matching the oracle's range(1, len(tk)) CTE,
+    which emits no shingle rows for them)."""
+    from striot_spark.functions.dedup import (
+        lsh_near_dup_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    rows = [
+        (0, "single"),
+        (1, ""),
+        (2, "two tokens here repeated two tokens here repeated"),
+        (3, "two tokens here repeated two tokens here repeated"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = df.select(
+        "doc_id", F.size(shingles(F.col("text"), 2)).alias("n")
+    )
+    got = {r["doc_id"]: r["n"] for r in sh.collect()}
+    assert got[0] == 0 and got[1] == 0 and got[2] > 0
+
+    sigs = minhash_signatures(df, "doc_id", "text", num_hashes=4)
+    assert sorted(r["doc_id"] for r in sigs.collect()) == [2, 3]
+
+    pairs = lsh_near_dup_pairs(df, "doc_id", "text", num_hashes=6, bands=3)
+    assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(2, 3)]
