@@ -215,7 +215,11 @@ class Stream:
         theta: Column,
         select: Sequence[Column] | None = None,
         broadcast_right: bool = False,
+        r_maker: Wm.WindowMaker | None = None,
     ) -> "Stream":
+        """Windowed theta join. With Chop makers (``r_maker`` may give
+        the right side a different size — the reference's fwm1/fwm2)
+        the window pairing is positional over untimed streams."""
         df = J.join_e(
             self.df,
             other.df,
@@ -225,6 +229,10 @@ class Stream:
             other.time_col,
             select,
             broadcast_right=broadcast_right,
+            r_maker=r_maker,
+            seq_col=self.seq_col,
+            r_seq_col=other.seq_col,
+            dense_seq=self.dense_seq and other.dense_seq,
         )
         return Stream(df, time_col=None, seq_col=None)
 

@@ -76,19 +76,43 @@ def join_e(
     right: DataFrame,
     maker: WindowMaker,
     theta: Column,
-    time_col: str,
-    r_time_col: str,
+    time_col: str | None,
+    r_time_col: str | None,
     select: Sequence[Column] | None = None,
     prefixes: tuple[str, str] = ("l_", "r_"),
     broadcast_right: bool = False,
+    r_maker: WindowMaker | None = None,
+    seq_col: str | None = None,
+    r_seq_col: str | None = None,
+    dense_seq: bool = False,
 ) -> DataFrame:
-    """Windowed theta join (streamJoinE): cartesian within time-aligned
-    windows, filtered by ``theta`` over the prefixed columns."""
-    lw = assign_window_id(left, maker, time_col, None).select(
+    """Windowed theta join (streamJoinE, ``FunctionalProcessing.hs:
+    161-173``): pair windows, cartesian within each pair, filter by
+    ``theta`` over the prefixed columns, flatten.
+
+    Two window-pairing regimes, both equi-joins on the window id:
+
+    - **Timed streams** (ChopTime makers): the i-th windows of two
+      streams windowed by the same time maker coincide, so the window
+      *start* is the pair key.
+    - **Untimed streams** (Chop makers, possibly different sizes per
+      side — the reference's ``fwm1``/``fwm2``): a count window's id is
+      ``seq div n``, i.e. its ORDINAL, so the equi-join pairs the i-th
+      left window with the i-th right window — exactly the reference's
+      positional zip of window lists, including truncation to the
+      shorter list (no ordinal match → no pair). With a dense seq this
+      is pure arithmetic: no sort, no single-partition anything.
+    """
+    r_maker = r_maker if r_maker is not None else maker
+    lw = assign_window_id(
+        left, maker, time_col, seq_col, dense_seq=dense_seq
+    ).select(
         F.col(WINDOW_ID),
         *[F.col(c).alias(f"{prefixes[0]}{c}") for c in left.columns],
     )
-    rw = assign_window_id(right, maker, r_time_col, None).select(
+    rw = assign_window_id(
+        right, r_maker, r_time_col, r_seq_col, dense_seq=dense_seq
+    ).select(
         F.col(WINDOW_ID),
         *[F.col(c).alias(f"{prefixes[1]}{c}") for c in right.columns],
     )

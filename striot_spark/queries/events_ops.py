@@ -597,3 +597,50 @@ def q66_null_passthrough_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doubled",
         (F.col("rt_") / F.lit(100.0)).alias("running_total"),
     )
+
+
+# -- untimed positional joinE (different window sizes per side) --------------
+@register(
+    "q67_joine_positional_untimed",
+    """
+    WITH l AS (
+        SELECT event_id, value,
+               CAST(floor((row_number() OVER (ORDER BY ts, event_id) - 1)
+                    / 4) AS BIGINT) AS window_id
+        FROM events WHERE event_type = 'click'),
+    r AS (
+        SELECT event_id, value,
+               CAST(floor((row_number() OVER (ORDER BY ts, event_id) - 1)
+                    / 6) AS BIGINT) AS window_id
+        FROM events WHERE event_type = 'purchase')
+    SELECT l.window_id AS window_id,
+           l.event_id AS click_id,
+           r.event_id AS purchase_id
+    FROM l JOIN r USING (window_id)
+    WHERE l.value > r.value
+    """,
+    doc="the reference's PURELY POSITIONAL streamJoinE for untimed "
+    "streams (FunctionalProcessing.hs:161-173, fwm1/=fwm2): i-th "
+    "count-window of clicks (chop 4) zips with the i-th of purchases "
+    "(chop 6), cartesian within the pair + theta; a count window's id "
+    "IS its ordinal, so the zip is an equi-join — and the filtered "
+    "streams exercise the two-pass partition-offset numbering fallback "
+    "(never a single-partition sort)",
+)
+def q67_joine_positional_untimed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.operators.windows import WINDOW_ID
+
+    s = event_stream(spark, sf_dir)
+    clicks = s.filter(F.col("event_type") == "click")
+    purchases = s.filter(F.col("event_type") == "purchase")
+    out = clicks.join_e(
+        purchases,
+        Chop(4),
+        F.col("l_value") > F.col("r_value"),
+        r_maker=Chop(6),
+    )
+    return out.df.select(
+        F.col(WINDOW_ID).alias("window_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+    )

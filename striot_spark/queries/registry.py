@@ -67,6 +67,7 @@ _SWEEP_FIRST = [
     "q64_kmeans_clusters",
     "q65_frequent_routes_stream",
     "q66_null_passthrough_chain",
+    "q67_joine_positional_untimed",
 ]
 _SWEEP_LAST = [
     "q34_filteracc_above_running_avg",

@@ -414,3 +414,40 @@ def test_filter_acc_apply_null_passthrough_matches_lag(spark, nulls):
     a = sorted(r["seq"] for r in lag_based.df.collect())
     b = sorted(r["seq"] for r in gen.df.collect())
     assert a == b
+
+
+def test_join_e_positional_matches_haskell_zip_semantics(spark):
+    """Chop-windowed joinE with unequal sizes == the reference's
+    positional zip of window lists (streamJoinE fwm1 fwm2,
+    FunctionalProcessing.hs:161-173), computed here in pure Python."""
+    from striot_spark.operators import Chop
+
+    la = [(i, float(i % 5)) for i in range(17)]
+    rb = [(i, float(i % 3)) for i in range(11)]
+    sa = Stream(
+        spark.createDataFrame(la, "seq long, v double"),
+        time_col=None, seq_col="seq", dense_seq=True,
+    )
+    sb = Stream(
+        spark.createDataFrame(rb, "seq long, v double"),
+        time_col=None, seq_col="seq", dense_seq=True,
+    )
+    out = sa.join_e(
+        sb, Chop(3), F.col("l_v") > F.col("r_v"), r_maker=Chop(2)
+    )
+    got = sorted(
+        (r["l_seq"], r["r_seq"]) for r in out.df.collect()
+    )
+
+    # pure reference semantics: window, zip, cartesian, filter
+    def windows(rows, n):
+        return [rows[i : i + n] for i in range(0, len(rows), n)]
+
+    want = sorted(
+        (a[0], b[0])
+        for wa, wb in zip(windows(la, 3), windows(rb, 2))
+        for a in wa
+        for b in wb
+        if a[1] > b[1]
+    )
+    assert got == want and len(got) > 0
