@@ -13,6 +13,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+SMALL_INPUT_CONF = "striot.globalIndex.smallInputBytes"
+SMALL_INPUT_DEFAULT = 64 * 1024 * 1024  # one comfortable task
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimizer size estimate (same statistic broadcast-join
+    planning uses). Conservative: without CBO, a Filter inherits its
+    child's size, so this never under-estimates a big input."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - py4j edge
+        return None
+
 
 def global_index(
     df: DataFrame,
@@ -40,11 +53,28 @@ def global_index(
     Ties in ``order_cols`` get an arbitrary but stable order, same
     contract as the single-sort form. Cost: one range shuffle + one
     pid-keyed shuffle, both fully parallel.
+
+    Small inputs skip all of that: if Catalyst's size estimate is at or
+    under ``striot.globalIndex.smallInputBytes`` (default 64 MB), the
+    whole input is one comfortable task even on a 1000-executor cluster,
+    and the two-pass form's extra jobs (range sample, checkpoint
+    materialization, count collect) are pure overhead — so the gate picks
+    the plain one-task sort, exactly how broadcast-join planning gates on
+    ``autoBroadcastJoinThreshold``. Set the conf to 0 to force the
+    two-pass path (the plan-quality tests do).
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
+    try:
+        small = int(spark.conf.get(SMALL_INPUT_CONF, str(SMALL_INPUT_DEFAULT)))
+    except ValueError:
+        small = SMALL_INPUT_DEFAULT
+    est = _estimated_bytes(df)
+    if est is not None and est <= small:
+        w = W.orderBy(*order_cols)
+        return df.withColumn(out_col, F.row_number().over(w) - F.lit(1))
     n = partitions or max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
         df.rdd.getNumPartitions(),

@@ -209,32 +209,58 @@ def test_nearest_centroid_is_projection_no_join(spark, sf_dir):
 def test_global_numbering_fallback_never_single_partition(spark, sf_dir):
     """zip-join / sample / chop without a dense seq must use the
     two-pass partition-offset numbering — no Exchange SinglePartition
-    (the one-task global sort) anywhere in their plans."""
+    (the one-task global sort) anywhere in their plans — whenever the
+    input is over the small-input gate (forced here via conf=0)."""
+    from striot_spark.core.scale import SMALL_INPUT_CONF
     from striot_spark.operators import Chop
     from striot_spark.operators.windows import assign_window_id
     from striot_spark.sources.batch import event_stream
 
-    s = event_stream(spark, sf_dir).filter(F.col("value") > 50)  # density broken
+    spark.conf.set(SMALL_INPUT_CONF, "0")
+    try:
+        s = event_stream(spark, sf_dir).filter(F.col("value") > 50)  # density broken
 
-    sampled = s.sample(7).df
-    zj = s.zip_join(s.map("value", v2=F.col("value") * 2)).df
-    chopped = assign_window_id(s.df, Chop(64), "ts", "event_id")
+        sampled = s.sample(7).df
+        zj = s.zip_join(s.map("value", v2=F.col("value") * 2)).df
+        chopped = assign_window_id(s.df, Chop(64), "ts", "event_id")
 
-    for name, df in (("sample", sampled), ("zip_join", zj), ("chop", chopped)):
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "SinglePartition" not in plan, name
-        # numbering window is keyed by the checkpointed range-partition
-        # id -> parallel (the range sort itself sits behind the
-        # localCheckpoint, so it doesn't appear in this plan)
-        assert "__gidx_pid__" in plan, name
+        for name, df in (("sample", sampled), ("zip_join", zj), ("chop", chopped)):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "SinglePartition" not in plan, name
+            # numbering window is keyed by the checkpointed range-partition
+            # id -> parallel (the range sort itself sits behind the
+            # localCheckpoint, so it doesn't appear in this plan)
+            assert "__gidx_pid__" in plan, name
+    finally:
+        spark.conf.unset(SMALL_INPUT_CONF)
+
+
+def test_global_index_small_input_gate(spark, sf_dir):
+    """Under the size gate the numbering is the plain one-task sort —
+    no extra jobs (range sample / checkpoint / count collect). Mirrors
+    autoBroadcastJoinThreshold semantics: <=64 MB is one comfortable
+    task on any cluster."""
+    from striot_spark.core.scale import global_index
+    from striot_spark.sources.batch import event_stream
+
+    s = event_stream(spark, sf_dir).filter(F.col("value") > 50)
+    out = global_index(s.df, [F.col("ts"), F.col("event_id")], "idx")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__gidx_pid__" not in plan  # two-pass machinery absent
+    assert "SinglePartition" in plan  # the deliberate small-input sort
 
 
 def test_global_index_matches_single_sort(spark):
-    """Two-pass numbering == the order rank, on a many-partition input."""
-    from striot_spark.core.scale import global_index
+    """Two-pass numbering == the order rank, on a many-partition input
+    (conf=0 forces the scale path regardless of input size)."""
+    from striot_spark.core.scale import SMALL_INPUT_CONF, global_index
 
     rows = [(i * 37 % 1000, f"v{i}") for i in range(1000)]  # shuffled keys
     df = spark.createDataFrame(rows, "k long, v string").repartition(16)
-    out = global_index(df, [F.col("k")], "idx")
-    got = {r["k"]: r["idx"] for r in out.collect()}
+    spark.conf.set(SMALL_INPUT_CONF, "0")
+    try:
+        out = global_index(df, [F.col("k")], "idx")
+        got = {r["k"]: r["idx"] for r in out.collect()}
+    finally:
+        spark.conf.unset(SMALL_INPUT_CONF)
     assert got == {k: rank for rank, k in enumerate(sorted(got))}
