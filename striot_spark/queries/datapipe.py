@@ -471,6 +471,44 @@ def q29_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_near_dup_pairs(docs, "doc_id", "text", threshold=0.7)
 
 
+@register(
+    "q68_prefix_jaccard_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents),
+    idx AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks),
+    sh AS (
+        SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] AS shingle FROM idx),
+    sets_ AS (
+        SELECT doc_id, list_distinct(list(shingle)) AS sset
+        FROM sh GROUP BY doc_id),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.sset, sb.sset))
+               / len(list_distinct(list_concat(sa.sset, sb.sset))) AS jaccard
+        FROM cands c
+        JOIN sets_ sa ON sa.doc_id = c.id_a
+        JOIN sets_ sb ON sb.doc_id = c.id_b) t
+    WHERE jaccard >= 0.7
+    """,
+    doc="EXACT n-gram-Jaccard near-dup join via prefix filtering "
+    "(AllPairs/PPJoin): rarest-first global shingle order, prefix of "
+    "size s-ceil(t*s)+1, candidates from the prefix-token equi-join + "
+    "size filter, exact verify on candidates only. Same >=0.7 output "
+    "as an all-pairs compare, never an all-pairs plan; the oracle uses "
+    "a full inverted index (exact for t>0, feasible only at test scale)",
+)
+def q68_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.prefix_filter_jaccard_pairs(docs, "doc_id", "text", threshold=0.7)
+
+
 def _lsh_ann_sql(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
     from striot_spark.functions.similarity import _hyperplane
 

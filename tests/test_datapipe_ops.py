@@ -110,6 +110,59 @@ def test_lsh_candidate_pairs_find_exact_dups(spark):
     assert sorted(map(tuple, fused)) == sorted(map(tuple, verified))
 
 
+def test_prefix_filter_jaccard_matches_brute_force(spark):
+    """Prefix filtering is EXACT: on a randomized corpus the output
+    equals the all-pairs shingle-Jaccard >= t compare, across several
+    thresholds (different prefix lengths / size-filter bounds)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 14)))
+        for _ in range(40)
+    ]
+    # a few engineered near-dup pairs so thresholds actually bite
+    texts += [texts[0], texts[1] + " extra", "solo"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+    def brute(t):
+        sets = {
+            i: {
+                f"{a} {b}"
+                for a, b in zip(tx.split()[:-1], tx.split()[1:])
+            }
+            for i, tx in enumerate(texts)
+            if len(tx.split()) >= 2
+        }
+        out = set()
+        for i, j in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and inter / union >= t:
+                out.add((i, j))
+        return out
+
+    for t in (0.5, 0.7, 0.9):
+        # both verify paths: bitmap (small vocab) and sorted-rank
+        # array_intersect fallback (max_bitmap_vocab=0 forces it)
+        for max_vocab in (1 << 16, 0):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in D.prefix_filter_jaccard_pairs(
+                    df,
+                    "doc_id",
+                    "text",
+                    threshold=t,
+                    max_bitmap_vocab=max_vocab,
+                ).collect()
+            }
+            assert got == brute(t), (t, max_vocab)
+
+
 def test_multimodal_resize_and_frame_sample_plumbing(spark):
     """The Spark-side plumbing for resize / frame-sample (schema, Arrow
     batch shape, fan-out) is real; the codec is a deterministic stub."""

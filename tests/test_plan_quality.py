@@ -133,7 +133,11 @@ def test_near_dup_pair_joins_are_equi_not_cartesian(spark, sf_dir):
     """Candidate generation must be an equi-join on bucket/cell/band
     keys; a cartesian/broadcast-nested-loop plan would be O(n^2) rows at
     scale."""
-    for q in ("q42_embedding_near_dups", "q45_simhash_near_dups"):
+    for q in (
+        "q42_embedding_near_dups",
+        "q45_simhash_near_dups",
+        "q68_prefix_jaccard_pairs",
+    ):
         plan = _executed(spark, q, sf_dir)
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
