@@ -69,6 +69,43 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination detection: which training documents
+    contain any n-gram that also appears in the evaluation set (the
+    overlap filter applied before training-corpus release — e.g. GPT-3
+    appendix C / PaLM app. treat 8-13-gram collisions as contamination;
+    public methodology).
+
+    Returns (id, n_collisions) for contaminated train docs only, where
+    ``n_collisions`` counts the DISTINCT shared n-grams.
+
+    Scale shape: the eval side of a contamination check is benchmarks —
+    MBs against a 100 TB corpus — so its distinct n-gram set is
+    broadcast and the train side is ONE scan + broadcast-hash semi-join
+    + one groupBy on the doc id. The corpus is never shuffled by
+    n-gram.
+    """
+    grams = lambda c: F.array_distinct(shingles(c, ngram_n))  # noqa: E731
+    eval_grams = (
+        eval_df.select(F.explode(grams(F.col(text_col))).alias("g"))
+        .distinct()
+    )
+    hits = scatter(train).select(
+        F.col(id_col), F.explode(grams(F.col(text_col))).alias("g")
+    )
+    return (
+        hits.join(F.broadcast(eval_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 4, shingle_n: int = 2
 ) -> DataFrame:

@@ -62,6 +62,53 @@ def hash_sample(
     return df.filter(bucket < threshold)
 
 
+def corpus_mix(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights_permille: dict[str, int],
+) -> DataFrame:
+    """Resample a corpus toward a target stratum mix (the "data mixing"
+    step of training-corpus construction: e.g. 40% en / 15% each of
+    four other languages).
+
+    Given integer permille weights, the output size is maximized
+    subject to never up-sampling: ``N = min_s floor(n_s * 1000 / w_s)``
+    over strata present in both the data and the weights, each stratum
+    keeping ``floor(N * w_s / 1000)`` rows via the same deterministic
+    md5-bucket rate filter as ``hash_sample`` (threshold arithmetic is
+    all-integer, so any engine reproduces the exact member set).
+    Strata not in ``weights_permille`` are dropped.
+
+    One count-per-stratum aggregate moves k rows to the driver (k =
+    number of strata — scale-invariant, like the k-means centroid
+    collect); the sampling pass itself is a zero-shuffle scan+filter.
+    Rate-quantization means per-stratum output counts approximate the
+    targets the way ``hash_sample`` rates do (RESOLUTION buckets).
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+        if r[0] in weights_permille
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    n_out = min(
+        counts[s] * 1000 // w
+        for s, w in weights_permille.items()
+        if s in counts
+    )
+    thresholds = {
+        s: (n_out * weights_permille[s] // 1000) * RESOLUTION // counts[s]
+        for s in counts
+    }
+    bucket = _bucket(id_col)
+    thr = F.lit(0)
+    for value, t in sorted(thresholds.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(t)).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
 def reservoir_sample(
     df: DataFrame, id_col: str, strata_col: str, n: int
 ) -> DataFrame:

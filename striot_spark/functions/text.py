@@ -160,6 +160,35 @@ def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, ngram_n: int = 2
+) -> DataFrame:
+    """Intra-document repetition signals: total vs distinct n-gram
+    counts and the duplicate-n-gram ratio (the Gopher/MassiveText-style
+    repetition quality filter — heavily repeated n-grams mark boiler-
+    plate and degenerate text; public methodology, Rae et al. 2021
+    table A1).
+
+    Pure zero-shuffle projection: the n-gram array lives inside the
+    row; a 100 TB repetition pass is one parquet scan. Docs with no
+    n-grams (fewer than n tokens) are excluded — they have no ratio.
+    """
+    from striot_spark.functions.dedup import shingles
+
+    grams = shingles(F.col(text_col), ngram_n)
+    n_all = F.size(grams)
+    n_uniq = F.size(F.array_distinct(grams))
+    return (
+        df.select(
+            F.col(id_col),
+            n_all.cast("long").alias("n_ngrams"),
+            n_uniq.cast("long").alias("n_unique"),
+            ((n_all - n_uniq) / n_all).alias("dup_ratio"),
+        )
+        .filter(F.col("n_ngrams") > 0)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -509,6 +509,92 @@ def q68_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_filter_jaccard_pairs(docs, "doc_id", "text", threshold=0.7)
 
 
+@register(
+    "q69_contamination_check",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents),
+    idx AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM toks),
+    g AS (
+        SELECT DISTINCT doc_id,
+               tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+               tk[i+3] || ' ' || tk[i+4] AS gram
+        FROM idx),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, count(*) AS n_collisions
+    FROM tr JOIN ev USING (gram)
+    GROUP BY tr.doc_id
+    """,
+    doc="benchmark-contamination check: train docs sharing any 5-gram "
+    "with the (broadcast) eval split — one corpus scan + broadcast "
+    "semi-join + one id groupBy; the corpus never shuffles by n-gram",
+)
+def q69_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return D.contamination_check(train, eval_df, "doc_id", "text", ngram_n=5)
+
+
+@register(
+    "q70_repetition_stats",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents),
+    idx AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks),
+    b AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS g FROM idx),
+    s AS (SELECT doc_id, count(*) AS n_ngrams, count(DISTINCT g) AS n_unique
+          FROM b GROUP BY doc_id)
+    SELECT doc_id, n_ngrams, n_unique,
+           (n_ngrams - n_unique) / n_ngrams AS dup_ratio
+    FROM s WHERE n_ngrams > 0
+    """,
+    doc="intra-doc repetition quality signal (Gopher/MassiveText-style "
+    "duplicate-n-gram ratio): zero-shuffle projection over the in-row "
+    "bigram array",
+)
+def q70_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repetition_stats(docs, "doc_id", "text", ngram_n=2)
+
+
+_MIX_WEIGHTS = {"en": 400, "zh": 150, "es": 150, "de": 150, "fr": 150}
+# same md5 hash-bucket expression as q51/q52 (defined below as _HB)
+_HB_MIX = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000"
+
+
+@register(
+    "q71_corpus_mix",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    w(lang, wt) AS (VALUES ('de', 150), ('en', 400), ('es', 150),
+                           ('fr', 150), ('zh', 150)),
+    j AS (SELECT c.lang, c.n, w.wt FROM c JOIN w USING (lang)),
+    nn AS (SELECT min(n * 1000 // wt) AS nout FROM j),
+    th AS (SELECT lang, ((SELECT nout FROM nn) * wt // 1000) * 10000 // n
+                      AS thr FROM j)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN th USING (lang)
+    WHERE {_HB_MIX} < thr
+    """,
+    doc="corpus mixing: resample to a target language mix (40% en / "
+    "15% each of 4 others) without up-sampling — per-stratum counts to "
+    "the driver (k rows, scale-invariant), then the same deterministic "
+    "md5-bucket rate filter as q51; all-integer threshold arithmetic "
+    "reproduces the exact member set in any engine",
+)
+def q71_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return SAMP.corpus_mix(docs, "doc_id", "lang", _MIX_WEIGHTS).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def _lsh_ann_sql(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
     from striot_spark.functions.similarity import _hyperplane
 

@@ -163,6 +163,73 @@ def test_prefix_filter_jaccard_matches_brute_force(spark):
             assert got == brute(t), (t, max_vocab)
 
 
+def test_contamination_check_finds_shared_ngrams(spark):
+    from striot_spark.functions.dedup import contamination_check
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains eval 5-gram
+            (2, "one two three four five six"),  # disjoint
+            (3, "alpha beta gamma delta epsilon"),  # the 5-gram exactly
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma delta epsilon suffix")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_collisions"]
+        for r in contamination_check(
+            train, eval_df, "doc_id", "text", ngram_n=5
+        ).collect()
+    }
+    # doc 1 and doc 3 both contain "alpha beta gamma delta epsilon";
+    # doc 2 shares nothing; doc 1 additionally shares no OTHER 5-gram
+    assert got == {1: 1, 3: 1}
+
+
+def test_repetition_stats_ratio(spark):
+    from striot_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # bigrams: ab ba ab ba ab -> 5 total, 2 unique
+            (2, "x y z"),  # 2 total, 2 unique
+            (3, "solo"),  # no bigrams -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_ngrams"] == 5 and got[1]["n_unique"] == 2
+    assert got[1]["dup_ratio"] == pytest.approx(3 / 5)
+    assert got[2]["dup_ratio"] == 0.0
+
+
+def test_corpus_mix_hits_target_proportions(spark):
+    from striot_spark.functions.sampling import corpus_mix
+
+    rows = (
+        [(i, "en") for i in range(1000)]
+        + [(10_000 + i, "de") for i in range(400)]
+        + [(20_000 + i, "xx") for i in range(50)]  # not in weights -> dropped
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = corpus_mix(df, "doc_id", "lang", {"en": 750, "de": 250}).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert set(by_lang) == {"en", "de"}
+    n_en, n_de = len(by_lang["en"]), len(by_lang["de"])
+    # never up-samples; proportions near 3:1 (hash-bucket quantization)
+    assert n_de <= 400 and n_en <= 1000
+    assert n_en / max(n_de, 1) == pytest.approx(3.0, rel=0.15)
+    # deterministic: same inputs -> identical member set
+    again = corpus_mix(df, "doc_id", "lang", {"en": 750, "de": 250}).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+
 def test_multimodal_resize_and_frame_sample_plumbing(spark):
     """The Spark-side plumbing for resize / frame-sample (schema, Arrow
     batch shape, fan-out) is real; the codec is a deterministic stub."""

@@ -171,6 +171,25 @@ def test_reservoir_sample_single_stratum_shuffle(spark, sf_dir):
     assert plan.count("Exchange") <= 1  # only the stratum-key shuffle
 
 
+def test_repetition_stats_is_shuffle_free_projection(spark, sf_dir):
+    plan = _executed(spark, "q70_repetition_stats", sf_dir)
+    assert "Exchange" not in plan
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """The eval n-gram set must broadcast (benchmarks are MBs vs a
+    100 TB corpus); the corpus side must never shuffle by n-gram —
+    the only hash exchange is the final doc-id groupBy."""
+    plan = _executed(spark, "q69_contamination_check", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_mix_sampling_is_shuffle_free_filter(spark, sf_dir):
+    plan = _executed(spark, "q71_corpus_mix", sf_dir)
+    assert "Exchange" not in plan
+
+
 def test_asof_join_single_shuffle_no_range_join(spark, sf_dir):
     """The as-of join must be the union+carry-forward plan: one key
     shuffle, no join operator at all (and hence no range explosion)."""
