@@ -193,3 +193,85 @@ def q20_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
         .limit(10)
     )
+
+
+@register(
+    "q72_priority_semi_join",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4-style EXISTS: orders (1996) with at least one returned "
+    "line item, counted by priority. Lowered as a LEFT SEMI join — "
+    "lineitem is filtered+deduped to order keys before the join, so the "
+    "probe side shuffles keys only, and orders rows are never duplicated "
+    "by multi-line matches (the trap of lowering EXISTS as inner join)",
+)
+def q72_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned,
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q73_inactive_customers_anti_join",
+    f"""
+    WITH pos AS (
+        SELECT CAST(sum({_cents('c_acctbal')}) AS BIGINT) AS s,
+               count(*) AS n
+        FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_mktsegment, count(*) AS n_cust,
+           CAST(sum({_cents('c_acctbal')}) AS BIGINT) / 100.0 AS total_bal
+    FROM customer, pos
+    WHERE {_cents('c_acctbal')} * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22-style NOT EXISTS: customers with above-average "
+    "positive balance and no orders. The scalar average is carried as "
+    "an exact integer pair (sum-of-cents, count) broadcast as one row — "
+    "`cents*n > s` is bit-exact in any engine and any partition order, "
+    "where a float avg comparison can flip on summation-order ULPs. "
+    "Lowered as LEFT ANTI join on the order keys",
+)
+def q73_inactive_customers_anti_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(money(F.col("c_acctbal"))).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    custkeys = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(money(F.col("c_acctbal")) * F.col("n") > F.col("s"))
+        .join(custkeys, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            (F.sum(money(F.col("c_acctbal"))) / 100.0).alias("total_bal"),
+        )
+    )

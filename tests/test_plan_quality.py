@@ -171,6 +171,19 @@ def test_reservoir_sample_single_stratum_shuffle(spark, sf_dir):
     assert plan.count("Exchange") <= 1  # only the stratum-key shuffle
 
 
+def test_exists_lowering_is_semi_join(spark, sf_dir):
+    """EXISTS must lower to LEFT SEMI (never inner — would duplicate
+    orders with multiple matching line items; never a subquery
+    re-execution)."""
+    plan = _executed(spark, "q72_priority_semi_join", sf_dir)
+    assert "LeftSemi" in plan
+
+
+def test_not_exists_lowering_is_anti_join(spark, sf_dir):
+    plan = _executed(spark, "q73_inactive_customers_anti_join", sf_dir)
+    assert "LeftAnti" in plan
+
+
 def test_repetition_stats_is_shuffle_free_projection(spark, sf_dir):
     plan = _executed(spark, "q70_repetition_stats", sf_dir)
     assert "Exchange" not in plan
