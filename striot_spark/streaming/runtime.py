@@ -76,6 +76,38 @@ def kafka_stream(
     )
 
 
+def socket_stream(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    value_schema: str | None = None,
+) -> DataFrame:
+    """TCP line ingress — the reference's NATIVE transport: every
+    inter-node edge in a deployed striot graph is a TCP socket carrying
+    serialized events (``src/Striot/Nodes/TCP.hs:33-120``,
+    ``Nodes.hs:52-167``). Spark's built-in ``socket`` source gives one
+    string column ``value`` per line; with ``value_schema`` each line is
+    parsed as a JSON event into those typed columns (the reference
+    serializes events the same one-per-message way).
+
+    Unlike the reference's raw sockets, this source is NOT replayable —
+    no offsets, so no exactly-once recovery (Spark documents it for
+    testing; Kafka/MQTT/file sources are the production edges). Kept
+    for transport parity and local wiring tests.
+    """
+    df = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    if value_schema is None:
+        return df
+    return df.select(
+        F.from_json(F.col("value"), value_schema).alias("e")
+    ).select("e.*")
+
+
 # -- windowed aggregation ----------------------------------------------------
 
 

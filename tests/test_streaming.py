@@ -398,3 +398,55 @@ def test_interval_join_stream_matches_batch(spark, sf_dir, events_dir, ckpt):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_socket_stream_parses_json_lines(spark, ckpt):
+    """End-to-end TCP ingress: a local line server feeds the socket
+    source; JSON lines parse into typed columns (the reference's
+    native transport shape, one serialized event per message)."""
+    import json
+    import socket
+    import threading
+    import time
+
+    from striot_spark.streaming.runtime import socket_stream
+
+    rows = [{"event_id": i, "value": float(i) * 1.5} for i in range(5)]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            payload = "".join(json.dumps(r) + "\n" for r in rows)
+            conn.sendall(payload.encode())
+            time.sleep(5)  # keep the connection open while Spark polls
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    stream = socket_stream(
+        spark, "127.0.0.1", port, "event_id BIGINT, value DOUBLE"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sock_out")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        got = []
+        while time.time() < deadline:
+            got = spark.sql("SELECT * FROM sock_out ORDER BY event_id").collect()
+            if len(got) >= len(rows):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        srv.close()
+    assert [(r["event_id"], r["value"]) for r in got] == [
+        (r["event_id"], r["value"] * 1.0) for r in rows
+    ]
