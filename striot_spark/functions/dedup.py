@@ -69,6 +69,76 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def dedup_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-duplicate PAIRS → dedup GROUPS: connected components of the
+    pair graph by iterative min-label propagation (each node adopts the
+    smallest label among itself and its neighbors until fixpoint — the
+    standard large-scale CC formulation; converges in O(component
+    diameter) rounds, and near-dup components are shallow clusters, not
+    long chains). Returns ``(doc_id, group_id)`` where ``group_id`` is
+    the smallest doc id in the component — deterministic in any engine.
+
+    This is the step that turns a pair list (q29/q45/q68) into the
+    keep-one-per-group decision of a corpus dedup. Docs in no pair are
+    their own group and are NOT emitted — the caller unions them back
+    with ``group_id = doc_id`` (a zero-shuffle projection), so the
+    iteration only ever touches the pair graph, which is orders of
+    magnitude smaller than the corpus.
+
+    Per round: one equi-join of edges with labels + one min groupBy —
+    both on node ids (longs). Convergence is checked via ``sum(label)``,
+    which strictly decreases while any label changes (labels only move
+    down), so the check is one tiny aggregate action, not a join.
+    Raises if ``max_iter`` rounds don't converge (pathological diameter
+    — for adversarial chain graphs switch to a log-round variant).
+
+    Lineage discipline: edges (which carry the full upstream pair-
+    generation plan) and each round's labels are ``localCheckpoint``-ed.
+    Without it every round NESTS the previous round's plan — the
+    logical plan grows exponentially and the driver OOMs building plan
+    strings around round 5 (observed). An iterative dataflow must cut
+    its lineage each round; k-means sidesteps the same trap by inlining
+    centroids as literals, but labels here are data-sized.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select("u", F.col("u").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = edges.join(
+            labels.select(F.col("u").alias("v"), "lbl"), "v"
+        ).select("u", "lbl")
+        new_labels = (
+            nbr_min.union(labels)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            return labels.select(
+                F.col("u").alias("doc_id"), F.col("lbl").alias("group_id")
+            )
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"connected components did not converge in {max_iter} rounds"
+    )
+
+
 def contamination_check(
     train: DataFrame,
     eval_df: DataFrame,

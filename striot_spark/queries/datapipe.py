@@ -404,6 +404,43 @@ def q45_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q74_dedup_groups",
+    _simhash_sql_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """,
+    p AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b, range(0, 4) r(band)
+        WHERE a.doc_id < b.doc_id
+          AND ((a.simhash >> (band * 15)) & 32767)
+              = ((b.simhash >> (band * 15)) & 32767)
+          AND bit_count(xor(a.simhash, b.simhash)) <= 8),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION SELECT id_b, id_a FROM p),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+    SELECT u AS doc_id, least(u, min(v)) AS group_id
+    FROM reach GROUP BY u
+    """,
+    doc="near-dup pairs (q45's simhash graph) -> dedup groups via "
+    "connected components: min-label propagation, one edge-label "
+    "equi-join + one min groupBy per round, O(component diameter) "
+    "rounds, convergence checked by a monotone sum aggregate; group_id "
+    "= smallest doc id in the component (engine-deterministic). The "
+    "oracle computes the same components with a recursive "
+    "transitive-closure CTE (feasible at test scale)",
+)
+def q74_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs(
+        docs, "doc_id", "text", bands=4, band_bits=15, max_hamming=8
+    )
+    return D.dedup_groups(pairs)
+
+
 def _lsh_near_dup_sql() -> str:
     """DuckDB oracle for the full MinHash-LSH near-dup pipeline:
     bigram shingles → 6 md5-derived minhashes → 3 bands of 2 →

@@ -163,6 +163,32 @@ def test_prefix_filter_jaccard_matches_brute_force(spark):
             assert got == brute(t), (t, max_vocab)
 
 
+def test_dedup_groups_connected_components(spark):
+    from striot_spark.functions.dedup import dedup_groups
+
+    # two chains, one cycle, one isolated pair; labels must reach the
+    # component minimum across multiple hops
+    pairs = spark.createDataFrame(
+        [
+            (5, 6), (6, 7), (7, 8),          # chain -> min 5
+            (10, 11), (11, 12), (12, 10),    # cycle -> min 10
+            (2, 9),                          # pair  -> min 2
+            (20, 21), (21, 22),              # chain joined out of order
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup_groups(pairs).collect()
+    }
+    assert got == {
+        5: 5, 6: 5, 7: 5, 8: 5,
+        10: 10, 11: 10, 12: 10,
+        2: 2, 9: 2,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
 def test_contamination_check_finds_shared_ngrams(spark):
     from striot_spark.functions.dedup import contamination_check
 
