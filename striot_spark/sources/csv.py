@@ -139,3 +139,45 @@ def frequent_routes(trips: DataFrame, k: int = 10) -> DataFrame:
         .filter(F.col("prev").isNull() | (F.col("prev") != F.col("top_routes")))
         .select("window_start", "top_routes")
     )
+
+
+def csv_with_rejects(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter CSV ingestion: returns ``(good, rejects)`` where
+    ``good`` carries only fully-parsed typed rows and ``rejects`` the
+    raw text of every malformed line (wrong arity, unparseable field).
+
+    The reference's CSV sources (``Taxi.hs:123-140``) run ``read`` on
+    each line and would crash the node on a malformed one; at 100 TB
+    there WILL be malformed lines, and silently nulling fields (Spark's
+    bare PERMISSIVE default) corrupts downstream aggregates instead.
+    This split makes the failure set explicit and re-processable — the
+    standard dead-letter-queue shape.
+
+    Lowering: ONE ``text`` scan + ``from_csv`` per consumer. Parsing
+    through ``from_csv`` (not the csv file source) side-steps Spark's
+    restriction on file scans that reference only the internal corrupt
+    column, needs no cache() workaround, and both outputs stay pure
+    scan→project→filter pipelines.
+    """
+    corrupt = "_corrupt_record"
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt, StringType())]
+    )
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt}
+    opts.update(options)
+    parsed = spark.read.text(path).select(
+        F.col("value").alias("raw_line"),
+        F.from_csv(F.col("value"), full.simpleString(), opts).alias("e"),
+    )
+    good = parsed.filter(F.col(f"e.{corrupt}").isNull()).select(
+        *[F.col(f"e.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    rejects = parsed.filter(F.col(f"e.{corrupt}").isNotNull()).select(
+        "raw_line"
+    )
+    return good, rejects

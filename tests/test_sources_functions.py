@@ -123,3 +123,28 @@ def test_bucketed_join_and_agg_have_zero_shuffles(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS ev_bkt_a")
         spark.sql("DROP TABLE IF EXISTS ev_bkt_b")
+
+
+def test_csv_with_rejects_dead_letter_split(spark, tmp_path):
+    """Malformed lines land in the rejects frame verbatim; good rows
+    parse fully typed. Both sides come from one text scan (no cache
+    workaround, no silent null-fill of bad fields)."""
+    from striot_spark.sources.csv import TAXI_SCHEMA, csv_with_rejects
+
+    good1 = (
+        "m1,h1,2015-01-01 10:00:00,2015-01-01 10:10:00,600,2.5,"
+        "-73.9,40.7,-73.95,40.75,CSH,10.0,0.5,0.5,1.0,0.0,12.0"
+    )
+    bad = "m2,h2,NOT_A_DATE,2015-01-01 10:10:00,oops,2.5"
+    good2 = (
+        "m3,h3,2015-01-01 11:00:00,2015-01-01 11:10:00,600,1.5,"
+        "-73.9,40.7,-73.95,40.75,CRD,8.0,0.5,0.5,1.0,0.0,10.0"
+    )
+    (tmp_path / "t.csv").write_text("\n".join([good1, bad, good2]) + "\n")
+    g, r = csv_with_rejects(
+        spark, str(tmp_path), TAXI_SCHEMA, timestampFormat="yyyy-M-d HH:mm:ss"
+    )
+    assert sorted(row["medallion"] for row in g.collect()) == ["m1", "m3"]
+    assert g.schema["trip_time_in_secs"].dataType.simpleString() == "int"
+    rejects = r.collect()
+    assert len(rejects) == 1 and rejects[0]["raw_line"] == bad

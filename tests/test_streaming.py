@@ -450,3 +450,39 @@ def test_socket_stream_parses_json_lines(spark, ckpt):
     assert [(r["event_id"], r["value"]) for r in got] == [
         (r["event_id"], r["value"] * 1.0) for r in rows
     ]
+
+
+def test_stream_static_broadcast_enrich(spark, sf_dir, events_dir, ckpt):
+    """Stream-static join: a streaming feed enriched against a static
+    dimension. Spark plans the static side as a broadcast per
+    micro-batch — the streaming side never shuffles and no stream-state
+    is kept (no watermark needed for stream-static inner joins)."""
+    from striot_spark.sources.batch import load_table
+
+    schema = _events_schema(spark, sf_dir)
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    dim = spark.createDataFrame(
+        [("click", 1.5), ("view", 1.0), ("purchase", 5.0)],
+        "event_type string, weight double",
+    )
+    out = stream.join(F.broadcast(dim), "event_type").withColumn(
+        "weighted", F.col("value") * F.col("weight")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT count(*) AS n, sum(weighted) AS s FROM enriched"
+    ).collect()[0]
+    batch = load_table(spark, sf_dir, "events").join(dim, "event_type")
+    exp = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value") * F.col("weight")).alias("s"),
+    ).collect()[0]
+    assert got["n"] == exp["n"]
+    assert got["s"] == pytest.approx(exp["s"])
