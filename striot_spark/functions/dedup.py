@@ -121,11 +121,13 @@ def dedup_groups(
         nbr_min = edges.join(
             labels.select(F.col("u").alias("v"), "lbl"), "v"
         ).select("u", "lbl")
+        # lazy checkpoint: the sum action below materializes it, so each
+        # round is ONE job (eager would run a second, redundant one)
         new_labels = (
             nbr_min.union(labels)
             .groupBy("u")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels = new_labels
