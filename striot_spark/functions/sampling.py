@@ -62,6 +62,32 @@ def hash_sample(
     return df.filter(bucket < threshold)
 
 
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float],
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 id-bucket is
+    partitioned into contiguous ranges sized by the split fractions
+    (insertion order of ``splits``; fractions should sum to 1). Pure
+    projection — every engine and every rerun assigns each id to the
+    same split, and there is NO leakage path: membership depends only
+    on the id, never on partitioning, sampling state, or row order.
+    """
+    bucket = _bucket(id_col)
+    bounds: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, frac in splits.items():
+        acc += frac
+        bounds.append((name, int(round(acc * RESOLUTION))))
+    expr = None
+    for name, upper in bounds:
+        cond = bucket < upper
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr.otherwise(bounds[-1][0]))
+
+
 def corpus_mix(
     df: DataFrame,
     id_col: str,

@@ -160,6 +160,69 @@ def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def build_vocab(
+    df: DataFrame, text_col: str, vocab_size: int
+) -> DataFrame:
+    """Frequency-ranked vocabulary: the ``vocab_size`` most frequent
+    tokens as ``(token, token_id)`` with id 0 = most frequent. Ties
+    break on the token string, so the table is deterministic in any
+    engine. One groupBy on the token; the ranking of the (tiny
+    relative to the corpus) vocabulary table rides the size-gated
+    ``global_index``.
+    """
+    from striot_spark.core.scale import global_index
+
+    freq = (
+        df.select(F.explode(nonempty_tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ranked = global_index(
+        freq, [F.col("tf").desc(), F.col("tok").asc()], "token_id"
+    )
+    return ranked.filter(F.col("token_id") < vocab_size).select(
+        F.col("tok").alias("token"), "token_id"
+    )
+
+
+def encode_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    oov_id: int = -1,
+) -> DataFrame:
+    """Encode each document as its integer token-id sequence under
+    ``vocab`` (OOV tokens → ``oov_id``), order-preserving — the
+    tokenize-to-ids pass that feeds sequence packing.
+
+    Lowering: the vocabulary is a MapType literal built from the
+    (bounded, collectable) vocab table — the corpus encode is then a
+    ZERO-JOIN, zero-shuffle projection, exactly the streamMapCache
+    pattern (`functions/caching.py`). A vocab too large to inline
+    would instead explode+join+re-collect_list (three shuffles of the
+    corpus) — the map literal is the 100 TB-friendly plan as long as
+    the vocabulary is executor-memory-bounded (64k BPE vocabs are).
+    """
+    pairs = [(r["token"], r["token_id"]) for r in vocab.collect()]
+    if pairs:
+        args: list[Column] = []
+        for tok, tid in pairs:
+            args.append(F.lit(tok))
+            args.append(F.lit(int(tid)))
+        vmap = F.create_map(*args)
+    else:
+        vmap = F.create_map().cast("map<string,int>")
+    toks = nonempty_tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            toks, lambda t: F.coalesce(vmap[t], F.lit(oov_id))
+        ).cast("array<int>").alias("token_ids"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str, text_col: str, ngram_n: int = 2
 ) -> DataFrame:

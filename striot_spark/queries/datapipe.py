@@ -17,6 +17,9 @@ from striot_spark.functions.multimodal import extract_media_meta, to_media
 from striot_spark.queries.registry import register
 from striot_spark.sources.batch import load_table
 
+# md5 hash-bucket expression shared by the sampling/split oracles
+_HB_MIX = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000"
+
 H64 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 NTOK = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
 STOP_EN = "('the','a','of','and','to','in','is','it','for','on')"
@@ -441,6 +444,76 @@ def q74_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_groups(pairs)
 
 
+@register(
+    "q75_vocab_encode",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents),
+    freq AS (
+        SELECT tok, count(*) AS tf
+        FROM (SELECT unnest(tk) AS tok FROM toks) t GROUP BY tok),
+    v AS (
+        SELECT tok,
+               CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) AS BIGINT)
+                   - 1 AS token_id
+        FROM freq
+        QUALIFY row_number() OVER (ORDER BY tf DESC, tok ASC) <= 50),
+    idx AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM toks),
+    e AS (
+        SELECT doc_id, i, CAST(coalesce(v.token_id, -1) AS BIGINT) AS tid
+        FROM idx LEFT JOIN v ON tk[i] = v.tok)
+    SELECT doc_id,
+           string_agg(tid::VARCHAR, ' ' ORDER BY i) AS ids_str,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+    FROM e GROUP BY doc_id
+    """,
+    doc="vocabulary build (top-50 by frequency, rank 0 = most frequent) "
+    "+ order-preserving integer encoding of every document with OOV=-1: "
+    "the tokenize-to-ids pass feeding sequence packing. The vocab "
+    "inlines as a MapType literal, so the corpus encode is a ZERO-JOIN "
+    "zero-shuffle projection (streamMapCache pattern); ids emitted "
+    "space-joined for cross-engine hash comparison",
+)
+def q75_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = T.build_vocab(docs, "text", vocab_size=50)
+    enc = T.encode_documents(docs, "doc_id", "text", vocab, oov_id=-1)
+    return enc.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda t: t.cast("string")), " "
+        ).alias("ids_str"),
+        "n_tokens",
+        F.size(
+            F.filter(F.col("token_ids"), lambda t: t == F.lit(-1))
+        ).cast("long").alias("n_oov"),
+    )
+
+
+@register(
+    "q76_split_assign",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_HB_MIX} < 8000 THEN 'train'
+                WHEN {_HB_MIX} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="deterministic train/val/test assignment (80/10/10) from the "
+    "md5 id-bucket: pure projection, no leakage path — membership "
+    "depends only on the id, never on partitioning or row order",
+)
+def q76_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return SAMP.split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
 def _lsh_near_dup_sql() -> str:
     """DuckDB oracle for the full MinHash-LSH near-dup pipeline:
     bigram shingles → 6 md5-derived minhashes → 3 bands of 2 →
@@ -601,8 +674,6 @@ def q70_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MIX_WEIGHTS = {"en": 400, "zh": 150, "es": 150, "de": 150, "fr": 150}
-# same md5 hash-bucket expression as q51/q52 (defined below as _HB)
-_HB_MIX = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000"
 
 
 @register(

@@ -431,3 +431,52 @@ def test_short_docs_have_no_shingles_or_signatures(spark):
 
     pairs = lsh_near_dup_pairs(df, "doc_id", "text", num_hashes=6, bands=3)
     assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(2, 3)]
+
+
+def test_build_vocab_and_encode_documents(spark):
+    from striot_spark.functions.text import build_vocab, encode_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "zebra quux"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(df, "text", vocab_size=3)
+    v = {r["token"]: r["token_id"] for r in vocab.collect()}
+    # freqs: the=3, sat=2, then ties (cat/dog/mat/on/zebra/quux=1) break
+    # alphabetically -> cat
+    assert v == {"the": 0, "sat": 1, "cat": 2}
+    enc = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in encode_documents(df, "doc_id", "text", vocab).collect()
+    }
+    assert enc[1] == ([0, 2, 1, -1, 0, -1], 6)  # order-preserving
+    assert enc[3] == ([-1, -1], 2)
+
+
+def test_split_assign_partitions_and_determinism(spark):
+    from striot_spark.functions.sampling import split_assign
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    out = split_assign(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == {"train", "val", "test"}
+    # every id assigned exactly once; proportions near 80/10/10
+    assert sum(len(s) for s in by.values()) == 2000
+    assert 0.75 <= len(by["train"]) / 2000 <= 0.85
+    # determinism across recomputation
+    again = split_assign(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    assert {(r["doc_id"], r["split"]) for r in again} == {
+        (r["doc_id"], r["split"]) for r in out
+    }

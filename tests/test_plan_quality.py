@@ -203,6 +203,20 @@ def test_corpus_mix_sampling_is_shuffle_free_filter(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_vocab_encode_is_zero_join_projection(spark, sf_dir):
+    """The corpus encode must inline the vocab as a map literal
+    (streamMapCache pattern): the encode plan has no Join and no
+    Exchange — the vocab build runs once, eagerly, at plan-build."""
+    plan = _executed(spark, "q75_vocab_encode", sf_dir)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_split_assign_is_shuffle_free_projection(spark, sf_dir):
+    plan = _executed(spark, "q76_split_assign", sf_dir)
+    assert "Exchange" not in plan
+
+
 def test_asof_join_single_shuffle_no_range_join(spark, sf_dir):
     """The as-of join must be the union+carry-forward plan: one key
     shuffle, no join operator at all (and hence no range explosion)."""
