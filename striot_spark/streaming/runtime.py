@@ -381,6 +381,42 @@ def run_available_now(
     return sdf.sparkSession.table(query_name)
 
 
+def to_idempotent_parquet(
+    sdf: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Exactly-once parquet sink via the idempotent-foreachBatch
+    pattern: each micro-batch overwrites its OWN ``batch_id=N``
+    partition directory, so replaying a batch after a crash (Spark
+    re-runs the last uncommitted batch from the checkpoint) rewrites
+    the same directory instead of appending duplicates. Effective
+    exactly-once = checkpointed offsets (at-least-once replay) +
+    idempotent writes; read the result back with a plain
+    ``spark.read.parquet(path)`` (``batch_id`` surfaces as a partition
+    column).
+
+    The reference has no recovery story — a crashed node loses its
+    in-flight list and TCP buffers (SURVEY.md §3.3); this is the
+    Spark-native replacement, and the pattern every non-transactional
+    sink (object stores, parquet lakes) should use.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{path}/batch_id={batch_id}"
+        )
+
+    w = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def to_console(sdf: DataFrame, checkpoint_dir: str, mode: str = "append"):
     """Console sink (reference: ``Sink`` vertex printing events,
     ``CompileIoT.hs:269-271``)."""
