@@ -177,16 +177,22 @@ def test_dedup_groups_connected_components(spark):
         ],
         "id_a long, id_b long",
     )
-    got = {
-        r["doc_id"]: r["group_id"]
-        for r in dedup_groups(pairs).collect()
-    }
-    assert got == {
+    expected = {
         5: 5, 6: 5, 7: 5, 8: 5,
         10: 10, 11: 10, 12: 10,
         2: 2, 9: 2,
         20: 20, 21: 20, 22: 20,
     }
+    # both paths: driver union-find (small gate) and distributed
+    # min-label propagation (threshold=0 forces it)
+    for threshold in (1_000_000, 0):
+        got = {
+            r["doc_id"]: r["group_id"]
+            for r in dedup_groups(
+                pairs, driver_edge_threshold=threshold
+            ).collect()
+        }
+        assert got == expected, threshold
 
 
 def test_contamination_check_finds_shared_ngrams(spark):
