@@ -246,15 +246,16 @@ def q72_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer, pos
     WHERE {_cents('c_acctbal')} * n > s
       AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c_custkey)
+                      WHERE o.o_custkey = c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
     GROUP BY c_mktsegment
     """,
     doc="TPC-H Q22-style NOT EXISTS: customers with above-average "
-    "positive balance and no orders. The scalar average is carried as "
-    "an exact integer pair (sum-of-cents, count) broadcast as one row — "
-    "`cents*n > s` is bit-exact in any engine and any partition order, "
-    "where a float avg comparison can flip on summation-order ULPs. "
-    "Lowered as LEFT ANTI join on the order keys",
+    "positive balance and no RECENT (1998+) orders. The scalar average "
+    "is carried as an exact integer pair (sum-of-cents, count) "
+    "broadcast as one row — `cents*n > s` is bit-exact in any engine "
+    "and any partition order, where a float avg comparison can flip on "
+    "summation-order ULPs. Lowered as LEFT ANTI join on the order keys",
 )
 def q73_inactive_customers_anti_join(
     spark: SparkSession, sf_dir: str
@@ -264,7 +265,14 @@ def q73_inactive_customers_anti_join(
         F.sum(money(F.col("c_acctbal"))).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
-    custkeys = load_table(spark, sf_dir, "orders").select("o_custkey")
+    custkeys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
     return (
         cust.crossJoin(F.broadcast(pos))
         .filter(money(F.col("c_acctbal")) * F.col("n") > F.col("s"))
