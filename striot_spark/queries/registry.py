@@ -68,6 +68,16 @@ _SWEEP_FIRST = [
     "q65_frequent_routes_stream",
     "q66_null_passthrough_chain",
     "q67_joine_positional_untimed",
+    # round-2 additions — no CORRECTNESS row exists yet for any of these
+    "q68_prefix_jaccard_pairs",
+    "q69_contamination_check",
+    "q70_repetition_stats",
+    "q71_corpus_mix",
+    "q72_priority_semi_join",
+    "q73_inactive_customers_anti_join",
+    "q74_dedup_groups",
+    "q75_vocab_encode",
+    "q76_split_assign",
 ]
 _SWEEP_LAST = [
     "q34_filteracc_above_running_avg",
