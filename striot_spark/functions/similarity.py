@@ -180,6 +180,38 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
     return vals
 
 
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 7,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    embedding onto ``out_dim`` deterministic pseudo-random directions
+    (the ``_hyperplane`` integer recurrence — no RNG state, so any
+    engine and any rerun produce bit-identical projections). The
+    standard cheap pre-step before ANN indexing: JL preserves pairwise
+    distances within (1±ε) at out_dim = O(log n / ε²), public result.
+
+    Pure zero-shuffle projection — out_dim sequential-fold dot products
+    per row, all JVM-side; a 100 TB reduction pass is one scan. The
+    projection matrix lives in the plan as literals (out_dim × in_dim
+    doubles — kilobytes), the same centroid-inlining trick as
+    ``nearest_centroid``.
+    """
+    v = as_double(F.col(vec_col))
+    comps = [
+        dot(
+            v, F.array(*[F.lit(c) for c in _hyperplane(in_dim, seed + p)])
+        ).alias(f"c{p}")
+        for p in range(out_dim)
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias(out_col))
+
+
 def hyperplane_buckets(
     vec: Column, dim: int, n_planes: int = 8, seed: int = 42
 ) -> Column:

@@ -514,6 +514,44 @@ def q76_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def _random_projection_sql(dim: int = 64, out_dim: int = 4, seed: int = 7) -> str:
+    from striot_spark.functions.similarity import _hyperplane
+
+    comps = ", ".join(
+        "round(list_dot_product(v, ["
+        + ", ".join(repr(c) for c in _hyperplane(dim, seed + p))
+        + f"]), 6) AS p{p}"
+        for p in range(out_dim)
+    )
+    return f"""
+    SELECT vec_id, {comps}
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+    """
+
+
+@register(
+    "q77_random_projection",
+    _random_projection_sql(),
+    doc="Johnson-Lindenstrauss random projection 64d -> 4d: "
+    "deterministic integer-recurrence directions inlined as plan "
+    "literals, one sequential-fold dot product per output dim — "
+    "zero-shuffle single-scan dimensionality reduction, the standard "
+    "pre-step before ANN indexing",
+)
+def q77_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = SIM.random_projection(
+        emb, "vec_id", "embedding", in_dim=64, out_dim=4, seed=7
+    )
+    return proj.select(
+        "vec_id",
+        *[
+            F.round(F.col("projected")[p], 6).alias(f"p{p}")
+            for p in range(4)
+        ],
+    )
+
+
 def _lsh_near_dup_sql() -> str:
     """DuckDB oracle for the full MinHash-LSH near-dup pipeline:
     bigram shingles → 6 md5-derived minhashes → 3 bands of 2 →

@@ -78,6 +78,7 @@ _SWEEP_FIRST = [
     "q74_dedup_groups",
     "q75_vocab_encode",
     "q76_split_assign",
+    "q77_random_projection",
 ]
 _SWEEP_LAST = [
     "q34_filteracc_above_running_avg",

@@ -163,6 +163,49 @@ def test_prefix_filter_jaccard_matches_brute_force(spark):
             assert got == brute(t), (t, max_vocab)
 
 
+def test_prefix_filter_jaccard_skewed_lengths(spark):
+    """Stress the size filter + asymmetric indexing prefix + positional
+    bound: docs of wildly different lengths, heavy duplication, and
+    containment pairs (A substring-of B) — the shapes most likely to
+    expose an off-by-one in the prefix-length math."""
+    import itertools
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"t{i}" for i in range(18)]  # tiny vocab -> dense overlap
+    texts = []
+    for n in (2, 3, 5, 9, 17, 33, 60):
+        base = " ".join(rng.choice(vocab) for _ in range(n))
+        texts.append(base)
+        texts.append(base)  # exact dup (jaccard 1.0)
+        texts.append(base + " " + rng.choice(vocab))  # near-containment
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+    def brute(t):
+        sets = {
+            i: {f"{a} {b}" for a, b in zip(tx.split()[:-1], tx.split()[1:])}
+            for i, tx in enumerate(texts)
+            if len(tx.split()) >= 2
+        }
+        out = set()
+        for i, j in itertools.combinations(sorted(sets), 2):
+            u = len(sets[i] | sets[j])
+            if u and len(sets[i] & sets[j]) / u >= t:
+                out.add((i, j))
+        return out
+
+    for t in (0.6, 0.8):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in D.prefix_filter_jaccard_pairs(
+                df, "doc_id", "text", threshold=t
+            ).collect()
+        }
+        assert got == brute(t), t
+
+
 def test_dedup_groups_connected_components(spark):
     from striot_spark.functions.dedup import dedup_groups
 

@@ -217,6 +217,14 @@ def test_split_assign_is_shuffle_free_projection(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_random_projection_is_shuffle_free_projection(spark, sf_dir):
+    """JL projection must be scan->project only: the direction matrix
+    is plan literals, never a joined table."""
+    plan = _executed(spark, "q77_random_projection", sf_dir)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
 def test_asof_join_single_shuffle_no_range_join(spark, sf_dir):
     """The as-of join must be the union+carry-forward plan: one key
     shuffle, no join operator at all (and hence no range explosion)."""
