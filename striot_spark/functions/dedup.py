@@ -108,19 +108,20 @@ def dedup_groups(
 
     Size gate (same philosophy as broadcast planning and the numbering
     gate): a near-dup pair graph is usually minute next to its corpus —
-    up to ``driver_edge_threshold`` edges (16 bytes each; 1M default ≈
-    16 MB) the edge list is collected and union-find runs on the driver
-    in milliseconds, replacing ~2 cluster jobs per round with one
-    collect. The distributed propagation path handles anything larger
-    and is what the threshold=0 tests pin.
+    up to ``driver_edge_threshold`` PAIRS (16 bytes each; 1M default ≈
+    16 MB) the one-directional pair list is collected and union-find
+    runs on the driver in milliseconds, replacing ~2 cluster jobs per
+    round with one collect. The distributed propagation path handles
+    anything larger and is what the threshold=0 tests pin.
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
-        .localCheckpoint(eager=True)
-    )
-    n_edges = edges.count()  # free: counts the just-materialized checkpoint
-    if n_edges <= driver_edge_threshold:
+    # one-directional pair list materializes once; union-find needs no
+    # reversed edges, so the driver path collects HALF the rows and the
+    # bidirectional union is derived only on the distributed path
+    upairs = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint(eager=True)
+    n_pairs = upairs.count()  # free: counts the materialized checkpoint
+    if n_pairs <= driver_edge_threshold:
         parent: dict = {}
 
         def find(x):
@@ -131,7 +132,7 @@ def dedup_groups(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges.collect():
+        for r in upairs.collect():
             u, v = r["u"], r["v"]
             parent.setdefault(u, u)
             parent.setdefault(v, v)
@@ -144,6 +145,9 @@ def dedup_groups(
         return pairs.sparkSession.createDataFrame(
             rows, "doc_id long, group_id long"
         )
+    edges = upairs.union(
+        upairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
     labels = (
         edges.select("u")
         .distinct()
