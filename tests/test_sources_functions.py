@@ -148,3 +148,33 @@ def test_csv_with_rejects_dead_letter_split(spark, tmp_path):
     assert g.schema["trip_time_in_secs"].dataType.simpleString() == "int"
     rejects = r.collect()
     assert len(rejects) == 1 and rejects[0]["raw_line"] == bad
+
+
+def test_partitioned_write_avoids_small_files(spark, sf_dir, tmp_path):
+    """repartition-on-partition-cols before partitionBy: exactly ONE
+    parquet file per partition value, vs tasks-x-values for the naive
+    write on a multi-partition input."""
+    import glob
+
+    from striot_spark.sources.batch import load_table
+    from striot_spark.sources.bucketed import write_partitioned
+
+    docs = load_table(spark, sf_dir, "documents").repartition(8)
+
+    naive = tmp_path / "naive"
+    docs.write.partitionBy("lang").mode("overwrite").parquet(str(naive))
+    naive_files = glob.glob(f"{naive}/lang=*/[!.]*.parquet")
+
+    good = tmp_path / "good"
+    write_partitioned(docs, str(good), ["lang"])
+    good_files = glob.glob(f"{good}/lang=*/[!.]*.parquet")
+
+    n_langs = docs.select("lang").distinct().count()
+    assert len(good_files) == n_langs  # one file per value
+    assert len(naive_files) > len(good_files)  # the explosion is real
+    # content identical
+    assert (
+        spark.read.parquet(str(good)).count()
+        == spark.read.parquet(str(naive)).count()
+        == docs.count()
+    )
