@@ -58,6 +58,7 @@ def write_partitioned(
     path: str,
     partition_by: Sequence[str],
     max_records_per_file: int | None = None,
+    sort_by: Sequence[str] | None = None,
 ) -> None:
     """Hive-partitioned parquet write WITHOUT the small-files explosion.
 
@@ -78,9 +79,18 @@ def write_partitioned(
     bounds the file sizes but not the task; for heavy skew add a salt
     column to ``repartition`` (``core/scale.py:salted_join`` pattern)
     at the cost of salt-many files per value.
+
+    ``sort_by`` sorts rows WITHIN each output task before writing:
+    parquet row-group min/max statistics then become tight ranges on
+    those columns, so later range predicates (time windows, id ranges)
+    skip whole row groups at scan time — clustering bought once at
+    write, paid back on every read.
     """
     cols = list(partition_by)
-    w = df.repartition(*[df[c] for c in cols]).write
+    out = df.repartition(*[df[c] for c in cols])
+    if sort_by:
+        out = out.sortWithinPartitions(*list(sort_by))
+    w = out.write
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.partitionBy(*cols).mode("overwrite").parquet(path)

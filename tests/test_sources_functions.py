@@ -166,7 +166,7 @@ def test_partitioned_write_avoids_small_files(spark, sf_dir, tmp_path):
     naive_files = glob.glob(f"{naive}/lang=*/[!.]*.parquet")
 
     good = tmp_path / "good"
-    write_partitioned(docs, str(good), ["lang"])
+    write_partitioned(docs, str(good), ["lang"], sort_by=["doc_id"])
     good_files = glob.glob(f"{good}/lang=*/[!.]*.parquet")
 
     n_langs = docs.select("lang").distinct().count()
