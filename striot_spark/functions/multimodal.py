@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 
 from striot_spark.core.scale import scatter
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -163,3 +165,51 @@ def frame_sample(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
 
     return scatter(media_df).mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def embed_stub(payload: bytes, dim: int) -> list[float]:
+    """Deterministic fake encoder: byte-histogram folded to ``dim``
+    buckets, L1-normalized. Real deployments wire a vision/audio model
+    forward pass here (the import-gated pattern of ``real_decode``);
+    the stub keeps the numeric shape — dense float vector, unit mass —
+    and is a pure function of the bytes, so outputs are reproducible
+    and testable cross-engine."""
+    counts = [0] * dim
+    for byte in payload:
+        counts[byte % dim] += 1
+    total = max(1, len(payload))
+    return [c / total for c in counts]
+
+
+def extract_features(media_df: DataFrame, dim: int = 16) -> DataFrame:
+    """mapInPandas media→embedding: (doc_id, media) → (doc_id,
+    features[dim]) — the encode step that bridges binary media columns
+    into the similarity/ANN operators (`functions/similarity.py`):
+    decode → embed here, then nearest_centroid / IVF / LSH downstream
+    operate on the vector column exactly as they do on text embeddings.
+
+    Arrow streams the binary batches; feature vectors are built
+    vectorized per batch. One scan of the media, no shuffle — at 100 TB
+    the encode pass is embarrassingly parallel and the expensive model
+    forward is the per-row cost, not the plumbing."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": pdf["media"].map(
+                        lambda b: embed_stub(bytes(b), dim)
+                    ),
+                }
+            )
+
+    return scatter(media_df).mapInPandas(fn, schema=FEATURE_SCHEMA)

@@ -529,3 +529,46 @@ def test_split_assign_partitions_and_determinism(spark):
     assert {(r["doc_id"], r["split"]) for r in again} == {
         (r["doc_id"], r["split"]) for r in out
     }
+
+
+def test_extract_features_bridges_media_to_ann(spark):
+    """decode -> embed -> assign: binary media rows become dense
+    vectors via mapInPandas, then flow straight into the similarity
+    operators (nearest_centroid) — the full multimodal indexing
+    composition with a deterministic stub encoder."""
+    from striot_spark.functions.multimodal import (
+        embed_stub,
+        extract_features,
+        to_media,
+    )
+    from striot_spark.functions.similarity import nearest_centroid
+
+    rows = [
+        (1, b"aaaaaaaaaaaaaaaa"),        # concentrated histogram
+        (2, b"abcdefghijklmnop" * 4),    # uniform histogram
+        (3, b"aaaaaaaabbbbbbbb"),
+    ]
+    df = to_media(
+        spark.createDataFrame(rows, "doc_id long, payload binary"),
+        "doc_id",
+        "payload",
+    )
+    feats = extract_features(df, dim=8)
+    got = {r["doc_id"]: list(r["features"]) for r in feats.collect()}
+    # deterministic: matches the stub computed locally
+    for doc_id, payload in rows:
+        assert got[doc_id] == embed_stub(payload, 8)
+    assert all(abs(sum(v) - 1.0) < 1e-9 for v in got.values())  # L1 mass
+    # bridge into ANN: assign each media vector to a centroid
+    cents = spark.createDataFrame(
+        [(0, embed_stub(b"a" * 16, 8)), (1, embed_stub(b"abcdefgh" * 2, 8))],
+        "centroid_id long, features array<double>",
+    )
+    assigned = {
+        r["doc_id"]: r["centroid_id"]
+        for r in nearest_centroid(
+            feats, cents, id_col="doc_id", vec_col="features"
+        ).collect()
+    }
+    assert assigned[1] == 0  # all-'a' payload matches the 'a' centroid
+    assert assigned[2] == 1  # uniform payload matches the uniform one
