@@ -1,5 +1,10 @@
 from striot_spark.sources.batch import event_stream, load_table, load_tables
-from striot_spark.sources.bucketed import read_bucketed, write_bucketed
+from striot_spark.sources.bucketed import (
+    read_bucketed,
+    write_bucketed,
+    write_partitioned,
+)
+from striot_spark.sources.csv import csv_with_rejects, load_taxi_csv
 
 __all__ = [
     "event_stream",
@@ -7,4 +12,7 @@ __all__ = [
     "load_tables",
     "read_bucketed",
     "write_bucketed",
+    "write_partitioned",
+    "csv_with_rejects",
+    "load_taxi_csv",
 ]
