@@ -56,7 +56,7 @@ def main() -> None:
     # streaming-drain queries are correctness-gated (q65 == q30's oracle)
     # but their wall time measures checkpoint replay, not engine
     # throughput — keep the bench a batch-compute signal
-    skip = {"q65_frequent_routes_stream"}
+    skip = {"q65_frequent_routes_stream", "q78_window_agg_stream"}
 
     timings: dict[str, float] = {}
     for name, fn in sorted(all_queries().items()):

@@ -181,3 +181,55 @@ def q65_frequent_routes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(src).schema
     ck = tempfile.mkdtemp(prefix="striot_fr_stream_ck_")
     return frequent_routes_stream(spark, src, schema, ck)
+
+
+_CENTS_SQL = "CAST(round((value)*100.0, 0) AS BIGINT)"
+
+
+@register(
+    "q78_window_agg_stream",
+    f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n,
+           sum({_CENTS_SQL}) / 100.0 AS sum_value,
+           sum({_CENTS_SQL}) / count(*) / 100.0 AS avg_value
+    FROM events GROUP BY 1
+    """,
+    doc="streaming chopTime aggregation (watermarked tumbling window + "
+    "incremental state) drained available-now — hash-checked against "
+    "the SAME oracle as batch q05, so streaming-vs-batch window "
+    "semantics parity is driver-visible, not only locally tested",
+)
+def q78_window_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.analytics import avg_money, sum_money
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema)
+    counts = RT.window_agg_stream(
+        sdf,
+        "ts",
+        "1 day",
+        {
+            "n": F.count(F.lit(1)),
+            "sum_value": sum_money(F.col("value")),
+            "avg_value": avg_money(F.col("value")),
+        },
+        watermark="1 minute",
+    )
+    drained = RT.run_available_now(
+        counts,
+        f"q78_winagg_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q78_ck_"),
+        mode="complete",
+    )
+    return drained.select(
+        day_str(F.col("window_start")).alias("day"),
+        "n",
+        "sum_value",
+        "avg_value",
+    )

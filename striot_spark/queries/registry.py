@@ -79,6 +79,7 @@ _SWEEP_FIRST = [
     "q75_vocab_encode",
     "q76_split_assign",
     "q77_random_projection",
+    "q78_window_agg_stream",
 ]
 _SWEEP_LAST = [
     "q34_filteracc_above_running_avg",
