@@ -435,7 +435,9 @@ def prefix_filter_jaccard_pairs(
     )
     use_bitmap = vocab <= max_bitmap_vocab
     if use_bitmap:
-        n_words = (vocab + 63) // 64
+        # max(1,...): sequence(0, -1) would yield a DESCENDING 2-element
+        # sequence on an empty vocabulary, not an empty bitmap
+        n_words = max(1, (vocab + 63) // 64)
         sets_ = sets_.withColumn(
             "bm",
             F.expr(

@@ -112,6 +112,8 @@ def corpus_mix(
     Rate-quantization means per-stratum output counts approximate the
     targets the way ``hash_sample`` rates do (RESOLUTION buckets).
     """
+    if any(w <= 0 for w in weights_permille.values()):
+        raise ValueError("corpus_mix weights must be positive permille")
     counts = {
         r[0]: r[1]
         for r in df.groupBy(strata_col).count().collect()
