@@ -595,3 +595,71 @@ def q61_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol("__n_approx", "n_exact").alias("approx_distinct_ok"),
         tol("__p50_approx", "__p50_exact").alias("approx_p50_ok"),
     )
+
+
+@register(
+    "q79_pivot_event_counts",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY 1
+    """,
+    doc="pivot: per-day event-type counts as columns. The value list is "
+    "EXPLICIT (pivot('col', values)) — without it Spark runs an extra "
+    "distinct-collect job over the fact table to discover the columns; "
+    "at 100 TB the pivot value set must be known, bounded metadata. "
+    "Lowers to one groupBy with conditional aggregates (single "
+    "shuffle, map-side combine), same as the oracle's FILTER form",
+)
+def q79_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import day_str
+    from striot_spark.sources.batch import load_table
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(day_str(F.col("ts")).alias("day"))
+        .pivot("event_type", types)
+        .count()
+    )
+    # pivot leaves a NULL (not 0) for absent combos; match count(*)
+    # FILTER semantics
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register(
+    "q80_unpivot_money_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric,
+           l_extendedprice AS amount
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+    doc="unpivot/melt: wide metric columns to long (metric, amount) "
+    "rows via Spark's native unpivot — a zero-shuffle row-expansion "
+    "projection over ONE scan (the inverse of q79); the oracle's "
+    "UNION ALL form would scan three times",
+)
+def q80_unpivot_money_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.sources.batch import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "amount",
+    )

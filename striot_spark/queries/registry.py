@@ -80,6 +80,8 @@ _SWEEP_FIRST = [
     "q76_split_assign",
     "q77_random_projection",
     "q78_window_agg_stream",
+    "q79_pivot_event_counts",
+    "q80_unpivot_money_metrics",
 ]
 _SWEEP_LAST = [
     "q34_filteracc_above_running_avg",
