@@ -663,3 +663,34 @@ def q80_unpivot_money_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "amount",
     )
+
+
+@register(
+    "q82_cube_counts",
+    f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           GROUPING(strftime(date_trunc('day', ts), '%Y-%m-%d'))::BIGINT * 2
+               + GROUPING(event_type)::BIGINT AS gid,
+           count(*) AS n,
+           sum({CENTS_SQL}) / 100.0 AS sum_value
+    FROM events
+    GROUP BY CUBE (day, event_type)
+    """,
+    doc="CUBE grouping sets: all four aggregation levels — (day, type), "
+    "(day), (type), grand total — in ONE pass with partial aggregation "
+    "at every level; grouping_id disambiguates real NULLs from "
+    "subtotal rows (the ROLLUP q54's lattice completed)",
+)
+def q82_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import day_str
+    from striot_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", day_str(F.col("ts"))
+    )
+    return ev.cube("day", "event_type").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents(F.col("value"))) / F.lit(100.0)).alias("sum_value"),
+    ).select("day", "event_type", "gid", "n", "sum_value")

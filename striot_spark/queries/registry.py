@@ -82,6 +82,8 @@ _SWEEP_FIRST = [
     "q78_window_agg_stream",
     "q79_pivot_event_counts",
     "q80_unpivot_money_metrics",
+    "q81_sole_returned_supplier",
+    "q82_cube_counts",
 ]
 _SWEEP_LAST = [
     "q34_filteracc_above_running_avg",

@@ -283,3 +283,64 @@ def q73_inactive_customers_anti_join(
             (F.sum(money(F.col("c_acctbal"))) / 100.0).alias("total_bal"),
         )
     )
+
+
+@register(
+    "q81_sole_returned_supplier",
+    """
+    WITH ret AS (
+        SELECT DISTINCT l_orderkey, l_suppkey
+        FROM lineitem WHERE l_returnflag = 'R'),
+    anysup AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s_name, count(*) AS n_orders
+    FROM ret r
+    JOIN supplier ON s_suppkey = r.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM anysup a
+                  WHERE a.l_orderkey = r.l_orderkey
+                    AND a.l_suppkey <> r.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM ret r2
+                      WHERE r2.l_orderkey = r.l_orderkey
+                        AND r2.l_suppkey <> r.l_suppkey)
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21-style double-correlated subquery: suppliers who are "
+    "the ONLY supplier with returned items on a multi-supplier order. "
+    "EXISTS lowers to LEFT SEMI on (order, other-supplier) and NOT "
+    "EXISTS to LEFT ANTI over the same derived sets — two semi-shaped "
+    "joins on (orderkey, suppkey) pairs, never a correlated re-scan "
+    "per row; supplier dim broadcasts",
+)
+def q81_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    anysup = li.select("l_orderkey", "l_suppkey").distinct()
+    sup = load_table(spark, sf_dir, "supplier")
+
+    other = anysup.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    )
+    with_other = ret.join(
+        other,
+        (F.col("l_orderkey") == F.col("o_k"))
+        & (F.col("l_suppkey") != F.col("o_s")),
+        "left_semi",
+    )
+    other_ret = ret.select(
+        F.col("l_orderkey").alias("r_k"), F.col("l_suppkey").alias("r_s")
+    )
+    sole = with_other.join(
+        other_ret,
+        (F.col("l_orderkey") == F.col("r_k"))
+        & (F.col("l_suppkey") != F.col("r_s")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
