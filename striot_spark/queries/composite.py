@@ -694,3 +694,36 @@ def q82_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum(cents(F.col("value"))) / F.lit(100.0)).alias("sum_value"),
     ).select("day", "event_type", "gid", "n", "sum_value")
+
+
+@register(
+    "q83_set_ops_users",
+    """
+    SELECT user_id, 'click_no_purchase' AS cohort FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT user_id, 'click_and_purchase' FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+    doc="relational set ops: EXCEPT and INTERSECT cohorts from one "
+    "events table — Spark lowers subtract/intersect to LEFT ANTI / "
+    "LEFT SEMI over hash-distinct inputs (one shuffle each on the "
+    "user key, no fact-table cartesian anywhere)",
+)
+def q83_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    no_buy = clicks.subtract(buys).select(
+        "user_id", F.lit("click_no_purchase").alias("cohort")
+    )
+    both = clicks.intersect(buys).select(
+        "user_id", F.lit("click_and_purchase").alias("cohort")
+    )
+    return no_buy.unionByName(both)

@@ -84,6 +84,7 @@ _SWEEP_FIRST = [
     "q80_unpivot_money_metrics",
     "q81_sole_returned_supplier",
     "q82_cube_counts",
+    "q83_set_ops_users",
 ]
 _SWEEP_LAST = [
     "q34_filteracc_above_running_avg",

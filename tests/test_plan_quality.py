@@ -184,6 +184,20 @@ def test_not_exists_lowering_is_anti_join(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
+def test_double_correlated_lowering_semi_plus_anti(spark, sf_dir):
+    """Q21 shape: one semi, one anti, zero cartesian/nested-loop —
+    the correlated subqueries must not become per-row re-scans."""
+    plan = _executed(spark, "q81_sole_returned_supplier", sf_dir)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_set_ops_lower_to_semi_anti(spark, sf_dir):
+    plan = _executed(spark, "q83_set_ops_users", sf_dir)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_repetition_stats_is_shuffle_free_projection(spark, sf_dir):
     plan = _executed(spark, "q70_repetition_stats", sf_dir)
     assert "Exchange" not in plan
