@@ -154,7 +154,11 @@ def dedup_groups(
         .select("u", F.col("u").alias("lbl"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    # decimal(38,0) sum: 64-bit (e.g. snowflake/hash-derived) ids summed
+    # over a large graph overflow a long — ANSI mode would throw, legacy
+    # mode would wrap and could fake convergence
+    _sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_sum).collect()[0][0]
     for _ in range(max_iter):
         nbr_min = edges.join(
             labels.select(F.col("u").alias("v"), "lbl"), "v"
@@ -167,7 +171,7 @@ def dedup_groups(
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=False)
         )
-        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        new_sum = new_labels.agg(_sum).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
             return labels.select(
@@ -423,6 +427,8 @@ def prefix_filter_jaccard_pairs(
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf")).persist()
     vocab = freq.count()  # materializes freq; reused by the dictionary
+    # (freq is released after sets_ materializes below; sets_ itself
+    # stays cached for the caller's candidate + verify consumers)
     # rank 0 = globally rarest (ties on the shingle string)
     dict_ = global_index(freq, [F.col("tf"), F.col("tok")], "rank").select(
         "tok", "rank"
@@ -448,6 +454,8 @@ def prefix_filter_jaccard_pairs(
             ),
         )
     sets_ = sets_.persist()
+    sets_.count()  # materialize the rank sets off the freq cache ...
+    freq.unpersist()  # ... then release the vocabulary table
     # epsilon guards the float ceil: a ULP-high product would shorten
     # a prefix (false negatives); a longer prefix is always safe
     ssz = F.col("ssz")

@@ -38,6 +38,21 @@ GLOBAL_KEY = "__global__"
 BUCKET = "__bucket__"
 
 
+def _is_null_cell(val: Any) -> bool:
+    """NULL test that works for ANY payload type: ``pd.isna`` on an
+    array/struct cell returns an elementwise array (whose truth value
+    raises), so test identity/scalars explicitly — the dataless-event
+    rule must apply to vector payloads too."""
+    if val is None:
+        return True
+    if isinstance(val, (list, tuple, dict)):
+        return False
+    try:
+        return bool(pd.isna(val))
+    except (TypeError, ValueError):
+        return False
+
+
 def _order_cols(time_col: str | None, seq_col: str | None) -> list[str]:
     cols = [c for c in (time_col, seq_col) if c]
     if not cols:
@@ -189,7 +204,7 @@ def scan_apply(
             acc = []
             for tup in g.itertuples(index=False, name=None):
                 row = dict(zip(cols, tup))
-                if null_passthrough is not None and pd.isna(
+                if null_passthrough is not None and _is_null_cell(
                     row[null_passthrough]
                 ):
                     acc.append(None)  # dataless event passes unchanged
@@ -235,7 +250,7 @@ def filter_acc_apply(
             keep = []
             for tup in g.itertuples(index=False, name=None):
                 row = dict(zip(cols, tup))
-                if null_passthrough is not None and pd.isna(
+                if null_passthrough is not None and _is_null_cell(
                     row[null_passthrough]
                 ):
                     keep.append(True)  # dataless event passes

@@ -1019,7 +1019,12 @@ def q63_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS DOUBLE) / count(*) AS comp
            FROM a1 CROSS JOIN range(1, 65) t(p)
            GROUP BY cid, p),
-         c1 AS (SELECT cid, list(comp ORDER BY p) AS cv FROM m GROUP BY cid)
+         mc AS (SELECT cid, list(comp ORDER BY p) AS cv FROM m GROUP BY cid),
+         -- a centroid that lost every point keeps its init position
+         -- (kmeans keeps empty clusters at their previous coordinates;
+         -- dropping them here would mis-assign the survivors' neighbors)
+         c1 AS (SELECT c0.cid, coalesce(mc.cv, c0.cv) AS cv
+                FROM c0 LEFT JOIN mc USING (cid))
     SELECT vec_id, centroid_id, cos FROM (
         SELECT e.vec_id, c1.cid AS centroid_id,
                round(list_dot_product(e.v, c1.cv)

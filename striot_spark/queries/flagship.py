@@ -183,7 +183,7 @@ def q65_frequent_routes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_routes_stream(spark, src, schema, ck)
 
 
-_CENTS_SQL = "CAST(round((value)*100.0, 0) AS BIGINT)"
+from striot_spark.queries.events_ops import CENTS_SQL as _Q78_CENTS
 
 
 @register(
@@ -191,8 +191,8 @@ _CENTS_SQL = "CAST(round((value)*100.0, 0) AS BIGINT)"
     f"""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            count(*) AS n,
-           sum({_CENTS_SQL}) / 100.0 AS sum_value,
-           sum({_CENTS_SQL}) / count(*) / 100.0 AS avg_value
+           sum({_Q78_CENTS}) / 100.0 AS sum_value,
+           sum({_Q78_CENTS}) / count(*) / 100.0 AS avg_value
     FROM events GROUP BY 1
     """,
     doc="streaming chopTime aggregation (watermarked tumbling window + "

@@ -26,7 +26,9 @@ until the library is present on the cluster.
 
 from __future__ import annotations
 
+import threading
 import time
+import uuid
 from dataclasses import dataclass
 from typing import Iterator, Tuple
 
@@ -96,6 +98,7 @@ class MQTTStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
         self.conf = MQTTConfig.from_options(options)
         self._buffer: list[tuple] = []  # (seq, topic, payload, ts)
+        self._lock = threading.Lock()
         self._seq = 0
         self._client = None
 
@@ -104,14 +107,20 @@ class MQTTStreamReader(SimpleDataSourceStreamReader):
 
     def _connect(self):  # pragma: no cover - needs a broker
         mqtt = _paho()
-        c = mqtt.Client(client_id=self.conf.client_id)
+        # unique client id: MQTT brokers kick the live session on a
+        # duplicate id, so a shared id would make reader/writer tasks
+        # take each other down in a connect storm
+        c = mqtt.Client(
+            client_id=f"{self.conf.client_id}-r-{uuid.uuid4().hex[:8]}"
+        )
         c.username_pw_set(self.conf.username, self.conf.password)
 
         def on_message(client, userdata, msg):
-            self._seq += 1
-            self._buffer.append(
-                (self._seq, msg.topic, bytes(msg.payload), time.time())
-            )
+            with self._lock:
+                self._seq += 1
+                self._buffer.append(
+                    (self._seq, msg.topic, bytes(msg.payload), time.time())
+                )
 
         c.on_message = on_message
         c.connect(self.conf.host, self.conf.port)
@@ -122,20 +131,33 @@ class MQTTStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         if self._client is None:
             self._client = self._connect()
-        rows = [r for r in self._buffer if r[0] > start["seq"]]
-        end = {"seq": rows[-1][0] if rows else start["seq"]}
-        self._buffer = []
-        return iter([r[1:] for r in rows]), end
+        # snapshot under the lock; a blanket `self._buffer = []` outside
+        # it would drop messages the paho thread appends between the
+        # snapshot and the clear (data-loss race). Rows are pruned only
+        # at commit(), so an uncommitted batch remains replayable from
+        # the local buffer within this process lifetime.
+        with self._lock:
+            rows = [r for r in self._buffer if r[0] > start["seq"]]
+        end_seq = rows[-1][0] if rows else start["seq"]
+        return iter([r[1:] for r in rows]), {"seq": end_seq}
 
     def readBetweenOffsets(
         self, start: dict, end: dict
     ) -> Iterator[Tuple]:
-        # QoS0: no replay source of truth; serve what's still local
-        return iter(
-            r[1:]
-            for r in self._buffer
-            if start["seq"] < r[0] <= end["seq"]
-        )
+        # replay an uncommitted batch from the retained buffer (QoS0:
+        # the broker itself keeps no replayable log)
+        with self._lock:
+            rows = [
+                r
+                for r in self._buffer
+                if start["seq"] < r[0] <= end["seq"]
+            ]
+        return iter(r[1:] for r in rows)
+
+    def commit(self, end: dict) -> None:
+        # offsets up to `end` are checkpointed by Spark: safe to prune
+        with self._lock:
+            self._buffer = [r for r in self._buffer if r[0] > end["seq"]]
 
 
 class MQTTStreamWriter(DataSourceStreamWriter):
@@ -147,7 +169,11 @@ class MQTTStreamWriter(DataSourceStreamWriter):
 
     def write(self, rows) -> WriterCommitMessage:  # pragma: no cover
         mqtt = _paho()
-        c = mqtt.Client(client_id=self.conf.client_id)
+        # per-task unique id: concurrent partition writers with one
+        # shared id would repeatedly kick each other off the broker
+        c = mqtt.Client(
+            client_id=f"{self.conf.client_id}-w-{uuid.uuid4().hex[:8]}"
+        )
         c.username_pw_set(self.conf.username, self.conf.password)
         c.connect(self.conf.host, self.conf.port)
         n = 0

@@ -389,6 +389,34 @@ def test_scan_apply_null_passthrough_matches_algebraic(spark, nulls):
     assert a == b
 
 
+def test_scan_apply_null_passthrough_array_payload(spark):
+    """The dataless-event rule must work for ARRAY payloads too:
+    pd.isna on an array cell returns an elementwise array (ambiguous
+    truth value) — the null check has to be type-safe."""
+    from striot_spark.operators.stateful import scan_apply
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, None),  # dataless event
+            (3, [3.0, 4.0]),
+        ],
+        "seq long, vec array<double>",
+    )
+    out = scan_apply(
+        df,
+        step=lambda st, row: (st or 0.0) + sum(row["vec"]),
+        init=None,
+        out_field="total",
+        out_type="double",
+        time_col=None,
+        seq_col="seq",
+        null_passthrough="vec",
+    )
+    got = {r["seq"]: r["total"] for r in out.collect()}
+    assert got == {1: 3.0, 2: None, 3: 10.0}
+
+
 def test_filter_acc_null_passthrough_changes(spark, nulls):
     """Dedup-on-change: NULL rows always pass; data rows compare against
     the last NON-NULL value (so 2.0 after [2.0, NULL] is still a dup)."""
