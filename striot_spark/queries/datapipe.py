@@ -1055,3 +1055,62 @@ def q64_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, _ = SIM.kmeans(emb, k=8, max_iter=1)
     return assigned
+
+
+@register(
+    "q84_incremental_ingest_dedup",
+    f"""
+    WITH hist AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+    new AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+    seen AS (SELECT DISTINCT md5(text) AS fp FROM hist),
+    survivors AS (
+        SELECT n.doc_id, md5(n.text) AS fp FROM new n
+        WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = md5(n.text))),
+    -- also drop exact dups WITHIN the new batch (keep smallest id)
+    kept AS (
+        SELECT min(doc_id) AS doc_id, fp
+        FROM survivors GROUP BY fp)
+    SELECT doc_id, fp FROM kept
+    """,
+    doc="incremental corpus ingestion: a new batch deduped against the "
+    "HISTORICAL corpus (digest anti-join — 16-byte keys shuffle, "
+    "never bodies) and within itself (digest groupBy, keep smallest "
+    "id). The daily-append shape: history contributes only its "
+    "fingerprint table, which at 100 TB is the persisted artifact of "
+    "past ingests, not a rescan",
+)
+def q84_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    seen = hist.select(
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp")
+    ).distinct()
+    fresh = new.withColumn(
+        "fp", F.md5(F.encode(F.col("text"), "UTF-8"))
+    ).join(seen, "fp", "left_anti")
+    return fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", "fp"
+    )
+
+
+@register(
+    "q85_length_quartiles",
+    """
+    SELECT doc_id, lang,
+           ntile(4) OVER (PARTITION BY lang
+                          ORDER BY length(text), doc_id) AS quartile
+    FROM documents
+    """,
+    doc="per-language length quartiles via ntile — the stratification "
+    "prep for length-balanced sampling; partitioned by lang so no "
+    "single-partition global sort (deterministic doc_id tiebreak)",
+)
+def q85_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.length("text"), F.col("doc_id"))
+    return docs.select(
+        "doc_id", "lang", F.ntile(4).over(w).alias("quartile")
+    )

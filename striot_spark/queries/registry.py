@@ -85,6 +85,8 @@ _SWEEP_FIRST = [
     "q81_sole_returned_supplier",
     "q82_cube_counts",
     "q83_set_ops_users",
+    "q84_incremental_ingest_dedup",
+    "q85_length_quartiles",
 ]
 _SWEEP_LAST = [
     "q34_filteracc_above_running_avg",
