@@ -275,6 +275,11 @@ def scan_stream(
     events within a micro-batch are processed in event-time order.
     Cross-batch order is arrival order — the same guarantee the
     reference's distributed merge gives (``Nodes/TCP.hs:52-59``).
+
+    State never times out by design (a running scan's accumulator lives
+    for the stream's lifetime, like the reference's), so total state =
+    one tuple per DISTINCT KEY — bound the key domain, or add a
+    GroupStateTimeout if abandoned keys should expire.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -289,8 +294,13 @@ def scan_stream(
         k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         acc = state.get[0] if state.exists else init
-        for pdf in pdfs:
-            pdf = pdf.sort_values(time_col, kind="mergesort")
+        # concat BEFORE sorting: Spark chunks a large per-key batch into
+        # several frames, and a per-chunk sort would only order within
+        # chunks — the whole batch must sort as one (memory bound = one
+        # key's one micro-batch, the operator's documented granularity)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(time_col, kind="mergesort")
             out = []
             for row in pdf.to_dict("records"):
                 acc = step(acc, row)
@@ -339,8 +349,11 @@ def filter_acc_stream(
         k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         acc = tuple(state.get) if state.exists else tuple(init)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(time_col, kind="mergesort")
+        # concat before sorting — see scan_stream: a chunked batch must
+        # order as ONE sequence or the accumulator sees wrong order
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(time_col, kind="mergesort")
             keep = []
             for row in pdf.to_dict("records"):
                 keep.append(bool(pred(row, acc)))
