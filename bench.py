@@ -57,13 +57,14 @@ def main() -> None:
     # but their wall time measures checkpoint replay, not engine
     # throughput — keep the bench a batch-compute signal
     skip = {"q65_frequent_routes_stream", "q78_window_agg_stream"}
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
     timings: dict[str, float] = {}
     for name, fn in sorted(all_queries().items()):
         if name in skip:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(repeats):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
