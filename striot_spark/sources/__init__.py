@@ -1,4 +1,9 @@
-from striot_spark.sources.batch import event_stream, load_table, load_tables
+from striot_spark.sources.batch import (
+    event_stream,
+    load_table,
+    load_tables,
+    register_views,
+)
 from striot_spark.sources.bucketed import (
     read_bucketed,
     write_bucketed,
@@ -10,6 +15,7 @@ __all__ = [
     "event_stream",
     "load_table",
     "load_tables",
+    "register_views",
     "read_bucketed",
     "write_bucketed",
     "write_partitioned",

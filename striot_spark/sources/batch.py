@@ -126,3 +126,14 @@ def event_stream(spark: SparkSession, sf_dir: str):
 
     df = load_table(spark, sf_dir, "events")
     return Stream(df, time_col="ts", seq_col="event_id", dense_seq=True)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so the engine's
+    second front door — ``spark.sql`` — works against the same data the
+    DataFrame API uses (identical nanos-timestamp handling via
+    ``load_table``). Queries written either way compile to the same
+    Catalyst plans; the oracle gate's SQL strings run almost verbatim.
+    """
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

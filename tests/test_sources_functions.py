@@ -178,3 +178,32 @@ def test_partitioned_write_avoids_small_files(spark, sf_dir, tmp_path):
         == spark.read.parquet(str(naive)).count()
         == docs.count()
     )
+
+
+def test_register_views_sql_front_door(spark, sf_dir):
+    """spark.sql over the registered views matches the DataFrame API —
+    same tables, same plans, either syntax."""
+    from striot_spark.sources.batch import load_table, register_views
+
+    register_views(spark, sf_dir)
+    got = spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag
+        """
+    ).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    exp = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert {(r["l_returnflag"], r["n"]) for r in got} == {
+        (r["l_returnflag"], r["n"]) for r in exp
+    }
