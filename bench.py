@@ -56,7 +56,11 @@ def main() -> None:
     # streaming-drain queries are correctness-gated (q65 == q30's oracle)
     # but their wall time measures checkpoint replay, not engine
     # throughput — keep the bench a batch-compute signal
-    skip = {"q65_frequent_routes_stream", "q78_window_agg_stream"}
+    skip = {
+        "q65_frequent_routes_stream",
+        "q78_window_agg_stream",
+        "q86_sessionize_stream",
+    }
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
     timings: dict[str, float] = {}

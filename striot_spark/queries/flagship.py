@@ -233,3 +233,61 @@ def q78_window_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         "avg_value",
     )
+
+
+@register(
+    "q86_sessionize_stream",
+    """
+    WITH flags AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id, ts,
+               sum(ns) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flags)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*) AS n
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="streaming sessionization (native session_window, watermarked "
+    "state) drained available-now and hash-checked against the batch "
+    "gaps-and-islands oracle (q12's semantics on user_id, "
+    "session_start, n) — third driver-visible streaming parity row",
+)
+def q86_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.analytics import ts_str
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema)
+    agg = RT.session_agg_stream(
+        sdf,
+        "ts",
+        "30 minutes",
+        {"n": F.count(F.lit(1))},
+        key=["user_id"],
+        watermark="1 minute",
+    )
+    drained = RT.run_available_now(
+        agg,
+        f"q86_sess_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q86_ck_"),
+        mode="complete",
+    )
+    return drained.select(
+        "user_id",
+        ts_str(F.col("session_start")).alias("session_start"),
+        "n",
+    )

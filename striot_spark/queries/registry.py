@@ -87,6 +87,7 @@ _SWEEP_FIRST = [
     "q83_set_ops_users",
     "q84_incremental_ingest_dedup",
     "q85_length_quartiles",
+    "q86_sessionize_stream",
 ]
 _SWEEP_LAST = [
     "q34_filteracc_above_running_avg",
