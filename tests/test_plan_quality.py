@@ -373,3 +373,37 @@ def test_global_index_two_pass_at_scale(spark):
         assert by_idx[0] == 0 and by_idx[n - 1] == n - 1
     finally:
         spark.conf.unset(SMALL_INPUT_CONF)
+
+
+def test_interval_join_at_scale_exact_count(spark):
+    """Binned interval join on ~1M-per-side synthetic data where the
+    answer is analytic: left probes at t=100..9900s (step 100), rights
+    every second per key, window [0, +10s] inclusive -> exactly 11
+    matches per probe. Runtime evidence the binning neither drops nor
+    duplicates matches across bin boundaries."""
+    from striot_spark.operators.join import interval_join
+
+    n_keys, right_per_key = 100, 10_000
+    right = (
+        spark.range(n_keys * right_per_key)
+        .select(
+            (F.col("id") % n_keys).alias("k"),
+            F.timestamp_seconds(
+                (F.col("id") / n_keys).cast("long")
+            ).alias("r_ts"),
+        )
+    )
+    probes_per_key = 99  # t = 100, 200, ..., 9900 (window fits inside)
+    left = (
+        spark.range(n_keys * probes_per_key)
+        .select(
+            (F.col("id") % n_keys).alias("k"),
+            F.timestamp_seconds(
+                ((F.col("id") / n_keys).cast("long") + 1) * 100
+            ).alias("l_ts"),
+        )
+    )
+    out = interval_join(left, right, ["k"], "l_ts", "r_ts", 0.0, 10.0)
+    assert out.count() == n_keys * probes_per_key * 11
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
