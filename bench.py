@@ -61,7 +61,7 @@ def main() -> None:
         "q78_window_agg_stream",
         "q86_sessionize_stream",
     }
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
 
     timings: dict[str, float] = {}
     for name, fn in sorted(all_queries().items()):

@@ -1099,7 +1099,8 @@ def q84_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, lang,
            ntile(4) OVER (PARTITION BY lang
-                          ORDER BY length(text), doc_id) AS quartile
+                          ORDER BY length(text) NULLS FIRST, doc_id)
+               AS quartile
     FROM documents
     """,
     doc="per-language length quartiles via ntile — the stratification "

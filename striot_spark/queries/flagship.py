@@ -235,11 +235,14 @@ def q78_window_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from striot_spark.queries.events_ops import TS_FMT as _TS_FMT
+
+
 @register(
     "q86_sessionize_stream",
-    """
+    f"""
     WITH flags AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                     THEN 1 ELSE 0 END AS ns
@@ -248,12 +251,12 @@ def q78_window_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
         SELECT user_id, ts,
                sum(ns) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS session_id
         FROM flags)
     SELECT user_id,
-           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(min(ts), '{_TS_FMT}') AS session_start,
            count(*) AS n
     FROM s GROUP BY user_id, session_id
     """,

@@ -132,8 +132,6 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view so the engine's
     second front door — ``spark.sql`` — works against the same data the
     DataFrame API uses (identical nanos-timestamp handling via
-    ``load_table``). Queries written either way compile to the same
-    Catalyst plans; the oracle gate's SQL strings run almost verbatim.
-    """
-    for name in TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    ``load_table``); delegates to ``load_tables(register_views=True)``
+    so the two front doors can never drift."""
+    load_tables(spark, sf_dir, register_views=True)

@@ -518,8 +518,11 @@ def sliding_count_stream(
         k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         buf = list(state.get[0]) if state.exists else []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        # concat before sorting — see scan_stream: a chunked batch must
+        # order as ONE sequence or the buffer sees wrong event order
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(sort_cols, kind="mergesort")
             out = []
             for v in pdf[value_col].tolist():
                 out.append(agg(buf[-(n - 1):] + [v] if n > 1 else [v]))
