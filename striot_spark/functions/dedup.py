@@ -716,6 +716,22 @@ def simhash_near_dup_pairs(
     # fingerprints are (id, long) but cost an md5 per token to derive;
     # self-join recomputes lineage per side → materialize once
     sh = simhash(df, id_col, text_col).persist()
+    return simhash_band_pairs_from_hashes(
+        sh, bands, band_bits, max_hamming, id_col=id_col
+    )
+
+
+def simhash_band_pairs_from_hashes(
+    sh: DataFrame,
+    bands: int = 4,
+    band_bits: int = 15,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band-join + exact verify over a precomputed ``(id, simhash)``
+    frame — the candidate stage of ``simhash_near_dup_pairs``, exposed
+    so the pigeonhole-recall guarantee (hamming <= bands-1 pairs MUST
+    share a band) is testable on controlled fingerprints."""
     mask = (1 << band_bits) - 1
     banded = sh.select(
         F.col(id_col),

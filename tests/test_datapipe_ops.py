@@ -572,3 +572,37 @@ def test_extract_features_bridges_media_to_ann(spark):
     }
     assert assigned[1] == 0  # all-'a' payload matches the 'a' centroid
     assert assigned[2] == 1  # uniform payload matches the uniform one
+
+
+def test_simhash_band_recall_pigeonhole(spark):
+    """4 bands x 15 bits over 60-bit fingerprints: any pair within
+    hamming distance 3 differs in at most 3 bands, so at least one
+    band matches — recall is GUARANTEED (pigeonhole), not
+    probabilistic, for hamming <= bands-1. Verified on synthetic
+    fingerprints with exactly 0..3 flipped bits."""
+    import random
+
+    from striot_spark.functions.dedup import simhash_band_pairs_from_hashes
+
+    rng = random.Random(5)
+    rows = []
+    base_ids = []
+    for i in range(20):
+        base = rng.getrandbits(60)
+        a = 1000 + i * 10
+        rows.append((a, base))
+        flips = rng.sample(range(60), rng.randint(0, 3))
+        mutated = base
+        for b in flips:
+            mutated ^= 1 << b
+        rows.append((a + 1, mutated))
+        base_ids.append((a, a + 1))
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_band_pairs_from_hashes(
+            df, bands=4, band_bits=15, max_hamming=8
+        ).collect()
+    }
+    for pair in base_ids:
+        assert pair in got, pair
