@@ -9,7 +9,11 @@ from striot_spark.sources.bucketed import (
     write_bucketed,
     write_partitioned,
 )
-from striot_spark.sources.csv import csv_with_rejects, load_taxi_csv
+from striot_spark.sources.csv import (
+    csv_with_rejects,
+    jsonl_with_rejects,
+    load_taxi_csv,
+)
 
 __all__ = [
     "event_stream",
@@ -20,5 +24,6 @@ __all__ = [
     "write_bucketed",
     "write_partitioned",
     "csv_with_rejects",
+    "jsonl_with_rejects",
     "load_taxi_csv",
 ]

@@ -181,3 +181,34 @@ def csv_with_rejects(
         "raw_line"
     )
     return good, rejects
+
+
+def jsonl_with_rejects(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter JSONL ingestion — same contract as
+    ``csv_with_rejects`` for the training-data interchange format:
+    ``(good, rejects)`` from ONE ``text`` scan + ``from_json`` per
+    consumer. Malformed lines (bad JSON, schema-violating field types)
+    land verbatim in ``rejects``; good rows parse fully typed.
+    """
+    corrupt = "_corrupt_record"
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt, StringType())]
+    )
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt}
+    opts.update(options)
+    parsed = spark.read.text(path).select(
+        F.col("value").alias("raw_line"),
+        F.from_json(F.col("value"), full.simpleString(), opts).alias("e"),
+    )
+    good = parsed.filter(F.col(f"e.{corrupt}").isNull()).select(
+        *[F.col(f"e.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    rejects = parsed.filter(F.col(f"e.{corrupt}").isNotNull()).select(
+        "raw_line"
+    )
+    return good, rejects

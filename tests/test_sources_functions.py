@@ -207,3 +207,50 @@ def test_register_views_sql_front_door(spark, sf_dir):
     assert {(r["l_returnflag"], r["n"]) for r in got} == {
         (r["l_returnflag"], r["n"]) for r in exp
     }
+
+
+def test_jsonl_roundtrip_with_rejects(spark, sf_dir, tmp_path):
+    """documents -> JSONL export -> dead-letter re-import: good rows
+    roundtrip exactly; an injected malformed line and a type-violating
+    line land verbatim in rejects."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from striot_spark.sources.batch import load_table
+    from striot_spark.sources.csv import jsonl_with_rejects
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    exported = tmp_path / "export"
+    docs.coalesce(1).write.mode("overwrite").json(str(exported))
+    # inject one broken + one schema-violating line (into a FRESH dir —
+    # appending to files Spark just wrote trips its cached file sizes)
+    bad1 = '{"doc_id": not-json'
+    bad2 = '{"doc_id": "NaN-ish", "text": 42, "lang": {}}'
+    part = next(exported.glob("part-*.json"))
+    out = tmp_path / "ingest"
+    out.mkdir()
+    (out / "data.jsonl").write_text(
+        part.read_text() + bad1 + "\n" + bad2 + "\n"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    good, rejects = jsonl_with_rejects(spark, str(out), schema)
+    n = docs.count()
+    assert good.count() == n
+    got = {r["raw_line"] for r in rejects.collect()}
+    assert bad1 in got and bad2 in got
+    # typed roundtrip equality on a sample column set
+    a = {(r["doc_id"], r["lang"]) for r in good.collect()}
+    b = {(r["doc_id"], r["lang"]) for r in docs.collect()}
+    assert a == b
