@@ -141,6 +141,43 @@ def frequent_routes(trips: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def _text_scan_with_rejects(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    parse,
+    options: dict,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared dead-letter lowering for line formats: ONE ``text`` scan;
+    ``parse(value_col, schema_ddl, opts)`` returns the typed struct.
+
+    Reject routing covers all three observed failure shapes (probed on
+    this Spark version): (a) parser-flagged lines (corrupt column set),
+    (b) lines the parser maps to a NULL struct (``from_json`` on blank
+    input), (c) blank/whitespace-only lines that would otherwise emit
+    silent all-null rows (``from_csv('')``)."""
+    corrupt = "_corrupt_record"
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt, StringType())]
+    )
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt}
+    opts.update(options)
+    parsed = spark.read.text(path).select(
+        F.col("value").alias("raw_line"),
+        parse(F.col("value"), full.simpleString(), opts).alias("e"),
+    )
+    is_reject = (
+        F.col(f"e.{corrupt}").isNotNull()
+        | F.col("e").isNull()
+        | (F.trim(F.col("raw_line")) == "")
+    )
+    good = parsed.filter(~is_reject).select(
+        *[F.col(f"e.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    rejects = parsed.filter(is_reject).select("raw_line")
+    return good, rejects
+
+
 def csv_with_rejects(
     spark: SparkSession,
     path: str,
@@ -149,7 +186,8 @@ def csv_with_rejects(
 ) -> tuple[DataFrame, DataFrame]:
     """Dead-letter CSV ingestion: returns ``(good, rejects)`` where
     ``good`` carries only fully-parsed typed rows and ``rejects`` the
-    raw text of every malformed line (wrong arity, unparseable field).
+    raw text of every malformed line (wrong arity, unparseable field,
+    blank line).
 
     The reference's CSV sources (``Taxi.hs:123-140``) run ``read`` on
     each line and would crash the node on a malformed one; at 100 TB
@@ -162,25 +200,13 @@ def csv_with_rejects(
     through ``from_csv`` (not the csv file source) side-steps Spark's
     restriction on file scans that reference only the internal corrupt
     column, needs no cache() workaround, and both outputs stay pure
-    scan→project→filter pipelines.
+    scan->project->filter pipelines.
+
+    Note the parser's leniency limits: values COERCIBLE to the declared
+    type (a number feeding a string column) parse as good — the rejects
+    set catches structural damage, not semantic surprises.
     """
-    corrupt = "_corrupt_record"
-    full = StructType(
-        list(schema.fields) + [StructField(corrupt, StringType())]
-    )
-    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt}
-    opts.update(options)
-    parsed = spark.read.text(path).select(
-        F.col("value").alias("raw_line"),
-        F.from_csv(F.col("value"), full.simpleString(), opts).alias("e"),
-    )
-    good = parsed.filter(F.col(f"e.{corrupt}").isNull()).select(
-        *[F.col(f"e.{f.name}").alias(f.name) for f in schema.fields]
-    )
-    rejects = parsed.filter(F.col(f"e.{corrupt}").isNotNull()).select(
-        "raw_line"
-    )
-    return good, rejects
+    return _text_scan_with_rejects(spark, path, schema, F.from_csv, options)
 
 
 def jsonl_with_rejects(
@@ -189,26 +215,10 @@ def jsonl_with_rejects(
     schema: StructType,
     **options: str,
 ) -> tuple[DataFrame, DataFrame]:
-    """Dead-letter JSONL ingestion — same contract as
+    """Dead-letter JSONL ingestion — same contract and lowering as
     ``csv_with_rejects`` for the training-data interchange format:
-    ``(good, rejects)`` from ONE ``text`` scan + ``from_json`` per
-    consumer. Malformed lines (bad JSON, schema-violating field types)
-    land verbatim in ``rejects``; good rows parse fully typed.
-    """
-    corrupt = "_corrupt_record"
-    full = StructType(
-        list(schema.fields) + [StructField(corrupt, StringType())]
-    )
-    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt}
-    opts.update(options)
-    parsed = spark.read.text(path).select(
-        F.col("value").alias("raw_line"),
-        F.from_json(F.col("value"), full.simpleString(), opts).alias("e"),
-    )
-    good = parsed.filter(F.col(f"e.{corrupt}").isNull()).select(
-        *[F.col(f"e.{f.name}").alias(f.name) for f in schema.fields]
-    )
-    rejects = parsed.filter(F.col(f"e.{corrupt}").isNotNull()).select(
-        "raw_line"
-    )
-    return good, rejects
+    malformed JSON, lines with type-INCOMPATIBLE fields, blank lines,
+    and lines parsing to a null struct land verbatim in ``rejects``;
+    coercible values (number -> declared string) parse as good, like
+    any lenient JSON reader."""
+    return _text_scan_with_rejects(spark, path, schema, F.from_json, options)

@@ -140,14 +140,17 @@ def test_csv_with_rejects_dead_letter_split(spark, tmp_path):
         "m3,h3,2015-01-01 11:00:00,2015-01-01 11:10:00,600,1.5,"
         "-73.9,40.7,-73.95,40.75,CRD,8.0,0.5,0.5,1.0,0.0,10.0"
     )
-    (tmp_path / "t.csv").write_text("\n".join([good1, bad, good2]) + "\n")
+    (tmp_path / "t.csv").write_text(
+        "\n".join([good1, bad, good2]) + "\n\n"  # trailing blank line
+    )
     g, r = csv_with_rejects(
         spark, str(tmp_path), TAXI_SCHEMA, timestampFormat="yyyy-M-d HH:mm:ss"
     )
     assert sorted(row["medallion"] for row in g.collect()) == ["m1", "m3"]
     assert g.schema["trip_time_in_secs"].dataType.simpleString() == "int"
-    rejects = r.collect()
-    assert len(rejects) == 1 and rejects[0]["raw_line"] == bad
+    rejects = {row["raw_line"] for row in r.collect()}
+    # the malformed line AND the blank line (silent all-null trap) reject
+    assert rejects == {bad, ""}
 
 
 def test_partitioned_write_avoids_small_files(spark, sf_dir, tmp_path):
@@ -236,7 +239,7 @@ def test_jsonl_roundtrip_with_rejects(spark, sf_dir, tmp_path):
     out = tmp_path / "ingest"
     out.mkdir()
     (out / "data.jsonl").write_text(
-        part.read_text() + bad1 + "\n" + bad2 + "\n"
+        part.read_text() + bad1 + "\n" + bad2 + "\n\n"  # + blank line
     )
     schema = StructType(
         [
@@ -249,7 +252,7 @@ def test_jsonl_roundtrip_with_rejects(spark, sf_dir, tmp_path):
     n = docs.count()
     assert good.count() == n
     got = {r["raw_line"] for r in rejects.collect()}
-    assert bad1 in got and bad2 in got
+    assert bad1 in got and bad2 in got and "" in got
     # typed roundtrip equality on a sample column set
     a = {(r["doc_id"], r["lang"]) for r in good.collect()}
     b = {(r["doc_id"], r["lang"]) for r in docs.collect()}
