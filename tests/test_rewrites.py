@@ -144,3 +144,27 @@ def test_optimize_terminates_and_is_idempotent():
     )
     opt = R.optimize(chain)
     assert R.optimize(opt) == opt
+
+
+def test_chain_to_dot_renders_ops_and_jackson_style():
+    """VizGraph parity (VizGraph.hs:streamGraphToDot/jacksonStyle):
+    Source -> ops -> Sink digraph; utilisations annotate labels and an
+    unstable node (rho >= 1) gets the red outline."""
+    from striot_spark.plans.graph import FilterAccOp, FilterOp, MapOp
+    from striot_spark.plans.viz import chain_to_dot
+
+    chain = (
+        FilterOp(pred=lambda v: v > 0, selectivity=0.5),
+        MapOp(fn=lambda v: v * 2),
+        FilterAccOp(
+            step=lambda a, v: v, init=None, pred=lambda v, a: True
+        ),
+    )
+    dot = chain_to_dot(chain, utilisations=[0.4, 1.2, 0.9])
+    assert dot.startswith("digraph striot {")
+    assert dot.count("->") == 4  # Source->f->m->fa->Sink
+    assert "streamFilter" in dot and "streamMap" in dot
+    assert "streamFilterAcc" in dot
+    assert "rho=0.4" in dot and "rho=1.2" in dot
+    assert "color=red" in dot  # the unstable node is highlighted
+    assert dot.rstrip().endswith("}")
