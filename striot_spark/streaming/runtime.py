@@ -257,6 +257,26 @@ def interval_join_stream(
 
 
 # -- stateful operators ------------------------------------------------------
+#
+# Two lowerings exist for each stateful operator:
+# - transformWithStateInPandas (``tws.py``) — Spark 4's replacement API
+#   (named state vars, per-state TTL, timers); needs protobuf + RocksDB
+#   state store on the workers.
+# - applyInPandasWithState (below) — the legacy API, still shipped and
+#   exercised everywhere (it has no Python-side server dependency).
+# ``api="auto"`` picks TWS when the platform can run it (``tws_available``),
+# else the legacy path. Both share identical ordering/accumulator
+# semantics, pinned by tests/test_tws.py against the batch oracle.
+
+
+def _resolve_api(api: str) -> str:
+    from striot_spark.streaming.tws import tws_available
+
+    if api == "auto":
+        return "tws" if tws_available() else "legacy"
+    if api not in ("tws", "legacy"):
+        raise ValueError(f"api must be auto|tws|legacy, got {api!r}")
+    return api
 
 
 def scan_stream(
@@ -268,8 +288,11 @@ def scan_stream(
     key: Sequence[str],
     time_col: str,
     state_type: str = "acc double",
+    api: str = "auto",
 ) -> DataFrame:
-    """Streaming streamScan via applyInPandasWithState.
+    """Streaming streamScan via transformWithStateInPandas (Spark 4
+    API) with an applyInPandasWithState fallback — see the section
+    comment above.
 
     Per-key state (a single accumulator encoded in ``state_type``);
     events within a micro-batch are processed in event-time order.
@@ -278,9 +301,16 @@ def scan_stream(
 
     State never times out by design (a running scan's accumulator lives
     for the stream's lifetime, like the reference's), so total state =
-    one tuple per DISTINCT KEY — bound the key domain, or add a
-    GroupStateTimeout if abandoned keys should expire.
+    one tuple per DISTINCT KEY — bound the key domain, or (on the TWS
+    path) pass ``ttl_ms`` via ``tws.scan_stream_tws`` so abandoned
+    keys expire.
     """
+    if _resolve_api(api) == "tws":
+        from striot_spark.streaming.tws import scan_stream_tws
+
+        return scan_stream_tws(
+            sdf, step, init, out_field, out_type, key, time_col, state_type
+        )
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     key = list(key)
@@ -327,8 +357,11 @@ def filter_acc_stream(
     key: Sequence[str],
     time_col: str,
     state_type: str = "acc double",
+    api: str = "auto",
 ) -> DataFrame:
-    """Streaming streamFilterAcc via applyInPandasWithState.
+    """Streaming streamFilterAcc — TWS when available, else
+    applyInPandasWithState (see the stateful-operators section
+    comment).
 
     Exact reference semantics (``src/Striot/FunctionalProcessing.hs:
     181-185``): the predicate sees the accumulator *before* this event's
@@ -338,6 +371,12 @@ def filter_acc_stream(
     order is arrival order (the distributed reference merge guarantee,
     ``Nodes/TCP.hs:52-59``).
     """
+    if _resolve_api(api) == "tws":
+        from striot_spark.streaming.tws import filter_acc_stream_tws
+
+        return filter_acc_stream_tws(
+            sdf, step, init, pred, key, time_col, state_type
+        )
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     key = list(key)
@@ -491,6 +530,7 @@ def sliding_count_stream(
     out_field: str = "agg",
     out_type: str = "double",
     tiebreak: str | None = None,
+    api: str = "auto",
 ) -> DataFrame:
     """Streaming count-based sliding window (reference ``sliding n``,
     ``FunctionalProcessing.hs:93-97``): every event emits ``agg`` over
@@ -504,6 +544,12 @@ def sliding_count_stream(
     order; cross-batch order is arrival order (the reference's
     distributed-merge guarantee, ``Nodes/TCP.hs:52-59``).
     """
+    if _resolve_api(api) == "tws":
+        from striot_spark.streaming.tws import sliding_count_stream_tws
+
+        return sliding_count_stream_tws(
+            sdf, n, value_col, agg, key, time_col, out_field, out_type, tiebreak
+        )
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     key = list(key)
