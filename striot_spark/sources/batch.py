@@ -88,6 +88,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # caller session's JVM-default timezone (the driver uses a plain
         # SparkSession; DuckDB oracle timestamps are TZ-naive ≅ UTC)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Naive parquet timestamps (isAdjustedToUTC=false) must surface as
+        # session-UTC TIMESTAMP, not TIMESTAMP_NTZ: NTZ refuses epoch
+        # casts/window ids, and DuckDB treats the same bytes as wall-clock
+        # — with the session pinned to UTC the two readings are identical.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
