@@ -54,6 +54,93 @@ def q31_joinw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q87_joinw_stream",
+    f"""
+    WITH l AS (
+        SELECT ({EPOCH_S} // 86400) * 86400 AS left_window,
+               sum({CENTS_SQL}) / 100.0 AS revenue
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    r AS (
+        SELECT ({EPOCH_S} // 172800) * 172800 AS right_window,
+               count(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1)
+    SELECT l.left_window, l.left_window - l.left_window % 172800 AS right_window,
+           l.revenue, r.n_clicks
+    FROM l LEFT JOIN r ON r.right_window = l.left_window - l.left_window % 172800
+    """,
+    doc="streamJoinW lowered to Structured Streaming (taxi Q2 pattern, "
+    "Taxi.hs:299-305): two watermarked windowed aggregations — 1-day "
+    "purchase revenue, 2-day click counts — drained available-now, then "
+    "the tiny finalize tier aligns each left window to its containing "
+    "right window (q65's two-tier shape: only the aggregations see fact "
+    "volume; the window-level join is windows-x-keys small and runs in "
+    "foreachBatch in production). Hash-checked against the SAME oracle "
+    "as batch q31. The single-query chained-stateful lowering "
+    "(streaming/runtime.py:join_w_stream) is exercised in "
+    "tests/test_streaming.py — append mode withholds trailing "
+    "unfinalized windows, so the bounded-replay oracle gate uses the "
+    "drain form",
+)
+def q87_joinw_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.analytics import sum_money
+    from striot_spark.queries.flagship import _stage_events
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    tag = uuid.uuid4().hex[:8]
+
+    purchases = RT.file_stream(spark, src, schema).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = RT.file_stream(spark, src, schema).filter(
+        F.col("event_type") == "click"
+    )
+    lw = RT.window_agg_stream(
+        purchases,
+        "ts",
+        "1 day",
+        {"revenue": sum_money(F.col("value"))},
+        watermark="1 minute",
+    )
+    rw = RT.window_agg_stream(
+        clicks,
+        "ts",
+        "2 days",
+        {"n_clicks": F.count(F.lit(1))},
+        watermark="1 minute",
+    )
+    ld = RT.run_available_now(
+        lw,
+        f"q87_l_{tag}",
+        tempfile.mkdtemp(prefix="striot_q87_lck_"),
+        mode="complete",
+    )
+    rd = RT.run_available_now(
+        rw,
+        f"q87_r_{tag}",
+        tempfile.mkdtemp(prefix="striot_q87_rck_"),
+        mode="complete",
+    )
+    # finalize tier: left-start containment alignment (join_w's rule)
+    l = ld.select(
+        F.col("window_start").cast("long").alias("left_window"), "revenue"
+    ).withColumn(
+        "right_window",
+        F.col("left_window") - F.col("left_window") % F.lit(172800),
+    )
+    r = rd.select(
+        F.col("window_start").cast("long").alias("right_window"), "n_clicks"
+    )
+    return l.join(r, "right_window", "left").select(
+        "left_window", "right_window", "revenue", "n_clicks"
+    )
+
+
+@register(
     "q32_joine_window_theta",
     f"""
     WITH p AS (SELECT ({EPOCH_S} // 3600) * 3600 AS window_id, event_id, value

