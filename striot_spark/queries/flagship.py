@@ -294,3 +294,107 @@ def q86_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(F.col("session_start")).alias("session_start"),
         "n",
     )
+
+
+# -- taxi CSV dead-letter entry path under the correctness gate --------------
+
+_STAGED_CSV: dict[str, str] = {}
+
+
+def _stage_taxi_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Render the events table as DEBS-taxi-format CSV text
+    (``sources/csv.py`` F2 schema, 17 fields) with DETERMINISTIC damage
+    injected: every event with ``event_id % 101 == 0`` becomes a
+    wrong-arity line (``CORRUPT``), every remaining ``% 103 == 0`` a
+    blank line — the two malformed-line shapes the dead-letter split
+    must route to rejects. Because the damage rule is arithmetic on
+    event_id, the DuckDB oracle can state the expected good/reject
+    partition directly over the events view. Cached per sf_dir."""
+    import tempfile
+
+    from striot_spark.functions.analytics import cents
+
+    path = _STAGED_CSV.get(sf_dir)
+    if path is not None:
+        return path
+    ev = load_table(spark, sf_dir, "events")
+    ts_s = F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss")
+    fields = [
+        F.concat(F.lit("M"), F.col("user_id").cast("string")),
+        F.concat(F.lit("H"), F.col("user_id").cast("string")),
+        ts_s,
+        ts_s,
+        F.pmod(F.col("event_id"), F.lit(3600)).cast("int").cast("string"),
+        F.lit("1.5"),
+        # constant coords well inside the valid Q1 grid (cell math is
+        # float32; boundary-dependent values would make in_range flaky)
+        F.lit("-73.98"),
+        F.lit("40.75"),
+        F.lit("-73.97"),
+        F.lit("40.74"),
+        F.col("event_type"),
+        F.lit("10.0"),
+        F.lit("0.5"),
+        F.lit("0.5"),
+        F.lit("1.0"),
+        F.lit("0.0"),
+        # integer cents as the float field's text: exact in float32 and
+        # recoverable exactly with a long cast (no float-text round-trip)
+        cents(F.col("value")).cast("string"),
+    ]
+    line = (
+        F.when(F.col("event_id") % 101 == 0, F.lit("CORRUPT"))
+        .when(F.col("event_id") % 103 == 0, F.lit(""))
+        .otherwise(F.concat_ws(",", *fields))
+    )
+    out = tempfile.mkdtemp(prefix="striot_taxi_csv_")
+    ev.select(line.alias("value")).repartition(2).write.mode(
+        "overwrite"
+    ).text(out)
+    _STAGED_CSV[sf_dir] = out
+    return out
+
+
+@register(
+    "q88_taxi_csv_dead_letter",
+    """
+    WITH good AS (
+        SELECT event_type AS payment_type, count(*) AS n,
+               sum(CAST(round((value)*100.0, 0) AS BIGINT)) / 100.0
+                   AS total_amount
+        FROM events
+        WHERE event_id % 101 <> 0 AND event_id % 103 <> 0
+        GROUP BY 1)
+    SELECT payment_type, n, total_amount FROM good
+    UNION ALL
+    SELECT '__rejected__' AS payment_type, count(*) AS n,
+           CAST(NULL AS DOUBLE) AS total_amount
+    FROM events WHERE event_id % 101 = 0 OR event_id % 103 = 0
+    """,
+    doc="the CSV dead-letter entry path end-to-end under the oracle "
+    "gate (sources/csv.py:csv_with_rejects over the F2 taxi schema, "
+    "Taxi.hs:123-140): events rendered as 17-field taxi CSV with "
+    "deterministic damage (wrong-arity + blank lines), parsed with the "
+    "dead-letter split; good rows aggregate per payment_type, rejects "
+    "surface as one counted row — good/reject routing is hash-checked, "
+    "not just unit-tested",
+)
+def q88_taxi_csv_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.sources.csv import TAXI_SCHEMA, csv_with_rejects
+
+    path = _stage_taxi_csv(spark, sf_dir)
+    good, rejects = csv_with_rejects(
+        spark, path, TAXI_SCHEMA, timestampFormat="yyyy-M-d HH:mm:ss"
+    )
+    agg = good.groupBy(F.col("payment_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("total_amount").cast("long")) / 100.0).alias(
+            "total_amount"
+        ),
+    )
+    rej = rejects.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("__rejected__").alias("payment_type"),
+        "n",
+        F.lit(None).cast("double").alias("total_amount"),
+    )
+    return agg.unionByName(rej)

@@ -80,21 +80,56 @@ def _ensure_package_shipped(spark: SparkSession) -> None:
     _SHIPPED_SESSIONS.add(key)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    _ensure_package_shipped(spark)
-    try:  # runtime-settable; set here so any caller-provided session works
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+def _set_session_confs(spark: SparkSession) -> None:
+    """Pin the session confs every table read depends on.
+
+    NOTE: these are intentionally session-wide and stay set after the
+    call — all subsequent parquet reads in the caller's session (not
+    just this library's) see nanos-as-long, UTC session time, and
+    LTZ (not NTZ) inference for naive parquet timestamps. That is the
+    point: the engine's DataFrames and any caller-issued spark.sql over
+    the same views must read timestamps identically.
+
+    Each conf is set in its own try/except so one failing set (e.g. an
+    older Spark without a given key) cannot silently drop the others.
+    """
+    confs = [
+        # the driver's parquet stores TIMESTAMP(NANOS), which the
+        # vectorized reader rejects; read nanos as long (rebuilt below)
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         # timestamp formatting/window arithmetic must not depend on the
         # caller session's JVM-default timezone (the driver uses a plain
         # SparkSession; DuckDB oracle timestamps are TZ-naive ≅ UTC)
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ("spark.sql.session.timeZone", "UTC"),
         # Naive parquet timestamps (isAdjustedToUTC=false) must surface as
         # session-UTC TIMESTAMP, not TIMESTAMP_NTZ: NTZ refuses epoch
         # casts/window ids, and DuckDB treats the same bytes as wall-clock
         # — with the session pinned to UTC the two readings are identical.
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    except Exception:
-        pass
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ]
+    skip_ntz = os.environ.get("STRIOT_SKIP_NTZ_CONF")  # bench A/B hook
+    for key, value in confs:
+        if skip_ntz and key == "spark.sql.parquet.inferTimestampNTZ.enabled":
+            continue
+        try:  # runtime-settable; set here so caller-provided sessions work
+            spark.conf.set(key, value)
+        except Exception as exc:
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "conf.set(%s) failed: %s", key, exc
+            )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table.
+
+    Session-wide side effect (intentional, documented): pins the
+    timestamp-reading confs via ``_set_session_confs`` — see its
+    docstring.
+    """
+    _ensure_package_shipped(spark)
+    _set_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, ()):
         field = df.schema[col]
