@@ -76,6 +76,18 @@ class FilterAccOp(Op):
     selectivity: float = 1.0
 
 
+@dataclass(frozen=True)
+class WindowOp(Op):
+    """streamWindow: group the stream into list-valued events by a
+    window maker (FunctionalProcessing.hs:84-90). ``maker`` maps the
+    finite value list to a list of windows (lists). Present in the IR
+    only for the opt-in reshaping rules (filterWindow /
+    filterAccWindow, LogicalOptimiser.hs:983-1029); the engine's real
+    window lowering is operators/windows.py."""
+
+    maker: Callable[[list], list]
+
+
 Chain = tuple[Op, ...]
 
 
@@ -106,6 +118,8 @@ def run_chain(ops: Iterable[Op], values: Iterable[Any]) -> list[Any]:
                     res.append(v)
                 acc = op.step(acc, v)
             out = res
+        elif isinstance(op, WindowOp):
+            out = [list(w) for w in op.maker(out)]
         else:
             raise TypeError(f"unknown op {op}")
     return out
@@ -124,6 +138,14 @@ def compile_fused(ops: Iterable[Op]):
     boundary) instead of N.
     """
     ops = tuple(ops)
+    for op in ops:
+        if not isinstance(
+            op, (MapOp, FilterOp, ExpandOp, ScanOp, FilterAccOp)
+        ):
+            # WindowOp (and anything future) buffers across events —
+            # not expressible as a per-event kernel; refuse loudly
+            # rather than silently dropping the operator
+            raise TypeError(f"compile_fused cannot fuse {op}")
     inits = tuple(op.init for op in ops if is_stateful(op))
 
     def kernel(state: tuple, value: Any) -> tuple[tuple, list[Any]]:

@@ -30,6 +30,7 @@ from striot_spark.plans.graph import (
     MapOp,
     Op,
     ScanOp,
+    WindowOp,
     is_stateful,
 )
 
@@ -208,6 +209,61 @@ def expand_filter_acc(a: Op, b: Op):
             a,
         )
     return None
+
+
+# -- opt-in reshaping rules --------------------------------------------------
+#
+# The reference ships two rules that move a (stateful) filter to AFTER
+# the window operator (LogicalOptimiser.hs:976-1029). They are NOT
+# generally semantics-preserving — the reference's own comment
+# (LogicalOptimiser.hs:977-981): if the window maker decides on values
+# or sequencing (any count-based maker), pre-filtering alters window
+# membership, and the filter's selectivity is lost for costing. The
+# reference keeps them OUT of its default rule set; so do we —
+# RESHAPING_RULES must be passed explicitly. They are exact for
+# value-independent makers over the same event set (e.g. the complete
+# window); tests/test_rewrites.py pins both the golden pre/post shapes
+# and a demonstration of the documented semantics change under chop n.
+
+
+def filter_window(a: Op, b: Op):
+    """filter p >>> window w ⇒ window w >>> map (filter p)
+    (``filterWindow``, LogicalOptimiser.hs:983-990)."""
+    if isinstance(a, FilterOp) and isinstance(b, WindowOp):
+        return (
+            b,
+            MapOp(lambda vs, p=a.pred: [v for v in vs if p(v)]),
+        )
+    return None
+
+
+def filter_acc_window(a: Op, b: Op):
+    """filterAcc f a p >>> window w ⇒ window w >>> scan (per-window
+    filterAcc carrying the accumulator) >>> map kept
+    (``filterAccWindow``, LogicalOptimiser.hs:1014-1029). The scan
+    state is ``(kept_reversed, acc)`` and the map reverses, mirroring
+    the reference's ``([], a)`` / ``reverse . fst`` shape."""
+    if isinstance(a, FilterAccOp) and isinstance(b, WindowOp):
+
+        def list_facc(st, vs, f=a.step, p=a.pred):
+            acc, kept = st[1], []
+            for v in vs:
+                if p(v, acc):
+                    kept.append(v)
+                acc = f(acc, v)
+            return (kept[::-1], acc)
+
+        return (
+            b,
+            ScanOp(list_facc, ([], a.init)),
+            MapOp(lambda st: st[0][::-1]),
+        )
+    return None
+
+
+#: semantics-changing reshaping rules — opt-in, NEVER in DEFAULT_RULES
+#: (the reference excludes them from its defaults too)
+RESHAPING_RULES: tuple[PairRule, ...] = (filter_window, filter_acc_window)
 
 
 #: default rule set, in application order (stateful fusions first — they

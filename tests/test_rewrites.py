@@ -168,3 +168,76 @@ def test_chain_to_dot_renders_ops_and_jackson_style():
     assert "rho=0.4" in dot and "rho=1.2" in dot
     assert "color=red" in dot  # the unstable node is highlighted
     assert dot.rstrip().endswith("}")
+
+
+# -- opt-in reshaping rules (LogicalOptimiser.hs:976-1029) -------------------
+
+
+def chop2(vs):
+    return [vs[i : i + 2] for i in range(0, len(vs), 2)]
+
+
+def complete(vs):
+    return [list(vs)]
+
+
+def test_filter_window_golden_shape():
+    """filterWindow golden pre/post (LogicalOptimiser.hs:992-1006):
+    filter >>> window  ⇒  window >>> map(filter)."""
+    from striot_spark.plans.graph import WindowOp
+
+    pre = (FilterOp(lambda v: v > 3), WindowOp(chop2))
+    post = R.apply_first(pre, rules=R.RESHAPING_RULES)
+    assert post is not None
+    assert isinstance(post[0], WindowOp) and isinstance(post[1], MapOp)
+    # exact for a value-independent maker over the same event set
+    pre_c = (FilterOp(lambda v: v > 3), WindowOp(complete))
+    post_c = R.apply_first(pre_c, rules=R.RESHAPING_RULES)
+    data = list(range(10))
+    assert run_chain(post_c, data) == run_chain(pre_c, data)
+
+
+def test_filter_acc_window_golden_shape():
+    """filterAccWindow golden pre/post (LogicalOptimiser.hs:1031-1049):
+    filterAcc >>> window ⇒ window >>> scan(windowed filterAcc) >>> map;
+    the accumulator must CARRY ACROSS windows, exactly like the
+    unwindowed filterAcc stream."""
+    from striot_spark.plans.graph import WindowOp
+
+    # dedup-on-change, the reference's own example accumulator
+    facc = FilterAccOp(
+        step=lambda acc, v: v, init=None, pred=lambda v, acc: v != acc
+    )
+    pre = (facc, WindowOp(chop2))
+    post = R.apply_first(pre, rules=R.RESHAPING_RULES)
+    assert post is not None
+    assert isinstance(post[0], WindowOp)
+    assert isinstance(post[1], ScanOp) and isinstance(post[2], MapOp)
+    # exact under the complete maker
+    pre_c = (facc, WindowOp(complete))
+    post_c = R.apply_first(pre_c, rules=R.RESHAPING_RULES)
+    data = [1, 1, 2, 2, 2, 3, 1, 1]
+    assert run_chain(post_c, data) == run_chain(pre_c, data)
+    # and the per-window kept-lists concatenate to the unwindowed
+    # filterAcc output (state threads across window boundaries)
+    windowed = run_chain(
+        (WindowOp(chop2),) + tuple(R.apply_first(pre, R.RESHAPING_RULES)[1:]),
+        data,
+    )
+    assert [v for w in windowed for v in w] == run_chain((facc,), data)
+
+
+def test_reshaping_rules_change_semantics_under_count_windows():
+    """The DOCUMENTED caveat (LogicalOptimiser.hs:977-981): under a
+    count-based maker, pre-filtering alters window membership — the
+    rules reshape the plan, they do not preserve it. This is why they
+    are opt-in and excluded from DEFAULT_RULES, like the reference's
+    default set."""
+    from striot_spark.plans.graph import WindowOp
+
+    pre = (FilterOp(is_even), WindowOp(chop2))
+    post = R.apply_first(pre, rules=R.RESHAPING_RULES)
+    data = list(range(7))
+    assert run_chain(pre, data) != run_chain(post, data)
+    for rule in R.RESHAPING_RULES:
+        assert rule not in R.DEFAULT_RULES
