@@ -362,6 +362,7 @@ def prefix_filter_jaccard_pairs(
     shingle_n: int = 2,
     threshold: float = 0.7,
     max_bitmap_vocab: int = 1 << 16,
+    emit: str = "pairs",
 ) -> DataFrame:
     """EXACT Jaccard similarity self-join via prefix filtering — every
     pair with shingle-set Jaccard >= ``threshold``, no LSH approximation
@@ -516,6 +517,11 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
+    if emit == "candidates":
+        # diagnostics surface (PERF.md scale evidence): the pre-verify
+        # candidate set, whose growth vs corpus size is the subquadratic
+        # claim being measured
+        return cands
     set_col = "bm" if use_bitmap else "rset"
     joined = cands.join(
         sets_.select(
