@@ -420,12 +420,18 @@ def prefix_filter_jaccard_pairs(
     from striot_spark.core.scale import global_index
 
     t = float(threshold)
+    # persisted: both the dictionary pass (freq) and the rank-set build
+    # consume toks — without the cache the document BODIES would be
+    # scanned and shingled twice, breaking the one-corpus-scan ledger
+    # below (locally measured neutral; at 100 TB it is a whole extra
+    # corpus read). Tokens are ids + shingle strings, far narrower than
+    # bodies.
     toks = scatter(df).select(
         F.col(id_col).alias("sid"),
         F.explode(
             F.array_distinct(shingles(F.col(text_col), shingle_n))
         ).alias("tok"),
-    )
+    ).persist()
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf")).persist()
     vocab = freq.count()  # materializes freq; reused by the dictionary
     # (freq is released after sets_ materializes below; sets_ itself
@@ -455,8 +461,9 @@ def prefix_filter_jaccard_pairs(
             ),
         )
     sets_ = sets_.persist()
-    sets_.count()  # materialize the rank sets off the freq cache ...
+    sets_.count()  # materialize the rank sets off the toks/freq caches
     freq.unpersist()  # ... then release the vocabulary table
+    toks.unpersist()  # ... and the token table (rank sets carry on)
     # epsilon guards the float ceil: a ULP-high product would shorten
     # a prefix (false negatives); a longer prefix is always safe
     ssz = F.col("ssz")
