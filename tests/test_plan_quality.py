@@ -407,3 +407,35 @@ def test_interval_join_at_scale_exact_count(spark):
     assert out.count() == n_keys * probes_per_key * 11
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_csv_dead_letter_good_path_is_scan_project_filter(spark, sf_dir):
+    """q88's dead-letter split (sources/csv.py): BOTH consumers must be
+    pure text-scan -> project -> filter pipelines. The good side's only
+    Exchange is its aggregation shuffle; the reject count is a partial
+    count (no row shuffle). A cache() or extra scan workaround here
+    would double the 100 TB ingest cost."""
+    from striot_spark.queries.flagship import _stage_taxi_csv
+    from striot_spark.sources.csv import TAXI_SCHEMA, csv_with_rejects
+
+    path = _stage_taxi_csv(spark, sf_dir)
+    good, rejects = csv_with_rejects(
+        spark, path, TAXI_SCHEMA, timestampFormat="yyyy-M-d HH:mm:ss"
+    )
+    for df in (good, rejects):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Scan text" in plan
+        assert "Exchange" not in plan  # split itself shuffles nothing
+        assert "InMemoryTableScan" not in plan  # no cache workaround
+    # full q88: the only exchanges are aggregation shuffles (good side)
+    # + the single-partition gather of the one-row reject count
+    from striot_spark.queries.registry import REGISTRY
+
+    plan = (
+        REGISTRY["q88_taxi_csv_dead_letter"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_count" in plan  # reject count combines map-side
