@@ -398,3 +398,111 @@ def q88_taxi_csv_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("total_amount"),
     )
     return agg.unionByName(rej)
+
+
+# -- stateful streaming operators under the correctness gate -----------------
+
+from striot_spark.queries.events_ops import TS_FMT as _TS_FMT_Q89
+
+
+@register(
+    "q89_scan_stream",
+    f"""
+    WITH c AS (
+        SELECT user_id, ts,
+               CAST(round((value)*100.0, 0) AS BIGINT) AS cents
+        FROM events),
+    g AS (SELECT user_id, ts, sum(cents) AS c FROM c GROUP BY 1, 2)
+    SELECT user_id, strftime(ts, '{_TS_FMT_Q89}') AS ts,
+           sum(c) OVER (PARTITION BY user_id ORDER BY ts) / 100.0
+               AS running
+    FROM g
+    """,
+    doc="streamScan lowered to Structured Streaming "
+    "(applyInPandasWithState per-key accumulator, "
+    "FunctionalProcessing.hs:188-191): per-user running money total, "
+    "drained available-now and hash-checked against the batch window-"
+    "sum oracle — the stateful streaming path the legacy lowering "
+    "executes is driver-verified, not only locally tested. Cents are "
+    "derived as a Spark column BEFORE the stream op so the Python "
+    "accumulator adds exact integers (no cross-engine float rounding)",
+)
+def q89_scan_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.analytics import cents, ts_str
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema).withColumn(
+        "cents", cents(F.col("value"))
+    )
+    out = RT.scan_stream(
+        sdf,
+        step=lambda acc, row: acc + row["cents"],
+        init=0,
+        out_field="running_c",
+        out_type="bigint",
+        key=["user_id"],
+        time_col="ts",
+        state_type="acc bigint",
+    )
+    drained = RT.run_available_now(
+        out,
+        f"q89_scan_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q89_ck_"),
+        mode="append",
+    )
+    # finalize: (user_id, ts) is unique in this data, but the grouped
+    # form stays exact even under timestamp ties (max running == total
+    # through that instant, independent of within-tie order)
+    return drained.groupBy("user_id", "ts").agg(
+        (F.max("running_c") / 100.0).alias("running")
+    ).select("user_id", ts_str(F.col("ts")).alias("ts"), "running")
+
+
+@register(
+    "q90_filteracc_stream",
+    """
+    SELECT user_id, event_id FROM (
+        SELECT user_id, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events) t
+    WHERE prev IS NULL OR prev <> event_type
+    """,
+    doc="streamFilterAcc lowered to Structured Streaming "
+    "(applyInPandasWithState; exact pre-update-predicate semantics, "
+    "FunctionalProcessing.hs:181-185): per-user dedup-on-change of "
+    "event_type — the reference's canonical filterAcc use "
+    "(docs/Operators.md:109-119) — drained available-now and "
+    "hash-checked against the batch lag oracle",
+)
+def q90_filteracc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema)
+    out = RT.filter_acc_stream(
+        sdf,
+        step=lambda acc, row: (row["event_type"],),
+        init=(None,),
+        pred=lambda row, acc: acc[0] is None
+        or row["event_type"] != acc[0],
+        key=["user_id"],
+        time_col="ts",
+        state_type="prev string",
+    )
+    drained = RT.run_available_now(
+        out,
+        f"q90_facc_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q90_ck_"),
+        mode="append",
+    )
+    return drained.select("user_id", "event_id")

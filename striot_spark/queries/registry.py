@@ -53,6 +53,8 @@ _SWEEP_FIRST = [
     # round-4 additions — no CORRECTNESS row exists yet
     "q87_joinw_stream",
     "q88_taxi_csv_dead_letter",
+    "q89_scan_stream",
+    "q90_filteracc_stream",
     # r02-only cohort (freshest row now two rounds old)
     "q11_topk_per_window",
     "q12_sessionize",
