@@ -63,6 +63,7 @@ def main() -> None:
         "q87_joinw_stream",
         "q89_scan_stream",
         "q90_filteracc_stream",
+        "q91_sliding_count_stream",
     }
     # best-of-3 (was 2): PERF.md r4 measured 10-23% CV across identical
     # back-to-back runs on this shared box; a third repeat materially

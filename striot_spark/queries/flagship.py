@@ -506,3 +506,59 @@ def q90_filteracc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     return drained.select("user_id", "event_id")
+
+
+@register(
+    "q91_sliding_count_stream",
+    f"""
+    WITH c AS (
+        SELECT user_id, ts,
+               CAST(round((value)*100.0, 0) AS BIGINT) AS cents
+        FROM events)
+    SELECT user_id, strftime(ts, '{_TS_FMT_Q89}') AS ts,
+           sum(cents) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               / 100.0 AS sum3
+    FROM c
+    """,
+    doc="count-based sliding window lowered to Structured Streaming "
+    "(sliding n, FunctionalProcessing.hs:93-97: per-key bounded buffer "
+    "of the previous n-1 values in applyInPandasWithState state): "
+    "per-user sum over the last 3 events, drained available-now and "
+    "hash-checked against the batch rowsBetween-frame oracle — all "
+    "three stateful streaming lowerings (scan q89, filterAcc q90, "
+    "sliding-count q91) are now correctness-gate-verified",
+)
+def q91_sliding_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.analytics import cents, ts_str
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema).withColumn(
+        "cents", cents(F.col("value"))
+    )
+    out = RT.sliding_count_stream(
+        sdf,
+        n=3,
+        value_col="cents",
+        agg=lambda vs: float(sum(vs)),
+        key=["user_id"],
+        time_col="ts",
+        out_field="s3c",
+        out_type="double",
+    )
+    drained = RT.run_available_now(
+        out,
+        f"q91_slide_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q91_ck_"),
+        mode="append",
+    )
+    return drained.select(
+        "user_id",
+        ts_str(F.col("ts")).alias("ts"),
+        (F.col("s3c") / 100.0).alias("sum3"),
+    )

@@ -55,6 +55,7 @@ _SWEEP_FIRST = [
     "q88_taxi_csv_dead_letter",
     "q89_scan_stream",
     "q90_filteracc_stream",
+    "q91_sliding_count_stream",
     # r02-only cohort (freshest row now two rounds old)
     "q11_topk_per_window",
     "q12_sessionize",
