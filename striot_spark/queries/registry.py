@@ -42,58 +42,57 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # Driver sweep order. The driver's CORRECTNESS sweep caps at the first 50
-# registry entries per round. Freshness ledger entering round 4:
-# 36 queries verified in r03 only, 36 in r02 only, 14 in both, and two
-# round-4 additions (q87/q88) never driver-verified. This round's order:
-# the never-verified pair first, then the r02-only cohort (oldest rows,
-# heaviest three at that block's end so a time-capped sweep cuts them
-# last-within-block), then everything r03-fresh — 38 priority slots, so
-# the 50-cap also re-confirms ~12 r03 rows.
+# registry entries per round. Freshness ledger entering round 5: the 50
+# queries swept in r04 are one round fresh; the other 41 (q01–q10,
+# q21–q29, q36–q38, q42–q45, q48, q51–q63, q79) have their freshest green
+# row in r03, now two rounds old. This round's order: any round-5
+# additions first (no CORRECTNESS row exists yet), then the full r03-only
+# cohort — so after this sweep no green row is older than one round.
 _SWEEP_FIRST = [
-    # round-4 additions — no CORRECTNESS row exists yet
-    "q87_joinw_stream",
-    "q88_taxi_csv_dead_letter",
-    "q89_scan_stream",
-    "q90_filteracc_stream",
-    "q91_sliding_count_stream",
-    # r02-only cohort (freshest row now two rounds old)
-    "q11_topk_per_window",
-    "q12_sessionize",
-    "q13_percentiles",
-    "q14_value_histogram",
-    "q15_threshold_cross",
-    "q16_step_count",
-    "q17_pricing_summary",
-    "q18_top_orders",
-    "q19_regional_revenue",
-    "q20_top_customers",
-    "q30_frequent_routes",
-    "q47_broadcast_enrich",
-    "q49_wearable_chain",
-    "q50_window_custom_fold",
-    "q65_frequent_routes_stream",
-    "q66_null_passthrough_chain",
-    "q67_joine_positional_untimed",
-    "q69_contamination_check",
-    "q70_repetition_stats",
-    "q71_corpus_mix",
-    "q72_priority_semi_join",
-    "q73_inactive_customers_anti_join",
-    "q75_vocab_encode",
-    "q76_split_assign",
-    "q77_random_projection",
-    "q78_window_agg_stream",
-    "q80_unpivot_money_metrics",
-    "q81_sole_returned_supplier",
-    "q82_cube_counts",
-    "q83_set_ops_users",
-    "q84_incremental_ingest_dedup",
-    "q85_length_quartiles",
-    "q86_sessionize_stream",
-    # the three heavy r02-only entries close the priority block
-    "q64_kmeans_clusters",
-    "q68_prefix_jaccard_pairs",
-    "q74_dedup_groups",
+    # round-5 additions — no CORRECTNESS row exists yet
+    # (prepended here as they are registered)
+    # r03-only cohort (freshest row now two rounds old)
+    "q01_filter_map",
+    "q02_expand_tokens",
+    "q03_merge",
+    "q04_chop_count_window",
+    "q05_choptime_window",
+    "q06_sliding_count_window",
+    "q07_scan_running_sum",
+    "q08_changes_dedup",
+    "q09_sample",
+    "q10_zip_join",
+    "q21_text_stats",
+    "q22_lang_id",
+    "q23_dedup_exact",
+    "q24_doc_fingerprint",
+    "q25_minhash_signatures",
+    "q26_simhash",
+    "q27_ann_cosine",
+    "q28_multimodal_meta",
+    "q29_lsh_near_dups",
+    "q36_window_expand_roundtrip",
+    "q37_ann_ivf",
+    "q38_quality_class",
+    "q42_embedding_near_dups",
+    "q43_rolling_fingerprint",
+    "q44_bpe_token_stats",
+    "q45_simhash_near_dups",
+    "q48_ann_lsh",
+    "q51_stratified_sample",
+    "q52_reservoir_per_lang",
+    "q53_asof_enrich",
+    "q54_time_rollup",
+    "q55_json_props",
+    "q56_daily_distinct_users",
+    "q57_chunk_documents",
+    "q58_corpus_build",
+    "q59_interval_join",
+    "q60_salted_skew_join",
+    "q61_approx_aggregates",
+    "q62_sequence_pack",
+    "q63_nearest_centroid",
+    "q79_pivot_event_counts",
 ]
 # Nothing needs forcing to the absolute tail this round; the r03-fresh
 # cohort fills the remainder in registry order.
