@@ -355,14 +355,63 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _auto_shingle_n(
+    df: DataFrame,
+    text_col: str,
+    candidates: tuple[int, ...],
+    min_vocab: int,
+) -> int:
+    """Pick a shingle width whose vocabulary can separate the corpus.
+
+    One body scan probes the distinct-shingle count at every width in
+    ``candidates`` simultaneously: each doc emits its shingle array per
+    width, and a ``groupBy(width)`` + ``approx_count_distinct`` reduces
+    them — HLL sketches combine map-side, so the shuffle carries
+    O(widths) sketch payloads, never tokens. The smallest width whose
+    approximate vocabulary reaches ``max(min_vocab, doc_count)`` wins
+    (a vocabulary smaller than the doc count cannot give most documents
+    a rare prefix token — pigeonhole); if none reaches it, the widest
+    candidate is the best available. Measured basis: PERF.md §17.
+    """
+    cands = sorted({int(n) for n in candidates})
+    if not cands:
+        raise ValueError("auto_candidates must be non-empty")
+    probe = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("n"),
+                            shingles(F.col(text_col), n).alias("sh"),
+                        )
+                        for n in cands
+                    ]
+                )
+            ).alias("x")
+        )
+        .select(F.col("x.n").alias("n"), F.explode("x.sh").alias("tok"))
+        .groupBy("n")
+        .agg(F.approx_count_distinct("tok").alias("vocab"))
+    )
+    vocabs = {int(r["n"]): int(r["vocab"]) for r in probe.collect()}
+    bar = max(int(min_vocab), df.count())
+    for n in cands:
+        if vocabs.get(n, 0) >= bar:
+            return n
+    return cands[-1]
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    shingle_n: int = 2,
+    shingle_n: int | str = 2,
     threshold: float = 0.7,
     max_bitmap_vocab: int = 1 << 16,
     emit: str = "pairs",
+    auto_candidates: tuple[int, ...] = (2, 4, 6),
+    auto_min_vocab: int = 4096,
 ) -> DataFrame:
     """EXACT Jaccard similarity self-join via prefix filtering — every
     pair with shingle-set Jaccard >= ``threshold``, no LSH approximation
@@ -416,9 +465,40 @@ def prefix_filter_jaccard_pairs(
     Complements ``lsh_near_dup_pairs`` (approximate, fixed-cost): use
     LSH when a bounded miss rate is acceptable, prefix filtering when
     the output must be exactly the >= t pairs.
+
+    Choosing ``shingle_n`` (measured, PERF.md §17): prefix filtering is
+    selective only when the shingle VOCABULARY is large relative to the
+    corpus — rare shingles are what keep prefixes from colliding. On the
+    driver corpus, 2-gram shingling (931-token vocab) is the worst case:
+    candidates run at ~10% of all-pairs. 6-gram shingling (24k→234k
+    vocab, the regime any real large corpus is in) makes the filter
+    PERFECT there — candidates == verified pairs (100% precision) at
+    both measured scales. The default stays ``shingle_n=2`` for
+    backwards compatibility with existing oracles; pass
+    ``shingle_n="auto"`` to apply that finding as a rule: one extra
+    aggregate-only corpus scan probes the vocabulary at each width in
+    ``auto_candidates`` simultaneously (HyperLogLog sketches — partial
+    aggregation map-side, only sketch bytes cross the shuffle) and the
+    smallest width whose vocabulary reaches
+    ``max(auto_min_vocab, ~doc_count)`` wins (else the widest
+    candidate). The probe costs one body scan, so at 100 TB prefer
+    passing an explicit width you know saturates; ``"auto"`` is for
+    corpora you have not profiled.
     """
     from striot_spark.core.scale import global_index
 
+    if emit not in ("pairs", "candidates"):
+        raise ValueError(
+            f"emit must be 'pairs' or 'candidates', got {emit!r}"
+        )
+    if shingle_n == "auto":
+        shingle_n = _auto_shingle_n(
+            df, text_col, auto_candidates, auto_min_vocab
+        )
+    elif not isinstance(shingle_n, int):
+        raise ValueError(
+            f"shingle_n must be an int or 'auto', got {shingle_n!r}"
+        )
     t = float(threshold)
     # persisted: both the dictionary pass (freq) and the rank-set build
     # consume toks — without the cache the document BODIES would be

@@ -498,6 +498,10 @@ def q90_filteracc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=["user_id"],
         time_col="ts",
         state_type="prev string",
+        # the oracle's lag() orders by (ts, event_id); matching the
+        # tiebreak makes gate equality hold even under timestamp ties
+        # instead of relying on (user_id, ts) uniqueness in the data
+        tiebreak="event_id",
     )
     drained = RT.run_available_now(
         out,
@@ -512,11 +516,11 @@ def q90_filteracc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q91_sliding_count_stream",
     f"""
     WITH c AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CAST(round((value)*100.0, 0) AS BIGINT) AS cents
         FROM events)
     SELECT user_id, strftime(ts, '{_TS_FMT_Q89}') AS ts,
-           sum(cents) OVER (PARTITION BY user_id ORDER BY ts
+           sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                / 100.0 AS sum3
     FROM c
@@ -550,6 +554,9 @@ def q91_sliding_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_col="ts",
         out_field="s3c",
         out_type="double",
+        # match the oracle's ROWS frame ordered by (ts, event_id) —
+        # deterministic under timestamp ties, not data-uniqueness luck
+        tiebreak="event_id",
     )
     drained = RT.run_available_now(
         out,

@@ -126,6 +126,15 @@ class PrometheusMetrics(StreamingQueryListener):
         "striot_state_rows": "gauge",
     }
 
+    @staticmethod
+    def _escape_label(value: str) -> str:
+        """Escape a label value per the text-format spec: backslash,
+        double-quote, and line-feed must be escaped or the exposition
+        is invalid and scrapers reject the whole page."""
+        return (
+            value.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        )
+
     def exposition(self) -> str:
         """Prometheus text exposition format 0.0.4 — the exact series
         names and ``node`` label of ``startPrometheus``
@@ -137,7 +146,8 @@ class PrometheusMetrics(StreamingQueryListener):
                 for node in sorted(self._nodes):
                     v = self._nodes[node][series]
                     val = repr(v) if v != int(v) else str(int(v))
-                    lines.append(f'{series}{{node="{node}"}} {val}')
+                    label = self._escape_label(node)
+                    lines.append(f'{series}{{node="{label}"}} {val}')
             return "\n".join(lines) + "\n"
 
     def sample(self, node: str) -> dict[str, float]:
@@ -150,8 +160,16 @@ class PrometheusMetrics(StreamingQueryListener):
     def serve(self, port: int = 8080):
         """Serve ``/metrics`` on a daemon thread (``serveMetrics 8080``,
         ``Nodes.hs:331``). Returns the bound port (pass ``port=0`` for
-        an ephemeral one in tests)."""
+        an ephemeral one in tests). One server per instance: call
+        ``shutdown()`` before re-serving, else the first bound port and
+        its thread would leak."""
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        if self._server is not None:
+            raise RuntimeError(
+                "metrics server already running on port "
+                f"{self._server.server_address[1]}; call shutdown() first"
+            )
 
         metrics = self
 

@@ -422,13 +422,17 @@ def scan_stream(
     time_col: str,
     state_type: str = "acc double",
     api: str = "auto",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Streaming streamScan via transformWithStateInPandas (Spark 4
     API) with an applyInPandasWithState fallback — see the section
     comment above.
 
     Per-key state (a single accumulator encoded in ``state_type``);
-    events within a micro-batch are processed in event-time order.
+    events within a micro-batch are processed in event-time order
+    (``tiebreak`` names a second sort column so equal timestamps get a
+    deterministic total order — required whenever the accumulator is
+    order-sensitive under ties and the oracle orders by the same pair).
     Cross-batch order is arrival order — the same guarantee the
     reference's distributed merge gives (``Nodes/TCP.hs:52-59``).
 
@@ -442,12 +446,14 @@ def scan_stream(
         from striot_spark.streaming.tws import scan_stream_tws
 
         return scan_stream_tws(
-            sdf, step, init, out_field, out_type, key, time_col, state_type
+            sdf, step, init, out_field, out_type, key, time_col, state_type,
+            tiebreak=tiebreak,
         )
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     key = list(key)
     carry = [*key, time_col]
+    sort_cols = [time_col] if tiebreak is None else [time_col, tiebreak]
     fields = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
     out_schema = ", ".join(
         [f"`{c}` {fields[c]}" for c in carry] + [f"`{out_field}` {out_type}"]
@@ -463,7 +469,7 @@ def scan_stream(
         # key's one micro-batch, the operator's documented granularity)
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
-            pdf = pd.concat(chunks).sort_values(time_col, kind="mergesort")
+            pdf = pd.concat(chunks).sort_values(sort_cols, kind="mergesort")
             out = []
             for row in pdf.to_dict("records"):
                 acc = step(acc, row)
@@ -491,6 +497,7 @@ def filter_acc_stream(
     time_col: str,
     state_type: str = "acc double",
     api: str = "auto",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Streaming streamFilterAcc — TWS when available, else
     applyInPandasWithState (see the stateful-operators section
@@ -500,19 +507,24 @@ def filter_acc_stream(
     181-185``): the predicate sees the accumulator *before* this event's
     update; the accumulator is updated on every event, kept or not.
     State is a tuple matching ``state_type``'s fields, per key; events
-    within a micro-batch are processed in event-time order, cross-batch
-    order is arrival order (the distributed reference merge guarantee,
-    ``Nodes/TCP.hs:52-59``).
+    within a micro-batch are processed in event-time order (``tiebreak``
+    names a second sort column for a deterministic total order under
+    equal timestamps — pass it whenever keep/drop decisions are
+    order-sensitive and the oracle tie-breaks on the same column),
+    cross-batch order is arrival order (the distributed reference merge
+    guarantee, ``Nodes/TCP.hs:52-59``).
     """
     if _resolve_api(api) == "tws":
         from striot_spark.streaming.tws import filter_acc_stream_tws
 
         return filter_acc_stream_tws(
-            sdf, step, init, pred, key, time_col, state_type
+            sdf, step, init, pred, key, time_col, state_type,
+            tiebreak=tiebreak,
         )
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     key = list(key)
+    sort_cols = [time_col] if tiebreak is None else [time_col, tiebreak]
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
     )
@@ -525,7 +537,7 @@ def filter_acc_stream(
         # order as ONE sequence or the accumulator sees wrong order
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
-            pdf = pd.concat(chunks).sort_values(time_col, kind="mergesort")
+            pdf = pd.concat(chunks).sort_values(sort_cols, kind="mergesort")
             keep = []
             for row in pdf.to_dict("records"):
                 keep.append(bool(pred(row, acc)))

@@ -86,12 +86,15 @@ class ScanProcessor(StatefulProcessor):
         time_col: str,
         state_type: str,
         ttl_ms: int | None = None,
+        tiebreak: str | None = None,
     ) -> None:
         self._step = step
         self._init = init
         self._out_field = out_field
         self._carry = list(carry)
-        self._time_col = time_col
+        self._sort_cols = (
+            [time_col] if tiebreak is None else [time_col, tiebreak]
+        )
         self._state_type = state_type
         self._ttl_ms = ttl_ms
 
@@ -106,7 +109,9 @@ class ScanProcessor(StatefulProcessor):
         acc = self._acc.get()[0] if self._acc.exists() else self._init
         chunks = [pdf for pdf in rows if len(pdf)]
         if chunks:
-            pdf = pd.concat(chunks).sort_values(self._time_col, kind="mergesort")
+            pdf = pd.concat(chunks).sort_values(
+                self._sort_cols, kind="mergesort"
+            )
             out = []
             for row in pdf.to_dict("records"):
                 acc = self._step(acc, row)
@@ -137,11 +142,14 @@ class FilterAccProcessor(StatefulProcessor):
         time_col: str,
         state_type: str,
         ttl_ms: int | None = None,
+        tiebreak: str | None = None,
     ) -> None:
         self._step = step
         self._init = tuple(init)
         self._pred = pred
-        self._time_col = time_col
+        self._sort_cols = (
+            [time_col] if tiebreak is None else [time_col, tiebreak]
+        )
         self._state_type = state_type
         self._ttl_ms = ttl_ms
 
@@ -156,7 +164,9 @@ class FilterAccProcessor(StatefulProcessor):
         acc = tuple(self._acc.get()) if self._acc.exists() else self._init
         chunks = [pdf for pdf in rows if len(pdf)]
         if chunks:
-            pdf = pd.concat(chunks).sort_values(self._time_col, kind="mergesort")
+            pdf = pd.concat(chunks).sort_values(
+                self._sort_cols, kind="mergesort"
+            )
             keep = []
             for row in pdf.to_dict("records"):
                 keep.append(bool(self._pred(row, acc)))
@@ -245,6 +255,7 @@ def scan_stream_tws(
     time_col: str,
     state_type: str = "acc double",
     ttl_ms: int | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """streamScan on the TWS API — signature-compatible with
     ``runtime.scan_stream`` plus ``ttl_ms`` (per-key state expiry the
@@ -256,7 +267,9 @@ def scan_stream_tws(
         [f"`{c}` {fields[c]}" for c in carry] + [f"`{out_field}` {out_type}"]
     )
     _ensure_rocksdb(sdf)
-    proc = ScanProcessor(step, init, out_field, carry, time_col, state_type, ttl_ms)
+    proc = ScanProcessor(
+        step, init, out_field, carry, time_col, state_type, ttl_ms, tiebreak
+    )
     return sdf.groupBy(*key).transformWithStateInPandas(
         proc,
         outputStructType=out_schema,
@@ -274,6 +287,7 @@ def filter_acc_stream_tws(
     time_col: str,
     state_type: str = "acc double",
     ttl_ms: int | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """streamFilterAcc on the TWS API — signature-compatible with
     ``runtime.filter_acc_stream`` plus ``ttl_ms``."""
@@ -282,7 +296,9 @@ def filter_acc_stream_tws(
         f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
     )
     _ensure_rocksdb(sdf)
-    proc = FilterAccProcessor(step, init, pred, time_col, state_type, ttl_ms)
+    proc = FilterAccProcessor(
+        step, init, pred, time_col, state_type, ttl_ms, tiebreak
+    )
     return sdf.groupBy(*key).transformWithStateInPandas(
         proc,
         outputStructType=out_schema,

@@ -206,6 +206,36 @@ def test_prefix_filter_jaccard_skewed_lengths(spark):
         assert got == brute(t), t
 
 
+def test_prefix_filter_emit_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="emit"):
+        D.prefix_filter_jaccard_pairs(df, "doc_id", "text", emit="candidate")
+    with pytest.raises(ValueError, match="shingle_n"):
+        D.prefix_filter_jaccard_pairs(df, "doc_id", "text", shingle_n="anto")
+
+
+def test_prefix_filter_auto_shingle_width(spark, sf_dir):
+    """PERF.md §17 as a rule: on the driver corpus the 2-gram vocabulary
+    (~916 shingles) cannot separate the docs, so ``shingle_n='auto'``
+    must skip it and land on the smallest width whose vocabulary clears
+    ``max(auto_min_vocab, doc_count)`` — and at that width the prefix
+    filter is exact here: candidates == verified pairs (zero wasted
+    verification), the candidate bound the auto rule exists to buy."""
+    from striot_spark.functions.dedup import _auto_shingle_n
+    from striot_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = _auto_shingle_n(docs, "text", (2, 4, 6), 4096)
+    assert n == 4  # 2-gram vocab ~916 < bar; 4-gram ~24.7k clears it
+    cands = D.prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n="auto", emit="candidates"
+    ).count()
+    verified = D.prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=n
+    ).count()
+    assert cands == verified > 0
+
+
 def test_dedup_groups_connected_components(spark):
     from striot_spark.functions.dedup import dedup_groups
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 import time
 import urllib.request
 
+import pytest
 from pyspark.sql import functions as F
 
 from striot_spark.sources.batch import load_table
@@ -86,5 +87,33 @@ def test_exposition_format_and_http_server():
             f"http://127.0.0.1:{port}/metrics", timeout=5
         ).read().decode()
         assert body == text
+        # one server per instance: a second serve() would leak the
+        # first port/thread, so it must refuse until shutdown()
+        with pytest.raises(RuntimeError, match="already running"):
+            m.serve(port=0)
     finally:
         m.shutdown()
+    # after shutdown, serving again is allowed
+    port2 = m.serve(port=0)
+    assert port2
+    m.shutdown()
+
+
+def test_exposition_escapes_label_values():
+    """Text-format spec: backslash, double-quote, and newline in a
+    label value must be escaped or scrapers reject the whole page."""
+    m = PrometheusMetrics()
+
+    class _Started:
+        id = "q-2"
+        name = 'we"ird\\node\nname'
+
+    m.onQueryStarted(_Started())
+    text = m.exposition()
+    assert 'node="we\\"ird\\\\node\\nname"' in text
+    # the raw newline never reaches the page: every line is a comment
+    # or a complete `series{...} value` sample
+    for line in text.splitlines():
+        if not line.startswith("#"):
+            assert line.startswith("striot_")
+            float(line.rsplit(" ", 1)[1])  # parses as a sample value

@@ -187,6 +187,71 @@ def test_filter_acc_stream_matches_batch(spark, sf_dir, events_dir, ckpt):
     assert len(stream_rows) > 0
 
 
+def test_filter_acc_stream_tiebreak_orders_timestamp_ties(
+    spark, tmp_path, ckpt
+):
+    """When timestamps tie, ``tiebreak=`` pins the processing order so
+    order-sensitive keep/drop decisions are deterministic (and can match
+    an oracle that orders by the same (ts, tiebreak) pair) instead of
+    depending on arrival order within the micro-batch."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # all six events share ONE timestamp; in tid order the type sequence
+    # is A A B B A A -> dedup-on-change keeps tids 1, 3, 5 exactly
+    rows = [(7, tid, t0, ty) for tid, ty in
+            [(1, "A"), (2, "A"), (3, "B"), (4, "B"), (5, "A"), (6, "A")]]
+    src = tmp_path / "tie_src"
+    df = spark.createDataFrame(
+        rows, "user_id long, tid long, ts timestamp, event_type string"
+    )
+    # reversed file order: arrival order disagrees with tid order
+    df.orderBy(F.desc("tid")).coalesce(1).write.parquet(str(src))
+    sdf = RT.file_stream(spark, str(src), df.schema)
+    out = RT.filter_acc_stream(
+        sdf,
+        step=lambda acc, row: (row["event_type"],),
+        init=(None,),
+        pred=lambda row, acc: acc[0] is None
+        or row["event_type"] != acc[0],
+        key=["user_id"],
+        time_col="ts",
+        state_type="prev string",
+        tiebreak="tid",
+    )
+    got = RT.run_available_now(out, "facc_tie", ckpt, mode="append")
+    assert {r["tid"] for r in got.collect()} == {1, 3, 5}
+
+
+def test_scan_stream_tiebreak_orders_timestamp_ties(spark, tmp_path, ckpt):
+    """scan_stream's accumulator must fold tied-timestamp events in
+    ``tiebreak`` order — string concat makes any other order visible."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(7, tid, t0, ty) for tid, ty in
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")]]
+    src = tmp_path / "tie_scan_src"
+    df = spark.createDataFrame(
+        rows, "user_id long, tid long, ts timestamp, event_type string"
+    )
+    df.orderBy(F.desc("tid")).coalesce(1).write.parquet(str(src))
+    sdf = RT.file_stream(spark, str(src), df.schema)
+    out = RT.scan_stream(
+        sdf,
+        step=lambda acc, row: acc + row["event_type"],
+        init="",
+        out_field="seen",
+        out_type="string",
+        key=["user_id"],
+        time_col="ts",
+        state_type="acc string",
+        tiebreak="tid",
+    )
+    got = RT.run_available_now(out, "scan_tie", ckpt, mode="append")
+    assert {r["seen"] for r in got.collect()} == {"a", "ab", "abc", "abcd"}
+
+
 def test_join_e_stream_matches_batch(spark, sf_dir, events_dir, ckpt):
     """Streaming joinE (windowed theta join of two streams) must agree
     with the batch q32 lowering on the same data."""
