@@ -569,3 +569,63 @@ def q91_sliding_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(F.col("ts")).alias("ts"),
         (F.col("s3c") / 100.0).alias("sum3"),
     )
+
+
+@register(
+    "q92_scan_stream_global",
+    f"""
+    WITH c AS (
+        SELECT ts, CAST(round((value)*100.0, 0) AS BIGINT) AS cents
+        FROM events),
+    g AS (SELECT ts, sum(cents) AS c FROM c GROUP BY ts)
+    SELECT strftime(ts, '{_TS_FMT_Q89}') AS ts,
+           sum(c) OVER (ORDER BY ts) / 100.0 AS running
+    FROM g
+    """,
+    doc="streamScan over the TOTALLY ORDERED stream — the reference's "
+    "exact definition (FunctionalProcessing.hs:188-191 folds one "
+    "accumulator over the whole stream, no key): lowered as scan_stream "
+    "with a constant key, so every event flows through ONE state "
+    "partition in (ts, event_id) order. This is the semantic-parity "
+    "demonstration; its throughput ceiling is one core's fold rate, "
+    "which is why the keyed form (q89) is the scale-safe default — see "
+    "the call-site note in streaming/runtime.py:scan_stream",
+)
+def q92_scan_stream_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.analytics import cents, ts_str
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        RT.file_stream(spark, src, schema)
+        .withColumn("cents", cents(F.col("value")))
+        # the constant key = the reference's single total order; any
+        # literal works, the state store holds exactly one accumulator
+        .withColumn("g", F.lit(0))
+    )
+    out = RT.scan_stream(
+        sdf,
+        step=lambda acc, row: acc + row["cents"],
+        init=0,
+        out_field="running_c",
+        out_type="bigint",
+        key=["g"],
+        time_col="ts",
+        state_type="acc bigint",
+        tiebreak="event_id",
+    )
+    drained = RT.run_available_now(
+        out,
+        f"q92_gscan_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q92_ck_"),
+        mode="append",
+    )
+    # finalize exactly like q89: max running per tied instant == total
+    # through that instant, independent of within-tie emission order
+    return drained.groupBy("ts").agg(
+        (F.max("running_c") / 100.0).alias("running")
+    ).select(ts_str(F.col("ts")).alias("ts"), "running")

@@ -50,7 +50,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # cohort — so after this sweep no green row is older than one round.
 _SWEEP_FIRST = [
     # round-5 additions — no CORRECTNESS row exists yet
-    # (prepended here as they are registered)
+    "q92_scan_stream_global",
     # r03-only cohort (freshest row now two rounds old)
     "q01_filter_map",
     "q02_expand_tokens",

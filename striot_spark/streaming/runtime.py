@@ -441,6 +441,16 @@ def scan_stream(
     one tuple per DISTINCT KEY — bound the key domain, or (on the TWS
     path) pass ``ttl_ms`` via ``tws.scan_stream_tws`` so abandoned
     keys expire.
+
+    Keyed vs global: the reference's ``streamScan``
+    (``FunctionalProcessing.hs:188-191``) folds ONE accumulator over
+    the totally ordered stream — reproduce that exactly by passing a
+    constant key (``F.lit(0)`` column; oracle-gated as q92). That form
+    routes every event through one state partition, so its throughput
+    ceiling is a single core's fold rate — use it only when the fold is
+    genuinely global (cross-entity invariants). Any per-entity
+    accumulator should key on the entity (q89's form): same semantics
+    per key, parallel state, the scale-safe default.
     """
     if _resolve_api(api) == "tws":
         from striot_spark.streaming.tws import scan_stream_tws
