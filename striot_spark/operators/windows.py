@@ -129,6 +129,20 @@ def _gap_ms(interval: str) -> int:
     return int(qty) * factor
 
 
+def origin_offset(origin: str, interval: str) -> str:
+    """Spark's ``window(..., startTime=)`` is an OFFSET interval, not an
+    absolute instant: reduce the origin timestamp modulo the window
+    slide so windows start at origin + k*slide (first-event alignment,
+    ``FunctionalProcessing.hs:118``). Shared by the batch ChopTime
+    lowering and the streaming ``window_agg_stream(origin=...)``."""
+    import datetime as _dt
+
+    origin_dt = _dt.datetime.fromisoformat(origin)
+    epoch = _dt.datetime(1970, 1, 1)
+    micros = int((origin_dt - epoch).total_seconds() * 1_000_000)
+    return f"{micros % (_gap_ms(interval) * 1000)} microseconds"
+
+
 def _ordering(time_col: str | None, seq_col: str | None) -> list[Column]:
     cols: list[Column] = []
     if time_col:
@@ -176,20 +190,11 @@ def assign_window_id(
         if maker.origin is None:
             win = F.window(F.col(time_col), maker.duration)
         else:
-            # Spark's startTime is an OFFSET interval, not an absolute
-            # instant: reduce the origin timestamp modulo the window
-            # length (first-event alignment, FunctionalProcessing.hs:118)
-            import datetime as _dt
-
-            origin_dt = _dt.datetime.fromisoformat(maker.origin)
-            epoch = _dt.datetime(1970, 1, 1)
-            micros = int((origin_dt - epoch).total_seconds() * 1_000_000)
-            offset = micros % (_gap_ms(maker.duration) * 1000)
             win = F.window(
                 F.col(time_col),
                 maker.duration,
                 maker.duration,
-                f"{offset} microseconds",
+                origin_offset(maker.origin, maker.duration),
             )
         return df.withColumn(WINDOW_TIME, win).withColumn(
             WINDOW_ID, F.col(f"{WINDOW_TIME}.start").cast("long")

@@ -172,15 +172,28 @@ def window_agg_stream(
     key: Sequence[str] = (),
     watermark: str = "10 minutes",
     slide: str | None = None,
+    origin: str | None = None,
 ) -> DataFrame:
     """Tumbling event-time window + watermark (chopTime, streaming
     form). With ``slide``, an overlapping sliding window — Spark's
     native scale-path for slidingTime (SURVEY.md §2.2: per-event slide
     explodes row counts; a coarse slide granularity is the documented
-    100 TB default, the per-event form stays batch-only)."""
+    100 TB default, the per-event form stays batch-only).
+
+    ``origin`` (ISO timestamp string) reproduces the reference's
+    first-event window alignment (``FunctionalProcessing.hs:118-126``)
+    exactly like the batch ``ChopTime(origin=...)`` lowering: Spark's
+    ``window()`` takes a startTime OFFSET, not an instant, so the origin
+    is reduced modulo the slide (== duration when tumbling). Windows
+    then start at origin + k*slide instead of epoch + k*slide."""
+    from striot_spark.operators.windows import origin_offset
+
+    win_args = [F.col(time_col), duration, slide or duration]
+    if origin is not None:
+        win_args.append(origin_offset(origin, slide or duration))
     out = (
         sdf.withWatermark(time_col, watermark)
-        .groupBy(F.window(F.col(time_col), duration, slide or duration), *key)
+        .groupBy(F.window(*win_args), *key)
         .agg(*[c.alias(n) for n, c in aggs.items()])
     )
     return out.select(

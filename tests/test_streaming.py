@@ -54,6 +54,46 @@ def test_windowed_agg_stream_matches_batch(spark, sf_dir, events_dir, ckpt):
     assert stream_rows == batch_rows
 
 
+def test_window_agg_stream_origin_matches_batch_choptime(
+    spark, sf_dir, events_dir, ckpt
+):
+    """Streaming chopTime with ``origin=`` (first-event alignment,
+    FunctionalProcessing.hs:118-126) must place every window exactly
+    where the batch ChopTime(origin=...) lowering places it — same
+    startTime-offset arithmetic, same counts."""
+    from striot_spark.operators.windows import WINDOW_ID, ChopTime
+    from striot_spark.sources.batch import event_stream
+
+    origin = "2024-01-03 07:11:19"  # deliberately not epoch-aligned
+    sdf = RT.file_stream(spark, events_dir, _events_schema(spark, sf_dir))
+    agg = RT.window_agg_stream(
+        sdf,
+        "ts",
+        "1 day",
+        {"n": F.count(F.lit(1))},
+        watermark="1 minute",
+        origin=origin,
+    )
+    got = RT.run_available_now(agg, "win_origin", ckpt, mode="complete")
+    stream_rows = {
+        (r["wid"], r["n"])
+        for r in got.select(
+            F.col("window_start").cast("long").alias("wid"), "n"
+        ).collect()
+    }
+    batch = (
+        event_stream(spark, sf_dir)
+        .window_agg(ChopTime("1 day", origin=origin), {"n": F.count(F.lit(1))})
+        .df
+    )
+    batch_rows = {(r[WINDOW_ID], r["n"]) for r in batch.collect()}
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+    # the alignment really is origin-anchored: no window start is
+    # midnight-aligned, every one is ≡ origin (mod 1 day)
+    assert all(wid % 86400 != 0 for wid, _ in stream_rows)
+
+
 def test_session_window_stream_matches_batch_sessionize(
     spark, sf_dir, events_dir, ckpt
 ):
