@@ -141,6 +141,78 @@ def q87_joinw_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q93_joinw_stream_non_nesting",
+    f"""
+    WITH l AS (
+        SELECT ({EPOCH_S} // 86400) * 86400 AS left_window,
+               sum({CENTS_SQL}) AS revenue_c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    r AS (
+        SELECT ({EPOCH_S} // 129600) * 129600 AS right_window,
+               count(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+    wm AS (
+        SELECT least(
+            (SELECT max(epoch_us(ts)) FROM events
+             WHERE event_type = 'purchase'),
+            (SELECT max(epoch_us(ts)) FROM events
+             WHERE event_type = 'click')
+        ) / 1000000 - 60 AS w)
+    SELECT l.left_window,
+           l.left_window - l.left_window % 129600 AS right_window,
+           l.revenue_c, r.n_clicks
+    FROM l JOIN r ON r.right_window = l.left_window - l.left_window % 129600,
+         wm
+    WHERE (l.left_window // 259200) * 259200 + 259200 <= wm.w
+    """,
+    doc="streamJoinW with NON-NESTING window lengths (1 day / 1.5 days; "
+    "129600 % 86400 != 0) as ONE streaming query — the round-5 "
+    "generalization of join_w_stream (FunctionalProcessing.hs:175-178 "
+    "allows any pair): both sides lift into their 3-day LCM chained "
+    "window, stream-stream join on it, then filter to the right window "
+    "containing the left window's start. Drained available-now in "
+    "append mode, so the output is exactly the window pairs whose LCM "
+    "bucket the final watermark (min over sides of max ts - 60s) "
+    "closed — the oracle reproduces that closure rule in SQL. Revenue "
+    "stays integer cents end-to-end",
+)
+def q93_joinw_stream_non_nesting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.queries.flagship import _stage_events
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    purchases = RT.file_stream(spark, src, schema).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = RT.file_stream(spark, src, schema).filter(
+        F.col("event_type") == "click"
+    )
+    out = RT.join_w_stream(
+        purchases,
+        clicks,
+        "ts",
+        "ts",
+        86400,
+        129600,
+        {"revenue_c": F.sum(cents(F.col("value")))},
+        {"n_clicks": F.count(F.lit(1))},
+        watermark="1 minute",
+    )
+    return RT.run_available_now(
+        out,
+        f"q93_joinw_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q93_ck_"),
+        mode="append",
+    ).select("left_window", "right_window", "revenue_c", "n_clicks")
+
+
+@register(
     "q32_joine_window_theta",
     f"""
     WITH p AS (SELECT ({EPOCH_S} // 3600) * 3600 AS window_id, event_id, value

@@ -51,6 +51,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 _SWEEP_FIRST = [
     # round-5 additions — no CORRECTNESS row exists yet
     "q92_scan_stream_global",
+    "q93_joinw_stream_non_nesting",
     # r03-only cohort (freshest row now two rounds old)
     "q01_filter_map",
     "q02_expand_tokens",

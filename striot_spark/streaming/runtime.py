@@ -335,58 +335,85 @@ def join_w_stream(
 ) -> DataFrame:
     """Streaming streamJoinW (``src/Striot/FunctionalProcessing.hs:
     175-178``; unequal per-side window lengths ``examples/taxi/
-    Taxi.hs:302``) — the streaming form of ``operators/join.py:join_w``.
+    Taxi.hs:302``) — the streaming form of ``operators/join.py:join_w``,
+    for ARBITRARY whole-second window-length pairs (reference parity;
+    the nesting-only restriction was lifted in round 5).
 
     Lowering: the Spark 3.5+ *multiple stateful operators* pattern —
     each side is windowed and aggregated independently (watermarked
     incremental state), then the two aggregated window streams are
-    stream-stream joined on the window key. Unequal windows are aligned
-    by lifting each left window into the right-length window containing
-    it with ``window()`` applied to the left WINDOW COLUMN (chained time
-    windows, SPARK-40821): that keeps the event-time watermark metadata
-    on the join key, which is what lets the join evict its buffered
-    state — epoch arithmetic on the start would grow state forever.
+    stream-stream joined. The join key must carry event-time watermark
+    metadata or the join cannot evict buffered state (epoch arithmetic
+    on the start would grow state forever), and chained time windows
+    (``window()`` on a window column, SPARK-40821) only preserve that
+    metadata when the inner window NESTS in the outer one. Arbitrary
+    length pairs are made nestable via their LCM: both sides lift their
+    window column into the ``lcm(left_seconds, right_seconds)``-length
+    chained window (each side nests by construction), the streams
+    equi-join on that LCM window, and a post-join filter keeps exactly
+    the pairs where the right window contains the left window's START —
+    the batch ``join_w`` alignment rule. The containing right window
+    provably shares the left window's LCM bucket (``lcm % right == 0``
+    forces right-window boundaries onto LCM boundaries), so the filter
+    loses nothing. When lengths nest (``right % left == 0``) the LCM is
+    ``right_seconds`` and this degenerates to the direct window join.
 
-    Restriction (streaming form only): ``right_seconds`` must be a
-    whole multiple of ``left_seconds``, so left windows NEST inside
-    right windows and "containing the left window" is well defined from
-    the window column alone; the batch ``join_w`` accepts arbitrary
-    whole-second lengths. Output rows appear when BOTH sides' windows
-    are finalized by their watermarks (inner join; the trailing
-    unfinalized windows of a bounded replay are withheld — drain
-    comparisons should restrict to closed windows).
+    Scale note: join state buffers one LCM bucket's window rows per
+    side (``lcm/left + lcm/right`` rows) until the watermark passes the
+    bucket's end, so the state horizon is ONE LCM window length.
+    Near-coprime second counts (e.g. 3599 and 7200 → LCM ≈ 300 days)
+    make that horizon huge — the cost of exact reference semantics on
+    such pairs; prefer window lengths with a small LCM.
 
-    Output schema matches the batch form: ``left_window`` /
-    ``right_window`` (epoch seconds of the window starts) + the agg
-    columns of both sides.
+    Output rows appear when BOTH sides' windows are finalized by their
+    watermarks (inner join; the trailing unfinalized windows of a
+    bounded replay are withheld — drain comparisons should restrict to
+    closed windows). Output schema matches the batch form:
+    ``left_window`` / ``right_window`` (epoch seconds of the window
+    starts) + the agg columns of both sides.
     """
-    if right_seconds % left_seconds != 0:
-        raise ValueError(
-            "join_w_stream requires right_seconds to be a multiple of "
-            f"left_seconds (got {left_seconds}, {right_seconds}); use "
-            "the batch join_w for non-nesting window lengths"
-        )
+    import math
+
+    if left_seconds <= 0 or right_seconds <= 0:
+        raise ValueError("window lengths must be positive whole seconds")
+    m = math.lcm(int(left_seconds), int(right_seconds))
     ldur = f"{left_seconds} seconds"
     rdur = f"{right_seconds} seconds"
+    mdur = f"{m} seconds"
     lw = (
         left.withWatermark(time_col, watermark)
         .groupBy(F.window(F.col(time_col), ldur))
         .agg(*[c.alias(n) for n, c in left_aggs.items()])
     )
-    # lift the left window into its containing right-length window;
-    # because left windows nest, 'window containing this window' ==
-    # 'window containing its start' == the batch alignment rule
+    # the chained LCM window is each stream's ONE event-time column; the
+    # per-side window rides along as a PLAIN struct (a fresh struct()
+    # drops the time-window/watermark metadata — two event-time columns
+    # in one stream is an analysis error)
+    def _plain(alias: str):
+        return F.struct(
+            F.col("window.start").alias("start"),
+            F.col("window.end").alias("end"),
+        ).alias(alias)
+
     lw = lw.select(
-        F.window(F.col("window"), rdur).alias("__rwin"),
-        F.col("window").alias("__lwin"),
+        F.window(F.col("window"), mdur).alias("__mwin"),
+        _plain("__lwin"),
         *left_aggs.keys(),
     )
     rw = (
         right.withWatermark(r_time_col, watermark)
-        .groupBy(F.window(F.col(r_time_col), rdur).alias("__rwin"))
+        .groupBy(F.window(F.col(r_time_col), rdur))
         .agg(*[c.alias(n) for n, c in right_aggs.items()])
     )
-    joined = lw.join(rw, "__rwin", "inner")
+    rw = rw.select(
+        F.window(F.col("window"), mdur).alias("__mwin"),
+        _plain("__rwin"),
+        *right_aggs.keys(),
+    )
+    joined = lw.join(rw, "__mwin", "inner").filter(
+        (F.col("__rwin.start") <= F.col("__lwin.start"))
+        & (F.col("__lwin.start") < F.col("__rwin.end"))
+    )
     return joined.select(
         F.col("__lwin.start").cast("long").alias("left_window"),
         F.col("__rwin.start").cast("long").alias("right_window"),

@@ -662,10 +662,8 @@ def test_join_w_stream_matches_batch_closed_windows(
     clicks = RT.file_stream(spark, events_dir, schema).filter(
         F.col("event_type") == "click"
     )
-    with pytest.raises(ValueError, match="multiple"):
-        RT.join_w_stream(
-            purchases, clicks, "ts", "ts", 86400, 100000, {}, {}
-        )
+    with pytest.raises(ValueError, match="positive"):
+        RT.join_w_stream(purchases, clicks, "ts", "ts", 86400, 0, {}, {})
     out = RT.join_w_stream(
         purchases,
         clicks,
@@ -707,3 +705,70 @@ def test_join_w_stream_matches_batch_closed_windows(
     )
     assert stream_rows == expected
     assert len(stream_rows) > 0
+
+
+def test_join_w_stream_non_nesting_lengths_match_batch(
+    spark, sf_dir, events_dir, ckpt
+):
+    """The round-5 generalization: window lengths that do NOT nest
+    (1 day / 1.5 days — 129600 % 86400 != 0) must reproduce the batch
+    join_w alignment exactly via the LCM-chained-window lowering.
+    Emission is finalized per LCM bucket (3 days here), so the closed
+    set is every pair whose LCM bucket end the final watermark passed."""
+    import datetime as dt
+
+    from striot_spark.functions.analytics import cents
+    from striot_spark.operators.join import join_w
+    from striot_spark.operators.windows import ChopTime
+
+    L, R = 86400, 129600
+    M = 259200  # lcm
+    schema = _events_schema(spark, sf_dir)
+    purchases = RT.file_stream(spark, events_dir, schema).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = RT.file_stream(spark, events_dir, schema).filter(
+        F.col("event_type") == "click"
+    )
+    out = RT.join_w_stream(
+        purchases,
+        clicks,
+        "ts",
+        "ts",
+        L,
+        R,
+        {"revenue_c": F.sum(cents(F.col("value")))},
+        {"n_clicks": F.count(F.lit(1))},
+        watermark="1 minute",
+    )
+    got = RT.run_available_now(out, "joinw_nonnest_out", ckpt, mode="append")
+    stream_rows = sorted(map(tuple, got.collect()))
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = join_w(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        ChopTime("1 day"),
+        ChopTime(f"{R} seconds"),
+        {"revenue_c": F.sum(cents(F.col("value")))},
+        {"n_clicks": F.count(F.lit(1))},
+        "ts",
+        "ts",
+    )
+    wm = min(
+        ev.filter(F.col("event_type") == t).agg(F.max("ts")).collect()[0][0]
+        for t in ("purchase", "click")
+    ) - dt.timedelta(seconds=60)
+    wm_epoch = wm.replace(tzinfo=dt.timezone.utc).timestamp()
+    expected = sorted(
+        (r["left_window"], r["right_window"], r["revenue_c"], r["n_clicks"])
+        for r in batch.collect()
+        if r["n_clicks"] is not None
+        and (r["left_window"] // M) * M + M <= wm_epoch
+    )
+    assert stream_rows == expected
+    assert len(stream_rows) > 0
+    # the non-nesting alignment really occurred: some left window's
+    # containing right window starts at a non-multiple of the left
+    # length (impossible under nesting)
+    assert any(rw % L != 0 for _, rw, _, _ in stream_rows)
