@@ -14,6 +14,8 @@ from striot_spark.functions.analytics import (
 )
 from striot_spark.functions.dedup import (
     contamination_check,
+    contamination_scores,
+    cross_corpus_near_dup_pairs,
     dedup_groups,
     exact_dedup,
     lsh_near_dup_pairs,
@@ -53,6 +55,8 @@ __all__ = [
     "threshold_cross",
     "topk",
     "contamination_check",
+    "contamination_scores",
+    "cross_corpus_near_dup_pairs",
     "dedup_groups",
     "exact_dedup",
     "lsh_near_dup_pairs",

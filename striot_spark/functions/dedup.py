@@ -220,6 +220,50 @@ def contamination_check(
     )
 
 
+def contamination_scores(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_n: int = 5,
+) -> DataFrame:
+    """Per-document contamination fraction — the decontamination FILTER
+    granularity (keep/drop per training doc), where
+    ``contamination_check`` reports only colliding docs and raw counts.
+
+    For every train doc with at least one n-gram, returns
+    (id, n_grams, n_collisions, score): ``n_grams`` distinct n-grams in
+    the doc, ``n_collisions`` of them appearing anywhere in the eval
+    corpus, ``score`` their ratio. Docs shorter than ``ngram_n`` tokens
+    have no n-gram set to score and emit no row (same convention as the
+    signature builders).
+
+    Scale shape (same as ``contamination_check``): the eval n-gram set
+    is broadcast, the train corpus is ONE scan + broadcast left join +
+    one groupBy(id) — the corpus never shuffles by n-gram.
+    """
+    grams = lambda c: F.array_distinct(shingles(c, ngram_n))  # noqa: E731
+    eval_grams = (
+        eval_df.select(F.explode(grams(F.col(text_col))).alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    g = scatter(train).select(
+        F.col(id_col), F.explode(grams(F.col(text_col))).alias("g")
+    )
+    return (
+        g.join(F.broadcast(eval_grams), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias(
+                "n_collisions"
+            ),
+        )
+        .withColumn("score", F.col("n_collisions") / F.col("n_grams"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 4, shingle_n: int = 2
 ) -> DataFrame:
@@ -740,6 +784,132 @@ def lsh_near_dup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def cross_corpus_near_dup_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 6,
+    bands: int = 3,
+    shingle_n: int = 2,
+    min_sig_agreement: float = 0.5,
+    threshold: float = 0.7,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs ACROSS two corpora — decontamination at
+    PAIR granularity: which training documents near-duplicate which
+    eval documents (``contamination_check``/``contamination_scores``
+    flag n-gram collisions without identifying the eval counterpart;
+    near-dup train/eval overlap is the other published decontamination
+    criterion alongside exact n-gram collision).
+
+    Same LSH geometry as ``lsh_near_dup_pairs`` (minhash signatures →
+    band-bucket equi-join → signature-agreement prefilter → exact
+    shingle-Jaccard verify), but the band join runs BETWEEN the corpora,
+    never within one: no train-train or eval-eval pair is ever
+    generated, and no id ordering is imposed — the same id value on
+    both sides is a legitimate (exact-dup) pair.
+
+    Scale shape: eval corpora are benchmarks — MBs against a 100 TB
+    train corpus — so ``broadcast_eval`` (default) broadcasts the eval
+    band table and shingle sets: the train bodies are scanned ONCE and
+    the band probe is a broadcast hash join, no train-side shuffle.
+    Downstream moves only (ids, longs) and candidate-doc shingle sets.
+    Set ``broadcast_eval=False`` when both sides are large: the joins
+    become shuffled bucketed equi-joins — still never all-pairs.
+
+    Returns (train_id, eval_id, jaccard) with jaccard >= ``threshold``.
+    """
+    coeffs = MINHASH_COEFFS[:num_hashes]
+    rows_per_band = num_hashes // bands
+    mh_names = [f"mh{i}" for i in range(num_hashes)]
+
+    def work_table(df: DataFrame) -> DataFrame:
+        sh = shingles(F.col(text_col), shingle_n)
+        return (
+            scatter(df)
+            .select(
+                F.col(id_col),
+                F.array_distinct(sh).alias("sset"),
+                F.transform(sh, lambda s: md5_hash64(s) % MERSENNE_P).alias(
+                    "__mh_base"
+                ),
+            )
+            .persist()
+            .filter(F.size("__mh_base") > 0)
+        )
+
+    def banded(work: DataFrame) -> DataFrame:
+        sig_cols = [
+            F.array_min(
+                F.transform(
+                    F.col("__mh_base"),
+                    lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P,
+                )
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+        sigs = work.select(F.col(id_col), *sig_cols)
+        band_cols = []
+        for b in range(bands):
+            members = [
+                F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+            ]
+            band_cols.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_", *[m.cast("string") for m in members]
+                    ).alias("sig"),
+                )
+            )
+        return sigs.select(
+            F.col(id_col), *mh_names, F.explode(F.array(*band_cols)).alias("bs")
+        ).select(id_col, *mh_names, "bs.band", "bs.sig")
+
+    tw, ew = work_table(train), work_table(eval_df)
+    eb = banded(ew)
+    e_sets = ew.select(
+        F.col(id_col).alias("eval_id"), F.col("sset").alias("set_b")
+    )
+    if broadcast_eval:
+        eb = F.broadcast(eb)
+        e_sets = F.broadcast(e_sets)
+    tb = banded(tw).alias("a")
+    eb = eb.alias("b")
+    agree = sum(
+        (F.col(f"a.{m}") == F.col(f"b.{m}")).cast("int") for m in mh_names
+    ) / F.lit(float(num_hashes))
+    cands = (
+        tb.join(
+            eb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .filter(agree >= F.lit(min_sig_agreement))
+        .select(
+            F.col(f"a.{id_col}").alias("train_id"),
+            F.col(f"b.{id_col}").alias("eval_id"),
+        )
+        .distinct()
+    )
+    t_sets = tw.select(
+        F.col(id_col).alias("train_id"), F.col("sset").alias("set_a")
+    )
+    return (
+        scatter(cands)
+        .join(t_sets, "train_id")
+        .join(e_sets, "eval_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("set_a", "set_b"))
+            / F.size(F.array_union("set_a", "set_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("train_id", "eval_id", "jaccard")
     )
 
 

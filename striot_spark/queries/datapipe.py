@@ -687,6 +687,121 @@ def q69_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_check(train, eval_df, "doc_id", "text", ngram_n=5)
 
 
+def _cross_corpus_near_dup_sql(split_mod: int = 20) -> str:
+    """DuckDB oracle for the cross-corpus MinHash-LSH near-dup join:
+    identical hash machinery to ``_lsh_near_dup_sql`` (bigram shingles →
+    6 md5-derived minhashes → 3 bands of 2 → agreement >= 0.5 → exact
+    Jaccard >= 0.7), but candidates pair a train doc
+    (``doc_id % {split_mod} <> 0``) with an eval doc (``= 0``), never
+    two docs of the same side."""
+    from striot_spark.functions.dedup import MERSENNE_P, MINHASH_COEFFS
+
+    p = MERSENNE_P
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_case = (
+        "CASE band WHEN 0 THEN mh0::VARCHAR || '_' || mh1::VARCHAR "
+        "WHEN 1 THEN mh2::VARCHAR || '_' || mh3::VARCHAR "
+        "ELSE mh4::VARCHAR || '_' || mh5::VARCHAR END"
+    )
+    agree = " + ".join(f"(a.mh{i} = b.mh{i})::INT" for i in range(6))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents),
+    idx AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks),
+    sh AS (
+        SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS shingle FROM idx),
+    hb AS (
+        SELECT doc_id, shingle,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {p} AS h
+        FROM sh),
+    sigs AS (
+        SELECT doc_id, {mins} FROM hb GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, band,
+               {band_case} AS sig
+        FROM sigs, range(0, 3) r(band)),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id % {split_mod} <> 0 AND b.doc_id % {split_mod} = 0
+          AND ({agree}) / 6.0 >= 0.5),
+    sets_ AS (
+        SELECT doc_id, list_distinct(list(shingle)) AS sset
+        FROM sh GROUP BY doc_id)
+    SELECT train_id, eval_id, jaccard FROM (
+        SELECT c.train_id, c.eval_id,
+               len(list_intersect(sa.sset, sb.sset))
+               / len(list_distinct(list_concat(sa.sset, sb.sset))) AS jaccard
+        FROM cands c
+        JOIN sets_ sa ON sa.doc_id = c.train_id
+        JOIN sets_ sb ON sb.doc_id = c.eval_id) t
+    WHERE jaccard >= 0.7
+    """
+
+
+@register(
+    "q94_cross_corpus_near_dups",
+    _cross_corpus_near_dup_sql(),
+    doc="cross-corpus near-dup decontamination at pair granularity: "
+    "MinHash-LSH band join BETWEEN the train split (doc_id % 20 != 0) "
+    "and the eval split (== 0) — the eval side is broadcast, the train "
+    "bodies are scanned once and never shuffled; exact shingle-Jaccard "
+    "verify on candidates only",
+)
+def q94_cross_corpus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.cross_corpus_near_dup_pairs(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        "doc_id",
+        "text",
+        threshold=0.7,
+    )
+
+
+@register(
+    "q95_contamination_scores",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents),
+    idx AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM toks),
+    g AS (
+        SELECT DISTINCT doc_id,
+               tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+               tk[i+3] || ' ' || tk[i+4] AS gram
+        FROM idx),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, count(*) AS n_grams,
+           count(ev.gram) AS n_collisions,
+           count(ev.gram) / count(*) AS score
+    FROM tr LEFT JOIN ev USING (gram)
+    GROUP BY tr.doc_id
+    """,
+    doc="per-document contamination fraction (the decontam keep/drop "
+    "filter granularity; q69 reports colliding docs only): broadcast "
+    "eval 5-gram set, one corpus scan, broadcast left join + one "
+    "groupBy(doc_id) — the corpus never shuffles by n-gram",
+)
+def q95_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.contamination_scores(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        "doc_id",
+        "text",
+        ngram_n=5,
+    )
+
+
 @register(
     "q70_repetition_stats",
     """

@@ -52,6 +52,8 @@ _SWEEP_FIRST = [
     # round-5 additions — no CORRECTNESS row exists yet
     "q92_scan_stream_global",
     "q93_joinw_stream_non_nesting",
+    "q94_cross_corpus_near_dups",
+    "q95_contamination_scores",
     # r03-only cohort (freshest row now two rounds old)
     "q01_filter_map",
     "q02_expand_tokens",

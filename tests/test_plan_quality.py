@@ -212,6 +212,25 @@ def test_contamination_broadcasts_eval_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_contamination_scores_broadcasts_eval_side(spark, sf_dir):
+    """Per-doc scores keep q69's scale shape: broadcast eval n-gram
+    set, no sort-merge join — the corpus never shuffles by n-gram."""
+    plan = _executed(spark, "q95_contamination_scores", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cross_corpus_near_dup_broadcasts_eval_no_cartesian(spark, sf_dir):
+    """The cross-corpus band probe must be a broadcast hash join on the
+    (band, sig) key — the train side never shuffles for candidate
+    generation — and nothing in the pipeline may fall back to a
+    cartesian product."""
+    plan = _executed(spark, "q94_cross_corpus_near_dups", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_corpus_mix_sampling_is_shuffle_free_filter(spark, sf_dir):
     plan = _executed(spark, "q71_corpus_mix", sf_dir)
     assert "Exchange" not in plan
