@@ -37,6 +37,7 @@ from striot_spark.functions.similarity import (
     kmeans,
     lsh_topk,
     nearest_centroid,
+    semantic_near_dup_pairs,
     random_projection,
 )
 from striot_spark.functions.text import (
@@ -74,6 +75,7 @@ __all__ = [
     "kmeans",
     "lsh_topk",
     "nearest_centroid",
+    "semantic_near_dup_pairs",
     "random_projection",
     "build_vocab",
     "chunk_documents",

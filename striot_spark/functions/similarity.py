@@ -271,10 +271,14 @@ def nearest_centroid(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cid_col: str = "centroid_id",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine — the
     coarse-quantizer build step for IVF (``ivf_topk`` consumes the
-    resulting cell column) and the E-step of k-means.
+    resulting cell column) and the E-step of k-means. With
+    ``keep_vec``, the double-cast vector and its norm ride along as
+    ``__v``/``__nv`` so a downstream within-cell consumer (e.g.
+    ``semantic_near_dup_pairs``) needs no re-join back to the corpus.
 
     The centroid set is small by construction (k cells), so it is
     collected ONCE and inlined as literal arrays: assignment becomes a
@@ -314,10 +318,76 @@ def nearest_centroid(
             )
         )
     best = F.array_max(F.array(*choices))
+    extra = ["__v", "__nv"] if keep_vec else []
     return b.select(
         F.col(id_col),
         (-best["__ncid"]).alias(cid_col),
         best["cos"].alias("cos"),
+        *extra,
+    )
+
+
+def semantic_near_dup_pairs(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-duplicate pair generation, SemDeDup-style (Abbas
+    et al. 2023, public literature): assign every embedding to its
+    nearest centroid, then score pairwise cosine WITHIN each cell only.
+
+    That cell restriction is the published recipe's scale lever: k
+    cells turn the all-pairs O(n²) compare into k·O((n/k)²), and the
+    only corpus movement is ONE shuffle by cell id — the assignment
+    itself is the zero-shuffle literal-centroid projection
+    (``nearest_centroid(keep_vec=True)``, so no re-join back to the
+    corpus for the vectors), and the pair join is an equi-join on the
+    cell, never a corpus-wide cartesian. At 100 TB, store the corpus
+    partitioned by cell and the pair-gen is partition-local.
+
+    Returns (id_a, id_b, cos) with ``id_a < id_b`` and ROUNDED (6 dp)
+    cosine >= ``threshold``. Real corpora use thresholds near 0.95;
+    pick per-corpus from the within-cell cosine distribution (the
+    driver's synthetic embeddings are near-random — max within-cell
+    cosine ~0.47 — so the demo query q96 uses 0.4). Pairs compose with
+    ``functions.dedup.dedup_groups`` for keep/drop group assignment,
+    exactly like the text near-dup pipelines.
+    """
+    cells = nearest_centroid(
+        df, centroids, id_col, vec_col, keep_vec=True
+    ).select(id_col, "centroid_id", "__v", "__nv")
+    a = cells.select(
+        F.col(id_col).alias("id_a"),
+        "centroid_id",
+        F.col("__v").alias("__va"),
+        F.col("__nv").alias("__na"),
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"),
+        "centroid_id",
+        F.col("__v").alias("__vb"),
+        F.col("__nv").alias("__nb"),
+    )
+    return (
+        a.join(
+            b,
+            (a["centroid_id"] == b["centroid_id"])
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                pair_cosine(
+                    F.col("__va"), F.col("__na"),
+                    F.col("__vb"), F.col("__nb"),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cos")
     )
 
 

@@ -1107,6 +1107,50 @@ def q63_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q96_semantic_near_dups",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+               WHERE vec_id < 8),
+         a AS (
+           SELECT vec_id, centroid_id, v FROM (
+             SELECT e.vec_id, c.centroid_id, e.v,
+                    row_number() OVER (
+                        PARTITION BY e.vec_id
+                        ORDER BY round(list_dot_product(e.v, cv)
+                                 / (sqrt(list_dot_product(e.v, e.v))
+                                    * sqrt(list_dot_product(cv, cv))), 6)
+                                 DESC,
+                                 c.centroid_id ASC) AS rnk
+             FROM e, c WHERE e.vec_id >= 8) t
+           WHERE rnk = 1)
+    SELECT id_a, id_b, cos FROM (
+        SELECT a1.vec_id AS id_a, a2.vec_id AS id_b,
+               round(list_dot_product(a1.v, a2.v)
+                     / (sqrt(list_dot_product(a1.v, a1.v))
+                        * sqrt(list_dot_product(a2.v, a2.v))), 6) AS cos
+        FROM a a1 JOIN a a2
+          ON a1.centroid_id = a2.centroid_id AND a1.vec_id < a2.vec_id) t
+    WHERE cos >= 0.4
+    """,
+    doc="SemDeDup-style semantic near-dup pairs: nearest-centroid cell "
+    "assignment (zero-shuffle literal-centroid projection) then "
+    "pairwise cosine WITHIN each cell only — k cells turn all-pairs "
+    "O(n^2) into k*O((n/k)^2); one shuffle by cell id, equi-join "
+    "pair-gen, never a corpus cartesian. Threshold 0.4 fits this "
+    "synthetic corpus's near-random cosine range (real corpora ~0.95)",
+)
+def q96_semantic_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return SIM.semantic_near_dup_pairs(
+        emb.filter(F.col("vec_id") >= 8), cents, threshold=0.4
+    )
+
+
+@register(
     "q64_kmeans_clusters",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -54,6 +54,7 @@ _SWEEP_FIRST = [
     "q93_joinw_stream_non_nesting",
     "q94_cross_corpus_near_dups",
     "q95_contamination_scores",
+    "q96_semantic_near_dups",
     # r03-only cohort (freshest row now two rounds old)
     "q01_filter_map",
     "q02_expand_tokens",

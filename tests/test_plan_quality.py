@@ -231,6 +231,15 @@ def test_cross_corpus_near_dup_broadcasts_eval_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_near_dup_pair_join_is_cell_equi_join(spark, sf_dir):
+    """SemDeDup pair-gen must be an equi-join on the cell id (the
+    assignment itself is a zero-join literal-centroid projection) —
+    never a cartesian or nested-loop fallback over the corpus."""
+    plan = _executed(spark, "q96_semantic_near_dups", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_corpus_mix_sampling_is_shuffle_free_filter(spark, sf_dir):
     plan = _executed(spark, "q71_corpus_mix", sf_dir)
     assert "Exchange" not in plan
