@@ -236,6 +236,35 @@ def test_prefix_filter_auto_shingle_width(spark, sf_dir):
     assert cands == verified > 0
 
 
+def test_cross_corpus_near_dups_never_pair_within_a_side(spark):
+    """The band join runs BETWEEN corpora: an exact dup across sides is
+    found (jaccard 1.0, regardless of id order), while identical docs
+    WITHIN one side never pair."""
+    train = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (11, "alpha beta gamma delta epsilon zeta"),  # in-side dup
+            (12, "totally different words here entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [
+            (2, "alpha beta gamma delta epsilon zeta"),  # cross-side dup
+            (3, "unrelated benchmark prompt text sample thing"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["train_id"], r["eval_id"], r["jaccard"])
+        for r in D.cross_corpus_near_dup_pairs(
+            train, eval_df, "doc_id", "text", threshold=0.7
+        ).collect()
+    }
+    # note eval id (2) < both train ids: no ordering constraint applies
+    assert got == {(10, 2, 1.0), (11, 2, 1.0)}
+
+
 def test_dedup_groups_connected_components(spark):
     from striot_spark.functions.dedup import dedup_groups
 
