@@ -728,6 +728,58 @@ def dedup_stream(
     )
 
 
+def contamination_filter_stream(
+    sdf: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    ngram_n: int = 5,
+    emit: str = "clean",
+) -> DataFrame:
+    """Streaming benchmark-decontamination filter: drop (or quarantine)
+    incoming documents sharing any ``ngram_n``-gram with a STATIC eval
+    corpus — the ingest-time form of
+    ``functions/dedup.py:contamination_check``. The published pipelines
+    apply this at corpus assembly; on a live feed it becomes a pure
+    per-row predicate, completely STATELESS: the eval n-gram set (a
+    benchmark — MBs against the feed) is collected once at plan build
+    and inlined as a map literal, the streamMapCache pattern
+    (``functions/caching.py``, q75's vocab encode). Each document then
+    tests ``exists(gram -> map lookup)`` inside the projection — no
+    join, no shuffle, no streaming state, nothing to checkpoint.
+
+    ``emit='clean'`` passes only uncontaminated documents;
+    ``emit='contaminated'`` passes the hits (for a quarantine sink).
+    Docs shorter than ``ngram_n`` tokens have no n-grams and are clean.
+    Works identically on batch frames (the predicate is engine-neutral).
+    """
+    from striot_spark.functions.dedup import shingles
+
+    if emit not in ("clean", "contaminated"):
+        raise ValueError(
+            f"emit must be 'clean' or 'contaminated', got {emit!r}"
+        )
+    rows = (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), ngram_n))
+            ).alias("g")
+        )
+        .distinct()
+        .collect()
+    )
+    if rows:
+        args: list[Column] = []
+        for r in rows:
+            args.append(F.lit(r["g"]))
+            args.append(F.lit(1))
+        gmap = F.create_map(*args)
+    else:
+        gmap = F.create_map().cast("map<string,int>")
+    grams = F.array_distinct(shingles(F.col(text_col), ngram_n))
+    hit = F.exists(grams, lambda g: gmap[g].isNotNull())
+    return sdf.filter(~hit if emit == "clean" else hit)
+
+
 def sliding_count_stream(
     sdf: DataFrame,
     n: int,

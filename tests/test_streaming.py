@@ -292,6 +292,53 @@ def test_scan_stream_tiebreak_orders_timestamp_ties(spark, tmp_path, ckpt):
     assert {r["seen"] for r in got.collect()} == {"a", "ab", "abc", "abcd"}
 
 
+def test_contamination_filter_stream_matches_batch_check(
+    spark, sf_dir, tmp_path, ckpt
+):
+    """Ingest-time decontamination must flag exactly the docs the batch
+    contamination_check flags — and the plan is a stateless per-row
+    predicate (map-literal lookup), so clean + contaminated partitions
+    the stream with no state to checkpoint."""
+    from striot_spark.functions.dedup import contamination_check
+    from striot_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    src = tmp_path / "docs_stream"
+    train.repartition(2).write.parquet(str(src))
+    sdf = RT.file_stream(spark, str(src), train.schema)
+
+    flagged = RT.contamination_filter_stream(
+        sdf, eval_df, "text", ngram_n=5, emit="contaminated"
+    )
+    got_flagged = {
+        r["doc_id"]
+        for r in RT.run_available_now(
+            flagged, "contam_hits", str(ckpt) + "_a", mode="append"
+        ).collect()
+    }
+    expected = {
+        r["doc_id"]
+        for r in contamination_check(
+            train, eval_df, "doc_id", "text", ngram_n=5
+        ).collect()
+    }
+    assert got_flagged == expected
+    assert len(got_flagged) > 0
+    clean = RT.contamination_filter_stream(
+        sdf, eval_df, "text", ngram_n=5, emit="clean"
+    )
+    got_clean = {
+        r["doc_id"]
+        for r in RT.run_available_now(
+            clean, "contam_clean", str(ckpt) + "_b", mode="append"
+        ).collect()
+    }
+    all_ids = {r["doc_id"] for r in train.collect()}
+    assert got_clean == all_ids - expected
+
+
 def test_join_e_stream_matches_batch(spark, sf_dir, events_dir, ckpt):
     """Streaming joinE (windowed theta join of two streams) must agree
     with the batch q32 lowering on the same data."""
