@@ -66,6 +66,7 @@ def main() -> None:
         "q91_sliding_count_stream",
         "q92_scan_stream_global",
         "q93_joinw_stream_non_nesting",
+        "q97_filteracc_stream_global",
     }
     # best-of-3 (was 2): PERF.md r4 measured 10-23% CV across identical
     # back-to-back runs on this shared box; a third repeat materially

@@ -629,3 +629,52 @@ def q92_scan_stream_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.groupBy("ts").agg(
         (F.max("running_c") / 100.0).alias("running")
     ).select(ts_str(F.col("ts")).alias("ts"), "running")
+
+
+@register(
+    "q97_filteracc_stream_global",
+    """
+    SELECT event_id FROM (
+        SELECT event_id, event_type,
+               lag(event_type) OVER (ORDER BY ts, event_id) AS prev
+        FROM events) t
+    WHERE prev IS NULL OR prev <> event_type
+    """,
+    doc="streamFilterAcc over the TOTALLY ORDERED stream — like q92 for "
+    "streamScan, this is the reference's exact definition "
+    "(FunctionalProcessing.hs:181-185 threads one accumulator through "
+    "the whole stream): dedup-on-change of event_type across ALL users "
+    "in (ts, event_id) order, lowered as filter_acc_stream with a "
+    "constant key. One state partition = one core's fold rate; the "
+    "keyed form (q90) is the scale-safe default — see "
+    "streaming/runtime.py:scan_stream's keyed-vs-global note",
+)
+def q97_filteracc_stream_global(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema).withColumn("g", F.lit(0))
+    out = RT.filter_acc_stream(
+        sdf,
+        step=lambda acc, row: (row["event_type"],),
+        init=(None,),
+        pred=lambda row, acc: acc[0] is None
+        or row["event_type"] != acc[0],
+        key=["g"],
+        time_col="ts",
+        state_type="prev string",
+        tiebreak="event_id",
+    )
+    drained = RT.run_available_now(
+        out,
+        f"q97_gfacc_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q97_ck_"),
+        mode="append",
+    )
+    return drained.select("event_id")

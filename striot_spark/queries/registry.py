@@ -55,6 +55,7 @@ _SWEEP_FIRST = [
     "q94_cross_corpus_near_dups",
     "q95_contamination_scores",
     "q96_semantic_near_dups",
+    "q97_filteracc_stream_global",
     # r03-only cohort (freshest row now two rounds old)
     "q01_filter_map",
     "q02_expand_tokens",

@@ -754,6 +754,27 @@ def test_join_w_stream_matches_batch_closed_windows(
     assert len(stream_rows) > 0
 
 
+def test_lcm_containment_arithmetic_property():
+    """The claim that makes the LCM lowering lossless: for any
+    whole-second lengths L, R and any left-window start Ls (a multiple
+    of L), the right window containing Ls — floor(Ls/R)*R, the batch
+    join_w alignment — lies in the SAME lcm(L,R) bucket as Ls, so the
+    post-join containment filter over LCM-equi-joined pairs recovers
+    exactly the batch pairing."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    pairs = [(7, 10), (20, 50), (86400, 129600), (3599, 7200), (5, 5),
+             (60, 90), (1, 97)]
+    for L, R in pairs:
+        M = math.lcm(L, R)
+        for _ in range(200):
+            ls = rng.randrange(0, 10 * M, L)  # a left window start
+            containing = (ls // R) * R
+            assert containing // M == ls // M, (L, R, ls)
+
+
 def test_join_w_stream_non_nesting_lengths_match_batch(
     spark, sf_dir, events_dir, ckpt
 ):
