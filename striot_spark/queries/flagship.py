@@ -400,6 +400,89 @@ def q88_taxi_csv_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unionByName(rej)
 
 
+_STAGED_JSONL: dict[str, str] = {}
+
+
+def _stage_docs_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """Render the documents table as JSONL text with DETERMINISTIC
+    damage (q88's recipe on the LLM-data interchange format): every doc
+    with ``doc_id % 101 == 0`` becomes a malformed JSON line, every
+    remaining ``% 103 == 0`` a blank line. Arithmetic damage rule →
+    the DuckDB oracle states the good/reject partition directly over
+    the documents view. Cached per sf_dir."""
+    import tempfile
+
+    path = _STAGED_JSONL.get(sf_dir)
+    if path is not None:
+        return path
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    line = (
+        F.when(F.col("doc_id") % 101 == 0, F.lit('{"doc_id": CORRUPT'))
+        .when(F.col("doc_id") % 103 == 0, F.lit(""))
+        .otherwise(payload)
+    )
+    out = tempfile.mkdtemp(prefix="striot_docs_jsonl_")
+    docs.select(line.alias("value")).repartition(2).write.mode(
+        "overwrite"
+    ).text(out)
+    _STAGED_JSONL[sf_dir] = out
+    return out
+
+
+@register(
+    "q98_docs_jsonl_dead_letter",
+    """
+    WITH good AS (
+        SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+        FROM documents
+        WHERE doc_id % 101 <> 0 AND doc_id % 103 <> 0
+        GROUP BY 1)
+    SELECT lang, n, sum_chars FROM good
+    UNION ALL
+    SELECT '__rejected__' AS lang, count(*) AS n,
+           CAST(NULL AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 101 = 0 OR doc_id % 103 = 0
+    """,
+    doc="the JSONL dead-letter entry path end-to-end under the oracle "
+    "gate (sources/csv.py:jsonl_with_rejects — JSONL is THE LLM "
+    "training-data interchange format, so its ingest gets the same "
+    "driver-verified treatment as CSV q88): documents rendered as "
+    "JSONL with deterministic damage (malformed JSON + blank lines), "
+    "parsed with the one-text-scan dead-letter split; good rows "
+    "aggregate per lang, rejects surface as one counted row",
+)
+def q98_docs_jsonl_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from striot_spark.sources.csv import jsonl_with_rejects
+
+    path = _stage_docs_jsonl(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    good, rejects = jsonl_with_rejects(spark, path, schema)
+    agg = good.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    rej = rejects.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("__rejected__").alias("lang"),
+        "n",
+        F.lit(None).cast("long").alias("sum_chars"),
+    )
+    return agg.unionByName(rej)
+
+
 # -- stateful streaming operators under the correctness gate -----------------
 
 from striot_spark.queries.events_ops import TS_FMT as _TS_FMT_Q89

@@ -437,6 +437,30 @@ def test_interval_join_at_scale_exact_count(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
+def test_jsonl_dead_letter_good_path_is_scan_project_filter(spark, sf_dir):
+    """q98's JSONL split shares csv's lowering and must keep the same
+    one-text-scan shape: no Exchange in the split, no cache."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from striot_spark.queries.flagship import _stage_docs_jsonl
+    from striot_spark.sources.csv import jsonl_with_rejects
+
+    path = _stage_docs_jsonl(spark, sf_dir)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    good, rejects = jsonl_with_rejects(spark, path, schema)
+    for df in (good, rejects):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Scan text" in plan
+        assert "Exchange" not in plan
+        assert "InMemoryTableScan" not in plan
+
+
 def test_csv_dead_letter_good_path_is_scan_project_filter(spark, sf_dir):
     """q88's dead-letter split (sources/csv.py): BOTH consumers must be
     pure text-scan -> project -> filter pipelines. The good side's only
