@@ -826,6 +826,71 @@ def q70_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_stats(docs, "doc_id", "text", ngram_n=2)
 
 
+@register(
+    "q99_corpus_pipeline",
+    """
+    WITH train AS (
+        SELECT doc_id, text, lang, n_chars FROM documents
+        WHERE doc_id % 97 <> 0 AND n_chars >= 50),
+    keep AS (SELECT min(doc_id) AS doc_id FROM train GROUP BY md5(text)),
+    t2 AS (SELECT t.* FROM train t JOIN keep USING (doc_id)),
+    toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                   AS tk
+        FROM t2),
+    idx AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM toks),
+    g AS (
+        SELECT DISTINCT doc_id,
+               tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+               tk[i+3] || ' ' || tk[i+4] AS gram
+        FROM idx),
+    etoks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                   AS tk
+        FROM documents WHERE doc_id % 97 = 0),
+    eidx AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM etoks),
+    ev AS (
+        SELECT DISTINCT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+               tk[i+3] || ' ' || tk[i+4] AS gram
+        FROM eidx),
+    contaminated AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)),
+    t3 AS (SELECT * FROM t2
+           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT doc_id, lang, n_chars FROM t3
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 <
+          CASE lang WHEN 'en' THEN 9000 ELSE 5000 END
+    """,
+    doc="END-TO-END corpus build composing the pipeline operators under "
+    "ONE oracle: length floor (metadata filter) -> exact dedup "
+    "(16-byte digest groupBy + semi-join, bodies never shuffle) -> "
+    "benchmark decontamination (broadcast eval 5-gram set, anti-join) "
+    "-> deterministic per-lang hash sampling (zero-shuffle filter). "
+    "Every stage is the registered operator, not a reimplementation — "
+    "the composability claim of the whole library, driver-verified",
+)
+def q99_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(
+        (F.col("doc_id") % 97 != 0) & (F.col("n_chars") >= 50)
+    )
+    kept = D.exact_dedup(train, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = train.join(kept, "doc_id", "left_semi")
+    contaminated = D.contamination_check(
+        deduped, eval_df, "doc_id", "text", ngram_n=5
+    ).select("doc_id")
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    sampled = SAMP.hash_sample(
+        clean, "doc_id", strata_col="lang", rates={"en": 0.9},
+        default_rate=0.5,
+    )
+    return sampled.select("doc_id", "lang", "n_chars")
+
+
 _MIX_WEIGHTS = {"en": 400, "zh": 150, "es": 150, "de": 150, "fr": 150}
 
 

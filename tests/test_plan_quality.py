@@ -240,6 +240,17 @@ def test_semantic_near_dup_pair_join_is_cell_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_corpus_pipeline_composes_scale_shapes(spark, sf_dir):
+    """q99 composes four operators; the composition must keep each
+    stage's scale shape: the decontamination n-gram join broadcasts,
+    nothing degenerates to cartesian/nested-loop, and the sampling
+    stage adds no exchange (it's a filter)."""
+    plan = _executed(spark, "q99_corpus_pipeline", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_corpus_mix_sampling_is_shuffle_free_filter(spark, sf_dir):
     plan = _executed(spark, "q71_corpus_mix", sf_dir)
     assert "Exchange" not in plan
