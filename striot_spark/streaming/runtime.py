@@ -728,6 +728,70 @@ def dedup_stream(
     )
 
 
+def fingerprint_dedup_stream(
+    sdf: DataFrame,
+    text_col: str,
+    time_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming near-exact dedup: keep the FIRST document per 60-bit
+    SimHash fingerprint within the watermark horizon. The fingerprint
+    is the batch ``functions/dedup.py:simhash`` projection verbatim
+    (declarative token-hash bit votes — no Python, no shuffle), so the
+    only streaming state is the watermark-bounded fingerprint key set
+    of ``dedup_stream``.
+
+    Granularity is fingerprint EQUALITY: exact duplicates and
+    whitespace/token-order-insensitive near-exact ones collapse;
+    near-dups at hamming > 0 pass through (the banded+verified batch
+    pipeline ``simhash_near_dup_pairs`` exists for those — a streaming
+    band join would be stream-stream state, the wrong cost at ingest).
+    Docs with zero tokens have no fingerprint and pass through
+    unconditionally (they cannot be near-dups of anything).
+    """
+    hs = F.expr(
+        """
+        transform(
+          filter(split({text}, ' '), t -> t <> ''),
+          t -> CAST(conv(substring(md5(encode(t, 'UTF-8')), 1, 15),
+                         16, 10) AS BIGINT))
+        """.format(text=text_col)
+    )
+    fingerprint = F.expr(
+        """
+        aggregate(
+          zip_with(
+            aggregate(
+              __hs,
+              array_repeat(CAST(0 AS BIGINT), 60),
+              (acc, h) -> zip_with(
+                  acc, sequence(0, 59),
+                  (a, b) -> a + CASE WHEN (h >> b) & 1 = 1
+                                 THEN CAST(1 AS BIGINT)
+                                 ELSE CAST(-1 AS BIGINT) END)),
+            sequence(0, 59),
+            (v, b) -> CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b
+                           ELSE CAST(0 AS BIGINT) END),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)
+        """
+    )
+    with_fp = (
+        sdf.withColumn("__hs", hs)
+        .withColumn(
+            "__fp", F.when(F.size("__hs") > 0, fingerprint)
+        )
+        .drop("__hs")
+    )
+    empties = with_fp.filter(F.col("__fp").isNull()).drop("__fp")
+    deduped = dedup_stream(
+        with_fp.filter(F.col("__fp").isNotNull()),
+        ["__fp"],
+        time_col,
+        watermark,
+    ).drop("__fp")
+    return deduped.unionByName(empties)
+
+
 def contamination_filter_stream(
     sdf: DataFrame,
     eval_df: DataFrame,

@@ -292,6 +292,31 @@ def test_scan_stream_tiebreak_orders_timestamp_ties(spark, tmp_path, ckpt):
     assert {r["seen"] for r in got.collect()} == {"a", "ab", "abc", "abcd"}
 
 
+def test_fingerprint_dedup_stream_collapses_exact_dups(
+    spark, tmp_path, ckpt
+):
+    """First doc per SimHash fingerprint survives; exact dups drop;
+    distinct docs and zero-token docs pass through."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "alpha beta gamma"),
+        (2, t0 + dt.timedelta(seconds=1), "alpha beta gamma"),  # dup
+        (3, t0 + dt.timedelta(seconds=2), "совершенно different text"),
+        (4, t0 + dt.timedelta(seconds=3), "   "),  # zero tokens
+        (5, t0 + dt.timedelta(seconds=4), "alpha beta gamma"),  # dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    src = tmp_path / "fp_src"
+    df.coalesce(1).write.parquet(str(src))
+    sdf = RT.file_stream(spark, str(src), df.schema)
+    out = RT.fingerprint_dedup_stream(sdf, "text", "ts")
+    got = RT.run_available_now(out, "fp_dedup", ckpt, mode="append")
+    assert {r["doc_id"] for r in got.collect()} == {1, 3, 4}
+    assert got.columns == df.columns  # fingerprint column stripped
+
+
 def test_contamination_filter_stream_matches_batch_check(
     spark, sf_dir, tmp_path, ckpt
 ):
@@ -337,6 +362,29 @@ def test_contamination_filter_stream_matches_batch_check(
     }
     all_ids = {r["doc_id"] for r in train.collect()}
     assert got_clean == all_ids - expected
+
+
+def test_contamination_filter_stream_empty_eval_and_validation(
+    spark, tmp_path, ckpt
+):
+    """An EMPTY eval corpus means nothing is contaminated (the empty
+    map-literal branch); a bad emit value raises before any plan."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "some words here repeated often "
+          "enough to have five grams")],
+        "doc_id long, ts timestamp, text string",
+    )
+    empty_eval = df.filter(F.lit(False))
+    with pytest.raises(ValueError, match="emit"):
+        RT.contamination_filter_stream(df, empty_eval, "text", emit="cleanx")
+    src = tmp_path / "contam_empty_src"
+    df.coalesce(1).write.parquet(str(src))
+    sdf = RT.file_stream(spark, str(src), df.schema)
+    clean = RT.contamination_filter_stream(sdf, empty_eval, "text")
+    got = RT.run_available_now(clean, "contam_empty", ckpt, mode="append")
+    assert got.count() == 1
 
 
 def test_join_e_stream_matches_batch(spark, sf_dir, events_dir, ckpt):
