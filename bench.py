@@ -67,6 +67,7 @@ def main() -> None:
         "q92_scan_stream_global",
         "q93_joinw_stream_non_nesting",
         "q97_filteracc_stream_global",
+        "q100_chop_count_stream",
     }
     # best-of-3 (was 2): PERF.md r4 measured 10-23% CV across identical
     # back-to-back runs on this shared box; a third repeat materially

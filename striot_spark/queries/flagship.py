@@ -715,6 +715,64 @@ def q92_scan_stream_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q100_chop_count_stream",
+    f"""
+    WITH o AS (
+        SELECT user_id, ts,
+               CAST(round((value)*100.0, 0) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) - 1 AS rn
+        FROM events)
+    SELECT user_id, rn // 5 AS window_ordinal,
+           strftime(max(ts), '{_TS_FMT_Q89}') AS ts,
+           sum(cents) AS sum_c
+    FROM o GROUP BY user_id, rn // 5
+    HAVING count(*) = 5
+    """,
+    doc="tumbling COUNT window (chop n, FunctionalProcessing.hs:"
+    "113-116) lowered to Structured Streaming: per-user windows of 5 "
+    "events in (ts, event_id) order, each emitting one integer-cents "
+    "sum stamped with the completing event's timestamp and the dense "
+    "per-key window ordinal — the batch q04 dense-seq semantics as "
+    "bounded per-key state (one partial buffer). Only complete windows "
+    "emit, so the oracle filters to count(*) = 5 — the reference's "
+    "lazy-list semantics where an unfilled window never materializes",
+)
+def q100_chop_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.analytics import cents, ts_str
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema).withColumn(
+        "cents", cents(F.col("value"))
+    )
+    out = RT.chop_count_stream(
+        sdf,
+        n=5,
+        value_col="cents",
+        agg=lambda vs: int(sum(vs)),
+        key=["user_id"],
+        time_col="ts",
+        out_field="sum_c",
+        out_type="bigint",
+        tiebreak="event_id",
+    )
+    drained = RT.run_available_now(
+        out,
+        f"q100_chop_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q100_ck_"),
+        mode="append",
+    )
+    return drained.select(
+        "user_id", "window_ordinal", ts_str(F.col("ts")).alias("ts"), "sum_c"
+    )
+
+
+@register(
     "q97_filteracc_stream_global",
     """
     SELECT event_id FROM (

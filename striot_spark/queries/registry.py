@@ -58,6 +58,7 @@ _SWEEP_FIRST = [
     "q97_filteracc_stream_global",
     "q98_docs_jsonl_dead_letter",
     "q99_corpus_pipeline",
+    "q100_chop_count_stream",
     # r03-only cohort (freshest row now two rounds old)
     "q01_filter_map",
     "q02_expand_tokens",

@@ -844,6 +844,84 @@ def contamination_filter_stream(
     return sdf.filter(~hit if emit == "clean" else hit)
 
 
+def chop_count_stream(
+    sdf: DataFrame,
+    n: int,
+    value_col: str,
+    agg: Callable[[list], Any],
+    key: Sequence[str],
+    time_col: str,
+    out_field: str = "agg",
+    out_type: str = "double",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming tumbling COUNT window (reference ``chop n``,
+    ``FunctionalProcessing.hs:113-116``): per key, every ``n``-th event
+    completes a window and emits ONE row — ``agg`` over the window's
+    values, stamped with the completing event's ``time_col`` and the
+    window's 0-based per-key ordinal (``window_ordinal``, the batch
+    lowering's dense window id).
+
+    The batch form is dense-seq arithmetic (q04); this is the
+    unbounded-stream form: per-key state is one partial buffer
+    (≤ n-1 values) plus the next ordinal — O(n) state per key
+    regardless of stream length. Only COMPLETE windows emit; a bounded
+    replay's trailing partial stays in state, matching the reference's
+    lazy list where an unfilled window never materializes. Events
+    within a micro-batch process in (``time_col``, ``tiebreak``) order;
+    cross-batch order is arrival order (``Nodes/TCP.hs:52-59``).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if n <= 0:
+        raise ValueError("window size n must be positive")
+    key = list(key)
+    fields = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    out_schema = ", ".join(
+        [f"`{c}` {fields[c]}" for c in key]
+        + [
+            "`window_ordinal` bigint",
+            f"`{time_col}` {fields[time_col]}",
+            f"`{out_field}` {out_type}",
+        ]
+    )
+    sort_cols = [time_col] if tiebreak is None else [time_col, tiebreak]
+
+    def fn(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ordinal, buf = state.get[0], list(state.get[1])
+        else:
+            ordinal, buf = 0, []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(sort_cols, kind="mergesort")
+            out_rows = []
+            for v, t in zip(
+                pdf[value_col].tolist(), pdf[time_col].tolist()
+            ):
+                buf.append(v)
+                if len(buf) == n:
+                    out_rows.append((*k, ordinal, t, agg(buf)))
+                    ordinal += 1
+                    buf = []
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=[*key, "window_ordinal", time_col, out_field],
+                )
+        state.update((ordinal, buf))
+
+    return sdf.groupBy(*key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="ordinal bigint, buf array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sliding_count_stream(
     sdf: DataFrame,
     n: int,
