@@ -387,6 +387,57 @@ def test_contamination_filter_stream_empty_eval_and_validation(
     assert got.count() == 1
 
 
+def test_streaming_corpus_pipeline_composes(spark, sf_dir, tmp_path, ckpt):
+    """The ingest-time pipeline (decontaminate → fingerprint-dedup)
+    composes on one stream and matches the batch semantics: the
+    surviving set covers exactly one document per SimHash fingerprint
+    of exactly the clean (uncontaminated) set. Which duplicate survives
+    is arrival-order-dependent by design, so the assertion is on
+    fingerprint sets, not row identity."""
+    from striot_spark.functions.dedup import contamination_check, simhash
+    from striot_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    src = tmp_path / "pipe_src"
+    train.repartition(2).write.parquet(str(src))
+    sdf = RT.file_stream(spark, str(src), train.schema)
+    # no event-time column on documents: stamp a constant — the dedup
+    # watermark only bounds state age, which a bounded drain never hits
+    staged = sdf.withColumn("ts", F.lit("2024-01-01").cast("timestamp"))
+    clean = RT.contamination_filter_stream(staged, eval_df, "text")
+    deduped = RT.fingerprint_dedup_stream(clean, "text", "ts")
+    got = RT.run_available_now(deduped, "pipe_out", ckpt, mode="append")
+    got_ids = [r["doc_id"] for r in got.collect()]
+
+    contaminated = {
+        r["doc_id"]
+        for r in contamination_check(
+            train, eval_df, "doc_id", "text", ngram_n=5
+        ).collect()
+    }
+    clean_batch = train.filter(~F.col("doc_id").isin(contaminated))
+    expected_fps = {
+        r["simhash"]
+        for r in simhash(clean_batch, "doc_id", "text").collect()
+    }
+    survivor_fps = {
+        r["simhash"]
+        for r in simhash(
+            docs.filter(F.col("doc_id").isin(got_ids)), "doc_id", "text"
+        ).collect()
+    }
+    assert len(got_ids) == len(set(got_ids))
+    assert survivor_fps == expected_fps
+    # every survivor is clean, and one survivor per fingerprint
+    assert not (set(got_ids) & contaminated)
+    assert len(got_ids) == len(expected_fps) + (
+        clean_batch.count()
+        - simhash(clean_batch, "doc_id", "text").count()
+    )  # zero-token docs (no fingerprint) pass through unconditionally
+
+
 def test_join_e_stream_matches_batch(spark, sf_dir, events_dir, ckpt):
     """Streaming joinE (windowed theta join of two streams) must agree
     with the batch q32 lowering on the same data."""
