@@ -355,9 +355,13 @@ def semantic_near_dup_pairs(
     ``functions.dedup.dedup_groups`` for keep/drop group assignment,
     exactly like the text near-dup pipelines.
     """
+    # persist: the self-join consumes the assignment twice — without
+    # the cache the corpus scan AND the k-dot-product E-step would
+    # execute once per join side (at 100 TB, write the assignment out
+    # partitioned by cell instead; persist is the in-session analogue)
     cells = nearest_centroid(
         df, centroids, id_col, vec_col, keep_vec=True
-    ).select(id_col, "centroid_id", "__v", "__nv")
+    ).select(id_col, "centroid_id", "__v", "__nv").persist()
     a = cells.select(
         F.col(id_col).alias("id_a"),
         "centroid_id",

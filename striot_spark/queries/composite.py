@@ -163,7 +163,8 @@ def q87_joinw_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
            l.revenue_c, r.n_clicks
     FROM l JOIN r ON r.right_window = l.left_window - l.left_window % 129600,
          wm
-    WHERE (l.left_window // 259200) * 259200 + 259200 <= wm.w
+    WHERE greatest(l.left_window + 86400,
+                   l.left_window - l.left_window % 129600 + 129600) <= wm.w
     """,
     doc="streamJoinW with NON-NESTING window lengths (1 day / 1.5 days; "
     "129600 % 86400 != 0) as ONE streaming query — the round-5 "
@@ -171,10 +172,13 @@ def q87_joinw_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "allows any pair): both sides lift into their 3-day LCM chained "
     "window, stream-stream join on it, then filter to the right window "
     "containing the left window's start. Drained available-now in "
-    "append mode, so the output is exactly the window pairs whose LCM "
-    "bucket the final watermark (min over sides of max ts - 60s) "
-    "closed — the oracle reproduces that closure rule in SQL. Revenue "
-    "stays integer cents end-to-end",
+    "append mode: a pair emits once the final watermark (min over "
+    "sides of max ts - 60s) passes BOTH its windows' ends — each "
+    "side's aggregate row appears when ITS OWN window closes, and the "
+    "inner join emits on arrival of both (empirically probed: a pair "
+    "whose two windows are closed emits even while its LCM bucket is "
+    "still open). The oracle states exactly that both-ends rule. "
+    "Revenue stays integer cents end-to-end",
 )
 def q93_joinw_stream_non_nesting(
     spark: SparkSession, sf_dir: str

@@ -760,6 +760,7 @@ def q100_chop_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_field="sum_c",
         out_type="bigint",
         tiebreak="event_id",
+        buf_type="bigint",  # exact integer cents across batch boundaries
     )
     drained = RT.run_available_now(
         out,

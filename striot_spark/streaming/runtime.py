@@ -798,22 +798,34 @@ def contamination_filter_stream(
     text_col: str,
     ngram_n: int = 5,
     emit: str = "clean",
+    max_inline_grams: int = 50_000,
 ) -> DataFrame:
     """Streaming benchmark-decontamination filter: drop (or quarantine)
     incoming documents sharing any ``ngram_n``-gram with a STATIC eval
     corpus — the ingest-time form of
     ``functions/dedup.py:contamination_check``. The published pipelines
     apply this at corpus assembly; on a live feed it becomes a pure
-    per-row predicate, completely STATELESS: the eval n-gram set (a
-    benchmark — MBs against the feed) is collected once at plan build
-    and inlined as a map literal, the streamMapCache pattern
-    (``functions/caching.py``, q75's vocab encode). Each document then
-    tests ``exists(gram -> map lookup)`` inside the projection — no
-    join, no shuffle, no streaming state, nothing to checkpoint.
+    per-row predicate, completely STATELESS: the eval n-gram set is
+    collected once at plan build and inlined as a map literal, the
+    streamMapCache pattern (``functions/caching.py``, q75's vocab
+    encode). Each document then tests ``exists(gram -> map lookup)``
+    inside the projection — no join, no shuffle, no streaming state,
+    nothing to checkpoint.
+
+    Cost model and the ``max_inline_grams`` gate: a lookup in a LITERAL
+    map is a scan of the literal, so the per-document work is
+    O(doc_grams × eval_grams) and the expression tree carries
+    2×|eval_grams| literal arguments. That is the right trade only for
+    small eval sets (the gate default, 50k grams ≈ single-benchmark
+    scale); beyond it the call refuses, and the batch
+    ``contamination_check`` (broadcast hash join) is the correct tool —
+    apply it to each drained micro-batch via ``foreachBatch`` instead.
 
     ``emit='clean'`` passes only uncontaminated documents;
     ``emit='contaminated'`` passes the hits (for a quarantine sink).
-    Docs shorter than ``ngram_n`` tokens have no n-grams and are clean.
+    Docs shorter than ``ngram_n`` tokens — and docs with NULL text,
+    which have no n-gram set at all — are clean: the stream partitions
+    exactly into clean + contaminated.
     Works identically on batch frames (the predicate is engine-neutral).
     """
     from striot_spark.functions.dedup import shingles
@@ -831,6 +843,14 @@ def contamination_filter_stream(
         .distinct()
         .collect()
     )
+    if len(rows) > max_inline_grams:
+        raise ValueError(
+            f"eval corpus has {len(rows)} distinct {ngram_n}-grams > "
+            f"max_inline_grams={max_inline_grams}; a literal-map "
+            "predicate scans the literal per lookup, so inline only "
+            "small eval sets — use contamination_check in foreachBatch "
+            "for large ones"
+        )
     if rows:
         args: list[Column] = []
         for r in rows:
@@ -840,7 +860,11 @@ def contamination_filter_stream(
     else:
         gmap = F.create_map().cast("map<string,int>")
     grams = F.array_distinct(shingles(F.col(text_col), ngram_n))
-    hit = F.exists(grams, lambda g: gmap[g].isNotNull())
+    # coalesce: NULL text -> NULL grams -> NULL exists(); without it
+    # such rows would vanish from BOTH emit branches
+    hit = F.coalesce(
+        F.exists(grams, lambda g: gmap[g].isNotNull()), F.lit(False)
+    )
     return sdf.filter(~hit if emit == "clean" else hit)
 
 
@@ -854,6 +878,7 @@ def chop_count_stream(
     out_field: str = "agg",
     out_type: str = "double",
     tiebreak: str | None = None,
+    buf_type: str = "double",
 ) -> DataFrame:
     """Streaming tumbling COUNT window (reference ``chop n``,
     ``FunctionalProcessing.hs:113-116``): per key, every ``n``-th event
@@ -861,6 +886,13 @@ def chop_count_stream(
     values, stamped with the completing event's ``time_col`` and the
     window's 0-based per-key ordinal (``window_ordinal``, the batch
     lowering's dense window id).
+
+    ``buf_type`` is the Spark type the partial buffer serializes as
+    between micro-batches (default ``double``, matching
+    ``sliding_count_stream``'s buffer): pass the value column's own
+    type (e.g. ``"bigint"``, ``"string"``) whenever a double
+    round-trip would lose it — integers beyond 2^53, or any
+    non-numeric payload.
 
     The batch form is dense-seq arithmetic (q04); this is the
     unbounded-stream form: per-key state is one partial buffer
@@ -916,7 +948,7 @@ def chop_count_stream(
     return sdf.groupBy(*key).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
-        stateStructType="ordinal bigint, buf array<double>",
+        stateStructType=f"ordinal bigint, buf array<{buf_type}>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -942,9 +974,12 @@ def sliding_count_stream(
     (q06); this is the unbounded-stream form: per-key state is a
     bounded buffer of the previous ``n-1`` values — O(n) state per key
     regardless of stream length, the SURVEY §2.2 'stateful buffer'
-    strategy. Events within a micro-batch are processed in event-time
-    order; cross-batch order is arrival order (the reference's
-    distributed-merge guarantee, ``Nodes/TCP.hs:52-59``).
+    strategy. The buffer serializes as ``array<double>`` between
+    micro-batches, so values must survive a double round-trip
+    (numerics below 2^53; ``chop_count_stream`` takes ``buf_type=``
+    for exact wider types). Events within a micro-batch are processed
+    in event-time order; cross-batch order is arrival order (the
+    reference's distributed-merge guarantee, ``Nodes/TCP.hs:52-59``).
     """
     if _resolve_api(api) == "tws":
         from striot_spark.streaming.tws import sliding_count_stream_tws

@@ -880,8 +880,9 @@ def test_join_w_stream_non_nesting_lengths_match_batch(
     """The round-5 generalization: window lengths that do NOT nest
     (1 day / 1.5 days — 129600 % 86400 != 0) must reproduce the batch
     join_w alignment exactly via the LCM-chained-window lowering.
-    Emission is finalized per LCM bucket (3 days here), so the closed
-    set is every pair whose LCM bucket end the final watermark passed."""
+    A pair emits once the final watermark passes BOTH its windows'
+    ends (each side's aggregate appears when its own window closes;
+    the LCM key only scopes state eviction, not emission)."""
     import datetime as dt
 
     from striot_spark.functions.analytics import cents
@@ -931,7 +932,7 @@ def test_join_w_stream_non_nesting_lengths_match_batch(
         (r["left_window"], r["right_window"], r["revenue_c"], r["n_clicks"])
         for r in batch.collect()
         if r["n_clicks"] is not None
-        and (r["left_window"] // M) * M + M <= wm_epoch
+        and max(r["left_window"] + L, r["right_window"] + R) <= wm_epoch
     )
     assert stream_rows == expected
     assert len(stream_rows) > 0
@@ -939,3 +940,55 @@ def test_join_w_stream_non_nesting_lengths_match_batch(
     # containing right window starts at a non-multiple of the left
     # length (impossible under nesting)
     assert any(rw % L != 0 for _, rw, _, _ in stream_rows)
+
+
+def test_join_w_stream_emits_when_both_windows_close_mid_lcm_bucket(
+    spark, tmp_path, ckpt
+):
+    """Pin the emission rule the q93 oracle states: a pair whose left
+    AND right windows the watermark passed emits even while its LCM
+    bucket is still open — crafted so the final watermark lands in the
+    SECOND half of an LCM bucket (the regime the driver events data
+    never exercises, where a bucket-closure rule would under-count)."""
+    import datetime as dt
+
+    L, R = 20, 50  # lcm 100
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return base + dt.timedelta(seconds=s)
+
+    # watermark drivers at t=165 on both sides -> final wm = 155,
+    # which lands INSIDE LCM bucket [100,200) (open until 200).
+    # Pair left [100,120) x right [100,150): both ends <= 155 ->
+    # must emit although its bucket is open. Pair left [160,180) x
+    # right [150,200): right end 200 > 155 -> withheld.
+    left_rows = [(at(5), 1.0), (at(105), 1.0), (at(165), 1.0)]
+    right_rows = [(at(7), 2.0), (at(103), 2.0), (at(165), 2.0)]
+    lsrc, rsrc = tmp_path / "jl", tmp_path / "jr"
+    ldf = spark.createDataFrame(left_rows, "ts timestamp, v double")
+    rdf = spark.createDataFrame(right_rows, "ts timestamp, v double")
+    ldf.coalesce(1).write.parquet(str(lsrc))
+    rdf.coalesce(1).write.parquet(str(rsrc))
+    out = RT.join_w_stream(
+        RT.file_stream(spark, str(lsrc), ldf.schema),
+        RT.file_stream(spark, str(rsrc), rdf.schema),
+        "ts",
+        "ts",
+        L,
+        R,
+        {"ln": F.count(F.lit(1))},
+        {"rn": F.count(F.lit(1))},
+        watermark="10 seconds",
+    )
+    got = RT.run_available_now(out, "joinw_midbucket", ckpt, mode="append")
+    pairs = {(r["left_window"], r["right_window"]) for r in got.collect()}
+    t0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    # first bucket fully closed: ([0,20),[0,50)) emits
+    assert (t0, t0) in pairs
+    # BOTH windows of ([100,120),[100,150)) closed at wm=155 while
+    # their LCM bucket [100,200) is still open -> emits (the rule a
+    # bucket-closure oracle would wrongly exclude)
+    assert (t0 + 100, t0 + 100) in pairs
+    # left [160,180) x right [150,200): right end past wm -> withheld
+    assert (t0 + 160, t0 + 150) not in pairs
