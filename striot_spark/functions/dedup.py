@@ -871,6 +871,13 @@ def cross_corpus_near_dup_pairs(
         ).select(id_col, *mh_names, "bs.band", "bs.sig")
 
     tw, ew = work_table(train), work_table(eval_df)
+    # materialize both caches before the joins consume them twice
+    # (band probe + verify): without the force, concurrent subtree
+    # execution inside the one action could shingle+md5 a side twice
+    # before its cache populates — the same guarantee
+    # prefix_filter_jaccard_pairs buys with its count()
+    tw.count()
+    ew.count()
     eb = banded(ew)
     e_sets = ew.select(
         F.col(id_col).alias("eval_id"), F.col("sset").alias("set_b")
