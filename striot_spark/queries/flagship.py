@@ -151,17 +151,78 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events table as a streaming-source directory (the file
     source lists a directory; the testdata dir mixes all tables, and its
     TIMESTAMP(NANOS) encoding needs the load_table shim anyway). Cached
-    per sf_dir for the process lifetime."""
+    per sf_dir for the process lifetime.
+
+    Written as EXACTLY ONE parquet file, globally sorted by
+    (ts, event_id). The file source's offsets are file-granular — a
+    single file can never split across micro-batches — so every replay
+    over this staging is one data batch plus the final no-data
+    (watermark-commit) batch IN ANY ENVIRONMENT, regardless of
+    maxFilesPerTrigger defaults or file-listing order. That pins down
+    the two things a multi-batch replay leaves environment-dependent:
+    watermark late-drops (watermark stays at its floor through the
+    single data batch, so nothing is ever late) and cross-batch arrival
+    order (there is no second data batch). Round-6 fix for the driver's
+    q93/q100 hash mismatches — see VERDICT r05 'What's wrong'. The sort
+    additionally makes within-file order the oracle's global
+    (ts, event_id) order, so even order-sensitive operators that do NOT
+    re-sort see the canonical sequence."""
     import tempfile
 
     path = _STAGED.get(sf_dir)
     if path is not None:
         return path
     out = tempfile.mkdtemp(prefix="striot_fr_stream_src_")
-    load_table(spark, sf_dir, "events").repartition(2).write.mode(
-        "overwrite"
-    ).parquet(out)
+    load_table(spark, sf_dir, "events").repartition(1).sortWithinPartitions(
+        "ts", "event_id"
+    ).write.mode("overwrite").parquet(out)
     _STAGED[sf_dir] = out
+    return out
+
+
+# barrier sentinel ids: real event_id/user_id are non-negative bigints
+BARRIER_USER = -1
+
+
+def _stage_events_barrier(spark: SparkSession, sf_dir: str) -> str:
+    """Like ``_stage_events`` (one globally sorted file ⇒ one data
+    micro-batch in any environment), plus ONE synthetic watermark
+    barrier row sorted last: a fabricated event one hour past the real
+    maximum timestamp, under its own key (``BARRIER_USER``). Replays
+    that finalize events strictly below the watermark (the
+    ``order_robust`` count windows) need the final watermark to pass
+    the last REAL event — with ``watermark_delay='0 seconds'`` the
+    barrier pins it one hour beyond, so every real event finalizes
+    while the barrier itself (== the watermark, its own key, a lone
+    event that can never complete a window) stays silently pending.
+    The oracle runs over the unmodified ``events`` table; the barrier
+    is invisible in any output by construction."""
+    import datetime as _dt
+    import tempfile
+
+    ck = (sf_dir, "barrier")
+    path = _STAGED.get(ck)
+    if path is not None:
+        return path
+    base = load_table(spark, sf_dir, "events")
+    mx = base.agg(F.max("ts")).first()[0]
+    special = {
+        "event_id": F.lit(-1).cast("long"),
+        "user_id": F.lit(BARRIER_USER).cast("long"),
+        "event_type": F.lit("__barrier__"),
+        "ts": F.lit(mx + _dt.timedelta(hours=1)),
+    }
+    barrier = base.limit(1).select(
+        *[
+            special.get(f.name, F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in base.schema.fields
+        ]
+    )
+    out = tempfile.mkdtemp(prefix="striot_fr_stream_srcb_")
+    base.unionByName(barrier).repartition(1).sortWithinPartitions(
+        "ts", "event_id"
+    ).write.mode("overwrite").parquet(out)
+    _STAGED[ck] = out
     return out
 
 
@@ -700,17 +761,21 @@ def q92_scan_stream_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_col="ts",
         state_type="acc bigint",
         tiebreak="event_id",
+        carry_cols=["event_id"],
     )
     drained = RT.run_available_now(
         out,
         f"q92_gscan_{uuid.uuid4().hex[:8]}",
         tempfile.mkdtemp(prefix="striot_q92_ck_"),
         mode="append",
+        expect_data_batches=1,
     )
-    # finalize exactly like q89: max running per tied instant == total
-    # through that instant, independent of within-tie emission order
+    # finalize with the LAST row per tied instant in (ts, event_id)
+    # order: its accumulator is the total through that instant by
+    # construction, regardless of increment sign (ADVICE r05: max of
+    # the running value is only order-correct for non-negative cents)
     return drained.groupBy("ts").agg(
-        (F.max("running_c") / 100.0).alias("running")
+        (F.max_by("running_c", "event_id") / 100.0).alias("running")
     ).select(ts_str(F.col("ts")).alias("ts"), "running")
 
 
@@ -734,9 +799,17 @@ def q92_scan_stream_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events in (ts, event_id) order, each emitting one integer-cents "
     "sum stamped with the completing event's timestamp and the dense "
     "per-key window ordinal — the batch q04 dense-seq semantics as "
-    "bounded per-key state (one partial buffer). Only complete windows "
-    "emit, so the oracle filters to count(*) = 5 — the reference's "
-    "lazy-list semantics where an unfilled window never materializes",
+    "bounded per-key state. Round 6: ORDER-ROBUST lowering — events "
+    "buffer in state and release in global (ts, event_id) order as the "
+    "watermark passes them (a barrier row in the staging pushes the "
+    "final watermark past all real events), so window membership no "
+    "longer depends on micro-batch arrival order — the driver's r05 "
+    "hash red was exactly that cross-batch-order hole (VERDICT r05 "
+    "task 2). The staging is also a single sorted file (one data "
+    "batch, asserted), so arrival order is pinned even before the "
+    "robust buffering. Only complete windows emit, so the oracle "
+    "filters to count(*) = 5 — the reference's lazy-list semantics "
+    "where an unfilled window never materializes",
 )
 def q100_chop_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -745,7 +818,7 @@ def q100_chop_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from striot_spark.functions.analytics import cents, ts_str
     from striot_spark.streaming import runtime as RT
 
-    src = _stage_events(spark, sf_dir)
+    src = _stage_events_barrier(spark, sf_dir)
     schema = spark.read.parquet(src).schema
     sdf = RT.file_stream(spark, src, schema).withColumn(
         "cents", cents(F.col("value"))
@@ -761,14 +834,17 @@ def q100_chop_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_type="bigint",
         tiebreak="event_id",
         buf_type="bigint",  # exact integer cents across batch boundaries
+        order_robust=True,
+        watermark_delay="0 seconds",
     )
     drained = RT.run_available_now(
         out,
         f"q100_chop_{uuid.uuid4().hex[:8]}",
         tempfile.mkdtemp(prefix="striot_q100_ck_"),
         mode="append",
+        expect_data_batches=1,
     )
-    return drained.select(
+    return drained.filter(F.col("user_id") != BARRIER_USER).select(
         "user_id", "window_ordinal", ts_str(F.col("ts")).alias("ts"), "sum_c"
     )
 

@@ -463,6 +463,7 @@ def scan_stream(
     state_type: str = "acc double",
     api: str = "auto",
     tiebreak: str | None = None,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Streaming streamScan via transformWithStateInPandas (Spark 4
     API) with an applyInPandasWithState fallback — see the section
@@ -475,6 +476,10 @@ def scan_stream(
     order-sensitive under ties and the oracle orders by the same pair).
     Cross-batch order is arrival order — the same guarantee the
     reference's distributed merge gives (``Nodes/TCP.hs:52-59``).
+    ``carry_cols`` names extra input columns passed through to the
+    output unchanged (e.g. the tiebreak id, so a downstream finalize
+    can pick the LAST accumulator value per tied instant with
+    ``max_by`` instead of assuming monotonicity — ADVICE r05 on q92).
 
     State never times out by design (a running scan's accumulator lives
     for the stream's lifetime, like the reference's), so total state =
@@ -493,6 +498,8 @@ def scan_stream(
     per key, parallel state, the scale-safe default.
     """
     if _resolve_api(api) == "tws":
+        if carry_cols:
+            raise ValueError("carry_cols is not supported on the TWS path")
         from striot_spark.streaming.tws import scan_stream_tws
 
         return scan_stream_tws(
@@ -502,7 +509,7 @@ def scan_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     key = list(key)
-    carry = [*key, time_col]
+    carry = [*key, time_col, *carry_cols]
     sort_cols = [time_col] if tiebreak is None else [time_col, tiebreak]
     fields = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
     out_schema = ", ".join(
@@ -608,14 +615,27 @@ def filter_acc_stream(
 
 
 def run_available_now(
-    sdf: DataFrame, query_name: str, checkpoint_dir: str, mode: str = "append"
+    sdf: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    mode: str = "append",
+    expect_data_batches: int | None = None,
 ) -> DataFrame:
     """Drain everything currently available into an in-memory table and
     return it (batch-equivalence testing harness for streaming plans).
 
     For windowed aggregations use ``mode='complete'``: in append mode a
     window only emits once the watermark passes its end, so the trailing
-    windows of a drained file stream would be withheld."""
+    windows of a drained file stream would be withheld.
+
+    ``expect_data_batches`` asserts how many micro-batches carried input
+    rows (no-data watermark-commit batches don't count). Queries whose
+    oracle assumes a specific batching — e.g. single-batch replays over
+    one-file staging, where one data batch is what makes arrival order
+    and watermark late-drops moot — pass 1, turning a silent
+    environment-dependent batching difference into a loud, diagnosable
+    error (VERDICT r05 task 2: "pin the replay to a single deterministic
+    batch and assert it")."""
     q = (
         sdf.writeStream.format("memory")
         .queryName(query_name)
@@ -625,6 +645,29 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+    if expect_data_batches is not None:
+
+        def _field(p, name):
+            # StreamingQueryProgress is a dict in some PySpark versions,
+            # an object with properties in others
+            v = p.get(name) if isinstance(p, dict) else getattr(p, name, None)
+            return 0 if v is None else v
+
+        progress = [p for p in q.recentProgress if p is not None]
+        data_batches = sum(
+            1 for p in progress if int(_field(p, "numInputRows")) > 0
+        )
+        if data_batches != expect_data_batches:
+            detail = [
+                (_field(p, "batchId"), _field(p, "numInputRows"))
+                for p in progress
+            ]
+            raise RuntimeError(
+                f"{query_name}: expected {expect_data_batches} data "
+                f"micro-batch(es), saw {data_batches} "
+                f"(batchId, numInputRows)={detail} — the replay's "
+                "batching differs from the oracle's assumption"
+            )
     return sdf.sparkSession.table(query_name)
 
 
@@ -868,6 +911,78 @@ def contamination_filter_stream(
     return sdf.filter(~hit if emit == "clean" else hit)
 
 
+# -- order-robust count windows ----------------------------------------------
+#
+# The plain chop/sliding count-window lowerings below process events in
+# (time_col, tiebreak) order WITHIN a micro-batch, but cross-batch order
+# is arrival order — the reference's own distributed-merge guarantee
+# (``Nodes/TCP.hs:52-59``), and exactly the hole the driver's
+# CORRECTNESS_r05 q100 red exposed: a replay split into several
+# out-of-order micro-batches assigns events to different windows than
+# the oracle's global (ts, tiebreak) order, at identical row counts
+# (window COUNT per key is order-independent; membership is not).
+#
+# ``order_robust=True`` closes the hole with the standard watermark
+# discipline: new events are BUFFERED in per-key state, and only events
+# strictly below the current watermark are released — sorted by
+# (event-time, tiebreak) — into the window machinery. The released
+# prefix is final by the watermark contract (anything older would be
+# dropped as late on arrival), so window membership equals the batch
+# oracle's global order REGARDLESS of how the replay batches or
+# interleaves files. Cost: state holds the out-of-orderness horizon
+# (watermark delay) worth of events per key instead of O(n) — the
+# usual price of event-time correctness, same as Spark's own windowed
+# aggregation state. Emission uses event-time timeouts so buffered
+# events also drain on watermark-only (no-data) batches; a bounded
+# replay therefore needs one event beyond the last window's span (e.g.
+# a max-timestamp barrier row) to push the final watermark past the
+# real data — see queries/flagship.py:_stage_events_barrier.
+
+
+def _pend_merge(
+    state_pend: list[tuple], new_rows: list[tuple], wm_us: int
+) -> tuple[list[tuple], list[tuple]]:
+    """Merge buffered pending rows with a batch's new rows, splitting at
+    the watermark: returns (finalized rows sorted by (ts_us, tiebreak),
+    rows still pending). A row finalizes only STRICTLY below the
+    watermark — a row AT the watermark could still have equal-timestamp
+    peers arrive later (Spark only drops arrivals strictly older)."""
+    allr = state_pend + new_rows
+    fin = sorted(r for r in allr if r[0] < wm_us)
+    pend = [r for r in allr if r[0] >= wm_us]
+    return fin, pend
+
+
+def _pend_arrays(state_row: tuple, base: int) -> list[tuple]:
+    """Reassemble the pending-row list from its three state arrays
+    (stored column-wise: ts_us, tiebreak, value) starting at state
+    field index ``base``."""
+    pts, ptb, pv = state_row[base], state_row[base + 1], state_row[base + 2]
+    if pts is None:
+        return []
+    return list(zip(list(pts), list(ptb), list(pv)))
+
+
+def _pend_cols(pend: list[tuple]) -> tuple[list, list, list]:
+    return (
+        [r[0] for r in pend],
+        [r[1] for r in pend],
+        [r[2] for r in pend],
+    )
+
+
+def _batch_pend_rows(
+    pdf: pd.DataFrame, time_col: str, tiebreak: str | None, value_col: str
+) -> list[tuple]:
+    ts_us = (pdf[time_col].astype("int64") // 1000).tolist()
+    tb = (
+        pdf[tiebreak].tolist()
+        if tiebreak is not None
+        else [0] * len(pdf)
+    )
+    return list(zip(ts_us, tb, pdf[value_col].tolist()))
+
+
 def chop_count_stream(
     sdf: DataFrame,
     n: int,
@@ -879,6 +994,8 @@ def chop_count_stream(
     out_type: str = "double",
     tiebreak: str | None = None,
     buf_type: str = "double",
+    order_robust: bool = False,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Streaming tumbling COUNT window (reference ``chop n``,
     ``FunctionalProcessing.hs:113-116``): per key, every ``n``-th event
@@ -901,7 +1018,15 @@ def chop_count_stream(
     replay's trailing partial stays in state, matching the reference's
     lazy list where an unfilled window never materializes. Events
     within a micro-batch process in (``time_col``, ``tiebreak``) order;
-    cross-batch order is arrival order (``Nodes/TCP.hs:52-59``).
+    cross-batch order is arrival order (``Nodes/TCP.hs:52-59``) —
+    unless ``order_robust=True``, which buffers events in state and
+    releases them in global (event-time, tiebreak) order as the
+    watermark (``withWatermark(time_col, watermark_delay)``) passes
+    them, making window membership independent of micro-batch
+    partitioning and file-listing order (see the section comment
+    above). ``order_robust`` requires a ``tiebreak`` column whenever
+    equal timestamps are possible (the watermark can only order by
+    event time; ties need a total order the oracle shares).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -918,6 +1043,63 @@ def chop_count_stream(
         ]
     )
     sort_cols = [time_col] if tiebreak is None else [time_col, tiebreak]
+
+    if order_robust:
+        tb_type = fields[tiebreak] if tiebreak is not None else "int"
+        state_schema = (
+            f"ordinal bigint, buf array<{buf_type}>, pts array<bigint>, "
+            f"ptb array<{tb_type}>, pv array<{buf_type}>"
+        )
+
+        def fn_robust(
+            k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+        ) -> Iterator[pd.DataFrame]:
+            if state.exists:
+                row = state.get
+                ordinal, buf = row[0], list(row[1])
+                pend = _pend_arrays(row, 2)
+            else:
+                ordinal, buf, pend = 0, [], []
+            new_rows: list[tuple] = []
+            for pdf in pdfs:
+                if len(pdf):
+                    new_rows.extend(
+                        _batch_pend_rows(pdf, time_col, tiebreak, value_col)
+                    )
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            fin, pend = _pend_merge(pend, new_rows, wm_us)
+            out_rows = []
+            for t_us, _tb, v in fin:
+                buf.append(v)
+                if len(buf) == n:
+                    out_rows.append(
+                        (*k, ordinal, pd.to_datetime(t_us, unit="us"), agg(buf))
+                    )
+                    ordinal += 1
+                    buf = []
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=[*key, "window_ordinal", time_col, out_field],
+                )
+            pts, ptb, pv = _pend_cols(pend)
+            state.update((ordinal, buf, pts, ptb, pv))
+            if pend:
+                # fire again when the watermark moves so buffered events
+                # drain on no-data batches too
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+
+        return (
+            sdf.withWatermark(time_col, watermark_delay)
+            .groupBy(*key)
+            .applyInPandasWithState(
+                fn_robust,
+                outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
 
     def fn(
         k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -965,6 +1147,8 @@ def sliding_count_stream(
     out_type: str = "double",
     tiebreak: str | None = None,
     api: str = "auto",
+    order_robust: bool = False,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Streaming count-based sliding window (reference ``sliding n``,
     ``FunctionalProcessing.hs:93-97``): every event emits ``agg`` over
@@ -979,7 +1163,13 @@ def sliding_count_stream(
     (numerics below 2^53; ``chop_count_stream`` takes ``buf_type=``
     for exact wider types). Events within a micro-batch are processed
     in event-time order; cross-batch order is arrival order (the
-    reference's distributed-merge guarantee, ``Nodes/TCP.hs:52-59``).
+    reference's distributed-merge guarantee, ``Nodes/TCP.hs:52-59``) —
+    unless ``order_robust=True``, which buffers events in state and
+    releases them in global (event-time, ``tiebreak``) order as the
+    watermark passes them, exactly like ``chop_count_stream``'s robust
+    mode (see the order-robust section comment above): window
+    membership then matches the batch ``rowsBetween`` frame regardless
+    of micro-batch partitioning.
     """
     if _resolve_api(api) == "tws":
         from striot_spark.streaming.tws import sliding_count_stream_tws
@@ -996,6 +1186,54 @@ def sliding_count_stream(
         [f"`{c}` {fields[c]}" for c in carry] + [f"`{out_field}` {out_type}"]
     )
     sort_cols = [time_col] if tiebreak is None else [time_col, tiebreak]
+
+    if order_robust:
+        tb_type = fields[tiebreak] if tiebreak is not None else "int"
+        state_schema = (
+            f"buf array<double>, pts array<bigint>, "
+            f"ptb array<{tb_type}>, pv array<double>"
+        )
+
+        def fn_robust(
+            k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+        ) -> Iterator[pd.DataFrame]:
+            if state.exists:
+                row = state.get
+                buf = list(row[0])
+                pend = _pend_arrays(row, 1)
+            else:
+                buf, pend = [], []
+            new_rows: list[tuple] = []
+            for pdf in pdfs:
+                if len(pdf):
+                    new_rows.extend(
+                        _batch_pend_rows(pdf, time_col, tiebreak, value_col)
+                    )
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            fin, pend = _pend_merge(pend, new_rows, wm_us)
+            out_rows = []
+            for t_us, _tb, v in fin:
+                win = buf[-(n - 1):] + [v] if n > 1 else [v]
+                out_rows.append((*k, pd.to_datetime(t_us, unit="us"), agg(win)))
+                buf = (buf + [v])[-(n - 1):] if n > 1 else []
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=[*carry, out_field])
+            pts, ptb, pv = _pend_cols(pend)
+            state.update((buf, pts, ptb, pv))
+            if pend:
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+
+        return (
+            sdf.withWatermark(time_col, watermark_delay)
+            .groupBy(*key)
+            .applyInPandasWithState(
+                fn_robust,
+                outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
 
     def fn(
         k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
