@@ -68,6 +68,9 @@ def main() -> None:
         "q93_joinw_stream_non_nesting",
         "q97_filteracc_stream_global",
         "q100_chop_count_stream",
+        "q100d_chop_stream_money_double",
+        "q93d_joinw_stream_money_double",
+        "q101_sliding_stream_ooo_replay",
     }
     # best-of-3 (was 2): PERF.md r4 measured 10-23% CV across identical
     # back-to-back runs on this shared box; a third repeat materially

@@ -18,6 +18,41 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# -- session-scoped persist tracking -----------------------------------------
+#
+# Several pair-generation operators persist corpus-scale work tables
+# (shingle sets, minhash bases, cell assignments) that the RETURNED
+# DataFrame's plan still reads — so the function cannot unpersist them
+# before the caller materializes the result, and a long session that
+# loops corpora (a bench sweep, the driver's 50-query run) accumulates
+# cached blocks until eviction pressure (ADVICE r05). The deal: those
+# persists register here, and session loops call ``release_persisted()``
+# between queries. Releasing early is always CORRECT — an unpersisted
+# plan recomputes from source — it only costs recompute time if the
+# caller had not yet materialized the previous result.
+
+_PERSISTED: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for ``release_persisted``."""
+    p = df.persist()
+    _PERSISTED.append(p)
+    return p
+
+
+def release_persisted(blocking: bool = False) -> int:
+    """Unpersist every tracked work table; returns how many released."""
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist(blocking)
+            n += 1
+        except Exception:
+            pass  # session already stopped; nothing to release
+    return n
+
+
 def broadcast_lookup(
     df: DataFrame,
     mapping: Mapping[Any, Any],

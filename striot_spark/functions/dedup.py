@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from striot_spark.core.scale import scatter
+from striot_spark.functions.caching import track_persist
 from striot_spark.functions.text import md5_hash64, tokens_col
 
 MERSENNE_P = 2_147_483_647  # 2^31-1, classic Carter-Wegman modulus
@@ -289,12 +290,9 @@ def minhash_signatures(
     # the filter sits ABOVE the persist barrier so its predicate reads
     # the cached array instead of being pushed into (and duplicating)
     # the md5 projection
-    work = (
-        scatter(df)
-        .select(F.col(id_col), base.alias("__mh_base"))
-        .persist()
-        .filter(F.size("__mh_base") > 0)
-    )
+    work = track_persist(
+        scatter(df).select(F.col(id_col), base.alias("__mh_base"))
+    ).filter(F.size("__mh_base") > 0)
     sig_cols = [
         F.array_min(
             F.transform(
@@ -333,7 +331,9 @@ def lsh_candidate_pairs(
     # materialize once. At 100 TB the signature table would be written
     # to storage before candidate generation — persist is the in-session
     # analogue.
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    sigs = track_persist(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    )
     band_cols = []
     for b in range(bands):
         members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -380,10 +380,14 @@ def ngram_jaccard_pairs(
     # scatter() both sides: the set build is CPU-heavy per row, and AQE
     # coalesces the small candidate shuffle to one partition, which
     # would serialize the intersect/union work
-    sets_ = scatter(df).select(
-        F.col(id_col).alias("sid"),
-        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sset"),
-    ).persist()
+    sets_ = track_persist(
+        scatter(df).select(
+            F.col(id_col).alias("sid"),
+            F.array_distinct(shingles(F.col(text_col), shingle_n)).alias(
+                "sset"
+            ),
+        )
+    )
     candidates = scatter(candidates)
     out = (
         candidates.join(sets_.withColumnRenamed("sid", "id_a").withColumnRenamed("sset", "set_a"), "id_a")
@@ -584,7 +588,7 @@ def prefix_filter_jaccard_pairs(
                 "cast(r % 64 as int))))"
             ),
         )
-    sets_ = sets_.persist()
+    sets_ = track_persist(sets_)
     sets_.count()  # materialize the rank sets off the toks/freq caches
     freq.unpersist()  # ... then release the vocabulary table
     toks.unpersist()  # ... and the token table (rank sets carry on)
@@ -715,20 +719,17 @@ def lsh_near_dup_pairs(
     # but the dominant md5 transform runs exactly once; persist is the
     # CollapseProject barrier so the k array_min signature projections
     # read the cached base array instead of inlining the md5 pass.
-    work = (
-        scatter(df)
-        .select(
+    work = track_persist(
+        scatter(df).select(
             F.col(id_col),
             F.array_distinct(sh).alias("sset"),
             F.transform(sh, lambda s: md5_hash64(s) % MERSENNE_P).alias(
                 "__mh_base"
             ),
         )
-        .persist()
         # above the barrier: shingle-less docs can't pair (and the
         # predicate must not be pushed into the md5 projection)
-        .filter(F.size("__mh_base") > 0)
-    )
+    ).filter(F.size("__mh_base") > 0)
     sig_cols = [
         F.array_min(
             F.transform(
@@ -829,18 +830,15 @@ def cross_corpus_near_dup_pairs(
 
     def work_table(df: DataFrame) -> DataFrame:
         sh = shingles(F.col(text_col), shingle_n)
-        return (
-            scatter(df)
-            .select(
+        return track_persist(
+            scatter(df).select(
                 F.col(id_col),
                 F.array_distinct(sh).alias("sset"),
                 F.transform(sh, lambda s: md5_hash64(s) % MERSENNE_P).alias(
                     "__mh_base"
                 ),
             )
-            .persist()
-            .filter(F.size("__mh_base") > 0)
-        )
+        ).filter(F.size("__mh_base") > 0)
 
     def banded(work: DataFrame) -> DataFrame:
         sig_cols = [
@@ -985,7 +983,7 @@ def simhash_near_dup_pairs(
     """
     # fingerprints are (id, long) but cost an md5 per token to derive;
     # self-join recomputes lineage per side → materialize once
-    sh = simhash(df, id_col, text_col).persist()
+    sh = track_persist(simhash(df, id_col, text_col))
     return simhash_band_pairs_from_hashes(
         sh, bands, band_bits, max_hamming, id_col=id_col
     )

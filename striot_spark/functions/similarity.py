@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from striot_spark.core.scale import scatter
+from striot_spark.functions.caching import track_persist
 
 
 def as_double(vec: Column) -> Column:
@@ -359,9 +360,10 @@ def semantic_near_dup_pairs(
     # the cache the corpus scan AND the k-dot-product E-step would
     # execute once per join side (at 100 TB, write the assignment out
     # partitioned by cell instead; persist is the in-session analogue)
-    cells = nearest_centroid(
-        df, centroids, id_col, vec_col, keep_vec=True
-    ).select(id_col, "centroid_id", "__v", "__nv").persist()
+    cells = track_persist(
+        nearest_centroid(df, centroids, id_col, vec_col, keep_vec=True)
+        .select(id_col, "centroid_id", "__v", "__nv")
+    )
     a = cells.select(
         F.col(id_col).alias("id_a"),
         "centroid_id",

@@ -307,6 +307,52 @@ def _assert_q93_closed(ev: DataFrame, res: DataFrame, wm_us: int) -> None:
 
 
 @register(
+    "q93d_joinw_stream_money_double",
+    f"""
+    WITH l AS (
+        SELECT ({EPOCH_S} // 86400) * 86400 AS left_window,
+               sum({CENTS_SQL}) AS revenue_c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    r AS (
+        SELECT ({EPOCH_S} // 129600) * 129600 AS right_window,
+               count(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+    wm AS (
+        SELECT least(
+            (SELECT max(epoch_us(ts)) FROM events
+             WHERE event_type = 'purchase'),
+            (SELECT max(epoch_us(ts)) FROM events
+             WHERE event_type = 'click')
+        ) / 1000000 - 60 AS w)
+    SELECT l.left_window,
+           l.left_window - l.left_window % 129600 AS right_window,
+           l.revenue_c / 100.0 AS revenue, r.n_clicks
+    FROM l JOIN r ON r.right_window = l.left_window - l.left_window % 129600,
+         wm
+    WHERE greatest(l.left_window + 86400,
+                   l.left_window - l.left_window % 129600 + 129600) <= wm.w
+    """,
+    doc="q93 shadow pair for the driver-hash probe (VERDICT r05 task 5): "
+    "byte-identical pipeline to q93_joinw_stream_non_nesting, but the "
+    "money column is emitted as a DOUBLE (integer cents / 100.0, oracle "
+    "matching) instead of a raw BIGINT sum. Shadow green + original red "
+    "isolates the driver's integer value hashing as the culprit; both "
+    "green (expected after the round-6 determinism fixes) retires the "
+    "hasher hypothesis",
+)
+def q93d_joinw_stream_money_double(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    out = q93_joinw_stream_non_nesting(spark, sf_dir)
+    return out.select(
+        "left_window",
+        "right_window",
+        (F.col("revenue_c") / 100.0).alias("revenue"),
+        "n_clicks",
+    )
+
+
+@register(
     "q32_joine_window_theta",
     f"""
     WITH p AS (SELECT ({EPOCH_S} // 3600) * 3600 AS window_id, event_id, value

@@ -226,6 +226,59 @@ def _stage_events_barrier(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _stage_events_ooo(spark: SparkSession, sf_dir: str) -> str:
+    """ADVERSARIAL replay staging: events split into three contiguous
+    (ts, event_id) ranges written as separate mtime-ordered files in
+    OUT-OF-ORDER sequence (middle, early, late), plus a far-future
+    barrier file last. Replayed with ``maxFilesPerTrigger=1`` this is
+    four data micro-batches whose cross-batch arrival order disagrees
+    with event-time order — the exact failure shape behind the driver's
+    r05 q100 hash red, now constructed ON PURPOSE so an oracle-gated
+    query (q101) proves the order-robust lowering withstands it in the
+    driver's own environment. The 365-day watermark delay exceeds any
+    possible disorder (the whole data span); the barrier lands one hour
+    past max+delay so the final watermark passes every real event."""
+    import datetime as _dt
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from striot_spark.streaming.runtime import stage_ordered_files
+
+    ck = (sf_dir, "ooo")
+    path = _STAGED.get(ck)
+    if path is not None:
+        return path
+    base = load_table(spark, sf_dir, "events")
+    n = base.count()
+    evr = base.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    third = n // 3
+    a = evr.filter(F.col("rn") <= third).drop("rn")
+    b = evr.filter((F.col("rn") > third) & (F.col("rn") <= 2 * third)).drop(
+        "rn"
+    )
+    c = evr.filter(F.col("rn") > 2 * third).drop("rn")
+    mx = base.agg(F.max("ts")).first()[0]
+    special = {
+        "event_id": F.lit(-1).cast("long"),
+        "user_id": F.lit(BARRIER_USER).cast("long"),
+        "event_type": F.lit("__barrier__"),
+        "ts": F.lit(mx + _dt.timedelta(days=365, hours=1)),
+    }
+    barrier = base.limit(1).select(
+        *[
+            special.get(f.name, F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in base.schema.fields
+        ]
+    )
+    out = tempfile.mkdtemp(prefix="striot_fr_stream_srco_") + "/data"
+    stage_ordered_files([b, a, c, barrier], out)
+    _STAGED[ck] = out
+    return out
+
+
 @register(
     "q65_frequent_routes_stream",
     _FREQUENT_ROUTES_SQL,
@@ -896,3 +949,102 @@ def q97_filteracc_stream_global(
         mode="append",
     )
     return drained.select("event_id")
+
+
+@register(
+    "q101_sliding_stream_ooo_replay",
+    f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CAST(round((value)*100.0, 0) AS BIGINT) AS cents
+        FROM events)
+    SELECT user_id, strftime(ts, '{_TS_FMT_Q89}') AS ts,
+           sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING
+                            AND CURRENT ROW) AS s3c
+    FROM o
+    """,
+    doc="sliding COUNT window (sliding n, FunctionalProcessing.hs:93-97) "
+    "under an ADVERSARIAL multi-batch replay: the staging splits events "
+    "into three out-of-order files plus a watermark barrier, replayed "
+    "one file per micro-batch (maxFilesPerTrigger=1, 4 data batches "
+    "asserted) — cross-batch arrival order deliberately disagrees with "
+    "event-time order. The order_robust lowering buffers events in "
+    "state and releases them in global (ts, event_id) order as the "
+    "watermark passes them, so the result still matches the batch "
+    "ROWS-frame oracle exactly — driver-visible proof that the round-6 "
+    "robust count windows neutralize the arrival-order hole behind the "
+    "r05 q100 red, in the driver's own environment (VERDICT r05 task 7)",
+)
+def q101_sliding_stream_ooo_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.analytics import cents, ts_str
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events_ooo(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(
+        spark, src, schema, max_files_per_trigger=1
+    ).withColumn("cents", cents(F.col("value")))
+    out = RT.sliding_count_stream(
+        sdf,
+        n=3,
+        value_col="cents",
+        agg=lambda vs: int(sum(vs)),
+        key=["user_id"],
+        time_col="ts",
+        out_field="s3c",
+        out_type="bigint",
+        tiebreak="event_id",
+        order_robust=True,
+        watermark_delay="365 days",
+    )
+    drained = RT.run_available_now(
+        out,
+        f"q101_ooo_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q101_ck_"),
+        mode="append",
+        expect_data_batches=4,
+    )
+    return drained.filter(F.col("user_id") != BARRIER_USER).select(
+        "user_id", ts_str(F.col("ts")).alias("ts"), "s3c"
+    )
+
+
+@register(
+    "q100d_chop_stream_money_double",
+    f"""
+    WITH o AS (
+        SELECT user_id, ts,
+               CAST(round((value)*100.0, 0) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) - 1 AS rn
+        FROM events)
+    SELECT user_id, rn // 5 AS window_ordinal,
+           strftime(max(ts), '{_TS_FMT_Q89}') AS ts,
+           sum(cents) / 100.0 AS sum_v
+    FROM o GROUP BY user_id, rn // 5
+    HAVING count(*) = 5
+    """,
+    doc="q100 shadow pair for the driver-hash probe (VERDICT r05 task "
+    "5): byte-identical pipeline to q100_chop_count_stream, but the "
+    "money column is emitted as a DOUBLE (integer cents / 100.0, "
+    "oracle matching) instead of a raw BIGINT sum. If this shadow "
+    "goes driver-green while the original stays red, the divergence "
+    "is in the driver's value hasher's integer handling, not in the "
+    "streaming emission — one cheap decisive experiment",
+)
+def q100d_chop_stream_money_double(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    out = q100_chop_count_stream(spark, sf_dir)
+    return out.select(
+        "user_id",
+        "window_ordinal",
+        "ts",
+        (F.col("sum_c") / 100.0).alias("sum_v"),
+    )

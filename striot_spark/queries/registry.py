@@ -13,6 +13,7 @@ timestamps are emitted as canonical strings.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Callable
 
@@ -35,76 +36,103 @@ def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str):
+            # long sessions (the driver's 50-query sweep) would otherwise
+            # accumulate the pair-generation operators' persisted work
+            # tables until eviction pressure (ADVICE r05): by the time
+            # the NEXT query starts, the previous one's result has been
+            # materialized and compared, so its caches are dead weight
+            from striot_spark.functions.caching import release_persisted
+
+            release_persisted()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(fn=wrapped, oracle=oracle, doc=doc)
         return fn
 
     return deco
 
 
 # Driver sweep order. The driver's CORRECTNESS sweep caps at the first 50
-# registry entries per round. Freshness ledger entering round 5: the 50
-# queries swept in r04 are one round fresh; the other 41 (q01–q10,
-# q21–q29, q36–q38, q42–q45, q48, q51–q63, q79) have their freshest green
-# row in r03, now two rounds old. This round's order: any round-5
-# additions first (no CORRECTNESS row exists yet), then the full r03-only
-# cohort — so after this sweep no green row is older than one round.
+# registry entries per round. Round-6 priorities, in order: (1) the two
+# r05 reds (q93, q100) whose lowerings this round rewrote, plus their
+# double-money shadow pairs and the new adversarial-replay q101 (no rows
+# yet); (2) every consumer of the changed `_stage_events` staging and the
+# changed q92 finalize — behavior-touched this round, so their green rows
+# must be re-earned even where r05-fresh; (3) the stale cohort last swept
+# in r04. 57 candidates > 50 cap: seven stable pure-batch queries
+# (untouched code, r04-green) are deferred to _SWEEP_LAST and MUST lead
+# the round-7 sweep.
 _SWEEP_FIRST = [
-    # round-5 additions — no CORRECTNESS row exists yet
-    "q92_scan_stream_global",
+    # (1) r05 reds + round-6 additions — no green row / no row at all
     "q93_joinw_stream_non_nesting",
-    "q94_cross_corpus_near_dups",
-    "q95_contamination_scores",
-    "q96_semantic_near_dups",
-    "q97_filteracc_stream_global",
-    "q98_docs_jsonl_dead_letter",
-    "q99_corpus_pipeline",
     "q100_chop_count_stream",
-    # r03-only cohort (freshest row now two rounds old)
-    "q01_filter_map",
-    "q02_expand_tokens",
-    "q03_merge",
-    "q04_chop_count_window",
-    "q05_choptime_window",
-    "q06_sliding_count_window",
-    "q07_scan_running_sum",
-    "q08_changes_dedup",
-    "q09_sample",
-    "q10_zip_join",
-    "q21_text_stats",
-    "q22_lang_id",
-    "q23_dedup_exact",
-    "q24_doc_fingerprint",
-    "q25_minhash_signatures",
-    "q26_simhash",
-    "q27_ann_cosine",
-    "q28_multimodal_meta",
-    "q29_lsh_near_dups",
-    "q36_window_expand_roundtrip",
-    "q37_ann_ivf",
-    "q38_quality_class",
-    "q42_embedding_near_dups",
-    "q43_rolling_fingerprint",
-    "q44_bpe_token_stats",
-    "q45_simhash_near_dups",
-    "q48_ann_lsh",
-    "q51_stratified_sample",
-    "q52_reservoir_per_lang",
-    "q53_asof_enrich",
-    "q54_time_rollup",
-    "q55_json_props",
-    "q56_daily_distinct_users",
-    "q57_chunk_documents",
-    "q58_corpus_build",
-    "q59_interval_join",
-    "q60_salted_skew_join",
-    "q61_approx_aggregates",
-    "q62_sequence_pack",
-    "q63_nearest_centroid",
-    "q79_pivot_event_counts",
+    "q93d_joinw_stream_money_double",
+    "q100d_chop_stream_money_double",
+    "q101_sliding_stream_ooo_replay",
+    # (2) behavior-touched this round (single-file sorted staging for
+    # every streaming replay; q92's max_by finalize)
+    "q92_scan_stream_global",
+    "q97_filteracc_stream_global",
+    "q65_frequent_routes_stream",
+    "q78_window_agg_stream",
+    "q86_sessionize_stream",
+    "q87_joinw_stream",
+    "q89_scan_stream",
+    "q90_filteracc_stream",
+    "q91_sliding_count_stream",
+    # (3) stale cohort (freshest green row r04, two rounds old)
+    "q11_topk_per_window",
+    "q12_sessionize",
+    "q15_threshold_cross",
+    "q16_step_count",
+    "q17_pricing_summary",
+    "q18_top_orders",
+    "q19_regional_revenue",
+    "q20_top_customers",
+    "q30_frequent_routes",
+    "q31_joinw_revenue_per_click",
+    "q32_joine_window_theta",
+    "q33_sliding_time_window",
+    "q34_filteracc_above_running_avg",
+    "q39_sliding_time_forward",
+    "q40_empty_windows",
+    "q41_merge_timestamp_order",
+    "q46_profitability_cells",
+    "q47_broadcast_enrich",
+    "q49_wearable_chain",
+    "q50_window_custom_fold",
+    "q64_kmeans_clusters",
+    "q66_null_passthrough_chain",
+    "q67_joine_positional_untimed",
+    "q68_prefix_jaccard_pairs",
+    "q69_contamination_check",
+    "q70_repetition_stats",
+    "q71_corpus_mix",
+    "q72_priority_semi_join",
+    "q73_inactive_customers_anti_join",
+    "q74_dedup_groups",
+    "q75_vocab_encode",
+    "q76_split_assign",
+    "q77_random_projection",
+    "q81_sole_returned_supplier",
+    "q84_incremental_ingest_dedup",
+    "q88_taxi_csv_dead_letter",
 ]
-# Nothing needs forcing to the absolute tail this round; the r03-fresh
-# cohort fills the remainder in registry order.
-_SWEEP_LAST: list[str] = []
+# Deferred to keep the must-sweep set within the 50-query cap: stable
+# pure-batch queries, code untouched since their r04 green rows. These
+# become three rounds old after r06 — put them FIRST in round 7's sweep.
+_SWEEP_LAST: list[str] = [
+    "q13_percentiles",
+    "q14_value_histogram",
+    "q35_complete_window",
+    "q80_unpivot_money_metrics",
+    "q82_cube_counts",
+    "q83_set_ops_users",
+    "q85_length_quartiles",
+]
 
 
 def _ordered_names() -> list[str]:

@@ -61,6 +61,35 @@ def file_stream(
     return reader.load(path)
 
 
+def stage_ordered_files(dfs: Sequence[DataFrame], base_dir: str) -> None:
+    """Replay-harness staging: write each frame as ONE parquet file into
+    ``base_dir``, named and mtime-stepped by position, so the file
+    source lists (and with ``maxFilesPerTrigger=1`` batches) them in
+    exactly this order. This is how the multi-batch robustness tests
+    and the out-of-order replay queries (q101) construct a
+    DETERMINISTIC adversarial arrival order: the file source orders new
+    files by modification time, which a bulk parquet write leaves
+    effectively tied — explicit second-stepped mtimes remove the tie in
+    any environment."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    os.makedirs(base_dir, exist_ok=True)
+    t0 = time.time() - 3600 - 10 * len(dfs)
+    for i, df in enumerate(dfs):
+        tmp = f"{base_dir}__part{i}"
+        df.repartition(1).sortWithinPartitions("ts", "event_id").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        src = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{base_dir}/f{i:03d}.parquet"
+        shutil.copyfile(src, dst)
+        os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+        shutil.rmtree(tmp)
+
+
 def kafka_reader_options(
     bootstrap: str, topic: str, starting: str = "latest"
 ) -> dict[str, str]:
@@ -948,7 +977,11 @@ def _pend_merge(
     watermark — a row AT the watermark could still have equal-timestamp
     peers arrive later (Spark only drops arrivals strictly older)."""
     allr = state_pend + new_rows
-    fin = sorted(r for r in allr if r[0] < wm_us)
+    # key on (ts, tiebreak) only: the value must never be compared
+    # (it may be None, or a type without a total order)
+    fin = sorted(
+        (r for r in allr if r[0] < wm_us), key=lambda r: (r[0], r[1])
+    )
     pend = [r for r in allr if r[0] >= wm_us]
     return fin, pend
 
@@ -972,15 +1005,45 @@ def _pend_cols(pend: list[tuple]) -> tuple[list, list, list]:
 
 
 def _batch_pend_rows(
-    pdf: pd.DataFrame, time_col: str, tiebreak: str | None, value_col: str
+    pdf: pd.DataFrame,
+    time_col: str,
+    tiebreak: str | None,
+    value_col: str,
+    value_cast=None,
 ) -> list[tuple]:
+    """``value_cast`` coerces values to the pending-state array's
+    element type BEFORE they are stored — state serialization nulls out
+    type-mismatched elements silently (an int in an ``array<double>``
+    field comes back None), so the cast must happen here, not at
+    emission."""
     ts_us = (pdf[time_col].astype("int64") // 1000).tolist()
     tb = (
         pdf[tiebreak].tolist()
         if tiebreak is not None
         else [0] * len(pdf)
     )
-    return list(zip(ts_us, tb, pdf[value_col].tolist()))
+    vals = pdf[value_col].tolist()
+    if value_cast is not None:
+        vals = [
+            None
+            if v is None or (isinstance(v, float) and v != v)  # null / NaN
+            else value_cast(v)
+            for v in vals
+        ]
+    return list(zip(ts_us, tb, vals))
+
+
+# pending-value coercion per state array element type (see
+# _batch_pend_rows: a mismatched element is silently nulled by state
+# serialization); non-numeric buf types store values as-is
+_STATE_CASTS = {
+    "double": float,
+    "float": float,
+    "bigint": int,
+    "int": int,
+    "smallint": int,
+    "tinyint": int,
+}
 
 
 def chop_count_stream(
@@ -1064,7 +1127,10 @@ def chop_count_stream(
             for pdf in pdfs:
                 if len(pdf):
                     new_rows.extend(
-                        _batch_pend_rows(pdf, time_col, tiebreak, value_col)
+                        _batch_pend_rows(
+                            pdf, time_col, tiebreak, value_col,
+                            value_cast=_STATE_CASTS.get(buf_type),
+                        )
                     )
             wm_us = state.getCurrentWatermarkMs() * 1000
             fin, pend = _pend_merge(pend, new_rows, wm_us)
@@ -1207,7 +1273,10 @@ def sliding_count_stream(
             for pdf in pdfs:
                 if len(pdf):
                     new_rows.extend(
-                        _batch_pend_rows(pdf, time_col, tiebreak, value_col)
+                        _batch_pend_rows(
+                            pdf, time_col, tiebreak, value_col,
+                            value_cast=float,
+                        )
                     )
             wm_us = state.getCurrentWatermarkMs() * 1000
             fin, pend = _pend_merge(pend, new_rows, wm_us)

@@ -665,3 +665,27 @@ def test_simhash_band_recall_pigeonhole(spark):
     }
     for pair in base_ids:
         assert pair in got, pair
+
+
+def test_track_persist_release_hook(spark):
+    """ADVICE r05: the pair-generation operators' persisted work tables
+    register with the session-scoped tracker, and release_persisted()
+    unpersists them all — the leak-control contract the registered-query
+    wrapper invokes between driver sweep entries."""
+    from striot_spark.functions import caching as C
+
+    C.release_persisted()  # start clean
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "zz yy xx ww vv")],
+        "id long, text string",
+    )
+    sigs = D.minhash_signatures(df, "id", "text", num_hashes=4, shingle_n=2)
+    assert sigs.count() == 3
+    assert len(C._PERSISTED) >= 1
+    tracked = list(C._PERSISTED)
+    released = C.release_persisted()
+    assert released == len(tracked)
+    assert C._PERSISTED == []
+    assert all(t.storageLevel.useMemory is False for t in tracked)
+    # releasing is repeatable and safe when nothing is tracked
+    assert C.release_persisted() == 0

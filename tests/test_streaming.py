@@ -992,3 +992,230 @@ def test_join_w_stream_emits_when_both_windows_close_mid_lcm_bucket(
     assert (t0 + 100, t0 + 100) in pairs
     # left [160,180) x right [150,200): right end past wm -> withheld
     assert (t0 + 160, t0 + 150) not in pairs
+
+
+# -- round-6: multi-batch (maxFilesPerTrigger=1) replay robustness -----------
+#
+# The driver's r05 q93/q100 hash reds were environment-conditional replay
+# nondeterminism: cross-batch arrival order feeding order-sensitive count
+# windows, and watermark stepping on the chained joinW. These tests drive
+# the fixed lowerings through MANY micro-batches over deliberately
+# out-of-order file staging and assert batch parity — turning driver
+# environment variance into a local regression gate (VERDICT r05 task 4).
+
+
+def _write_ordered_files(spark, dfs, base_dir):
+    RT.stage_ordered_files(dfs, base_dir)
+
+
+def _barrier_df(ev, ts_val):
+    """One synthetic watermark-barrier event (sentinel ids, fabricated
+    timestamp) shaped like ``ev`` — the replay's final-watermark push."""
+    special = {
+        "event_id": F.lit(-1).cast("long"),
+        "user_id": F.lit(-1).cast("long"),
+        "event_type": F.lit("__barrier__"),
+        "ts": F.lit(ts_val),
+    }
+    return ev.limit(1).select(
+        *[
+            special.get(f.name, F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in ev.schema.fields
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def ooo_staged(spark, sf_dir, tmp_path_factory):
+    """Events split into three contiguous (ts, event_id) ranges staged
+    OUT OF ORDER (middle, early, late) plus a far-future barrier file —
+    with maxFilesPerTrigger=1 this replays as 4 data micro-batches whose
+    cross-batch arrival order disagrees with event-time order."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from striot_spark.functions.analytics import cents
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", cents(F.col("value"))
+    ).drop("props")
+    n = ev.count()
+    w = Window.orderBy("ts", "event_id")
+    evr = ev.withColumn("rn", F.row_number().over(w))
+    third = n // 3
+    a = evr.filter(F.col("rn") <= third).drop("rn")
+    b = evr.filter(
+        (F.col("rn") > third) & (F.col("rn") <= 2 * third)
+    ).drop("rn")
+    c = evr.filter(F.col("rn") > 2 * third).drop("rn")
+    mx = ev.agg(F.max("ts")).first()[0]
+    # delay must exceed the staging's disorder (the whole data span);
+    # the barrier lands one hour past max+delay so the final watermark
+    # is max_real + 1h — every real event finalizes
+    delay = dt.timedelta(days=365)
+    barrier = _barrier_df(a, mx + delay + dt.timedelta(hours=1))
+    out = str(tmp_path_factory.mktemp("ooo_stage") / "data")
+    _write_ordered_files(spark, [b, a, c, barrier], out)
+    return out, ev, "365 days"
+
+
+def test_chop_count_stream_order_robust_multi_batch(spark, ooo_staged, ckpt):
+    src, ev, delay = ooo_staged
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+    out = RT.chop_count_stream(
+        sdf,
+        n=5,
+        value_col="cents",
+        agg=lambda vs: int(sum(vs)),
+        key=["user_id"],
+        time_col="ts",
+        out_field="sum_c",
+        out_type="bigint",
+        tiebreak="event_id",
+        buf_type="bigint",
+        order_robust=True,
+        watermark_delay=delay,
+    )
+    got = RT.run_available_now(
+        out, "chop_ooo", ckpt, mode="append", expect_data_batches=4
+    )
+    stream_rows = sorted(
+        (r["user_id"], r["window_ordinal"], r["ts"], r["sum_c"])
+        for r in got.collect()
+    )
+    pdf = ev.select("user_id", "event_id", "ts", "cents").toPandas()
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    expected = []
+    for uid, g in pdf.groupby("user_id", sort=False):
+        vals, ts = g["cents"].tolist(), g["ts"].tolist()
+        for k in range(len(vals) // 5):
+            expected.append(
+                (uid, k, ts[5 * k + 4], int(sum(vals[5 * k : 5 * k + 5])))
+            )
+    assert stream_rows == sorted(expected)
+    assert len(stream_rows) > 0
+
+
+def test_sliding_count_stream_order_robust_multi_batch(
+    spark, ooo_staged, ckpt
+):
+    src, ev, delay = ooo_staged
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+    out = RT.sliding_count_stream(
+        sdf,
+        n=3,
+        value_col="cents",
+        agg=lambda vs: float(sum(vs)),
+        key=["user_id"],
+        time_col="ts",
+        out_field="s3",
+        out_type="double",
+        tiebreak="event_id",
+        order_robust=True,
+        watermark_delay=delay,
+    )
+    got = RT.run_available_now(
+        out, "slide_ooo", ckpt, mode="append", expect_data_batches=4
+    )
+    stream_rows = sorted(
+        (r["user_id"], r["ts"], r["s3"])
+        for r in got.collect()
+        if r["user_id"] != -1
+    )
+    pdf = ev.select("user_id", "event_id", "ts", "cents").toPandas()
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    expected = []
+    for uid, g in pdf.groupby("user_id", sort=False):
+        vals, ts = g["cents"].tolist(), g["ts"].tolist()
+        for i in range(len(vals)):
+            expected.append(
+                (uid, ts[i], float(sum(vals[max(0, i - 2) : i + 1])))
+            )
+    assert stream_rows == sorted(expected)
+    assert len(stream_rows) > 0
+
+
+def test_join_w_stream_multi_batch_closed_set(
+    spark, sf_dir, tmp_path_factory, ckpt
+):
+    """joinW replayed one file per micro-batch over TIME-ORDERED file
+    ranges (cross-file disorder zero, so the 1-minute watermark can
+    never drop data): the drained pairs restricted to
+    closed-at-final-watermark must equal the batch-computed closed set
+    — the q93 emission rule holding under progressive watermark
+    stepping, not just the single-batch replay."""
+    from pyspark.sql import Window
+
+    from striot_spark.functions.analytics import cents
+    from striot_spark.queries.composite import _q93_closed_batch
+
+    ev = load_table(spark, sf_dir, "events").drop("props")
+    n = ev.count()
+    w = Window.orderBy("ts", "event_id")
+    evr = ev.withColumn("rn", F.row_number().over(w))
+    third = n // 3
+    parts = [
+        evr.filter(F.col("rn") <= third).drop("rn"),
+        evr.filter((F.col("rn") > third) & (F.col("rn") <= 2 * third)).drop(
+            "rn"
+        ),
+        evr.filter(F.col("rn") > 2 * third).drop("rn"),
+    ]
+    src = str(tmp_path_factory.mktemp("joinw_mb") / "data")
+    _write_ordered_files(spark, parts, src)
+    schema = spark.read.parquet(src).schema
+    purchases = RT.file_stream(
+        spark, src, schema, max_files_per_trigger=1
+    ).filter(F.col("event_type") == "purchase")
+    clicks = RT.file_stream(
+        spark, src, schema, max_files_per_trigger=1
+    ).filter(F.col("event_type") == "click")
+    out = RT.join_w_stream(
+        purchases,
+        clicks,
+        "ts",
+        "ts",
+        86400,
+        129600,
+        {"revenue_c": F.sum(cents(F.col("value")))},
+        {"n_clicks": F.count(F.lit(1))},
+        watermark="1 minute",
+    )
+    got = RT.run_available_now(
+        out, "joinw_mb", ckpt, mode="append", expect_data_batches=3
+    )
+    wm_us = (
+        ev.agg(
+            F.least(
+                F.max(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.unix_micros(F.col("ts")),
+                    )
+                ),
+                F.max(
+                    F.when(
+                        F.col("event_type") == "click",
+                        F.unix_micros(F.col("ts")),
+                    )
+                ),
+            )
+        ).first()[0]
+        - 60_000_000
+    )
+    stream_rows = sorted(
+        tuple(r)
+        for r in got.filter(
+            F.greatest(
+                F.col("left_window") + 86400, F.col("right_window") + 129600
+            )
+            * 1_000_000
+            <= F.lit(wm_us)
+        ).collect()
+    )
+    expected = sorted(tuple(r) for r in _q93_closed_batch(ev, wm_us).collect())
+    assert stream_rows == expected
+    assert len(stream_rows) > 0
