@@ -156,3 +156,83 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return l.join(r, [on, "__salt"]).drop("__salt")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Scale-safe global running sum of ``value_col`` in ``order_cols``
+    order (inclusive of the current row) — the cumulative-total
+    primitive behind budgeted selection (keep documents until a token
+    budget is exhausted).
+
+    Same two-pass shape as ``global_index`` — a bare
+    ``sum() OVER (ORDER BY ...)`` is an ``Exchange SinglePartition``:
+
+      1. range-repartition on the order key (localCheckpoint pins the
+         sampled range bounds across the two downstream actions),
+      2. per-partition SUM of ``value_col`` (#partitions rows to the
+         driver), prefix-summed into per-partition starting totals,
+      3. within-partition running sum (window keyed by partition id —
+         parallel) plus the broadcast-joined start.
+
+    Small inputs take the plain one-task window, gated by the same
+    ``striot.globalIndex.smallInputBytes`` conf as ``global_index``.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    try:
+        small = int(spark.conf.get(SMALL_INPUT_CONF, str(SMALL_INPUT_DEFAULT)))
+    except ValueError:
+        small = SMALL_INPUT_DEFAULT
+    est = _estimated_bytes(df)
+    run = F.sum(F.col(value_col))
+    if est is not None and est <= small:
+        w = W.orderBy(*order_cols).rowsBetween(W.unboundedPreceding, 0)
+        return df.withColumn(out_col, run.over(w))
+    n = partitions or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        df.rdd.getNumPartitions(),
+    )
+    pid = "__gps_pid__"
+    base = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = sorted(
+        (r[0], r[1])
+        for r in base.groupBy(pid)
+        .agg(F.sum(F.col(value_col)).alias("s"))
+        .collect()
+    )
+    starts, acc = [], 0
+    for p, s in totals:
+        starts.append((p, acc))
+        acc += int(s or 0)
+    if len(starts) <= 1:
+        w = (
+            W.partitionBy(F.lit(1))
+            .orderBy(*order_cols)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        return base.drop(pid).withColumn(out_col, run.over(w))
+    start_df = spark.createDataFrame(
+        starts, f"{pid} int, __gps_start__ long"
+    )
+    w = (
+        W.partitionBy(pid)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(start_df), pid)
+        .withColumn(out_col, run.over(w) + F.col("__gps_start__"))
+        .drop(pid, "__gps_start__")
+    )

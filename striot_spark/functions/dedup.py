@@ -1037,3 +1037,57 @@ def simhash_band_pairs_from_hashes(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    prefer_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup pairs → surviving CANONICAL documents: the keep-one-
+    per-group decision that completes a corpus dedup (pairs → groups →
+    pick one representative, drop the rest).
+
+    Selection rule: within each connected-component group, keep the
+    member with the largest ``prefer_col`` (e.g. length or an integer
+    quality score), tiebreak smallest id — both via one ``max_by`` on a
+    struct, so the pick is a single groupBy with map-side partials and
+    is engine-deterministic as long as ``prefer_col`` is integral
+    (float preference keys would reintroduce ulp-order hazards; cast
+    quality scores to integer milli-units first).
+
+    Docs in no pair survive by definition and never enter the group
+    machinery: the group table is pair-graph-sized (≪ corpus), the
+    non-dup complement is a broadcast LEFT ANTI against it, and the
+    winners' ids broadcast back as a LEFT SEMI — the corpus is scanned
+    twice but shuffled never.
+    """
+    from pyspark.sql.functions import broadcast
+
+    groups = dedup_groups(pairs, id_a=id_a, id_b=id_b)
+    ranked = docs.join(
+        broadcast(groups), docs[id_col] == groups["doc_id"], "inner"
+    ).select(
+        groups["group_id"],
+        docs[id_col].alias("_cid"),
+        F.col(prefer_col).alias("_pref"),
+    )
+    winners = ranked.groupBy("group_id").agg(
+        F.max_by(
+            F.col("_cid"), F.struct(F.col("_pref"), -F.col("_cid"))
+        ).alias("_win")
+    )
+    survivors_in_groups = docs.join(
+        broadcast(winners.select(F.col("_win").alias(id_col))),
+        id_col,
+        "left_semi",
+    )
+    untouched = docs.join(
+        broadcast(groups.select(F.col("doc_id").alias(id_col))),
+        id_col,
+        "left_anti",
+    )
+    return untouched.unionByName(survivors_in_groups)

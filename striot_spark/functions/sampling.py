@@ -150,3 +150,75 @@ def reservoir_sample(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Budgeted corpus selection: walk documents in priority order and
+    keep them until the cumulative token count would exceed ``budget``
+    — the "best N billion tokens" cut of training-set construction
+    (quality-ranked greedy selection).
+
+    A doc is kept iff its INCLUSIVE running total is ≤ budget, so the
+    selection never overshoots and is a strict prefix of the priority
+    order (a bigger budget strictly extends a smaller one). Priority
+    defaults to ``id_col`` ascending; pass integer-valued
+    ``order_cols`` (quality desc, id asc) for ranked selection — float
+    priorities reintroduce ulp-order hazards across engines.
+
+    The running total is ``global_prefix_sum`` (two-pass range-
+    partitioned — no single-partition exchange), so the cut is a
+    distributed sort + filter at any scale. Output keeps the running
+    total (``cum_tokens``) for budget accounting downstream.
+    """
+    from striot_spark.core.scale import global_prefix_sum
+
+    order = order_cols if order_cols is not None else [F.col(id_col).asc()]
+    cum = global_prefix_sum(df, order, n_tokens_col, "cum_tokens")
+    return cum.filter(F.col("cum_tokens") <= budget)
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+) -> DataFrame:
+    """Temperature-flattened corpus resampling at α = 1/2: stratum
+    shares move from their natural sizes ``c_s`` toward uniform,
+    targeting ``p_s ∝ sqrt(c_s)`` — the multilingual-corpus rebalancing
+    rule (small languages up-weighted RELATIVELY, never up-SAMPLED).
+
+    Without up-sampling, the per-row keep rate in stratum ``s`` is
+    ``sqrt(c_min / c_s)`` (the smallest stratum keeps everything, a
+    stratum 100× larger keeps 10%). Thresholds are computed as
+    ``isqrt(RESOLUTION² · c_min // c_s)`` — exact integer arithmetic on
+    driver-side counts, so any engine reproduces the member set with
+    the same md5-bucket filter as ``hash_sample``. α is fixed at 1/2
+    because it is the common default AND the one exponent with an exact
+    integer form; other α values would need correctly-rounded ``pow``
+    on both engines to gate.
+
+    Cost mirrors ``corpus_mix``: one k-row count aggregate to the
+    driver (k = #strata, scale-invariant), then a zero-shuffle
+    scan+filter.
+    """
+    import math
+
+    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
+    if not counts:
+        return df.filter(F.lit(False))
+    c_min = min(counts.values())
+    thresholds = {
+        s: math.isqrt(RESOLUTION * RESOLUTION * c_min // c)
+        for s, c in counts.items()
+    }
+    bucket = _bucket(id_col)
+    thr = F.lit(0)
+    for value, t in sorted(thresholds.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(t)).otherwise(thr)
+    return df.filter(bucket < thr)

@@ -328,3 +328,114 @@ def pack_sequences(
         df.select(*shard_cols, F.col(id_col), toks.alias("n_tokens"))
         .withColumn("pack_id", F.floor(prev_cum / F.lit(budget)))
     )
+
+
+def doc_frequency(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document-frequency table: ``(token, df_ct)`` where ``df_ct`` is
+    the number of distinct documents containing the token. The IDF side
+    of TF-IDF and the feeder for stopword discovery / rare-token
+    pruning.
+
+    One corpus scan: explode to per-doc distinct tokens (the distinct
+    is per-document inside ``array_distinct``, so the exploded stream
+    carries no within-doc duplicates and the groupBy count IS the
+    document frequency — no (doc, token) pre-aggregation shuffle), then
+    one token-keyed count with map-side partial aggregation. Output is
+    vocabulary-sized (≪ corpus), never the corpus itself.
+    """
+    toks = F.array_distinct(nonempty_tokens(F.col(text_col)))
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_ct"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Top-``k`` most distinctive terms per document by TF-IDF-style
+    ranking — the keyword-extraction / topic-tagging pass of a corpus
+    analytics pipeline.
+
+    Rank contract: within a document, terms order by
+    ``(tf DESC, df_ct ASC, token ASC)`` — frequency first, rarity as
+    the tiebreak. This is the lexicographic form of tf·idf ranking and
+    is chosen deliberately over ``tf * ln(N/df)`` for the ORDER itself:
+    the float score is emitted for users (``tfidf``), but rank never
+    depends on it, so results are bit-reproducible across engines and
+    partitionings (``ln`` is not guaranteed correctly-rounded, and a
+    1-ulp divergence must not flip a rank).
+
+    Plan: one (doc, token) groupBy for TF; the document-frequency table
+    (vocabulary-sized) broadcasts back onto it; corpus size N rides the
+    same broadcast as a scalar count — no second corpus scan action,
+    no corpus re-shuffle. Per-doc top-k is a window over the doc key
+    (parallel, no global sort).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql.functions import broadcast
+
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(nonempty_tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = doc_frequency(df, id_col, text_col)
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("_n_docs")
+    )
+    w = W.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df_ct").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(broadcast(dfreq), "token")
+        .join(broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("_n_docs") / F.col("df_ct")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df_ct", "rank", "tfidf")
+    )
+
+
+def blocked_terms(
+    text: Column, blocklist: Sequence[str]
+) -> Column:
+    """The (sorted, distinct) blocklist terms present in ``text`` —
+    token-boundary exact matches, not substrings (C4's badwords filter
+    drops a page on any listed WORD; substring matching would also hit
+    innocent carriers). Pure Column expression: array_intersect of the
+    token set against an inline literal array, JVM-side.
+    """
+    terms = F.array(*[F.lit(t) for t in blocklist])
+    return F.array_sort(
+        F.array_intersect(F.array_distinct(nonempty_tokens(text)), terms)
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    text_col: str,
+    blocklist: Sequence[str],
+    keep_matches: bool = False,
+) -> DataFrame:
+    """Drop (or, with ``keep_matches``, keep only) documents containing
+    any blocklisted token — the badwords / policy-filter pass of a
+    training-data pipeline (C4-style).
+
+    Zero-shuffle scan+filter: the blocklist inlines as an array literal
+    (policy lists are KB-sized — executor-memory-bounded like the
+    streamMapCache vocab), membership is ``arrays_overlap`` inside
+    whole-stage codegen. At 100 TB this is a single parquet pass; an
+    oversized blocklist would instead broadcast-join on exploded
+    tokens, which re-shuffles nothing either but pays the explode.
+    """
+    terms = F.array(*[F.lit(t) for t in blocklist])
+    hit = F.arrays_overlap(nonempty_tokens(F.col(text_col)), terms)
+    return df.filter(hit if keep_matches else ~hit)

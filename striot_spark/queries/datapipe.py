@@ -1339,3 +1339,178 @@ def q85_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", F.ntile(4).over(w).alias("quartile")
     )
+
+
+@register(
+    "q102_tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                   AS tk
+        FROM documents),
+    flat AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM flat
+           GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df_ct FROM flat
+              GROUP BY tok)
+    SELECT doc_id, tok AS token, tf, df_ct,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY tf DESC, df_ct ASC, tok ASC) AS INT) AS rank
+    FROM tf JOIN dfreq USING (tok)
+    QUALIFY rank <= 5
+    """,
+    doc="top-5 distinctive terms per document by TF-IDF-style ranking "
+    "(tf DESC, document-frequency ASC, term ASC — the lexicographic "
+    "form, so rank never depends on a float ln and is bit-reproducible "
+    "across engines). One (doc,token) groupBy + a broadcast of the "
+    "vocabulary-sized DF table; the float tfidf score column exists on "
+    "the operator but is deliberately not part of the gated projection",
+)
+def q102_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, "doc_id", "text", k=5).select(
+        "doc_id", "token", "tf", "df_ct", "rank"
+    )
+
+
+@register(
+    "q103_blocklist_filter",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE NOT list_has_any(
+        list_filter(string_split(text, ' '), x -> x <> ''),
+        ['vector', 'stream', 'hash'])
+    """,
+    doc="C4-style badwords/policy filter: drop any document containing "
+    "a blocklisted TOKEN (word-boundary exact, not substring). The "
+    "blocklist inlines as an array literal and membership is "
+    "arrays_overlap inside whole-stage codegen — a zero-shuffle "
+    "single-scan pass at any corpus size",
+)
+def q103_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = T.blocklist_filter(
+        docs, "text", ("vector", "stream", "hash")
+    )
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "q104_canonical_docs",
+    _simhash_sql_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """,
+    p AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b, range(0, 4) r(band)
+        WHERE a.doc_id < b.doc_id
+          AND ((a.simhash >> (band * 15)) & 32767)
+              = ((b.simhash >> (band * 15)) & 32767)
+          AND bit_count(xor(a.simhash, b.simhash)) <= 8),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION SELECT id_b, id_a FROM p),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+    comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS group_id
+        FROM reach GROUP BY u),
+    winners AS (
+        SELECT group_id, doc_id AS win FROM (
+            SELECT c.group_id, d.doc_id,
+                   row_number() OVER (
+                       PARTITION BY c.group_id
+                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+            FROM comp c JOIN documents d USING (doc_id))
+        WHERE rn = 1)
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id IN (SELECT win FROM winners)
+       OR d.doc_id NOT IN (SELECT doc_id FROM comp)
+    """,
+    doc="keep-one-per-group CANONICAL selection completing the dedup "
+    "story: simhash near-dup pairs (q45 graph) -> connected-component "
+    "groups (q74 machinery) -> per-group winner by (n_chars DESC, "
+    "doc_id ASC) via one max_by groupBy (integer preference key — "
+    "engine-deterministic). Group/winner tables are pair-graph-sized "
+    "and broadcast; the corpus itself is never shuffled",
+)
+def q104_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs(
+        docs, "doc_id", "text", bands=4, band_bits=15, max_hamming=8
+    )
+    return D.canonical_docs(docs, pairs, "doc_id", "n_chars").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "q105_token_budget_select",
+    """
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens
+        FROM documents),
+    c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (
+                   ORDER BY n_chars DESC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM t)
+    SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 6000
+    """,
+    doc="budgeted greedy corpus selection ('best N tokens'): walk docs "
+    "in (n_chars DESC, doc_id) priority order, keep while the "
+    "INCLUSIVE running token total stays within budget — a strict "
+    "prefix of the priority order, so budgets nest. The running total "
+    "is the two-pass range-partitioned global_prefix_sum (no "
+    "Exchange SinglePartition at scale; plan-gated)",
+)
+def q105_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "n_chars",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    sel = SAMP.select_token_budget(
+        t,
+        "doc_id",
+        "n_tokens",
+        budget=6000,
+        order_cols=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return sel.select("doc_id", "n_tokens", "cum_tokens")
+
+
+@register(
+    "q106_temperature_mix",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS c_min FROM c),
+    thr AS (
+        SELECT lang,
+               CAST(floor(sqrt((100000000 * c_min) // n)) AS BIGINT) AS t
+        FROM c, m)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+          < thr.t
+    """,
+    doc="temperature-flattened multilingual rebalancing at alpha=1/2 "
+    "(stratum shares move toward sqrt(c_s)): per-lang keep rate "
+    "sqrt(c_min/c_s), thresholds in EXACT integer arithmetic "
+    "(isqrt(RES^2*c_min // c_s)) over a k-row driver count, applied "
+    "as the deterministic md5-bucket filter — zero-shuffle scan, "
+    "membership identical in any engine",
+)
+def q106_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return SAMP.temperature_mix(docs, "doc_id", "lang").select(
+        "doc_id", "lang"
+    )

@@ -689,3 +689,143 @@ def test_track_persist_release_hook(spark):
     assert all(t.storageLevel.useMemory is False for t in tracked)
     # releasing is repeatable and safe when nothing is tracked
     assert C.release_persisted() == 0
+
+
+def test_tfidf_top_terms_rank_contract(spark):
+    from striot_spark.functions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana rare"),
+            (2, "apple banana banana cherry"),
+            (3, "apple cherry cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2)
+    rows = {
+        (r["doc_id"], r["rank"]): (r["token"], r["tf"], r["df_ct"])
+        for r in out.collect()
+    }
+    # doc 1: apple tf=2 (df 3) beats rare/banana tf=1; among tf=1 the
+    # rarer term wins (rare df=1 < banana df=2)
+    assert rows[(1, 1)] == ("apple", 2, 3)
+    assert rows[(1, 2)] == ("rare", 1, 1)
+    # doc 3: cherry tf=3 first, apple second
+    assert rows[(3, 1)][0] == "cherry"
+    assert rows[(3, 2)][0] == "apple"
+    # tfidf score column exists and is 0 for corpus-universal terms
+    sc = {
+        (r["doc_id"], r["token"]): r["tfidf"]
+        for r in tfidf_top_terms(docs, "doc_id", "text", k=3).collect()
+    }
+    assert sc[(1, "apple")] == 0.0  # df == N -> ln(1) == 0
+    assert sc[(1, "rare")] > 0.0
+
+
+def test_blocklist_filter_word_boundary_not_substring(spark):
+    from striot_spark.functions.text import blocked_terms, blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the car drives"),
+            (2, "a scar heals"),  # 'car' as substring only -> kept
+            (3, "car bomb text"),
+            (4, "clean document here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = blocklist_filter(docs, "text", ("car", "bomb"))
+    assert {r["doc_id"] for r in kept.collect()} == {2, 4}
+    dropped = blocklist_filter(
+        docs, "text", ("car", "bomb"), keep_matches=True
+    )
+    assert {r["doc_id"] for r in dropped.collect()} == {1, 3}
+    hits = docs.select(
+        "doc_id", blocked_terms(F.col("text"), ("car", "bomb")).alias("t")
+    )
+    got = {r["doc_id"]: r["t"] for r in hits.collect()}
+    assert got[3] == ["bomb", "car"] and got[2] == []
+
+
+def test_canonical_docs_keeps_best_and_untouched(spark):
+    from striot_spark.functions.dedup import canonical_docs
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", ln) for i, ln in
+         [(1, 10), (2, 30), (3, 30), (4, 5), (5, 99), (6, 1)]],
+        "doc_id long, text string, n_chars long",
+    )
+    # component {1,2,3}: 2 and 3 tie on n_chars=30 -> smaller id 2 wins
+    # component {4,6}: 4 wins on n_chars; 5 untouched -> survives
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 6)], "id_a long, id_b long"
+    )
+    out = canonical_docs(docs, pairs, "doc_id", "n_chars")
+    assert {r["doc_id"] for r in out.collect()} == {2, 4, 5}
+
+
+def test_select_token_budget_prefix_nesting(spark):
+    from striot_spark.functions.sampling import select_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, (i * 7919) % 23 + 1) for i in range(200)],
+        "doc_id long, n_tokens long",
+    )
+    order = [F.col("n_tokens").desc(), F.col("doc_id").asc()]
+    small = select_token_budget(docs, "doc_id", "n_tokens", 500, order)
+    big = select_token_budget(docs, "doc_id", "n_tokens", 1500, order)
+    s_ids = {r["doc_id"] for r in small.collect()}
+    b_rows = {r["doc_id"]: r["cum_tokens"] for r in big.collect()}
+    assert s_ids <= set(b_rows)  # budgets nest
+    assert max(b_rows.values()) <= 1500  # never overshoots
+    # the cut is exactly the priority-order prefix
+    ordered = sorted(
+        [(r["n_tokens"], r["doc_id"]) for r in docs.collect()],
+        key=lambda t: (-t[0], t[1]),
+    )
+    acc, expect = 0, set()
+    for nt, did in ordered:
+        if acc + nt > 1500:
+            break
+        acc += nt
+        expect.add(did)
+    assert set(b_rows) == expect
+
+
+def test_temperature_mix_flattens_without_upsampling(spark):
+    from striot_spark.functions.sampling import temperature_mix
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(i + 1000, "mid") for i in range(100)]
+        + [(i + 2000, "tiny") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, "doc_id", "lang").groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in out.collect()}
+    # tiny stratum keeps everything (rate sqrt(25/25)=1); expected rates
+    # sqrt(25/100)=0.5 and sqrt(25/400)=0.25 up to md5-bucket noise
+    assert got["tiny"] == 25
+    assert 30 <= got["mid"] <= 70
+    assert 60 <= got["big"] <= 140
+    # flattening: share gap narrows but order is preserved
+    assert got["big"] > got["mid"] > 0
+
+
+def test_global_prefix_sum_two_pass_matches_single_sort(spark):
+    from striot_spark.core.scale import SMALL_INPUT_CONF, global_prefix_sum
+
+    rows = [((i * 37) % 1000, i % 13 + 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(16)
+    spark.conf.set(SMALL_INPUT_CONF, "0")
+    try:
+        out = global_prefix_sum(df, [F.col("k")], "v", "cum")
+        got = {r["k"]: r["cum"] for r in out.collect()}
+    finally:
+        spark.conf.unset(SMALL_INPUT_CONF)
+    acc, expect = 0, {}
+    for k, v in sorted(rows):
+        acc += v
+        expect[k] = acc
+    assert got == expect

@@ -502,3 +502,48 @@ def test_csv_dead_letter_good_path_is_scan_project_filter(spark, sf_dir):
         .toString()
     )
     assert "partial_count" in plan  # reject count combines map-side
+
+
+def test_blocklist_and_temperature_are_zero_shuffle(spark, sf_dir):
+    """Policy filtering (q103) and temperature resampling (q106) must
+    stay single-scan projections — at 100 TB either would otherwise
+    re-shuffle the corpus for what is a per-row predicate."""
+    for q in ("q103_blocklist_filter", "q106_temperature_mix"):
+        plan = _executed(spark, q, sf_dir)
+        assert "Exchange" not in plan, q
+
+
+def test_tfidf_broadcasts_df_table(spark, sf_dir):
+    """q102's document-frequency table is vocabulary-sized — it must
+    ride a broadcast back onto the (doc, token) TF stream, never a
+    sort-merge join (which would re-shuffle the exploded corpus a
+    third time), and never a cartesian pair-up."""
+    plan = _executed(spark, "q102_tfidf_top_terms", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_canonical_docs_broadcasts_group_tables(spark, sf_dir):
+    """q104's group/winner tables are pair-graph-sized; the corpus-side
+    joins (inner, left-semi, left-anti) must all broadcast them — a
+    corpus shuffle for a keep-one decision would be the scale bug."""
+    plan = _executed(spark, "q104_canonical_docs", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_budget_select_no_single_partition_at_scale(spark, sf_dir):
+    """q105's running total must use the two-pass range-partitioned
+    prefix sum when the input is big (conf=0 forces the scale path) —
+    a bare sum() OVER (ORDER BY) is an Exchange SinglePartition."""
+    from striot_spark.core.scale import SMALL_INPUT_CONF
+
+    spark.conf.set(SMALL_INPUT_CONF, "0")
+    try:
+        plan = _executed(spark, "q105_token_budget_select", sf_dir)
+        assert "__gps_pid__" in plan  # two-pass machinery engaged
+        assert "SinglePartition" not in plan
+    finally:
+        spark.conf.unset(SMALL_INPUT_CONF)
