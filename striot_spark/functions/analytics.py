@@ -129,3 +129,38 @@ def threshold_cross(
         df.withColumn(prev_alias, prev)
         .filter((F.col(prev_alias) > threshold) & (F.col(value_col) <= threshold))
     )
+
+
+# -- latest-wins snapshot compaction (CDC / SCD type-1) ----------------------
+def latest_snapshot(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Compact an append-only change log to its latest-wins snapshot:
+    one row per key, carrying the payload of that key's maximally-
+    ordered row — the CDC/upsert-compaction step of incremental
+    ingestion (state-of-the-world from an event history, SCD type 1).
+
+    ``order_cols`` must be a deterministic total order within each key
+    (version + a unique tiebreak like the event id) or the "latest" row
+    is ill-defined; all comparisons should be integral/timestamp, not
+    float.
+
+    Lowering: one groupBy with ``max_by`` on a payload struct ordered
+    by an ``order_cols`` struct — a single key shuffle WITH map-side
+    partial aggregation (each task pre-reduces to one candidate per
+    key), which beats the window row_number form at scale: no per-key
+    sort, no rank column, and the shuffle carries at most
+    #tasks × #keys candidate rows instead of the full history.
+    """
+    pay = F.struct(*[F.col(c) for c in payload_cols])
+    order = F.struct(*[F.col(c) for c in order_cols])
+    picked = df.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.max_by(pay, order).alias("_latest")
+    )
+    return picked.select(
+        *key_cols,
+        *[F.col(f"_latest.{c}").alias(c) for c in payload_cols],
+    )

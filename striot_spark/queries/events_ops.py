@@ -644,3 +644,45 @@ def q67_joine_positional_untimed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_event_id").alias("click_id"),
         F.col("r_event_id").alias("purchase_id"),
     )
+
+
+@register(
+    "q107_latest_snapshot",
+    f"""
+    SELECT user_id, event_id AS last_event_id,
+           event_type AS last_type,
+           strftime(ts, '{TS_FMT}') AS last_ts,
+           {CENTS_SQL} AS last_value_c
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+    WHERE rn = 1
+    """,
+    doc="latest-wins CDC/upsert compaction (SCD type 1): one row per "
+    "key carrying the payload of its (ts, event_id)-latest change. "
+    "Lowered as ONE groupBy with max_by on a payload struct — map-side "
+    "partial aggregation pre-reduces each task to one candidate per "
+    "key, so the shuffle carries candidates, not history (the window "
+    "row_number form the oracle uses would sort every key's full "
+    "history); plan-gated: no Window/Sort, single exchange",
+)
+def q107_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import cents, latest_snapshot, ts_str
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_c", cents(F.col("value"))
+    )
+    snap = latest_snapshot(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        payload_cols=["event_id", "event_type", "ts", "value_c"],
+    )
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        ts_str(F.col("ts")).alias("last_ts"),
+        F.col("value_c").alias("last_value_c"),
+    )

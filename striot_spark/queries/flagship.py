@@ -1048,3 +1048,54 @@ def q100d_chop_stream_money_double(
         "ts",
         (F.col("sum_c") / 100.0).alias("sum_v"),
     )
+
+
+from striot_spark.queries.events_ops import CENTS_SQL as _CENTS_SQL_Q108
+
+
+@register(
+    "q108_stream_static_enrich",
+    f"""
+    SELECT coalesce(c.c_mktsegment, 'unknown') AS segment,
+           count(*) AS n,
+           sum({_CENTS_SQL_Q108}) / 100.0 AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="stream-static dimension enrichment (streaming/runtime.py:"
+    "enrich_stream): the events stream left-joins the static customer "
+    "table per micro-batch — STATELESS in Structured Streaming (no "
+    "watermark, no state store), so the drained result is batch-"
+    "deterministic regardless of replay batching; the dimension side "
+    "is broadcast (at 100 TB of stream the dim table is the small "
+    "side by construction). Post-drain rollup to per-segment counts + "
+    "exact cents keeps the gated output bounded",
+)
+def q108_stream_static_enrich(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.analytics import sum_money
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = RT.enrich_stream(sdf, dim, on="user_id", how="left")
+    drained = RT.run_available_now(
+        joined,
+        f"q108_enrich_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q108_ck_"),
+        mode="append",
+    )
+    return drained.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("unknown")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        sum_money(F.col("value")).alias("sum_value"),
+    )

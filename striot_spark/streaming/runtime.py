@@ -782,6 +782,44 @@ def to_kafka(sdf: DataFrame, bootstrap: str, topic: str, checkpoint_dir: str):
     return w.start()
 
 
+def enrich_stream(
+    sdf: DataFrame,
+    static_df: DataFrame,
+    on,
+    how: str = "left",
+    broadcast_static: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream (user profile onto a clickstream, sensor metadata onto a
+    reading) — the streaming form of the q47 broadcast-enrich pattern,
+    on a real TABLE instead of a literal map.
+
+    Stream-static joins are STATELESS in Structured Streaming — each
+    micro-batch joins against the static side with no watermark and no
+    state store — so the result is batch-deterministic regardless of
+    how the replay batches. The static side is broadcast by default:
+    at 100 TB of stream the dimension table is the small side by
+    construction, and a shuffled join would re-partition every
+    micro-batch. Pass ``broadcast_static=False`` only for dimensions
+    too big to broadcast (then pre-bucket both sides).
+
+    Only stream-side-preserving joins are allowed here (inner /
+    left_outer / left_semi / left_anti with the stream on the left) —
+    right/full joins against a static side are unsupported by the
+    engine for append streams.
+    """
+    from pyspark.sql.functions import broadcast as B
+
+    if how in ("right", "rightouter", "right_outer", "full", "outer",
+               "full_outer"):
+        raise ValueError(
+            f"enrich_stream: join type {how!r} is not stream-side-"
+            "preserving; only inner/left forms are supported"
+        )
+    right = B(static_df) if broadcast_static else static_df
+    return sdf.join(right, on, how)
+
+
 def dedup_stream(
     sdf: DataFrame,
     keys: Sequence[str],

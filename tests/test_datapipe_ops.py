@@ -829,3 +829,20 @@ def test_global_prefix_sum_two_pass_matches_single_sort(spark):
         acc += v
         expect[k] = acc
     assert got == expect
+
+
+def test_latest_snapshot_picks_max_order_row(spark):
+    from striot_spark.functions.analytics import latest_snapshot
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, 1, "a"),
+            (1, 20, 2, "b"),   # latest for key 1
+            (1, 20, 1, "c"),   # same version, lower tiebreak
+            (2, 5, 9, "d"),    # only row for key 2
+        ],
+        "k long, ver long, seq long, payload string",
+    )
+    snap = latest_snapshot(log, ["k"], ["ver", "seq"], ["payload", "ver"])
+    got = {r["k"]: (r["payload"], r["ver"]) for r in snap.collect()}
+    assert got == {1: ("b", 20), 2: ("d", 5)}

@@ -547,3 +547,16 @@ def test_token_budget_select_no_single_partition_at_scale(spark, sf_dir):
         assert "SinglePartition" not in plan
     finally:
         spark.conf.unset(SMALL_INPUT_CONF)
+
+
+def test_latest_snapshot_is_partial_agg_not_window(spark, sf_dir):
+    """q107's compaction must be max_by with map-side partials — the
+    window row_number form sorts every key's full history and carries
+    it through the shuffle; at 100 TB of change log that is the
+    difference between candidates and history on the wire."""
+    plan = _executed(spark, "q107_latest_snapshot", sf_dir)
+    assert "Window" not in plan
+    assert "partial_max_by" in plan.lower() or "HashAggregate" in plan
+    import re
+
+    assert len(re.findall(r"Exchange", plan)) == 1

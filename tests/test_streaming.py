@@ -1219,3 +1219,36 @@ def test_join_w_stream_multi_batch_closed_set(
     expected = sorted(tuple(r) for r in _q93_closed_batch(ev, wm_us).collect())
     assert stream_rows == expected
     assert len(stream_rows) > 0
+
+
+def test_enrich_stream_matches_batch_join_multi_batch(
+    spark, ooo_staged, ckpt
+):
+    """Stream-static enrichment is stateless, so even an adversarial
+    out-of-order multi-batch replay must reproduce the batch join
+    row-for-row (no watermark, no late-drops by construction)."""
+    src, ev, _delay = ooo_staged
+    dim = spark.createDataFrame(
+        [(i, f"seg{i % 3}") for i in range(0, 2000, 2)],  # half match
+        "user_id long, segment string",
+    )
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+    joined = RT.enrich_stream(sdf, dim, on="user_id", how="left")
+    got = RT.run_available_now(joined, "enrich_mb", ckpt, mode="append")
+    stream_rows = sorted(
+        (r["event_id"], r["segment"]) for r in got.collect()
+        if r["user_id"] != -1  # drop the staging's barrier sentinel
+    )
+    expected = sorted(
+        (r["event_id"], r["segment"])
+        for r in ev.join(F.broadcast(dim), "user_id", "left").collect()
+    )
+    assert stream_rows == expected and len(stream_rows) > 0
+
+
+def test_enrich_stream_rejects_non_stream_preserving_joins(spark):
+    dim = spark.createDataFrame([(1, "a")], "user_id long, seg string")
+    sdf = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="not stream-side-preserving"):
+        RT.enrich_stream(sdf, dim, on="user_id", how="full_outer")
