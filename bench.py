@@ -71,6 +71,7 @@ def main() -> None:
         "q100d_chop_stream_money_double",
         "q93d_joinw_stream_money_double",
         "q101_sliding_stream_ooo_replay",
+        "q108_stream_static_enrich",
     }
     # best-of-3 (was 2): PERF.md r4 measured 10-23% CV across identical
     # back-to-back runs on this shared box; a third repeat materially
@@ -90,12 +91,25 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    # machine-speed calibration: a fixed CPU-bound JVM job, best-of-3.
+    # Round-6 measured the SAME tree 1.41× slower on a new container
+    # (PERF.md §21) — cross-round bench ratios are only meaningful
+    # divided by this. Input size is constant (not sf-scaled) so the
+    # number is a pure box-speed probe.
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(2_000_000_000).selectExpr(
+            "sum(id * 2654435761 % 1000003)"
+        ).collect()
+        calib = min(calib, time.perf_counter() - t0)
     payload = {
         "metric": "striot_spark_headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib_sec": round(calib, 4),
     }
     # the driver's artifact capture truncates long stdout tails (r04
     # lost q01–q22); persist the complete per-query table in-repo so

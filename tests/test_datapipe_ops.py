@@ -846,3 +846,56 @@ def test_latest_snapshot_picks_max_order_row(spark):
     snap = latest_snapshot(log, ["k"], ["ver", "seq"], ["payload", "ver"])
     got = {r["k"]: (r["payload"], r["ver"]) for r in snap.collect()}
     assert got == {1: ("b", 20), 2: ("d", 5)}
+
+
+def test_canonical_docs_random_graph_property(spark):
+    """canonical_docs == brute-force (connected components + per-group
+    argmax by (pref DESC, id ASC)) on pseudo-random pair graphs."""
+    import random
+
+    from striot_spark.functions.dedup import canonical_docs
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        n = 40
+        ids = list(range(n))
+        prefs = {i: rng.randrange(0, 8) for i in ids}  # deliberate ties
+        docs = spark.createDataFrame(
+            [(i, f"t{i}", prefs[i]) for i in ids],
+            "doc_id long, text string, pref long",
+        )
+        edges = set()
+        for _ in range(rng.randrange(10, 40)):
+            a, b = rng.sample(ids, 2)
+            edges.add((min(a, b), max(a, b)))
+        pairs = spark.createDataFrame(
+            sorted(edges), "id_a long, id_b long"
+        )
+        got = {
+            r["doc_id"]
+            for r in canonical_docs(docs, pairs, "doc_id", "pref").collect()
+        }
+        # brute force: union-find then argmax per component
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comps: dict[int, list[int]] = {}
+        for i in ids:
+            comps.setdefault(find(i), []).append(i)
+        expect = set()
+        touched = {x for e in edges for x in e}
+        for members in comps.values():
+            in_graph = [m for m in members if m in touched]
+            if not in_graph:
+                expect.update(members)  # singletons survive
+            else:
+                expect.add(min(in_graph, key=lambda m: (-prefs[m], m)))
+                expect.update(m for m in members if m not in touched)
+        assert got == expect, f"trial {trial}"
