@@ -1091,3 +1091,61 @@ def canonical_docs(
         "left_anti",
     )
     return untouched.unionByName(survivors_in_groups)
+
+
+def shared_ngram_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_n: int = 6,
+    df_cap: int = 100,
+) -> DataFrame:
+    """Exact-substring duplication signal: document pairs sharing at
+    least one exact ``ngram_n``-token run — the cheap distributed form
+    of suffix-array exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", public): a shared
+    long token run IS a shared substring of ≥ n tokens.
+
+    Scale shape (one corpus shuffle, no self-join): distinct
+    (doc, gram) explode → ONE groupBy on the gram collecting the
+    bounded member list → in-row pair expansion. Grams in more than
+    ``df_cap`` documents are dropped (boilerplate guard — a ubiquitous
+    run would expand quadratically and signals template text, not
+    duplication; the cap bounds per-gram work at cap²/2). Grams in
+    only one doc expand to nothing. The final distinct runs on the
+    pair-graph-sized output, not the corpus.
+    """
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), ngram_n))
+        ).alias("gram"),
+    )
+    members = (
+        grams.groupBy("gram")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= F.lit(df_cap))
+        )
+    )
+    # in-row i<j pair expansion over the (sorted, ≤df_cap) member list
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"),
+                            i + F.lit(2),
+                            F.size("ids") - i - 1,
+                        ),
+                        lambda y: F.struct(
+                            x.alias("id_a"), y.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()

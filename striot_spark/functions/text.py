@@ -439,3 +439,47 @@ def blocklist_filter(
     terms = F.array(*[F.lit(t) for t in blocklist])
     hit = F.arrays_overlap(nonempty_tokens(F.col(text_col)), terms)
     return df.filter(hit if keep_matches else ~hit)
+
+
+def linear_quality_score(
+    text: Column,
+    n_chars: Column,
+    w_stop: int = 100,
+    w_token: int = 10,
+    w_punct: int = 50,
+    target_chars: int = 180,
+) -> Column:
+    """Integer linear quality score — the shape of a trained
+    (fasttext-style) document-quality classifier with its weights
+    inlined as plan literals: stopword evidence up-weights natural
+    prose, token mass rewards substance, punctuation noise and
+    length deviation penalize. ALL-INTEGER on integral features, so
+    thresholding is engine-exact (a float-weight model would gate on
+    ulp-sensitive sums; quantize real model weights to integers the
+    same way).
+    """
+    punct = F.length(F.regexp_replace(text, "[a-z0-9 ]", ""))
+    return (
+        F.lit(w_stop) * stopword_hits(text)
+        + F.lit(w_token) * token_count(text)
+        - F.lit(w_punct) * punct
+        - F.abs(n_chars - F.lit(target_chars))
+    ).cast("long")
+
+
+def linear_quality_filter(
+    df: DataFrame,
+    text_col: str,
+    n_chars_col: str,
+    threshold: int,
+    score_col: str = "quality",
+) -> DataFrame:
+    """Keep documents scoring at least ``threshold`` under
+    ``linear_quality_score`` — the model-based quality gate of a
+    training pipeline, as a zero-shuffle scan+filter (weights ride the
+    plan; no join, no Python)."""
+    scored = df.withColumn(
+        score_col,
+        linear_quality_score(F.col(text_col), F.col(n_chars_col)),
+    )
+    return scored.filter(F.col(score_col) >= threshold)

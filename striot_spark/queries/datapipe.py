@@ -1514,3 +1514,72 @@ def q106_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SAMP.temperature_mix(docs, "doc_id", "lang").select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "q109_shared_ngram_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                   AS tk
+        FROM documents),
+    idx AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk) - 4)) AS i FROM toks),
+    g AS (
+        SELECT DISTINCT doc_id,
+               tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+               tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] AS gram
+        FROM idx),
+    c AS (SELECT gram FROM g GROUP BY gram
+          HAVING count(*) BETWEEN 2 AND 100),
+    k AS (SELECT g.doc_id, g.gram FROM g JOIN c USING (gram))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM k a JOIN k b USING (gram)
+    WHERE a.doc_id < b.doc_id
+    """,
+    doc="exact-substring duplication pairs (docs sharing an exact "
+    "6-token run — the distributed form of suffix-array exact-"
+    "substring dedup, Lee et al. 2022 public methodology): distinct "
+    "(doc, gram) explode -> ONE gram groupBy collecting the bounded "
+    "member list -> IN-ROW i<j pair expansion (no self-join of the "
+    "exploded corpus; grams in >100 docs dropped as boilerplate so "
+    "per-gram work is capped at cap^2/2). Final distinct runs on the "
+    "pair graph, not the corpus",
+)
+def q109_shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.shared_ngram_pairs(
+        docs, "doc_id", "text", ngram_n=6, df_cap=100
+    )
+
+
+@register(
+    "q110_quality_filter_linear",
+    f"""
+    SELECT doc_id, quality FROM (
+        SELECT doc_id,
+               CAST(100 * len(list_filter(string_split(text, ' '),
+                                          x -> x IN {STOP_EN}))
+                    + 10 * {NTOK}
+                    - 50 * length(regexp_replace(text, '[a-z0-9 ]', '',
+                                                 'g'))
+                    - abs(n_chars - 180) AS BIGINT) AS quality
+        FROM documents) t
+    WHERE quality >= 700
+    """,
+    doc="model-based quality gate: an integer linear classifier "
+    "(fasttext-quality-filter shape) with weights inlined as plan "
+    "literals — stopword evidence + token mass vs punctuation noise "
+    "and length deviation, ALL-INTEGER so the threshold is engine-"
+    "exact (float-weight models gate on ulp-sensitive sums; quantize "
+    "weights to integers instead). Zero-shuffle scan+filter, "
+    "plan-gated",
+)
+def q110_quality_filter_linear(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = T.linear_quality_filter(
+        docs, "text", "n_chars", threshold=700
+    )
+    return kept.select("doc_id", "quality")

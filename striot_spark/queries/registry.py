@@ -124,7 +124,7 @@ _SWEEP_FIRST = [
 # Deferred to keep the must-sweep set within the 50-query cap: stable
 # pure-batch queries, code untouched since their r04 green rows. These
 # become three rounds old after r06 — put them FIRST in round 7's sweep,
-# together with the round-6 additions q102–q108 (registered mid-order
+# together with the round-6 additions q102–q110 (registered mid-order
 # this round, so they have no driver row yet).
 _SWEEP_LAST: list[str] = [
     "q13_percentiles",

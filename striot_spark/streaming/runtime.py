@@ -736,6 +736,90 @@ def to_idempotent_parquet(
     return w.start()
 
 
+def upsert_snapshot_sink(
+    sdf: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    available_now: bool = True,
+):
+    """Streaming latest-wins UPSERT sink: maintain a parquet snapshot
+    with one row per key, continuously compacted as change events
+    arrive — the streaming complement of
+    ``functions/analytics.py:latest_snapshot`` (CDC tailing into a
+    queryable state-of-the-world table).
+
+    Per micro-batch (foreachBatch): union the existing snapshot with
+    the batch's own latest-per-key compaction and re-compact, writing
+    to an alternating A/B directory and flipping a pointer file LAST —
+    so a crash mid-write leaves the previous snapshot intact and a
+    replayed batch (Spark re-runs the last uncommitted batch) is
+    idempotent: max_by over the same (order_cols) total order is
+    insensitive to applying a batch twice. ``order_cols`` must totally
+    order events per key (version + unique tiebreak) — the guarantee
+    is then independent of micro-batch boundaries AND of cross-batch
+    arrival order, with no watermark needed.
+
+    Scale: the snapshot is key-cardinality-sized (not history-sized);
+    each batch costs one batch-side partial compaction + one
+    snapshot-sized merge groupBy. For key spaces too big to rewrite
+    per batch, partition ``path`` by a key hash and rewrite only the
+    partitions the batch touches (documented extension; this sink
+    rewrites the whole snapshot, correct at any size, optimal for
+    snapshots that fit a rewrite budget).
+
+    Read the current snapshot with ``read_snapshot(spark, path)``.
+    """
+    import os as _os
+
+    from striot_spark.functions.analytics import latest_snapshot
+
+    cols = list(dict.fromkeys([*key_cols, *order_cols, *payload_cols]))
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        compact = latest_snapshot(
+            batch_df.select(*cols), key_cols, order_cols,
+            [*order_cols, *payload_cols],
+        )
+        ptr = _os.path.join(path, "_CURRENT")
+        if _os.path.exists(ptr):
+            with open(ptr) as f:
+                cur = f.read().strip()
+            prev = spark.read.parquet(_os.path.join(path, cur))
+            merged = latest_snapshot(
+                prev.unionByName(compact), key_cols, order_cols,
+                [*order_cols, *payload_cols],
+            )
+            nxt = "b" if cur == "a" else "a"
+        else:
+            merged, nxt = compact, "a"
+        merged.write.mode("overwrite").parquet(_os.path.join(path, nxt))
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(nxt)
+        _os.replace(tmp, ptr)  # atomic pointer flip commits the batch
+
+    w = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """Read the current snapshot written by ``upsert_snapshot_sink``."""
+    import os as _os
+
+    with open(_os.path.join(path, "_CURRENT")) as f:
+        cur = f.read().strip()
+    return spark.read.parquet(_os.path.join(path, cur))
+
+
 def to_console(sdf: DataFrame, checkpoint_dir: str, mode: str = "append"):
     """Console sink (reference: ``Sink`` vertex printing events,
     ``CompileIoT.hs:269-271``)."""

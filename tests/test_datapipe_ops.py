@@ -899,3 +899,68 @@ def test_canonical_docs_random_graph_property(spark):
                 expect.add(min(in_graph, key=lambda m: (-prefs[m], m)))
                 expect.update(m for m in members if m not in touched)
         assert got == expect, f"trial {trial}"
+
+
+def test_shared_ngram_pairs_semantics_and_cap(spark):
+    from striot_spark.functions.dedup import shared_ngram_pairs
+
+    mk = lambda ws: " ".join(ws)
+    seq = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [
+            (1, mk(seq)),                      # shares run with 2
+            (2, mk(["x"] + seq[:6] + ["y"])),  # 6-token run from doc 1
+            (3, mk(["a", "b", "c", "d", "e", "f"])),  # unique run
+            (4, "boiler plate boiler plate"),  # too short for 6-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in shared_ngram_pairs(
+            docs, "doc_id", "text", ngram_n=6, df_cap=100
+        ).collect()
+    }
+    assert got == {(1, 2)}
+    # boilerplate cap: a run in >cap docs generates NO pairs
+    many = spark.createDataFrame(
+        [(i, mk(seq[:6])) for i in range(10)],
+        "doc_id long, text string",
+    )
+    capped = shared_ngram_pairs(
+        many, "doc_id", "text", ngram_n=6, df_cap=5
+    )
+    assert capped.count() == 0
+    uncapped = shared_ngram_pairs(
+        many, "doc_id", "text", ngram_n=6, df_cap=100
+    )
+    assert uncapped.count() == 45  # C(10,2)
+
+
+def test_linear_quality_filter_integer_threshold(spark):
+    from striot_spark.functions.text import (
+        linear_quality_filter,
+        linear_quality_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat in a hat", 180),
+            (2, "zxq qqq", 180),
+            (3, "!!! ??? ;;; :::", 180),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    scores = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id",
+            linear_quality_score(F.col("text"), F.col("n_chars")).alias("s"),
+        ).collect()
+    }
+    # doc 1: 4 stopword hits (the, on, the... 'the' x2, 'on', 'a', 'in')
+    # give it a decisively positive score; doc 3's punctuation is
+    # penalized below doc 2
+    assert scores[1] > scores[2] > scores[3]
+    kept = linear_quality_filter(docs, "text", "n_chars", scores[1])
+    assert [r["doc_id"] for r in kept.collect()] == [1]

@@ -560,3 +560,18 @@ def test_latest_snapshot_is_partial_agg_not_window(spark, sf_dir):
     import re
 
     assert len(re.findall(r"Exchange", plan)) == 1
+
+
+def test_shared_ngram_pairs_has_no_join(spark, sf_dir):
+    """q109's pair generation must be groupBy + in-row expansion — a
+    self-join of the exploded (doc, gram) corpus stream would shuffle
+    the token stream twice and explode on hot grams; here the only
+    exchanges are the gram groupBy and the final pair distinct."""
+    plan = _executed(spark, "q109_shared_ngram_pairs", sf_dir)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_filter_linear_zero_shuffle(spark, sf_dir):
+    plan = _executed(spark, "q110_quality_filter_linear", sf_dir)
+    assert "Exchange" not in plan

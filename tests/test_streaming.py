@@ -1252,3 +1252,40 @@ def test_enrich_stream_rejects_non_stream_preserving_joins(spark):
     sdf = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="not stream-side-preserving"):
         RT.enrich_stream(sdf, dim, on="user_id", how="full_outer")
+
+
+def test_upsert_snapshot_sink_matches_batch_compaction(
+    spark, ooo_staged, ckpt, tmp_path
+):
+    """Streaming latest-wins upsert over an adversarial out-of-order
+    multi-batch replay must converge to exactly the batch compaction
+    (per-key max by (ts, event_id)) — batch boundaries and arrival
+    order must not matter."""
+    from striot_spark.functions.analytics import latest_snapshot
+
+    src, ev, _delay = ooo_staged
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+    snap_dir = str(tmp_path / "snap")
+    q = RT.upsert_snapshot_sink(
+        sdf,
+        snap_dir,
+        ckpt,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        payload_cols=["event_type", "cents"],
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["event_id"], r["event_type"], r["cents"])
+        for r in RT.read_snapshot(spark, snap_dir).collect()
+        if r["user_id"] != -1  # barrier sentinel
+    )
+    expect = sorted(
+        (r["user_id"], r["event_id"], r["event_type"], r["cents"])
+        for r in latest_snapshot(
+            ev, ["user_id"], ["ts", "event_id"],
+            ["event_id", "event_type", "cents"],
+        ).collect()
+    )
+    assert got == expect and len(got) > 0
