@@ -1289,3 +1289,57 @@ def test_upsert_snapshot_sink_matches_batch_compaction(
         ).collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_streaming_ingest_quality_pipeline_composes(
+    spark, sf_dir, tmp_path, ckpt
+):
+    """The round-6 stateless gates (blocklist, integer linear quality
+    filter) compose onto an ingest stream unchanged — they are pure
+    Column predicates, so the streaming survivors equal the batch
+    filter exactly; the downstream fingerprint dedup then keeps one doc
+    per SimHash of that filtered set (arrival-order picks which)."""
+    from striot_spark.functions.dedup import simhash
+    from striot_spark.functions.text import (
+        blocklist_filter,
+        linear_quality_filter,
+    )
+    from striot_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    src = tmp_path / "q_pipe_src"
+    docs.repartition(2).write.parquet(str(src))
+    sdf = RT.file_stream(spark, str(src), docs.schema).withColumn(
+        "ts", F.lit("2024-01-01").cast("timestamp")
+    )
+    gated = linear_quality_filter(
+        blocklist_filter(sdf, "text", ("vector", "hash")),
+        "text",
+        "n_chars",
+        threshold=600,
+    )
+    deduped = RT.fingerprint_dedup_stream(gated, "text", "ts")
+    got = RT.run_available_now(deduped, "q_pipe_out", ckpt, mode="append")
+    got_ids = [r["doc_id"] for r in got.collect()]
+
+    batch_gated = linear_quality_filter(
+        blocklist_filter(docs, "text", ("vector", "hash")),
+        "text",
+        "n_chars",
+        threshold=600,
+    )
+    batch_ids = {r["doc_id"] for r in batch_gated.collect()}
+    assert set(got_ids) <= batch_ids  # gates identical stream vs batch
+    expected_fps = {
+        r["simhash"] for r in simhash(batch_gated, "doc_id", "text").collect()
+    }
+    survivor_fps = {
+        r["simhash"]
+        for r in simhash(
+            docs.filter(F.col("doc_id").isin(got_ids)), "doc_id", "text"
+        ).collect()
+    }
+    assert survivor_fps == expected_fps
+    assert len(got_ids) == len(set(got_ids)) and len(got_ids) > 0
