@@ -483,3 +483,52 @@ def linear_quality_filter(
         linear_quality_score(F.col(text_col), F.col(n_chars_col)),
     )
     return scored.filter(F.col(score_col) >= threshold)
+
+
+# PII masking patterns (C4/Dolma-style release scrubbing). Kept to a
+# regex subset valid in Java regex (Spark) — applied via chained
+# regexp_replace, zero-shuffle, no Python. Order matters: emails before
+# bare digit runs so the user@host form is consumed whole.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # emails
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # 13-19 digit runs with optional separators BETWEEN digits
+    # (card-shaped; separators inside only, so no trailing-space grab)
+    (r"\b\d(?:[ -]?\d){12,18}\b", "<NUMBER>"),
+    # phone-shaped: optional +cc, then 7-12 digits with separators
+    (r"(?<!\w)\+?\d{1,3}[ -.]?\(?\d{2,4}\)?(?:[ -.]?\d{2,4}){2,4}(?!\w)",
+     "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column, patterns=PII_PATTERNS) -> Column:
+    """Mask PII-shaped spans (emails, IPs, card/phone-shaped digit
+    runs) with typed placeholders — the release-scrubbing pass of a
+    training-data pipeline. Chained ``regexp_replace`` Column
+    expression: one corpus scan, whole-stage codegen, no Python.
+
+    These are SHAPE detectors (the standard release-pipeline
+    approach), not validators — a 16-digit run masks whether or not it
+    Luhn-checks; precision is traded for recall deliberately, and the
+    pattern list is an argument so estates can extend it (national id
+    formats, internal hostnames).
+    """
+    out = text
+    for pat, repl in patterns:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_hit_counts(text: Column, patterns=PII_PATTERNS) -> Column:
+    """Per-pattern hit counts as a map<string,int> — the audit side of
+    ``scrub_pii`` (how much masking a release pass would do), same
+    zero-shuffle scan."""
+    pairs: list[Column] = []
+    for pat, repl in patterns:
+        pairs.append(F.lit(repl))
+        pairs.append(
+            F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("int")
+        )
+    return F.create_map(*pairs)

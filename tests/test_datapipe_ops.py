@@ -964,3 +964,37 @@ def test_linear_quality_filter_integer_threshold(spark):
     assert scores[1] > scores[2] > scores[3]
     kept = linear_quality_filter(docs, "text", "n_chars", scores[1])
     assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+def test_scrub_pii_masks_shapes_not_substrings(spark):
+    from striot_spark.functions.text import pii_hit_counts, scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice.smith+x@example.co.uk for details"),
+            (2, "server at 192.168.1.17 went down"),
+            (3, "card 4111 1111 1111 1111 charged"),
+            (4, "call +1-202-555-0147 today"),
+            (5, "version 1.2 costs 35 dollars"),  # must NOT mask
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", scrub_pii(F.col("text")).alias("t")
+        ).collect()
+    }
+    assert got[1] == "contact <EMAIL> for details"
+    assert got[2] == "server at <IP> went down"
+    assert got[3] == "card <NUMBER> charged"
+    assert got[4] == "call <PHONE> today"
+    assert got[5] == "version 1.2 costs 35 dollars"
+    counts = {
+        r["doc_id"]: r["c"]
+        for r in docs.select(
+            "doc_id", pii_hit_counts(F.col("text")).alias("c")
+        ).collect()
+    }
+    assert counts[1]["<EMAIL>"] == 1 and counts[1]["<IP>"] == 0
+    assert counts[5] == {"<EMAIL>": 0, "<IP>": 0, "<NUMBER>": 0, "<PHONE>": 0}
