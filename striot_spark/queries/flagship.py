@@ -1099,3 +1099,61 @@ def q108_stream_static_enrich(
         F.count(F.lit(1)).alias("n"),
         sum_money(F.col("value")).alias("sum_value"),
     )
+
+
+@register(
+    "q111_sliding_time_stream",
+    f"""
+    WITH w AS (
+        SELECT date_trunc('day', ts) - k * INTERVAL 1 DAY AS ws,
+               {_Q78_CENTS} AS c
+        FROM events, range(0, 2) r(k))
+    SELECT strftime(ws, '%Y-%m-%d') AS window_start,
+           strftime(ws + 2 * INTERVAL 1 DAY, '%Y-%m-%d') AS window_end,
+           count(*) AS n,
+           sum(c) / 100.0 AS sum_value
+    FROM w GROUP BY ws
+    """,
+    doc="sliding TIME window on the stream (slidingTime, "
+    "FunctionalProcessing.hs:99-103, streaming form): Spark's native "
+    "window(ts, '2 days', slide '1 day') under a watermark — each event "
+    "feeds exactly two overlapping day-aligned windows, incrementally, "
+    "with no buffering beyond the windowed aggregation state. This is "
+    "the documented 100 TB scale path for slidingTime (the per-event "
+    "slide stays batch-only; coarse slide granularity keeps state "
+    "linear in windows, not events). Oracle expands each event into "
+    "its two covering windows and aggregates — exact cents",
+)
+def q111_sliding_time_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.analytics import sum_money
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema)
+    counts = RT.window_agg_stream(
+        sdf,
+        "ts",
+        "2 days",
+        {
+            "n": F.count(F.lit(1)),
+            "sum_value": sum_money(F.col("value")),
+        },
+        watermark="1 minute",
+        slide="1 day",
+    )
+    drained = RT.run_available_now(
+        counts,
+        f"q111_slidet_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q111_ck_"),
+        mode="complete",
+    )
+    return drained.select(
+        day_str(F.col("window_start")).alias("window_start"),
+        day_str(F.col("window_end")).alias("window_end"),
+        "n",
+        "sum_value",
+    )
