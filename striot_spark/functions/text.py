@@ -532,3 +532,53 @@ def pii_hit_counts(text: Column, patterns=PII_PATTERNS) -> Column:
             F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("int")
         )
     return F.create_map(*pairs)
+
+
+def domain_stats(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-domain (per-source) corpus statistics: document count, total
+    whitespace tokens, total English-stopword hits — ALL integers, so
+    any downstream threshold is engine-exact.
+
+    The domain-level aggregation view behind C4/RefinedWeb-style
+    source filtering: quality is judged per DOMAIN, then applied per
+    document. One groupBy on the domain key with map-side partial
+    aggregation — executors ship one partial row per (partition,
+    domain), never documents; at 100 TB the shuffled volume is
+    O(domains), millions of rows at web scale, not corpus-sized.
+    """
+    text = F.col(text_col)
+    return df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text)).alias("total_tokens"),
+        F.sum(stopword_hits(text)).alias("stop_hits"),
+    )
+
+
+def domain_quality_filter(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    min_stop_pct: int = 6,
+) -> DataFrame:
+    """Keep only documents from domains whose corpus-wide stopword
+    density is at least ``min_stop_pct`` percent — the domain-level
+    quality gate of a training-data pipeline (C4 drops whole domains,
+    not single pages, to defeat per-page adversarial text).
+
+    The gate `hits * 100 >= pct * tokens` is pure integer arithmetic
+    (no float density), so keep/drop never depends on engine rounding.
+    Two corpus scans total: one to build the domain table (shuffles
+    O(domains) partial rows), one to apply it — the kept-domain list
+    BROADCASTS to the second scan (domains << documents by
+    construction), so the corpus itself is never shuffled.
+    """
+    stats = domain_stats(df, domain_col, text_col)
+    keep = stats.filter(
+        F.col("stop_hits") * F.lit(100)
+        >= F.lit(int(min_stop_pct)) * F.col("total_tokens")
+    ).select(F.col("domain").alias(domain_col))
+    return df.join(F.broadcast(keep), domain_col, "inner")

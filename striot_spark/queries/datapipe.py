@@ -1583,3 +1583,34 @@ def q110_quality_filter_linear(
         docs, "text", "n_chars", threshold=700
     )
     return kept.select("doc_id", "quality")
+
+
+@register(
+    "q112_domain_quality_filter",
+    f"""
+    WITH s AS (
+        SELECT source,
+               sum({NTOK}) AS total_tokens,
+               sum(len(list_filter(string_split(text, ' '),
+                                   x -> x IN {STOP_EN}))) AS stop_hits
+        FROM documents GROUP BY source),
+    keep AS (
+        SELECT source FROM s
+        WHERE stop_hits * 100 >= 6 * total_tokens)
+    SELECT d.doc_id, d.source, d.lang, d.n_chars
+    FROM documents d JOIN keep USING (source)
+    """,
+    doc="domain-level quality gate (C4-style: judge the DOMAIN, drop "
+    "its documents wholesale): per-source integer token/stopword "
+    "totals -> keep sources with stopword density >= 6% by the "
+    "all-integer gate hits*100 >= 6*tokens -> broadcast the kept "
+    "domain list back over the corpus. Two scans, one O(domains) "
+    "shuffle, corpus never shuffled (functions/text.py:"
+    "domain_quality_filter)",
+)
+def q112_domain_quality_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = T.domain_quality_filter(docs, "source", "text", min_stop_pct=6)
+    return kept.select("doc_id", "source", "lang", "n_chars")

@@ -575,3 +575,21 @@ def test_shared_ngram_pairs_has_no_join(spark, sf_dir):
 def test_quality_filter_linear_zero_shuffle(spark, sf_dir):
     plan = _executed(spark, "q110_quality_filter_linear", sf_dir)
     assert "Exchange" not in plan
+
+
+def test_domain_filter_broadcasts_domain_list(spark, sf_dir):
+    """q112: the kept-domain list must broadcast back over the corpus
+    (domains << documents); the corpus itself is never hash-shuffled —
+    the only exchanges are the O(domains) partial-agg shuffle and the
+    broadcast itself."""
+    plan = _executed(spark, "q112_domain_quality_filter", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partials
+
+
+def test_sliding_time_stream_uses_native_window(spark, sf_dir):
+    """q111 lowers slidingTime to Spark's native sliding window() —
+    state is per-(window), not per-event buffering."""
+    df = REGISTRY["q111_sliding_time_stream"].fn(spark, sf_dir)
+    assert {"window_start", "window_end", "n", "sum_value"} <= set(df.columns)
