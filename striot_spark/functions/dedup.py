@@ -265,6 +265,93 @@ def contamination_scores(
     )
 
 
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_n: int = 5,
+    num_hashes: int = 3,
+    num_bits: int | None = None,
+) -> DataFrame:
+    """Decontaminated training corpus — train documents sharing NO
+    ``ngram_n``-gram with the eval set — via a Bloom-filter prefilter
+    with an exact verification pass, so the result is IDENTICAL to the
+    exact broadcast-join filter (Bloom has no false negatives; false
+    positives are re-checked exactly).
+
+    Scale shape: ``contamination_check`` explodes every train doc into
+    its n-grams and joins — correct, but the join input is
+    corpus-of-grams-sized even when contamination is rare (the normal
+    case: benchmarks are MBs against 100 TB). Here the eval grams fold
+    into a bit-array PLAN LITERAL (sized ~16 bits/gram, power of two;
+    an eval set of 1M distinct grams is a 2 MB literal — broadcast
+    cost, not shuffle cost), and the clean-path test is an in-row
+    ``exists`` over the doc's gram array inside whole-stage codegen —
+    ZERO join, zero shuffle, one corpus scan for every doc the filter
+    clears. Only Bloom-positive docs (true contaminations + the ~0.1%
+    false-positive tail) pay the explode + broadcast-join exact check.
+
+    The driver materializes only the eval position set (bounded by
+    ``num_hashes * |eval grams|`` — eval-sized, same bound as the
+    broadcast in ``contamination_check``).
+    """
+    grams = lambda c: F.array_distinct(shingles(c, ngram_n))  # noqa: E731
+    eval_grams = (
+        eval_df.select(F.explode(grams(F.col(text_col))).alias("g"))
+        .distinct()
+    )
+    k = int(num_hashes)
+    if num_bits is None:
+        n_grams = eval_grams.count()
+        num_bits = 1 << max(10, (16 * max(n_grams, 1) - 1).bit_length())
+    m = int(num_bits)
+    pos = lambda g, i: F.pmod(F.xxhash64(g, F.lit(i)), F.lit(m))  # noqa: E731
+    positions = [
+        r[0]
+        for r in eval_grams.select(
+            F.explode(F.array(*[pos(F.col("g"), i) for i in range(k)])).alias(
+                "p"
+            )
+        )
+        .distinct()
+        .collect()
+    ]
+    words = [0] * ((m + 63) // 64)
+    for p in positions:
+        words[p >> 6] |= 1 << (p & 63)
+    bitmap = F.array(
+        *[
+            F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long")
+            for w in words
+        ]
+    )
+
+    def bloom_hit(g: Column) -> Column:
+        cond = F.lit(True)
+        for i in range(k):
+            p = pos(g, i)
+            word = F.element_at(bitmap, F.floor(p / 64).cast("int") + 1)
+            cond = cond & (F.getbit(word, F.pmod(p, F.lit(64))) == 1)
+        return cond
+
+    flagged = F.exists(grams(F.col(text_col)), bloom_hit)
+    clean_fast = train.filter(~flagged)
+    candidates = train.filter(flagged)
+    cand_grams = candidates.select(
+        F.col(id_col), F.explode(grams(F.col(text_col))).alias("g")
+    )
+    contaminated = (
+        cand_grams.join(F.broadcast(eval_grams), "g")
+        .select(id_col)
+        .distinct()
+    )
+    survivors = candidates.join(
+        F.broadcast(contaminated), id_col, "left_anti"
+    )
+    return clean_fast.unionByName(survivors)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 4, shingle_n: int = 2
 ) -> DataFrame:

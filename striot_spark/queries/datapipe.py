@@ -1614,3 +1614,41 @@ def q112_domain_quality_filter(
     docs = load_table(spark, sf_dir, "documents")
     kept = T.domain_quality_filter(docs, "source", "text", min_stop_pct=6)
     return kept.select("doc_id", "source", "lang", "n_chars")
+
+
+@register(
+    "q113_bloom_decontaminate",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents),
+    idx AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM toks),
+    g AS (
+        SELECT DISTINCT doc_id,
+               tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+               tk[i+3] || ' ' || tk[i+4] AS gram
+        FROM idx),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    bad AS (
+        SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+        WHERE g.doc_id % 97 <> 0)
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id % 97 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    doc="decontamination FILTER via Bloom prefilter + exact verify "
+    "(functions/dedup.py:bloom_decontaminate): eval 5-grams fold into "
+    "a bit-array plan literal; clean docs clear an in-row exists() "
+    "with ZERO join/shuffle (one codegen'd corpus scan — the normal "
+    "case when benchmarks are MBs vs 100 TB), and only Bloom-positive "
+    "docs pay the explode + broadcast exact check. No false negatives "
+    "by construction, false positives re-verified — the oracle is the "
+    "plain exact NOT-EXISTS filter, proving result identity",
+)
+def q113_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    kept = D.bloom_decontaminate(train, eval_df, "doc_id", "text", ngram_n=5)
+    return kept.select("doc_id", "lang", "n_chars")

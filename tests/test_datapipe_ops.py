@@ -998,3 +998,52 @@ def test_scrub_pii_masks_shapes_not_substrings(spark):
     }
     assert counts[1]["<EMAIL>"] == 1 and counts[1]["<IP>"] == 0
     assert counts[5] == {"<EMAIL>": 0, "<IP>": 0, "<NUMBER>": 0, "<PHONE>": 0}
+
+
+def test_bloom_decontaminate_equals_exact_under_forced_fps(spark):
+    """A deliberately TINY bloom (64 bits, 1 hash) drives the false-
+    positive rate toward 1 — the exact-verify pass must still make the
+    result identical to the plain NOT-EXISTS filter, and no clean doc
+    may be lost (no false negatives by construction)."""
+    from striot_spark.functions.dedup import bloom_decontaminate
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(8))) for i in range(1, 30)
+    ]
+    # doc 50 shares its whole text with eval doc 100 -> contaminated
+    rows.append((50, "alpha beta gamma delta epsilon zeta"))
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    for m in (64, 1 << 14):
+        got = sorted(
+            r["doc_id"]
+            for r in bloom_decontaminate(
+                train, eval_df, "doc_id", "text", ngram_n=5, num_bits=m
+            ).collect()
+        )
+        assert got == list(range(1, 30)), f"num_bits={m}"
+
+
+def test_bloom_decontaminate_short_docs_are_clean(spark):
+    """Docs with fewer than ngram_n tokens have no n-gram set — they
+    must pass the filter (empty exists() is false), matching the
+    oracle's no-gram convention."""
+    from striot_spark.functions.dedup import bloom_decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "too short"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in bloom_decontaminate(
+            train, eval_df, "doc_id", "text", ngram_n=5
+        ).collect()
+    )
+    assert got == [1]

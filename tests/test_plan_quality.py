@@ -593,3 +593,13 @@ def test_sliding_time_stream_uses_native_window(spark, sf_dir):
     state is per-(window), not per-event buffering."""
     df = REGISTRY["q111_sliding_time_stream"].fn(spark, sf_dir)
     assert {"window_start", "window_end", "n", "sum_value"} <= set(df.columns)
+
+
+def test_bloom_decontaminate_clean_path_is_joinless(spark, sf_dir):
+    """q113's clean-path branch is an in-row bloom exists() — the plan
+    may join only on the (tiny) candidate branch, and every join must
+    be broadcast; the corpus is never sort-merge shuffled."""
+    plan = _executed(spark, "q113_bloom_decontaminate", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "getbit" in plan.lower()  # the literal-bitmap test is in codegen
