@@ -352,6 +352,86 @@ def bloom_decontaminate(
     return clean_fast.unionByName(survivors)
 
 
+def scrub_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_n: int = 5,
+    min_docs: int = 2,
+    broadcast_freq: bool = True,
+) -> DataFrame:
+    """Remove every token covered by an n-gram that occurs in at least
+    ``min_docs`` DISTINCT documents — span-level deduplication (the
+    frequent-n-gram form of Lee et al. 2022's exact-substring dedup /
+    RefinedWeb's repeated-span scrubbing: boilerplate, license headers
+    and navigation chrome repeat across pages, and dropping whole
+    documents for a shared span throws away good text).
+
+    Returns (id, clean_text, n_tokens, n_removed): the reassembled
+    document (single-space joined survivors), its original token count
+    and how many tokens were scrubbed. Docs shorter than ``ngram_n``
+    tokens have no n-gram and pass through unmodified.
+
+    Scale shape: ONE (doc,gram) groupBy builds the frequent-gram table
+    (map-side partial count of distinct doc per gram — the classic
+    heavy-hitter pass); occurrences then join it ON GRAM — broadcast by
+    default (the >=min_docs heavy-hitter set is corpus-sublinear; pass
+    ``broadcast_freq=False`` for a hash equi-join when it is not) —
+    and fold into ONE per-doc covered-positions array (bounded by the
+    doc's own token count). Reassembly is an in-row indexed filter
+    inside codegen: token bodies are never shuffled, only (id, pos)
+    hits and the final doc-keyed array join move.
+    """
+    toks = lambda c: F.filter(  # noqa: E731
+        F.split(c, " "), lambda t: t != F.lit("")
+    )
+    gram_pos = df.select(
+        F.col(id_col),
+        F.posexplode(shingles(F.col(text_col), ngram_n)).alias(
+            "pos0", "gram"
+        ),
+    )
+    freq = (
+        gram_pos.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("c"))
+        .filter(F.col("c") >= int(min_docs))
+        .select("gram")
+    )
+    if broadcast_freq:
+        freq = F.broadcast(freq)
+    cov = (
+        gram_pos.join(freq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.sequence(
+                                F.col("pos0"),
+                                F.col("pos0") + F.lit(ngram_n - 1),
+                            )
+                        )
+                    )
+                )
+            ).alias("__cov")
+        )
+    )
+    out = df.join(cov, id_col, "left").withColumn(
+        "__cov", F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    )
+    tk = toks(F.col(text_col))
+    kept = F.filter(
+        tk, lambda t, i: ~F.array_contains(F.col("__cov"), i)
+    )
+    return out.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(tk).alias("n_tokens"),
+        (F.size(tk) - F.size(kept)).alias("n_removed"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 4, shingle_n: int = 2
 ) -> DataFrame:

@@ -1652,3 +1652,57 @@ def q113_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 97 != 0)
     kept = D.bloom_decontaminate(train, eval_df, "doc_id", "text", ngram_n=5)
     return kept.select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "q114_scrub_duplicated_spans",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents),
+    idx AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM toks),
+    g AS (
+        SELECT doc_id, i,
+               tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+               tk[i+3] || ' ' || tk[i+4] AS gram
+        FROM idx),
+    freq AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+        SELECT DISTINCT doc_id, unnest(range(i, i + 5)) AS p
+        FROM g JOIN freq USING (gram)),
+    tokpos AS (
+        SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS j
+        FROM toks),
+    keep AS (
+        SELECT t.doc_id, t.tok, t.j FROM tokpos t
+        WHERE NOT EXISTS (SELECT 1 FROM cov c
+                          WHERE c.doc_id = t.doc_id AND c.p = t.j)),
+    agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS ct,
+               count(*) AS nk
+        FROM keep GROUP BY doc_id)
+    SELECT x.doc_id, coalesce(a.ct, '') AS clean_text,
+           len(x.tk) AS n_tokens,
+           len(x.tk) - coalesce(a.nk, 0) AS n_removed
+    FROM toks x LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="span-level dedup (Lee et al. 2022 exact-substring shape / "
+    "RefinedWeb repeated-span scrub): tokens covered by any 5-gram "
+    "occurring in >=2 distinct docs are REMOVED and the doc "
+    "reassembled — boilerplate dies, the document survives "
+    "(functions/dedup.py:scrub_duplicated_spans). One (doc,gram) "
+    "groupBy for the heavy-hitter table, broadcast back over the "
+    "occurrence stream, per-doc coverage folded to ONE in-row "
+    "positions array, reassembly an indexed in-row filter — token "
+    "bodies never shuffle",
+)
+def q114_scrub_duplicated_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.scrub_duplicated_spans(
+        docs, "doc_id", "text", ngram_n=5, min_docs=2
+    )

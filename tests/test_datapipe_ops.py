@@ -1047,3 +1047,53 @@ def test_bloom_decontaminate_short_docs_are_clean(spark):
         ).collect()
     )
     assert got == [1]
+
+
+def test_scrub_duplicated_spans_brute_force(spark):
+    """Operator result equals a Python brute-force on a corpus with
+    overlapping frequent spans, a doc that is ALL boilerplate, and a
+    short doc with no n-gram."""
+    from striot_spark.functions.dedup import scrub_duplicated_spans
+
+    rows = [
+        (1, "a b c d e x y z w v"),      # shares 'a b c d e' with 2,3
+        (2, "p a b c d e q r s t"),      # overlapping occurrence
+        (3, "a b c d e"),                # entirely boilerplate
+        (4, "unique tokens only here now friend"),
+        (5, "tiny doc"),                 # < 5 tokens: passes through
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 5
+
+    texts = {i: t.split() for i, t in rows}
+    from collections import defaultdict
+
+    docs_per_gram = defaultdict(set)
+    for i, tk in texts.items():
+        for j in range(len(tk) - n + 1):
+            docs_per_gram[tuple(tk[j : j + n])].add(i)
+    expected = {}
+    for i, tk in texts.items():
+        cov = set()
+        for j in range(len(tk) - n + 1):
+            if len(docs_per_gram[tuple(tk[j : j + n])]) >= 2:
+                cov.update(range(j, j + n))
+        keptoks = [t for j, t in enumerate(tk) if j not in cov]
+        expected[i] = (" ".join(keptoks), len(tk), len(tk) - len(keptoks))
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in scrub_duplicated_spans(
+            df, "doc_id", "text", ngram_n=n, min_docs=2
+        ).collect()
+    }
+    assert got == expected
+    # both join strategies agree
+    got_hash = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in scrub_duplicated_spans(
+            df, "doc_id", "text", ngram_n=n, min_docs=2,
+            broadcast_freq=False,
+        ).collect()
+    }
+    assert got_hash == expected

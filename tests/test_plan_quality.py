@@ -603,3 +603,12 @@ def test_bloom_decontaminate_clean_path_is_joinless(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "getbit" in plan.lower()  # the literal-bitmap test is in codegen
+
+
+def test_scrub_spans_broadcasts_heavy_hitters(spark, sf_dir):
+    """q114: the frequent-gram table broadcasts back over the gram
+    occurrences (heavy-hitter set is corpus-sublinear) — no sort-merge
+    join on the gram key, never cartesian."""
+    plan = _executed(spark, "q114_scrub_duplicated_spans", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
