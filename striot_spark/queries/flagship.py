@@ -184,7 +184,9 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
 BARRIER_USER = -1
 
 
-def _stage_events_barrier(spark: SparkSession, sf_dir: str) -> str:
+def _stage_events_barrier(
+    spark: SparkSession, sf_dir: str, barrier_hours: int = 1
+) -> str:
     """Like ``_stage_events`` (one globally sorted file ⇒ one data
     micro-batch in any environment), plus ONE synthetic watermark
     barrier row sorted last: a fabricated event one hour past the real
@@ -200,7 +202,7 @@ def _stage_events_barrier(spark: SparkSession, sf_dir: str) -> str:
     import datetime as _dt
     import tempfile
 
-    ck = (sf_dir, "barrier")
+    ck = (sf_dir, "barrier", int(barrier_hours))
     path = _STAGED.get(ck)
     if path is not None:
         return path
@@ -210,7 +212,7 @@ def _stage_events_barrier(spark: SparkSession, sf_dir: str) -> str:
         "event_id": F.lit(-1).cast("long"),
         "user_id": F.lit(BARRIER_USER).cast("long"),
         "event_type": F.lit("__barrier__"),
-        "ts": F.lit(mx + _dt.timedelta(hours=1)),
+        "ts": F.lit(mx + _dt.timedelta(hours=int(barrier_hours))),
     }
     barrier = base.limit(1).select(
         *[
@@ -1156,4 +1158,56 @@ def q111_sliding_time_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         day_str(F.col("window_end")).alias("window_end"),
         "n",
         "sum_value",
+    )
+
+
+@register(
+    "q115_daily_distinct_stream",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+    doc="EXACT windowed distinct count on the stream: two CHAINED "
+    "stateful aggregations in one plan (Spark 4 multiple-stateful-"
+    "operator support) — agg1 dedups to (day-window, user) partials, "
+    "agg2 counts users per window as agg1's windows finalize; both "
+    "watermark-bounded, append mode. The streaming mirror of batch "
+    "q56 under the SAME oracle. State is O(distinct users per open "
+    "window), not O(events); a 48h barrier row (its own never-closing "
+    "window, invisible in output) pushes the final watermark past the "
+    "last real day so every real window emits in the drain",
+)
+def q115_daily_distinct_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events_barrier(spark, sf_dir, barrier_hours=48)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema)
+    s1 = (
+        sdf.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 day"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    s2 = s1.groupBy("window").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_ev").alias("n_events"),
+    )
+    drained = RT.run_available_now(
+        s2,
+        f"q115_ddistinct_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q115_ck_"),
+        mode="append",
+        expect_data_batches=1,
+    )
+    return drained.select(
+        day_str(F.col("window.start")).alias("day"),
+        "n_users",
+        "n_events",
     )
