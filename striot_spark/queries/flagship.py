@@ -1211,3 +1211,87 @@ def q115_daily_distinct_stream(
         "n_users",
         "n_events",
     )
+
+
+@register(
+    "q116_interval_join_stream",
+    f"""
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+                      value
+               FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id, c.user_id,
+           epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us,
+           CAST(round(p.value * 100.0, 0) AS BIGINT) / 100.0
+               AS purchase_value
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    """,
+    doc="STREAMING bounded time-interval join under the same oracle as "
+    "batch q59: native stream-stream inner join with the range "
+    "condition written on the two watermarked event-time columns, so "
+    "Spark derives state-eviction bounds (left rows die once the right "
+    "watermark passes click_ts+1h, right rows symmetrically) — state "
+    "is O(events in the interval span), not O(stream). Single-file "
+    "sorted staging makes the drain single-batch deterministic; an "
+    "inner join emits on arrival, so no barrier is needed",
+)
+def q116_interval_join_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.analytics import cents
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    clicks = (
+        RT.file_stream(spark, src, schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        RT.file_stream(spark, src, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+    )
+    out = RT.interval_join_stream(
+        clicks,
+        purchases,
+        ["user_id"],
+        "click_ts",
+        "purchase_ts",
+        0.0,
+        3600.0,
+        watermark="1 minute",
+    )
+    drained = RT.run_available_now(
+        out,
+        f"q116_ij_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q116_ck_"),
+        mode="append",
+    )
+    return drained.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("purchase_ts"))
+            - F.unix_micros(F.col("click_ts"))
+        ).alias("gap_us"),
+        (cents(F.col("value")) / F.lit(100.0)).alias("purchase_value"),
+    )
