@@ -1295,3 +1295,63 @@ def q116_interval_join_stream(
         ).alias("gap_us"),
         (cents(F.col("value")) / F.lit(100.0)).alias("purchase_value"),
     )
+
+
+_EPOCH_S_Q117 = "(epoch_us(ts) // 1000000)"
+
+
+@register(
+    "q117_joine_stream",
+    f"""
+    WITH p AS (SELECT ({_EPOCH_S_Q117} // 3600) * 3600 AS window_id,
+                      event_id, value
+               FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT ({_EPOCH_S_Q117} // 3600) * 3600 AS window_id,
+                      event_id, value
+               FROM events WHERE event_type = 'error')
+    SELECT p.window_id, p.event_id AS purchase_id, e.event_id AS error_id
+    FROM p JOIN e USING (window_id) WHERE p.value > e.value
+    """,
+    doc="STREAMING streamJoinE under the same oracle as batch q32 "
+    "(FunctionalProcessing.hs:161-173): both streams bucket into "
+    "aligned 1h tumbling windows via F.window equality (keeps the "
+    "event-time metadata Spark needs to derive stream-stream state "
+    "eviction), theta purchase.value > error.value applied post-join. "
+    "Inner join emits on arrival — single-batch drain, no barrier",
+)
+def q117_joine_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    purchases = RT.file_stream(spark, src, schema).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "ts", "value")
+    errors = RT.file_stream(spark, src, schema).filter(
+        F.col("event_type") == "error"
+    ).select("event_id", "ts", "value")
+    out = RT.join_e_stream(
+        purchases,
+        errors,
+        "ts",
+        3600,
+        theta=F.col("value_l") > F.col("value_r"),
+        watermark="1 minute",
+    ).select("window_id", "event_id_l", "event_id_r")
+    # the pre-sink projection prunes ts_l/ts_r: a stream must reach the
+    # sink with at most ONE event-time lineage (__win), or the join's
+    # watermark-propagation rule refuses the plan
+    drained = RT.run_available_now(
+        out,
+        f"q117_je_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q117_ck_"),
+        mode="append",
+    )
+    return drained.select(
+        "window_id",
+        F.col("event_id_l").alias("purchase_id"),
+        F.col("event_id_r").alias("error_id"),
+    )
