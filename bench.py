@@ -72,6 +72,10 @@ def main() -> None:
         "q93d_joinw_stream_money_double",
         "q101_sliding_stream_ooo_replay",
         "q108_stream_static_enrich",
+        "q111_sliding_time_stream",
+        "q115_daily_distinct_stream",
+        "q116_interval_join_stream",
+        "q117_joine_stream",
     }
     # best-of-3 (was 2): PERF.md r4 measured 10-23% CV across identical
     # back-to-back runs on this shared box; a third repeat materially

@@ -1,0 +1,128 @@
+"""Data-quality audit: declarative constraint checks evaluated in ONE
+aggregation pass per table (deequ-style; Schelter et al., "Automating
+Large-Scale Data Quality Verification", VLDB 2018 — public
+methodology). Each check compiles to a conditional-count aggregate
+expression, so auditing N constraints costs one scan with map-side
+partials, not N scans. Referential-integrity checks add one
+broadcast anti-join per foreign key (the dimension side is the
+broadcast, the fact table is scanned once per key table).
+
+No reference analogue (the reference has no audit surface —
+``src/Striot/`` is operator algebra); this belongs to the
+beyond-reference pipeline tier the brief mandates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One named constraint: ``violated`` is a boolean Column that is
+    true on rows BREAKING the constraint."""
+
+    name: str
+    violated: Column
+
+
+def not_null(col: str) -> Check:
+    return Check(f"not_null({col})", F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> Check:
+    c = F.col(col)
+    return Check(
+        f"in_range({col},{lo},{hi})",
+        c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))),
+    )
+
+
+def matches(col: str, pattern: str, label: str | None = None) -> Check:
+    c = F.col(col)
+    return Check(
+        label or f"matches({col})",
+        c.isNotNull() & ~c.rlike(pattern),
+    )
+
+
+def one_of(col: str, allowed: Sequence[str]) -> Check:
+    c = F.col(col)
+    return Check(
+        f"one_of({col})",
+        c.isNotNull() & ~c.isin(*list(allowed)),
+    )
+
+
+def audit(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Evaluate all row-level checks in ONE aggregation: returns
+    (check, n_violations, n_rows) — every check shares the same scan
+    and the same map-side partial aggregate. Unpivoted via an inline
+    stack so the output is one row per check regardless of width."""
+    aggs = [
+        F.sum(c.violated.cast("long")).alias(f"__v{i}")
+        for i, c in enumerate(checks)
+    ] + [F.count(F.lit(1)).alias("__n")]
+    row = df.agg(*aggs)
+    pairs: list[Column] = []
+    for i, c in enumerate(checks):
+        pairs.append(F.lit(c.name))
+        pairs.append(F.col(f"__v{i}"))
+    return row.select(
+        F.explode(F.create_map(*pairs)).alias("check", "n_violations"),
+        F.col("__n").alias("n_rows"),
+    )
+
+
+def unique_key(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """(check, n_violations, n_rows) for key uniqueness: violations =
+    rows beyond the first per key (n_rows - distinct keys) — one
+    groupBy-count on the key, shuffling unique keys not rows."""
+    name = f"unique({','.join(cols)})"
+    counts = df.groupBy(*[F.col(c) for c in cols]).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return counts.agg(
+        (F.sum("__c") - F.count(F.lit(1))).alias("n_violations"),
+        F.sum("__c").alias("n_rows"),
+    ).select(F.lit(name).alias("check"), "n_violations", "n_rows")
+
+
+def foreign_key(
+    fact: DataFrame,
+    fact_col: str,
+    dim: DataFrame,
+    dim_col: str,
+) -> DataFrame:
+    """(check, n_violations, n_rows) for referential integrity:
+    violations = fact rows whose non-null key has no dimension match.
+    ONE broadcast left join + one aggregate (dims are the small side
+    by construction); the fact table is scanned once, never shuffled,
+    and nothing is collected — the report row stays a DataFrame."""
+    name = f"fk({fact_col}->{dim_col})"
+    keys = (
+        dim.select(F.col(dim_col).alias(fact_col))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = fact.select(fact_col).join(F.broadcast(keys), fact_col, "left")
+    return joined.agg(
+        F.sum(
+            (F.col(fact_col).isNotNull() & F.col("__hit").isNull()).cast(
+                "long"
+            )
+        ).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(F.lit(name).alias("check"), "n_violations", "n_rows")
+
+
+def audit_suite(parts: Sequence[DataFrame]) -> DataFrame:
+    """Union audit result frames into one report, sorted by check."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

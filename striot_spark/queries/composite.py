@@ -1026,3 +1026,73 @@ def q83_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.lit("click_and_purchase").alias("cohort")
     )
     return no_buy.unionByName(both)
+
+
+@register(
+    "q118_quality_audit",
+    """
+    SELECT 'not_null(o_custkey)' AS "check",
+           count(*) FILTER (o_custkey IS NULL) AS n_violations,
+           count(*) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(l_quantity,1,30)',
+           count(*) FILTER (l_quantity IS NOT NULL
+                            AND (l_quantity < 1 OR l_quantity > 30)),
+           count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'one_of(event_type)',
+           count(*) FILTER (event_type IS NOT NULL AND event_type NOT IN
+                            ('click', 'view', 'purchase', 'signup')),
+           count(*)
+    FROM events
+    UNION ALL
+    SELECT 'lang_shape',
+           count(*) FILTER (lang IS NOT NULL
+                            AND NOT regexp_matches(lang, '^(en|es|de|fr)$')),
+           count(*)
+    FROM documents
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           count(*) - count(DISTINCT o_orderkey),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'fk(o_custkey->c_custkey)',
+           count(*) FILTER (o_custkey IS NOT NULL AND o_custkey NOT IN
+                            (SELECT c_custkey FROM customer)),
+           count(*)
+    FROM orders
+    """,
+    doc="deequ-style data-quality audit (functions/audit.py; Schelter "
+    "et al. VLDB'18 methodology): N row-level constraints compile to "
+    "ONE conditional-count aggregate per table — auditing any number "
+    "of checks costs one scan with map-side partials, not N scans; "
+    "key uniqueness is one groupBy shuffling unique keys, and "
+    "referential integrity is one broadcast left join + aggregate, "
+    "fact table never shuffled, nothing collected",
+)
+def q118_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions import audit as A
+    from striot_spark.sources.batch import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    customer = load_table(spark, sf_dir, "customer")
+    parts = [
+        A.audit(orders, [A.not_null("o_custkey")]),
+        A.audit(lineitem, [A.in_range("l_quantity", 1, 30)]),
+        A.audit(
+            events,
+            [A.one_of("event_type", ("click", "view", "purchase", "signup"))],
+        ),
+        A.audit(
+            docs, [A.matches("lang", "^(en|es|de|fr)$", label="lang_shape")]
+        ),
+        A.unique_key(orders, ["o_orderkey"]),
+        A.foreign_key(orders, "o_custkey", customer, "c_custkey"),
+    ]
+    return A.audit_suite(parts)

@@ -1097,3 +1097,51 @@ def test_scrub_duplicated_spans_brute_force(spark):
         ).collect()
     }
     assert got_hash == expected
+
+
+def test_audit_checks_single_pass(spark):
+    """N row-level checks produce one report row each, computed in a
+    single aggregation over one scan (no per-check subplans)."""
+    from striot_spark.functions import audit as A
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, 200.0), (None, "zz", -1.0)],
+        "id long, code string, v double",
+    )
+    rep = A.audit(
+        df,
+        [
+            A.not_null("id"),
+            A.not_null("code"),
+            A.in_range("v", 0, 100),
+            A.one_of("code", ("a", "b")),
+        ],
+    )
+    got = {r["check"]: (r["n_violations"], r["n_rows"]) for r in rep.collect()}
+    assert got == {
+        "not_null(id)": (1, 3),
+        "not_null(code)": (1, 3),
+        "in_range(v,0,100)": (2, 3),
+        "one_of(code)": (1, 3),
+    }
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-plan
+    # one aggregation pipeline: partial+final HashAggregate, one scan
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") <= 1
+    assert "Union" not in plan
+
+
+def test_audit_unique_and_fk(spark):
+    from striot_spark.functions import audit as A
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, k long"
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "k long")
+    uk = A.unique_key(
+        fact.select("k"), ["k"]
+    ).collect()[0]
+    assert (uk["n_violations"], uk["n_rows"]) == (1, 4)  # k=10 twice
+    fk = A.foreign_key(fact, "k", dim, "k").collect()[0]
+    # id=3 orphaned; the null key is not a violation
+    assert (fk["n_violations"], fk["n_rows"]) == (1, 4)
