@@ -164,3 +164,51 @@ def latest_snapshot(
         *key_cols,
         *[F.col(f"_latest.{c}").alias(c) for c in payload_cols],
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Diff two table snapshots into a change feed: one row per key
+    that changed, with ``op`` in {'insert', 'delete', 'update'} —
+    the CDC-extract inverse of ``latest_snapshot`` (which folds a
+    change feed back into a snapshot).
+
+    Equality is judged on a null-safe md5 digest of ``compare_cols``
+    (16-byte compare instead of wide payloads — the digests are
+    computed scan-side, so the join carries keys + digests, never
+    bodies). Lowering: ONE full-outer hash equi-join on the key —
+    the minimal shuffle for an arbitrary-key diff; co-partitioned or
+    bucketed snapshots make it co-located. Unchanged keys drop out
+    before the join output is consumed.
+    """
+    def digest(df: DataFrame) -> Column:
+        parts: list[Column] = []
+        for c in compare_cols:
+            col = F.col(c)
+            parts.append(
+                F.when(col.isNull(), F.lit("\x00null"))
+                .otherwise(col.cast("string"))
+            )
+        return F.md5(F.concat_ws("\x01", *parts))
+
+    o = old.select(
+        *[F.col(k) for k in key_cols], digest(old).alias("__od")
+    )
+    n = new.select(
+        *[F.col(k) for k in key_cols], digest(new).alias("__nd")
+    )
+    joined = o.join(n, list(key_cols), "full_outer")
+    op = (
+        F.when(F.col("__od").isNull(), F.lit("insert"))
+        .when(F.col("__nd").isNull(), F.lit("delete"))
+        .when(F.col("__od") != F.col("__nd"), F.lit("update"))
+    )
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(*key_cols, "op")
+    )

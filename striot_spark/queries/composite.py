@@ -1096,3 +1096,43 @@ def q118_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         A.foreign_key(orders, "o_custkey", customer, "c_custkey"),
     ]
     return A.audit_suite(parts)
+
+
+@register(
+    "q119_snapshot_diff",
+    """
+    WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+    n AS (SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 5 <> 0)
+    SELECT doc_id, op FROM (
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'insert'
+                    WHEN n.doc_id IS NULL THEN 'delete'
+                    WHEN o.text <> n.text THEN 'update' END AS op
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) t
+    WHERE op IS NOT NULL
+    """,
+    doc="snapshot diff / CDC extract (functions/analytics.py:"
+    "snapshot_diff — the inverse of q107's latest-wins compaction): "
+    "two snapshots -> {insert,delete,update} change feed. Digest "
+    "comparison scan-side (16-byte md5, not wide payloads), then ONE "
+    "full-outer hash equi-join on the key — the minimal shuffle for "
+    "an arbitrary-key diff; bucketed snapshots make it co-located",
+)
+def q119_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import snapshot_diff
+    from striot_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new, ["doc_id"], ["text"])
