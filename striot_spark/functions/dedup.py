@@ -284,13 +284,16 @@ def bloom_decontaminate(
     its n-grams and joins — correct, but the join input is
     corpus-of-grams-sized even when contamination is rare (the normal
     case: benchmarks are MBs against 100 TB). Here the eval grams fold
-    into a bit-array PLAN LITERAL (sized ~16 bits/gram, power of two;
-    an eval set of 1M distinct grams is a 2 MB literal — broadcast
-    cost, not shuffle cost), and the clean-path test is an in-row
-    ``exists`` over the doc's gram array inside whole-stage codegen —
-    ZERO join, zero shuffle, one corpus scan for every doc the filter
-    clears. Only Bloom-positive docs (true contaminations + the ~0.1%
-    false-positive tail) pay the explode + broadcast-join exact check.
+    into a bit-array PLAN LITERAL (a single ``F.lit(list)`` constant —
+    ~16 bits/gram, power of two; an eval set of 1M distinct grams is a
+    2 MB literal, broadcast cost not shuffle cost), and the corpus-side
+    test is one exploded scan whose bloom probe runs INSIDE whole-stage
+    codegen (deliberately NOT an ``exists()`` higher-order lambda:
+    those evaluate interpreted, measured ~4x slower). The only join
+    input the corpus ever feeds is the Bloom-POSITIVE id set — true
+    contaminations plus the engineered ~0.1% FP tail — which is
+    broadcast back; only those docs pay the exact broadcast n-gram
+    check.
 
     The driver materializes only the eval position set (bounded by
     ``num_hashes * |eval grams|`` — eval-sized, same bound as the
@@ -298,7 +301,8 @@ def bloom_decontaminate(
     """
     grams = lambda c: F.array_distinct(shingles(c, ngram_n))  # noqa: E731
     eval_grams = (
-        eval_df.select(F.explode(grams(F.col(text_col))).alias("g"))
+        scatter(eval_df)
+        .select(F.explode(grams(F.col(text_col))).alias("g"))
         .distinct()
     )
     k = int(num_hashes)
@@ -320,11 +324,10 @@ def bloom_decontaminate(
     words = [0] * ((m + 63) // 64)
     for p in positions:
         words[p >> 6] |= 1 << (p & 63)
-    bitmap = F.array(
-        *[
-            F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long")
-            for w in words
-        ]
+    # ONE array literal (not CreateArray of 16k children: interpreted
+    # eval walks every child per probe, and codegen compiles them all)
+    bitmap = F.lit(
+        [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     )
 
     def bloom_hit(g: Column) -> Column:
@@ -335,9 +338,14 @@ def bloom_decontaminate(
             cond = cond & (F.getbit(word, F.pmod(p, F.lit(64))) == 1)
         return cond
 
-    flagged = F.exists(grams(F.col(text_col)), bloom_hit)
-    clean_fast = train.filter(~flagged)
-    candidates = train.filter(flagged)
+    train = scatter(train)  # the gram scan is CPU-bound per-row work
+    gram_occ = train.select(
+        F.col(id_col), F.explode(grams(F.col(text_col))).alias("g")
+    )
+    flagged_ids = (
+        gram_occ.filter(bloom_hit(F.col("g"))).select(id_col).distinct()
+    )
+    candidates = train.join(F.broadcast(flagged_ids), id_col, "semi")
     cand_grams = candidates.select(
         F.col(id_col), F.explode(grams(F.col(text_col))).alias("g")
     )
@@ -346,10 +354,10 @@ def bloom_decontaminate(
         .select(id_col)
         .distinct()
     )
-    survivors = candidates.join(
-        F.broadcast(contaminated), id_col, "left_anti"
-    )
-    return clean_fast.unionByName(survivors)
+    # survivors = train minus exactly-contaminated (bloom-clean docs by
+    # definition are not in `contaminated`, so one anti-join covers
+    # both the fast path and the verified false positives)
+    return train.join(F.broadcast(contaminated), id_col, "left_anti")
 
 
 def scrub_duplicated_spans(
@@ -385,7 +393,7 @@ def scrub_duplicated_spans(
     toks = lambda c: F.filter(  # noqa: E731
         F.split(c, " "), lambda t: t != F.lit("")
     )
-    gram_pos = df.select(
+    gram_pos = scatter(df).select(
         F.col(id_col),
         F.posexplode(shingles(F.col(text_col), ngram_n)).alias(
             "pos0", "gram"
@@ -417,7 +425,7 @@ def scrub_duplicated_spans(
             ).alias("__cov")
         )
     )
-    out = df.join(cov, id_col, "left").withColumn(
+    out = scatter(df).join(cov, id_col, "left").withColumn(
         "__cov", F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
     )
     tk = toks(F.col(text_col))

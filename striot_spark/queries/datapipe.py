@@ -1639,12 +1639,13 @@ def q112_domain_quality_filter(
     """,
     doc="decontamination FILTER via Bloom prefilter + exact verify "
     "(functions/dedup.py:bloom_decontaminate): eval 5-grams fold into "
-    "a bit-array plan literal; clean docs clear an in-row exists() "
-    "with ZERO join/shuffle (one codegen'd corpus scan — the normal "
-    "case when benchmarks are MBs vs 100 TB), and only Bloom-positive "
-    "docs pay the explode + broadcast exact check. No false negatives "
-    "by construction, false positives re-verified — the oracle is the "
-    "plain exact NOT-EXISTS filter, proving result identity",
+    "ONE bit-array plan literal probed inside whole-stage codegen on "
+    "a single exploded corpus scan (measured ~4x faster than the "
+    "interpreted exists() higher-order form); only the Bloom-positive "
+    "id set — true hits + ~0.1% FP tail — is broadcast back for the "
+    "exact n-gram check. No false negatives by construction, false "
+    "positives re-verified — the oracle is the plain exact NOT-EXISTS "
+    "filter, proving result identity",
 )
 def q113_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
