@@ -76,6 +76,8 @@ def main() -> None:
         "q115_daily_distinct_stream",
         "q116_interval_join_stream",
         "q117_joine_stream",
+        "q120_merge_stream",
+        "q121_expand_stream",
     }
     # best-of-3 (was 2): PERF.md r4 measured 10-23% CV across identical
     # back-to-back runs on this shared box; a third repeat materially

@@ -1355,3 +1355,114 @@ def q117_joine_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_l").alias("purchase_id"),
         F.col("event_id_r").alias("error_id"),
     )
+
+
+from striot_spark.queries.events_ops import TS_FMT as _TS_FMT_Q120
+
+
+@register(
+    "q120_merge_stream",
+    f"""
+    SELECT event_id, strftime(ts, '{_TS_FMT_Q120}') AS ts_s,
+           'clicks' AS src, value
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, strftime(ts, '{_TS_FMT_Q120}') AS ts_s,
+           'views' AS src, value
+    FROM events WHERE event_type = 'view'
+    """,
+    doc="STREAMING streamMerge (FunctionalProcessing.hs:135-144) under "
+    "the same oracle as batch q03: two filtered streams union'd by "
+    "name — stateless in Structured Streaming, so the drain is batch-"
+    "deterministic under any replay batching; the reference's "
+    "(time,seq) re-order is the downstream consumer's concern exactly "
+    "as in the batch lowering (the gate is order-insensitive)",
+)
+def q120_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.analytics import ts_str
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    clicks = (
+        RT.file_stream(spark, src, schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            ts_str(F.col("ts")).alias("ts_s"),
+            F.lit("clicks").alias("src"),
+            "value",
+        )
+    )
+    views = (
+        RT.file_stream(spark, src, schema)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "event_id",
+            ts_str(F.col("ts")).alias("ts_s"),
+            F.lit("views").alias("src"),
+            "value",
+        )
+    )
+    merged = clicks.unionByName(views)
+    return RT.run_available_now(
+        merged,
+        f"q120_merge_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q120_ck_"),
+        mode="append",
+    )
+
+
+def _stage_documents(spark: SparkSession, sf_dir: str) -> str:
+    """One-file staging of the documents table for streaming replays
+    (same single-data-batch determinism argument as ``_stage_events``,
+    sorted by doc_id)."""
+    import tempfile
+
+    ck = (sf_dir, "docs")
+    path = _STAGED.get(ck)
+    if path is not None:
+        return path
+    out = tempfile.mkdtemp(prefix="striot_doc_stream_src_")
+    load_table(spark, sf_dir, "documents").repartition(
+        1
+    ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(out)
+    _STAGED[ck] = out
+    return out
+
+
+@register(
+    "q121_expand_stream",
+    """
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+    WHERE token <> '' GROUP BY token
+    """,
+    doc="STREAMING streamExpand (FunctionalProcessing.hs:206-210) under "
+    "the same oracle as batch q02: explode word tokens on a document "
+    "stream (stateless flat-map) feeding an unwatermarked global "
+    "count drained in complete mode — expand itself adds no state; "
+    "the vocabulary-sized aggregation is the only stateful tier",
+)
+def q121_expand_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_documents(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema)
+    toks = sdf.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return RT.run_available_now(
+        counts,
+        f"q121_expand_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q121_ck_"),
+        mode="complete",
+    )
