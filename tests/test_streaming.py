@@ -1343,3 +1343,100 @@ def test_streaming_ingest_quality_pipeline_composes(
     }
     assert survivor_fps == expected_fps
     assert len(got_ids) == len(set(got_ids)) and len(got_ids) > 0
+
+
+def test_interval_join_stream_multi_batch_ooo(spark, ooo_staged, ckpt):
+    """Stream-stream interval join under the adversarial 4-batch
+    out-of-order replay: with a watermark exceeding the disorder, no
+    state is evicted early and the drained result must equal the batch
+    interval join exactly — arrival order across micro-batches must
+    not change pairing."""
+    src, ev, delay = ooo_staged
+    schema = spark.read.parquet(src).schema
+
+    def sides(sdf):
+        clicks = sdf.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        buys = sdf.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        return clicks, buys
+
+    lc = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+    rc = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+    clicks, buys = sides(lc)[0], sides(rc)[1]
+    buys = buys.withColumnRenamed("b_user", "user_id")
+    out = RT.interval_join_stream(
+        clicks, buys, ["user_id"], "click_ts", "purchase_ts",
+        0.0, 3600.0, watermark=delay,
+    ).select("click_id", "purchase_id", "user_id")
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in RT.run_available_now(out, "ij_ooo", ckpt).collect()
+    }
+    bc, bb = sides(ev)
+    bb = bb.withColumnRenamed("b_user", "user_id")
+    cond = (
+        (bc["user_id"] == bb["user_id"])
+        & (bb["purchase_ts"] >= bc["click_ts"])
+        & (
+            bb["purchase_ts"]
+            <= bc["click_ts"] + F.expr("INTERVAL 3600 SECOND")
+        )
+    )
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in bc.join(bb, cond).select("click_id", "purchase_id").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_join_e_stream_multi_batch_ooo(spark, ooo_staged, ckpt):
+    """Windowed theta join (joinE) under the adversarial 4-batch
+    replay: window-bucketed inner join state must pair rows across
+    micro-batches identically to the batch lowering."""
+    src, ev, delay = ooo_staged
+    schema = spark.read.parquet(src).schema
+    purchases = RT.file_stream(
+        spark, src, schema, max_files_per_trigger=1
+    ).filter(F.col("event_type") == "purchase")
+    errors = RT.file_stream(
+        spark, src, schema, max_files_per_trigger=1
+    ).filter(F.col("event_type") == "error")
+    out = RT.join_e_stream(
+        purchases, errors, "ts", 3600,
+        theta=F.col("value_l") > F.col("value_r"),
+        watermark=delay,
+    ).select("window_id", "event_id_l", "event_id_r")
+    got = {
+        (r["window_id"], r["event_id_l"], r["event_id_r"])
+        for r in RT.run_available_now(out, "je_ooo", ckpt).collect()
+    }
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("ts").cast("long") - F.col("ts").cast("long") % 3600).alias(
+            "window_id"
+        ),
+        F.col("event_id").alias("pid"),
+        F.col("value").alias("pv"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        (F.col("ts").cast("long") - F.col("ts").cast("long") % 3600).alias(
+            "window_id"
+        ),
+        F.col("event_id").alias("eid"),
+        F.col("value").alias("ev_v"),
+    )
+    expected = {
+        (r["window_id"], r["pid"], r["eid"])
+        for r in p.join(e, "window_id")
+        .filter(F.col("pv") > F.col("ev_v"))
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0
