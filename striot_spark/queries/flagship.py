@@ -1466,3 +1466,68 @@ def q121_expand_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="striot_q121_ck_"),
         mode="complete",
     )
+
+
+_NTOK_Q122 = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+_STOP_Q122 = "('the','a','of','and','to','in','is','it','for','on')"
+
+
+@register(
+    "q122_corpus_ingest_stream",
+    f"""
+    WITH gated AS (
+        SELECT doc_id, text FROM documents
+        WHERE NOT list_has_any(
+                  list_filter(string_split(text, ' '), x -> x <> ''),
+                  ['vector', 'stream', 'hash'])
+          AND CAST(100 * len(list_filter(string_split(text, ' '),
+                                         x -> x IN {_STOP_Q122}))
+                   + 10 * {_NTOK_Q122}
+                   - 50 * length(regexp_replace(text, '[a-z0-9 ]', '',
+                                                'g'))
+                   - abs(n_chars - 180) AS BIGINT) >= 700)
+    SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
+    FROM gated GROUP BY md5(text)
+    """,
+    doc="end-to-end STREAMING corpus ingest under the oracle gate — "
+    "the streaming twin of the batch q99 pipeline: document stream -> "
+    "blocklist gate (q103's operator, stateless) -> integer linear "
+    "quality gate >= 700 (q110's operator, stateless) -> exact dedup "
+    "as an unwatermarked groupBy(md5) keeping min(doc_id) (order-"
+    "insensitive survivor choice, so the drain is deterministic under "
+    "ANY replay batching — deliberately NOT first-arrival dedup), "
+    "drained in complete mode. State is one row per distinct "
+    "fingerprint; the stateless gates shed volume before it",
+)
+def q122_corpus_ingest_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.text import (
+        blocklist_filter,
+        linear_quality_filter,
+    )
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_documents(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema)
+    gated = blocklist_filter(sdf, "text", ("vector", "stream", "hash"))
+    gated = linear_quality_filter(
+        gated, "text", "n_chars", threshold=700
+    )
+    deduped = gated.groupBy(
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("__fp")
+    ).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_dupes"),
+    )
+    drained = RT.run_available_now(
+        deduped,
+        f"q122_ingest_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q122_ck_"),
+        mode="complete",
+    )
+    return drained.select("doc_id", "n_dupes")
