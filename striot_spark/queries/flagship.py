@@ -1531,3 +1531,58 @@ def q122_corpus_ingest_stream(
         mode="complete",
     )
     return drained.select("doc_id", "n_dupes")
+
+
+@register(
+    "q123_zip_join_stream",
+    """
+    WITH c AS (SELECT row_number() OVER (ORDER BY ts, event_id) - 1
+                   AS zip_pos,
+                      event_id, value
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT row_number() OVER (ORDER BY ts, event_id) - 1
+                   AS zip_pos,
+                      event_id, value
+               FROM events WHERE event_type = 'view')
+    SELECT c.zip_pos, c.event_id AS click_id, v.event_id AS view_id,
+           c.value AS click_value, v.value AS view_value
+    FROM c JOIN v USING (zip_pos)
+    """,
+    doc="STREAMING streamJoin — the positional zip "
+    "(FunctionalProcessing.hs:148-155) under the same oracle as batch "
+    "q10: both streams merge under a side tag into ONE stateful "
+    "operator (single constant key — the reference's zip is globally "
+    "sequential, the q92 semantic-parity precedent) that pairs nth "
+    "click with nth view in (ts, event_id) order, buffering only the "
+    "unpaired prefix of the side that is ahead. Single-file sorted "
+    "staging + expect_data_batches=1 pin the drain deterministic",
+)
+def q123_zip_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    clicks = RT.file_stream(spark, src, schema).filter(
+        F.col("event_type") == "click"
+    )
+    views = RT.file_stream(spark, src, schema).filter(
+        F.col("event_type") == "view"
+    )
+    out = RT.zip_join_stream(clicks, views, "ts", "event_id", "value")
+    drained = RT.run_available_now(
+        out,
+        f"q123_zip_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q123_ck_"),
+        mode="append",
+        expect_data_batches=1,
+    )
+    return drained.select(
+        "zip_pos",
+        F.col("l_id").alias("click_id"),
+        F.col("r_id").alias("view_id"),
+        F.col("l_val").alias("click_value"),
+        F.col("r_val").alias("view_value"),
+    )

@@ -643,6 +643,116 @@ def filter_acc_stream(
 # -- sinks -------------------------------------------------------------------
 
 
+def zip_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming streamJoin — the reference's POSITIONAL pairwise zip
+    (``FunctionalProcessing.hs:148-155``: nth left event pairs with
+    nth right event) as one stateful operator.
+
+    Both streams merge under a side tag and a SINGLE constant state
+    key: the reference's zip is inherently globally sequential (its
+    runtime consumes two totally ordered in-memory lists), so like the
+    global-order scan (q92) this form's throughput ceiling is one
+    state partition — it exists for semantic parity; keyed/windowed
+    joins (`join_e_stream`, `interval_join_stream`) are the scale
+    path. Within a micro-batch events are processed in
+    (time, id) order; cross-batch order is arrival order — the same
+    guarantee the reference's distributed merge gives
+    (``Nodes/TCP.hs:52-59``). State buffers only the UNPAIRED prefix
+    of the side that is ahead (ids + values + the emitted-pair
+    cursor), so state size is the inter-stream lag, not the stream.
+
+    Output: (zip_pos, l_id, l_val, r_id, r_val).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    merged = (
+        left.select(
+            F.lit(0).alias("__side"),
+            F.col(time_col).alias("__ts"),
+            F.col(id_col).alias("__id"),
+            F.col(value_col).alias("__val"),
+        )
+        .unionByName(
+            right.select(
+                F.lit(1).alias("__side"),
+                F.col(time_col).alias("__ts"),
+                F.col(id_col).alias("__id"),
+                F.col(value_col).alias("__val"),
+            )
+        )
+        .withColumn("__k", F.lit(0))
+    )
+    out_schema = (
+        "zip_pos bigint, l_id bigint, l_val double, "
+        "r_id bigint, r_val double"
+    )
+    state_schema = (
+        "e bigint, pend_side int, pend_ids array<bigint>, "
+        "pend_vals array<double>"
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            e, pend_side, pend_ids, pend_vals = state.get
+            pend_ids = list(pend_ids)
+            pend_vals = list(pend_vals)
+        else:
+            e, pend_side, pend_ids, pend_vals = 0, -1, [], []
+        lids: list = []
+        lvals: list = []
+        rids: list = []
+        rvals: list = []
+        if pend_side == 0:
+            lids, lvals = pend_ids, pend_vals
+        elif pend_side == 1:
+            rids, rvals = pend_ids, pend_vals
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(
+                ["__ts", "__id"], kind="mergesort"
+            )
+            for r in pdf.to_dict("records"):
+                if r["__side"] == 0:
+                    lids.append(r["__id"])
+                    lvals.append(r["__val"])
+                else:
+                    rids.append(r["__id"])
+                    rvals.append(r["__val"])
+        n = min(len(lids), len(rids))
+        if n:
+            yield pd.DataFrame(
+                {
+                    "zip_pos": range(e, e + n),
+                    "l_id": lids[:n],
+                    "l_val": lvals[:n],
+                    "r_id": rids[:n],
+                    "r_val": rvals[:n],
+                }
+            )
+        if len(lids) > n:
+            state.update((e + n, 0, lids[n:], lvals[n:]))
+        elif len(rids) > n:
+            state.update((e + n, 1, rids[n:], rvals[n:]))
+        else:
+            state.update((e + n, -1, [], []))
+
+    return merged.groupBy("__k").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     sdf: DataFrame,
     query_name: str,

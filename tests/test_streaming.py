@@ -1440,3 +1440,60 @@ def test_join_e_stream_multi_batch_ooo(spark, ooo_staged, ckpt):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_zip_join_stream_multi_batch_buffers(spark, sf_dir, ckpt, tmp_path):
+    """Positional zip across IN-ORDER micro-batches: staging the
+    (ts, event_id)-ordered thirds as separate files with
+    maxFilesPerTrigger=1 makes sides imbalance within each batch, so
+    pairing must drain the cross-batch pend buffers — result must
+    still equal the batch row_number zip exactly."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").drop("props")
+    w = Window.orderBy("ts", "event_id")
+    evr = ev.withColumn("rn", F.row_number().over(w))
+    n = ev.count()
+    third = n // 3
+    parts = [
+        evr.filter(F.col("rn") <= third).drop("rn"),
+        evr.filter(
+            (F.col("rn") > third) & (F.col("rn") <= 2 * third)
+        ).drop("rn"),
+        evr.filter(F.col("rn") > 2 * third).drop("rn"),
+    ]
+    src = str(tmp_path / "zip_stage")
+    RT.stage_ordered_files(parts, src)
+    schema = spark.read.parquet(src).schema
+    clicks = RT.file_stream(
+        spark, src, schema, max_files_per_trigger=1
+    ).filter(F.col("event_type") == "click")
+    views = RT.file_stream(
+        spark, src, schema, max_files_per_trigger=1
+    ).filter(F.col("event_type") == "view")
+    out = RT.zip_join_stream(clicks, views, "ts", "event_id", "value")
+    got = {
+        (r["zip_pos"], r["l_id"], r["r_id"])
+        for r in RT.run_available_now(
+            out, "zip_mb", ckpt, expect_data_batches=3
+        ).collect()
+    }
+    c = ev.filter(F.col("event_type") == "click").withColumn(
+        "zip_pos", F.row_number().over(w) - 1
+    )
+    v = ev.filter(F.col("event_type") == "view").withColumn(
+        "zip_pos", F.row_number().over(w) - 1
+    )
+    expected = {
+        (r["zip_pos"], r["l_id"], r["r_id"])
+        for r in c.select(
+            "zip_pos", F.col("event_id").alias("l_id")
+        )
+        .join(
+            v.select("zip_pos", F.col("event_id").alias("r_id")),
+            "zip_pos",
+        )
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0
