@@ -1145,3 +1145,51 @@ def test_audit_unique_and_fk(spark):
     fk = A.foreign_key(fact, "k", dim, "k").collect()[0]
     # id=3 orphaned; the null key is not a violation
     assert (fk["n_violations"], fk["n_rows"]) == (1, 4)
+
+
+def test_snapshot_diff_property_roundtrip(spark):
+    """For ANY pair of snapshots, applying the diff to `old` must
+    reproduce `new` exactly: inserts+updates take new's payload,
+    deletes drop, unchanged keys keep old's payload (hypothesis over
+    random key/payload maps — the reference's QuickCheck style,
+    SURVEY.md §5.3)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from striot_spark.functions.analytics import snapshot_diff
+
+    payload = st.one_of(st.none(), st.text(alphabet="abAB\x01 ", max_size=4))
+    snap = st.dictionaries(st.integers(0, 12), payload, max_size=10)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(old=snap, new=snap)
+    def prop(old, new):
+        o = spark.createDataFrame(
+            [(k, v) for k, v in old.items()] or [(None, None)],
+            "k long, v string",
+        ).filter(F.col("k").isNotNull())
+        n = spark.createDataFrame(
+            [(k, v) for k, v in new.items()] or [(None, None)],
+            "k long, v string",
+        ).filter(F.col("k").isNotNull())
+        diff = {
+            r["k"]: r["op"]
+            for r in snapshot_diff(o, n, ["k"], ["v"]).collect()
+        }
+        applied = dict(old)
+        for k, op in diff.items():
+            if op == "delete":
+                applied.pop(k)
+            else:  # insert / update
+                applied[k] = new[k]
+        assert applied == new
+        # and no spurious ops: unchanged keys never appear
+        for k, op in diff.items():
+            if op == "update":
+                assert old[k] != new[k]
+
+    prop()
