@@ -126,3 +126,31 @@ def audit_suite(parts: Sequence[DataFrame]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-pass column profiling: (column, n_rows, n_nonnull,
+    n_distinct) per requested column, all from a single aggregate
+    (Spark plans multi-column DISTINCT aggregates with one Expand —
+    k x row multiplication map-side, still one shuffle of partial
+    states, no per-column rescans). The profiling companion to
+    ``audit``: exact counts, engine-comparable, no min/max strings
+    (cross-engine numeric formatting is not stable)."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"__nn{i}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd{i}"))
+    row = df.agg(*aggs)
+    pairs: list[Column] = []
+    for i, c in enumerate(cols):
+        pairs.append(F.lit(c))
+        pairs.append(F.array(F.col(f"__nn{i}"), F.col(f"__nd{i}")))
+    return row.select(
+        F.explode(F.create_map(*pairs)).alias("column", "__v"),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "column",
+        "n_rows",
+        F.col("__v")[0].alias("n_nonnull"),
+        F.col("__v")[1].alias("n_distinct"),
+    )

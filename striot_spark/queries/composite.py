@@ -1136,3 +1136,34 @@ def q119_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return snapshot_diff(old, new, ["doc_id"], ["text"])
+
+
+@register(
+    "q124_column_profile",
+    """
+    SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+           count(l_quantity) AS n_nonnull,
+           count(DISTINCT l_quantity) AS n_distinct
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', count(*), count(l_linestatus),
+           count(DISTINCT l_linestatus)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(l_returnflag),
+           count(DISTINCT l_returnflag)
+    FROM lineitem
+    """,
+    doc="one-pass column profiling (functions/audit.py:profile): "
+    "exact per-column nonnull + distinct counts for any number of "
+    "columns from a SINGLE aggregate — Spark plans the multi-distinct "
+    "as one Expand (k x map-side row multiplication) with one shuffle "
+    "of partial states, never per-column rescans; the profiling "
+    "companion to the q118 constraint audit",
+)
+def q124_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.audit import profile
+    from striot_spark.sources.batch import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile(li, ["l_quantity", "l_linestatus", "l_returnflag"])
