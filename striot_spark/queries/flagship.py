@@ -1586,3 +1586,60 @@ def q123_zip_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_val").alias("click_value"),
         F.col("r_val").alias("view_value"),
     )
+
+
+@register(
+    "q125_upsert_snapshot_stream",
+    f"""
+    SELECT user_id, event_id AS last_event_id,
+           event_type AS last_type,
+           strftime(ts, '{_TS_FMT_Q89}') AS last_ts,
+           CAST(round((value)*100.0, 0) AS BIGINT) AS last_value_c
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+    WHERE rn = 1
+    """,
+    doc="STREAMING latest-wins upsert sink under the same oracle as "
+    "batch q107, driven through the ADVERSARIAL 4-batch out-of-order "
+    "replay on purpose: upsert_snapshot_sink's foreachBatch merge "
+    "(batch-side partial compaction + snapshot merge, A/B dirs + "
+    "atomic pointer flip) is max_by over a per-key total order, so "
+    "the final snapshot is provably independent of micro-batch "
+    "boundaries AND cross-batch arrival order — no watermark needed. "
+    "The drained snapshot is read back with read_snapshot and gated",
+)
+def q125_upsert_snapshot_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from striot_spark.functions.analytics import cents, ts_str
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events_ooo(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(
+        spark, src, schema, max_files_per_trigger=1
+    ).withColumn("value_c", cents(F.col("value")))
+    path = tempfile.mkdtemp(prefix="striot_q125_snap_")
+    q = RT.upsert_snapshot_sink(
+        sdf,
+        path,
+        tempfile.mkdtemp(prefix="striot_q125_ck_"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        payload_cols=["event_type", "value_c"],
+    )
+    q.awaitTermination()
+    snap = RT.read_snapshot(spark, path).filter(
+        F.col("user_id") != BARRIER_USER
+    )
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        ts_str(F.col("ts")).alias("last_ts"),
+        F.col("value_c").alias("last_value_c"),
+    )
