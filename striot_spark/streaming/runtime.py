@@ -702,8 +702,10 @@ def zip_join_stream(
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             e, pend_side, pend_ids, pend_vals = state.get
-            pend_ids = list(pend_ids)
-            pend_vals = list(pend_vals)
+            # empty state arrays can round-trip as None (same contract
+            # _pend_arrays guards): normalize before use
+            pend_ids = list(pend_ids or [])
+            pend_vals = list(pend_vals or [])
         else:
             e, pend_side, pend_ids, pend_vals = 0, -1, [], []
         lids: list = []

@@ -1497,3 +1497,44 @@ def test_zip_join_stream_multi_batch_buffers(spark, sf_dir, ckpt, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_zip_join_stream_empty_pend_roundtrip(spark, ckpt, tmp_path):
+    """A batch that pairs BOTH sides completely leaves empty pend
+    arrays in state — which can round-trip as None; the next batch
+    must still process (regression guard for the _pend_arrays None
+    contract applied to zip_join_stream)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(i, typ):
+        return (base + dt.timedelta(seconds=i), i, typ, float(i))
+
+    schema = "ts timestamp, event_id long, event_type string, value double"
+    b1 = spark.createDataFrame(
+        [ev(1, "click"), ev(2, "view"), ev(3, "click"), ev(4, "view")],
+        schema,
+    )  # balanced: 2/2 -> pend empties
+    b2 = spark.createDataFrame(
+        [ev(5, "view"), ev(6, "view"), ev(7, "click")], schema
+    )  # right ahead by one
+    b3 = spark.createDataFrame([ev(8, "click")], schema)  # drains pend
+    src = str(tmp_path / "zipsrc")
+    RT.stage_ordered_files([b1, b2, b3], src)
+    sch = spark.read.parquet(src).schema
+    clicks = RT.file_stream(
+        spark, src, sch, max_files_per_trigger=1
+    ).filter(F.col("event_type") == "click")
+    views = RT.file_stream(
+        spark, src, sch, max_files_per_trigger=1
+    ).filter(F.col("event_type") == "view")
+    out = RT.zip_join_stream(clicks, views, "ts", "event_id", "value")
+    got = sorted(
+        (r["zip_pos"], r["l_id"], r["r_id"])
+        for r in RT.run_available_now(
+            out, "zip_ep", ckpt, expect_data_batches=3
+        ).collect()
+    )
+    # clicks in order: 1,3,7,8 ; views in order: 2,4,5,6
+    assert got == [(0, 1, 2), (1, 3, 4), (2, 7, 5), (3, 8, 6)]
