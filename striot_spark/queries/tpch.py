@@ -344,3 +344,142 @@ def q81_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "q126_volume_shipping",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           sum({_cents(DISC_PRICE)}) / 100.0 AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate <= DATE '1997-12-31'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape (volume shipping between two trading "
+    "nations, by year): five-way star join — every dimension chain "
+    "(orders->customer->nation, supplier->nation) broadcast, the "
+    "nation-pair predicate applied to the broadcast sides and the "
+    "l_shipdate range pushed to the lineitem parquet scan; the fact "
+    "table is scanned once and shuffles only for the final "
+    "(nation, nation, year) aggregation",
+)
+def q126_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(dt.datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") <= F.lit(dt.datetime(1997, 12, 31)))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    cust_dim = cust.join(
+        F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key")
+    )
+    ord_dim = orders.join(
+        F.broadcast(cust_dim), F.col("o_custkey") == F.col("c_custkey")
+    )
+    supp_dim = supp.join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3")
+        & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7")
+        & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(F.broadcast(ord_dim), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((F.sum(money(disc_price_col())) / 100.0).alias("revenue"))
+    )
+
+
+@register(
+    "q127_market_share",
+    f"""
+    WITH all_n AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               {_cents(DISC_PRICE)} AS rev_c,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        WHERE p_type = 'PROMO'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate <= DATE '1997-12-31')
+    SELECT o_year,
+           sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_c ELSE 0 END)
+               AS nation_rev_c,
+           sum(rev_c) AS total_rev_c
+    FROM all_n GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (a nation's market share inside one part "
+    "segment, by year): part/supplier/nation dimensions broadcast, "
+    "p_type filter applied before the join so only the segment's "
+    "lineitems survive; numerator and denominator computed in ONE "
+    "aggregation over integer cents (emitting both sums, not the "
+    "float ratio, keeps the gate engine-exact — the consumer divides)",
+)
+def q127_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(dt.datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") <= F.lit(dt.datetime(1997, 12, 31)))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    supp_dim = supp.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    )
+    rev = money(disc_price_col())
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_rev_c"),
+            F.sum(rev).alias("total_rev_c"),
+        )
+    )

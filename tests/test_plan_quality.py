@@ -612,3 +612,15 @@ def test_scrub_spans_broadcasts_heavy_hitters(spark, sf_dir):
     plan = _executed(spark, "q114_scrub_duplicated_spans", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_volume_shipping_all_dims_broadcast(spark, sf_dir):
+    """q126/q127: five-way star joins must broadcast every dimension
+    chain — no sort-merge join, and the lineitem date/type filters
+    must reach the parquet scan."""
+    for q in ("q126_volume_shipping", "q127_market_share"):
+        plan = _executed(spark, q, sf_dir)
+        assert "SortMergeJoin" not in plan, q
+        assert "BroadcastHashJoin" in plan, q
+    fmt = _formatted(spark, "q126_volume_shipping", sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate," in fmt
