@@ -631,7 +631,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str,
     shingle_n: int | str = 2,
     threshold: float = 0.7,
-    max_bitmap_vocab: int = 1 << 16,
+    max_bitmap_vocab: int = 1 << 12,
     emit: str = "pairs",
     auto_candidates: tuple[int, ...] = (2, 4, 6),
     auto_min_vocab: int = 4096,
@@ -669,15 +669,19 @@ def prefix_filter_jaccard_pairs(
     satisfies it when J >= t).
 
     Verification is adaptive on the vocabulary size the dictionary pass
-    just measured: if it fits ``max_bitmap_vocab`` bits (default 2^16,
-    8 KB/doc), rank sets are also materialized as fixed-width long
-    bitmaps and the exact intersect is ``zip_with(&) + bit_count`` —
-    measured 8.5x faster than ``array_intersect`` on this corpus
-    (13.2s -> 1.6s at sf0.1, whose 931-shingle vocabulary is the
-    prefix-filter worst case). Larger vocabularies fall back to
-    ``array_intersect`` on the sorted rank arrays. Both are exact;
-    ``|union| = sz_a + sz_b - |intersect|`` avoids ever building the
-    union array.
+    just measured: if it fits ``max_bitmap_vocab`` bits (default 2^12),
+    rank sets are also materialized as fixed-width long bitmaps and the
+    exact intersect is ``zip_with(&) + bit_count`` — measured 8.5x
+    faster than ``array_intersect`` per PAIR on the 931-shingle sf0.1
+    corpus (the prefix-filter worst case, where candidates are ~10%
+    of all-pairs). The gate is deliberately LOW: the bitmap BUILD is
+    ``n_words x |rset|`` interpreted lambda ops per doc, so its cost
+    scales with the vocabulary while the rank-array path scales with
+    the doc — measured crossover (PERF.md §24): vocab 931 bitmap
+    3.35s vs rank 3.82s (ties/wins), vocab 9310 bitmap 46.7s vs rank
+    13.9s (3.4x CLIFF). Above the gate, ``array_intersect`` on the
+    sorted rank arrays. Both are exact; ``|union| = sz_a + sz_b -
+    |intersect|`` avoids ever building the union array.
 
     Shuffle ledger at 100 TB: one groupBy on the shingle for the
     dictionary, one groupBy on the id to build rank sets, one
