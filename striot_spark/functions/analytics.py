@@ -212,3 +212,77 @@ def snapshot_diff(
         .filter(F.col("op").isNotNull())
         .select(*key_cols, "op")
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 20,
+    depth: int = 3,
+    width: int = 512,
+) -> DataFrame:
+    """Count-min-sketch heavy hitters with EXACT ground truth side by
+    side: (token, exact_n, cms_estimate) for the top-``top_k`` tokens
+    by exact count (ties broken by token string).
+
+    The sketch hashes are md5-derived (functions/text.py:md5_hash64
+    convention), so the CMS table — and therefore every estimate — is
+    bit-reproducible in any engine: an APPROXIMATE structure under an
+    exact oracle. Estimates are upper bounds (min over rows of
+    colliding-mass counters): estimate >= exact always, with
+    overestimate bounded by collision mass (Cormode & Muthukrishnan
+    2005, public methodology).
+
+    Scale shape: one token explode feeds BOTH the exact count groupBy
+    (shuffles unique tokens) and the sketch build — a groupBy on
+    (row, bucket) whose output is exactly ``depth x width`` rows
+    regardless of vocabulary, the CMS selling point: partial aggregates
+    merge by elementwise add map-side, and the finished sketch is a
+    driver-literal lookup (no join) for any estimate consumer. At
+    100 TB you keep the sketch and drop the exact side; here both run
+    so the gate proves the sketch math itself.
+    """
+    from striot_spark.functions.text import md5_hash64, nonempty_tokens
+
+    toks = df.select(
+        F.explode(nonempty_tokens(F.col(text_col))).alias("tok")
+    )
+    bucket = lambda i: F.pmod(  # noqa: E731
+        md5_hash64(F.concat(F.col("tok"), F.lit(f"#{i}"))), F.lit(width)
+    )
+    rows = [
+        toks.groupBy(bucket(i).alias("pos"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit(i).alias("row"), "pos", "c")
+        for i in range(depth)
+    ]
+    sketch = rows[0]
+    for r in rows[1:]:
+        sketch = sketch.unionByName(r)
+    # the sketch is depth x width rows — driver-sized by construction
+    table = {(r["row"], r["pos"]): r["c"] for r in sketch.collect()}
+    maps = [
+        F.create_map(
+            *[
+                c
+                for (row, pos), n in sorted(table.items())
+                if row == i
+                for c in (F.lit(pos), F.lit(n))
+            ]
+        )
+        for i in range(depth)
+    ]
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("tok"))
+        .limit(top_k)
+    )
+    est = F.least(
+        *[F.element_at(maps[i], bucket(i)) for i in range(depth)]
+    )
+    return exact.select(
+        "tok",
+        "exact_n",
+        est.cast("long").alias("cms_estimate"),
+    )

@@ -1707,3 +1707,45 @@ def q114_scrub_duplicated_spans(
     return D.scrub_duplicated_spans(
         docs, "doc_id", "text", ngram_n=5, min_docs=2
     )
+
+
+@register(
+    "q128_cms_heavy_hitters",
+    """
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS tok
+        FROM documents),
+    ex AS (
+        SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok
+        ORDER BY exact_n DESC, tok LIMIT 20),
+    b0 AS (SELECT ('0x' || substr(md5(tok || '#0'), 1, 15))::BIGINT % 512
+               AS pos, count(*) AS c FROM toks GROUP BY 1),
+    b1 AS (SELECT ('0x' || substr(md5(tok || '#1'), 1, 15))::BIGINT % 512
+               AS pos, count(*) AS c FROM toks GROUP BY 1),
+    b2 AS (SELECT ('0x' || substr(md5(tok || '#2'), 1, 15))::BIGINT % 512
+               AS pos, count(*) AS c FROM toks GROUP BY 1)
+    SELECT e.tok, e.exact_n, least(s0.c, s1.c, s2.c) AS cms_estimate
+    FROM ex e
+    JOIN b0 s0 ON s0.pos =
+        ('0x' || substr(md5(e.tok || '#0'), 1, 15))::BIGINT % 512
+    JOIN b1 s1 ON s1.pos =
+        ('0x' || substr(md5(e.tok || '#1'), 1, 15))::BIGINT % 512
+    JOIN b2 s2 ON s2.pos =
+        ('0x' || substr(md5(e.tok || '#2'), 1, 15))::BIGINT % 512
+    """,
+    doc="count-min-sketch heavy hitters vs exact ground truth "
+    "(functions/analytics.py:cms_heavy_hitters; Cormode & "
+    "Muthukrishnan 2005): the sketch hashes are md5-derived so the "
+    "APPROXIMATE estimates are bit-reproducible and sit under the "
+    "exact oracle gate. Sketch build is one token explode + "
+    "groupBy(bucket) whose output is depth x width rows regardless "
+    "of vocabulary — partials merge map-side, the finished sketch is "
+    "a driver literal, and estimate >= exact is a structural "
+    "guarantee the test asserts",
+)
+def q128_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import cms_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cms_heavy_hitters(docs, "text", top_k=20, depth=3, width=512)

@@ -1193,3 +1193,20 @@ def test_snapshot_diff_property_roundtrip(spark):
                 assert old[k] != new[k]
 
     prop()
+
+
+def test_cms_estimate_is_upper_bound_and_tight_when_sparse(spark):
+    """CMS structural guarantees: estimate >= exact for every token;
+    with width >> vocabulary (no collisions) estimate == exact."""
+    from striot_spark.functions.analytics import cms_heavy_hitters
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d e"), (3, "c c f")],
+        "id long, text string",
+    )
+    wide = cms_heavy_hitters(df, "text", top_k=10, depth=3, width=4096)
+    for r in wide.collect():
+        assert r["cms_estimate"] == r["exact_n"], r
+    narrow = cms_heavy_hitters(df, "text", top_k=10, depth=2, width=2)
+    for r in narrow.collect():
+        assert r["cms_estimate"] >= r["exact_n"], r
