@@ -186,14 +186,22 @@ def snapshot_diff(
     before the join output is consumed.
     """
     def digest(df: DataFrame) -> Column:
+        # injection-safe: hash each column FIRST (md5 is exactly 32 hex
+        # chars), then concatenate the fixed-width digests — no value
+        # can shift bytes across column boundaries, and the 6-char NULL
+        # sentinel can never collide with a 32-char hex digest (a
+        # separator-based concat would let ("x\\x01","y") == ("x","\\x01y")
+        # and a literal "\\x00null" value == NULL)
         parts: list[Column] = []
         for c in compare_cols:
             col = F.col(c)
             parts.append(
-                F.when(col.isNull(), F.lit("\x00null"))
-                .otherwise(col.cast("string"))
+                F.coalesce(
+                    F.md5(F.encode(col.cast("string"), "UTF-8")),
+                    F.lit("<NULL>"),
+                )
             )
-        return F.md5(F.concat_ws("\x01", *parts))
+        return F.md5(F.concat(*parts))
 
     o = old.select(
         *[F.col(k) for k in key_cols], digest(old).alias("__od")
@@ -250,15 +258,25 @@ def cms_heavy_hitters(
     bucket = lambda i: F.pmod(  # noqa: E731
         md5_hash64(F.concat(F.col("tok"), F.lit(f"#{i}"))), F.lit(width)
     )
-    rows = [
-        toks.groupBy(bucket(i).alias("pos"))
+    # ONE token explode feeds the whole sketch: each token fans out to
+    # its depth (row, bucket) pairs in-row, then one groupBy counts —
+    # not depth separate re-explodes of the corpus
+    sketch = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row"), bucket(i).alias("pos")
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("rp")
+        )
+        .groupBy(F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))
         .agg(F.count(F.lit(1)).alias("c"))
-        .select(F.lit(i).alias("row"), "pos", "c")
-        for i in range(depth)
-    ]
-    sketch = rows[0]
-    for r in rows[1:]:
-        sketch = sketch.unionByName(r)
+    )
     # the sketch is depth x width rows — driver-sized by construction
     table = {(r["row"], r["pos"]): r["c"] for r in sketch.collect()}
     maps = [

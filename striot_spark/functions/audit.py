@@ -45,7 +45,7 @@ def in_range(col: str, lo, hi) -> Check:
 def matches(col: str, pattern: str, label: str | None = None) -> Check:
     c = F.col(col)
     return Check(
-        label or f"matches({col})",
+        label or f"matches({col},{pattern})",
         c.isNotNull() & ~c.rlike(pattern),
     )
 
@@ -53,7 +53,7 @@ def matches(col: str, pattern: str, label: str | None = None) -> Check:
 def one_of(col: str, allowed: Sequence[str]) -> Check:
     c = F.col(col)
     return Check(
-        f"one_of({col})",
+        f"one_of({col},{','.join(allowed)})",
         c.isNotNull() & ~c.isin(*list(allowed)),
     )
 
@@ -63,8 +63,18 @@ def audit(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     (check, n_violations, n_rows) — every check shares the same scan
     and the same map-side partial aggregate. Unpivoted via an inline
     stack so the output is one row per check regardless of width."""
+    names = [c.name for c in checks]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        # create_map with duplicate keys throws (or silently drops a
+        # check under LAST_WIN) — refuse loudly with the culprits
+        raise ValueError(f"duplicate check names: {sorted(dupes)}")
+    # coalesce: F.sum over zero rows is NULL; an empty table is
+    # vacuously clean, not unknown
     aggs = [
-        F.sum(c.violated.cast("long")).alias(f"__v{i}")
+        F.coalesce(F.sum(c.violated.cast("long")), F.lit(0)).alias(
+            f"__v{i}"
+        )
         for i, c in enumerate(checks)
     ] + [F.count(F.lit(1)).alias("__n")]
     row = df.agg(*aggs)
@@ -87,8 +97,10 @@ def unique_key(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         F.count(F.lit(1)).alias("__c")
     )
     return counts.agg(
-        (F.sum("__c") - F.count(F.lit(1))).alias("n_violations"),
-        F.sum("__c").alias("n_rows"),
+        F.coalesce(F.sum("__c") - F.count(F.lit(1)), F.lit(0)).alias(
+            "n_violations"
+        ),
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("n_rows"),
     ).select(F.lit(name).alias("check"), "n_violations", "n_rows")
 
 
@@ -111,10 +123,13 @@ def foreign_key(
     )
     joined = fact.select(fact_col).join(F.broadcast(keys), fact_col, "left")
     return joined.agg(
-        F.sum(
-            (F.col(fact_col).isNotNull() & F.col("__hit").isNull()).cast(
-                "long"
-            )
+        F.coalesce(
+            F.sum(
+                (
+                    F.col(fact_col).isNotNull() & F.col("__hit").isNull()
+                ).cast("long")
+            ),
+            F.lit(0),
         ).alias("n_violations"),
         F.count(F.lit(1)).alias("n_rows"),
     ).select(F.lit(name).alias("check"), "n_violations", "n_rows")

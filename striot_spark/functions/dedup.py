@@ -300,7 +300,9 @@ def bloom_decontaminate(
     broadcast in ``contamination_check``).
     """
     grams = lambda c: F.array_distinct(shingles(c, ngram_n))  # noqa: E731
-    eval_grams = (
+    # persisted: consumed up to three times (sizing count, positions
+    # collect, exact-verify join) — released by the registry wrapper
+    eval_grams = track_persist(
         scatter(eval_df)
         .select(F.explode(grams(F.col(text_col))).alias("g"))
         .distinct()

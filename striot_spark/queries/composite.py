@@ -1042,7 +1042,7 @@ def q83_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)
     FROM lineitem
     UNION ALL
-    SELECT 'one_of(event_type)',
+    SELECT 'one_of(event_type,click,view,purchase,signup)',
            count(*) FILTER (event_type IS NOT NULL AND event_type NOT IN
                             ('click', 'view', 'purchase', 'signup')),
            count(*)

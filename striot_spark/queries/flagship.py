@@ -1518,11 +1518,10 @@ def q122_corpus_ingest_stream(
     gated = linear_quality_filter(
         gated, "text", "n_chars", threshold=700
     )
-    deduped = gated.groupBy(
-        F.md5(F.encode(F.col("text"), "UTF-8")).alias("__fp")
-    ).agg(
-        F.min("doc_id").alias("doc_id"),
-        F.count(F.lit(1)).alias("n_dupes"),
+    from striot_spark.functions.dedup import exact_dedup
+
+    deduped = exact_dedup(gated, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id"), "n_dupes"
     )
     drained = RT.run_available_now(
         deduped,

@@ -383,10 +383,15 @@ def q126_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    sn = nation.select(
+    # prefilter BOTH nation dims to the trading pair before building
+    # the broadcast chains: the OR pair-predicate can't push below the
+    # joins on its own, and without this the forced ord_dim broadcast
+    # carries every nation's customers (~12x the two-nation subset)
+    pair_nations = ("NATION_3", "NATION_7")
+    sn = nation.filter(F.col("n_name").isin(*pair_nations)).select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    cn = nation.select(
+    cn = nation.filter(F.col("n_name").isin(*pair_nations)).select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
     cust_dim = cust.join(
