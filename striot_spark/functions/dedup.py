@@ -96,8 +96,10 @@ def dedup_groups(
     both on node ids (longs). Convergence is checked via ``sum(label)``,
     which strictly decreases while any label changes (labels only move
     down), so the check is one tiny aggregate action, not a join.
-    Raises if ``max_iter`` rounds don't converge (pathological diameter
-    — for adversarial chain graphs switch to a log-round variant).
+    Raises if ``max_iter`` rounds don't converge (pathological
+    diameter — for adversarial chain/path graphs use
+    ``dedup_groups_logrounds``, the O(log^2 n)-round large-star/
+    small-star contraction).
 
     Lineage discipline: edges (which carry the full upstream pair-
     generation plan) and each round's labels are ``localCheckpoint``-ed.
@@ -181,6 +183,118 @@ def dedup_groups(
         prev_sum = new_sum
     raise RuntimeError(
         f"connected components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_groups_logrounds(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components in O(log^2 n) ROUNDS via alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014 — public
+    methodology). Same contract as ``dedup_groups``: (doc_id,
+    group_id=component min), docs in no pair not emitted.
+
+    ``dedup_groups``' min-label propagation converges in O(component
+    DIAMETER) rounds — ideal for near-dup clusters (shallow), hopeless
+    for chain-shaped graphs (a 10k-node path needs 10k rounds). The
+    star operations instead contract greedily toward each node's
+    neighborhood minimum:
+
+    - large-star(u): connect every STRICTLY LARGER neighbor to
+      ``m = min(N(u) ∪ {u})``;
+    - small-star(u): connect every smaller-or-equal neighbor and u
+      itself to ``m``.
+
+    Alternating the two preserves connectivity and strictly flattens
+    the forest; the edge set converges to exactly the star
+    {(v, component_min)} — detected when (count, checksum) of the
+    canonical edge set stops changing (two tiny aggregate actions per
+    round, no join). Per round: one bidirectional explode + one min
+    groupBy + one equi-join on the node id. Lineage is cut with
+    ``localCheckpoint`` per round like the label-propagation path.
+
+    Both algorithms are exact; this one is the documented choice when
+    component diameter is unbounded (the caveat raised in
+    ``dedup_groups``' docstring, now closed).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select("u")
+        .union(edges.select(F.col("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        j = nbrs.join(m, "u")
+        if large:
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            out = j.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            ).union(m.select("u", F.col("m").alias("v")))
+        return _canon(out.filter(F.col("u") != F.col("v")))
+
+    def _sig(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    cur = _canon(edges)
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = _star(cur, large=True)
+        cur = _star(cur, large=False).localCheckpoint(eager=True)
+        sig = _sig(cur)
+        if sig == prev_sig:
+            labels = (
+                cur.union(
+                    cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+                )
+                .groupBy("u")
+                .agg(F.min("v").alias("lbl"))
+            )
+            return (
+                nodes.join(labels, "u", "left")
+                .select(
+                    F.col("u").alias("doc_id"),
+                    F.least(
+                        F.coalesce(F.col("lbl"), F.col("u")), F.col("u")
+                    ).alias("group_id"),
+                )
+            )
+        prev_sig = sig
+    raise RuntimeError(
+        f"star contraction did not converge in {max_iter} rounds"
     )
 
 

@@ -1220,3 +1220,67 @@ def test_cms_estimate_is_upper_bound_and_tight_when_sparse(spark):
     narrow = cms_heavy_hitters(df, "text", top_k=10, depth=2, width=2)
     for r in narrow.collect():
         assert r["cms_estimate"] >= r["exact_n"], r
+
+
+def _uf_groups(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = sorted((ru, rv))
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def test_dedup_groups_logrounds_chain_and_random(spark):
+    """Large-star/small-star CC must equal union-find on (a) a
+    200-node CHAIN — the O(diameter) killer the label-propagation
+    path documents as out of scope — and (b) random graphs."""
+    import random
+
+    from striot_spark.functions.dedup import dedup_groups_logrounds
+
+    chain = [(i, i + 1) for i in range(200)]
+    rng = random.Random(11)
+    randg = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+    ]
+    randg = [(u, v) for u, v in randg if u != v]
+    for name, edges in (("chain", chain), ("random", randg)):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["group_id"]
+            for r in dedup_groups_logrounds(df).collect()
+        }
+        assert got == _uf_groups(edges), name
+
+
+def test_dedup_groups_logrounds_matches_label_prop(spark):
+    """Both CC lowerings agree on a clustered near-dup-shaped graph
+    (the label-propagation path's home turf)."""
+    from striot_spark.functions.dedup import (
+        dedup_groups,
+        dedup_groups_logrounds,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup_groups(df, driver_edge_threshold=0).collect()
+    }
+    b = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup_groups_logrounds(df).collect()
+    }
+    assert a == b == _uf_groups(edges)
