@@ -1749,3 +1749,43 @@ def q128_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cms_heavy_hitters(docs, "text", top_k=20, depth=3, width=512)
+
+
+@register(
+    "q129_dedup_groups_logrounds",
+    _simhash_sql_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """,
+    p AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b, range(0, 4) r(band)
+        WHERE a.doc_id < b.doc_id
+          AND ((a.simhash >> (band * 15)) & 32767)
+              = ((b.simhash >> (band * 15)) & 32767)
+          AND bit_count(xor(a.simhash, b.simhash)) <= 8),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION SELECT id_b, id_a FROM p),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+    SELECT u AS doc_id, least(u, min(v)) AS group_id
+    FROM reach GROUP BY u
+    """,
+    doc="the SAME dedup-groups result as q74, computed by the "
+    "O(log^2 n)-round large-star/small-star contraction "
+    "(functions/dedup.py:dedup_groups_logrounds; Kiveris et al. "
+    "SoCC'14) instead of O(diameter) label propagation — driver-gate "
+    "proof the two exact CC lowerings agree on a real pair graph. "
+    "Use this path when component diameter is unbounded (chain-shaped "
+    "link graphs); per round one bidirectional explode + min groupBy "
+    "+ node-id equi-join, (count, checksum) fixpoint detection",
+)
+def q129_dedup_groups_logrounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs(
+        docs, "doc_id", "text", bands=4, band_bits=15, max_hamming=8
+    )
+    return D.dedup_groups_logrounds(pairs)
