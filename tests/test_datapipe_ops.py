@@ -1250,13 +1250,16 @@ def test_dedup_groups_logrounds_chain_and_random(spark):
 
     from striot_spark.functions.dedup import dedup_groups_logrounds
 
-    chain = [(i, i + 1) for i in range(200)]
-    rng = random.Random(11)
-    randg = [
-        (rng.randrange(60), rng.randrange(60)) for _ in range(80)
-    ]
-    randg = [(u, v) for u, v in randg if u != v]
-    for name, edges in (("chain", chain), ("random", randg)):
+    cases = [("chain", [(i, i + 1) for i in range(200)])]
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        randg = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+        ]
+        cases.append(
+            (f"random{seed}", [(u, v) for u, v in randg if u != v])
+        )
+    for name, edges in cases:
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {
             r["doc_id"]: r["group_id"]
