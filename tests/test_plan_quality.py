@@ -624,3 +624,13 @@ def test_volume_shipping_all_dims_broadcast(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, q
     fmt = _formatted(spark, "q126_volume_shipping", sf_dir)
     assert "GreaterThanOrEqual(l_shipdate," in fmt
+
+
+def test_column_profile_single_expand_no_rescans(spark, sf_dir):
+    """q124: multi-column DISTINCT profiling must lower to ONE Expand
+    over one lineitem scan per profile() call — never per-column
+    rescans (the oracle's UNION ALL shape is exactly what we avoid)."""
+    plan = _executed(spark, "q124_column_profile", sf_dir)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") <= 1, final.count("Scan parquet")
+    assert "Expand" in final
