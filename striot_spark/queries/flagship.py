@@ -1642,3 +1642,102 @@ def q125_upsert_snapshot_stream(
         ts_str(F.col("ts")).alias("last_ts"),
         F.col("value_c").alias("last_value_c"),
     )
+
+
+@register(
+    "q130_cms_sketch_stream",
+    """
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS tok
+        FROM documents),
+    ex AS (
+        SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok
+        ORDER BY exact_n DESC, tok LIMIT 20),
+    b0 AS (SELECT ('0x' || substr(md5(tok || '#0'), 1, 15))::BIGINT % 512
+               AS pos, count(*) AS c FROM toks GROUP BY 1),
+    b1 AS (SELECT ('0x' || substr(md5(tok || '#1'), 1, 15))::BIGINT % 512
+               AS pos, count(*) AS c FROM toks GROUP BY 1),
+    b2 AS (SELECT ('0x' || substr(md5(tok || '#2'), 1, 15))::BIGINT % 512
+               AS pos, count(*) AS c FROM toks GROUP BY 1)
+    SELECT e.tok, e.exact_n, least(s0.c, s1.c, s2.c) AS cms_estimate
+    FROM ex e
+    JOIN b0 s0 ON s0.pos =
+        ('0x' || substr(md5(e.tok || '#0'), 1, 15))::BIGINT % 512
+    JOIN b1 s1 ON s1.pos =
+        ('0x' || substr(md5(e.tok || '#1'), 1, 15))::BIGINT % 512
+    JOIN b2 s2 ON s2.pos =
+        ('0x' || substr(md5(e.tok || '#2'), 1, 15))::BIGINT % 512
+    """,
+    doc="the count-min sketch BUILT ON THE STREAM (same oracle as "
+    "batch q128): tokens explode on a document stream and fan into "
+    "(row, bucket) pairs whose counts aggregate incrementally — CMS "
+    "partials merge by addition, so streaming aggregation state IS "
+    "the sketch (depth x width rows, bounded, no watermark needed "
+    "in complete mode). The drained sketch then scores the exact "
+    "top-20 batch-side exactly as q128 — proving sketch-on-stream == "
+    "sketch-on-batch bit-for-bit",
+)
+def q130_cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.text import md5_hash64, nonempty_tokens
+    from striot_spark.streaming import runtime as RT
+
+    depth, width, top_k = 3, 512, 20
+    src = _stage_documents(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema)
+    toks_s = sdf.select(
+        F.explode(nonempty_tokens(F.col("text"))).alias("tok")
+    )
+    bucket = lambda i: F.pmod(  # noqa: E731
+        md5_hash64(F.concat(F.col("tok"), F.lit(f"#{i}"))), F.lit(width)
+    )
+    sketch_s = (
+        toks_s.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row"), bucket(i).alias("pos")
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("rp")
+        )
+        .groupBy(F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    drained = RT.run_available_now(
+        sketch_s,
+        f"q130_cms_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q130_ck_"),
+        mode="complete",
+    )
+    table = {(r["row"], r["pos"]): r["c"] for r in drained.collect()}
+    maps = [
+        F.create_map(
+            *[
+                c
+                for (row, pos), n in sorted(table.items())
+                if row == i
+                for c in (F.lit(pos), F.lit(n))
+            ]
+        )
+        for i in range(depth)
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        docs.select(F.explode(nonempty_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("tok"))
+        .limit(top_k)
+    )
+    est = F.least(*[F.element_at(maps[i], bucket(i)) for i in range(depth)])
+    return exact.select(
+        "tok", "exact_n", est.cast("long").alias("cms_estimate")
+    )
