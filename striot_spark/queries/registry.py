@@ -124,8 +124,8 @@ _SWEEP_FIRST = [
 # Deferred to keep the must-sweep set within the 50-query cap: stable
 # pure-batch queries, code untouched since their r04 green rows. These
 # become three rounds old after r06 — put them FIRST in round 7's sweep,
-# together with ALL round-6 additions q102–q129 (registered mid-order
-# this round, so they have no driver row yet). That is 35 queries;
+# together with ALL round-6 additions q102–q130 (registered mid-order
+# this round, so they have no driver row yet). That is 36 queries;
 # fill the remaining r07 slots with the oldest then-stale cohort.
 _SWEEP_LAST: list[str] = [
     "q13_percentiles",
