@@ -56,24 +56,63 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # Driver sweep order. The driver's CORRECTNESS sweep caps at the first 50
-# registry entries per round. Round-6 priorities, in order: (1) the two
-# r05 reds (q93, q100) whose lowerings this round rewrote, plus their
-# double-money shadow pairs and the new adversarial-replay q101 (no rows
-# yet); (2) every consumer of the changed `_stage_events` staging and the
-# changed q92 finalize — behavior-touched this round, so their green rows
-# must be re-earned even where r05-fresh; (3) the stale cohort last swept
-# in r04. 57 candidates > 50 cap: seven stable pure-batch queries
-# (untouched code, r04-green) are deferred to _SWEEP_LAST and MUST lead
-# the round-7 sweep.
+# registry entries per round. Round 6 produced NO driver artifacts
+# (no CORRECTNESS_r06.json landed), so entering round 7 the freshest
+# driver rows are still r05: q93/q100 red, everything else green in
+# r04/r05, and 32 registered queries (q93d, q100d, q101-q130) have no
+# driver row at all. Round-7 priorities, in order:
+#   (1) the two r05 reds (q93, q100) whose lowerings round 6 rewrote,
+#       plus their double-money hash-probe shadows and the adversarial
+#       q101 - these settle VERDICT r05 tasks 1/2/5;
+#   (2) all round-6 additions q102-q130 - registered after the r05
+#       sweep, so they have never had a driver row;
+#   (3) the streaming queries whose staging/finalize behavior round 6
+#       changed (single-file sorted `_stage_events`, q92 max_by
+#       finalize) - their r04/r05 green rows predate the code they
+#       now run, so green must be re-earned;
+#   (4) new round-7 queries are appended here as they are registered,
+#       consuming the remaining head slots up to the 50 cap.
+# The stable pure-batch r04-green cohort (q11-q50 era, untouched
+# code) stays mid-order / _SWEEP_LAST and rotates in round 8.
 _SWEEP_FIRST = [
-    # (1) r05 reds + round-6 additions — no green row / no row at all
+    # (1) r05 reds + hash-probe shadows + adversarial replay
     "q93_joinw_stream_non_nesting",
     "q100_chop_count_stream",
     "q93d_joinw_stream_money_double",
     "q100d_chop_stream_money_double",
     "q101_sliding_stream_ooo_replay",
-    # (2) behavior-touched this round (single-file sorted staging for
-    # every streaming replay; q92's max_by finalize)
+    # (2) round-6 additions, never driver-swept
+    "q102_tfidf_top_terms",
+    "q103_blocklist_filter",
+    "q104_canonical_docs",
+    "q105_token_budget_select",
+    "q106_temperature_mix",
+    "q107_latest_snapshot",
+    "q108_stream_static_enrich",
+    "q109_shared_ngram_pairs",
+    "q110_quality_filter_linear",
+    "q111_sliding_time_stream",
+    "q112_domain_quality_filter",
+    "q113_bloom_decontaminate",
+    "q114_scrub_duplicated_spans",
+    "q115_daily_distinct_stream",
+    "q116_interval_join_stream",
+    "q117_joine_stream",
+    "q118_quality_audit",
+    "q119_snapshot_diff",
+    "q120_merge_stream",
+    "q121_expand_stream",
+    "q122_corpus_ingest_stream",
+    "q123_zip_join_stream",
+    "q124_column_profile",
+    "q125_upsert_snapshot_stream",
+    "q126_volume_shipping",
+    "q127_market_share",
+    "q128_cms_heavy_hitters",
+    "q129_dedup_groups_logrounds",
+    "q130_cms_sketch_stream",
+    # (3) staging/finalize behavior-touched streaming (green rows are
+    # for pre-round-6 code)
     "q92_scan_stream_global",
     "q97_filteracc_stream_global",
     "q65_frequent_routes_stream",
@@ -83,50 +122,11 @@ _SWEEP_FIRST = [
     "q89_scan_stream",
     "q90_filteracc_stream",
     "q91_sliding_count_stream",
-    # (3) stale cohort (freshest green row r04, two rounds old)
-    "q11_topk_per_window",
-    "q12_sessionize",
-    "q15_threshold_cross",
-    "q16_step_count",
-    "q17_pricing_summary",
-    "q18_top_orders",
-    "q19_regional_revenue",
-    "q20_top_customers",
-    "q30_frequent_routes",
-    "q31_joinw_revenue_per_click",
-    "q32_joine_window_theta",
-    "q33_sliding_time_window",
-    "q34_filteracc_above_running_avg",
-    "q39_sliding_time_forward",
-    "q40_empty_windows",
-    "q41_merge_timestamp_order",
-    "q46_profitability_cells",
-    "q47_broadcast_enrich",
-    "q49_wearable_chain",
-    "q50_window_custom_fold",
-    "q64_kmeans_clusters",
-    "q66_null_passthrough_chain",
-    "q67_joine_positional_untimed",
-    "q68_prefix_jaccard_pairs",
-    "q69_contamination_check",
-    "q70_repetition_stats",
-    "q71_corpus_mix",
-    "q72_priority_semi_join",
-    "q73_inactive_customers_anti_join",
-    "q74_dedup_groups",
-    "q75_vocab_encode",
-    "q76_split_assign",
-    "q77_random_projection",
-    "q81_sole_returned_supplier",
-    "q84_incremental_ingest_dedup",
-    "q88_taxi_csv_dead_letter",
+    # (4) round-7 additions go here as they are registered
 ]
-# Deferred to keep the must-sweep set within the 50-query cap: stable
-# pure-batch queries, code untouched since their r04 green rows. These
-# become three rounds old after r06 — put them FIRST in round 7's sweep,
-# together with ALL round-6 additions q102–q130 (registered mid-order
-# this round, so they have no driver row yet). That is 36 queries;
-# fill the remaining r07 slots with the oldest then-stale cohort.
+# Everything below the 50 cap is r04/r05-green untouched batch code;
+# order among them is irrelevant to the driver. _SWEEP_LAST kept for
+# round-8 rotation bookkeeping (oldest stable cohort: r04 rows).
 _SWEEP_LAST: list[str] = [
     "q13_percentiles",
     "q14_value_histogram",
