@@ -222,3 +222,47 @@ def temperature_mix(
     for value, t in sorted(thresholds.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(t)).otherwise(thr)
     return df.filter(bucket < thr)
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    stride: int,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Weight-proportional sampling with EXACT integer arithmetic:
+    walk rows in a fixed order, accumulate integer ``weight_col``, and
+    keep every row whose inclusive running total crosses a multiple of
+    ``stride`` — classic systematic (grid) sampling over the cumulative
+    weight axis.
+
+    A row with weight ``w`` spans ``w`` units of the cumulative axis and
+    is kept iff that span contains a grid point, so rows with ``w >=
+    stride`` are always kept and smaller rows are kept at exactly the
+    ``w / stride`` rate along the walk — importance sampling without a
+    single float. The draw is a pure function of (data, order, stride):
+    reproducible across runs, engines, and partitionings, unlike
+    RNG-based ``df.sample``. Expected output size is
+    ``total_weight / stride``.
+
+    The running total is ``global_prefix_sum`` (two-pass
+    range-partitioned; no ``Exchange SinglePartition`` at scale — the
+    same machinery as ``select_token_budget``), and the grid test
+    ``cum DIV stride > (cum - w) DIV stride`` is a scan-side integer
+    filter. Weights must be non-negative integers (token counts,
+    quality scores in integer points); float weights would reintroduce
+    cross-engine ulp hazards in the cumulative sums.
+    """
+    from striot_spark.core.scale import global_prefix_sum
+
+    if stride <= 0:
+        raise ValueError("stride must be a positive integer")
+    order = order_cols if order_cols is not None else [F.col(id_col).asc()]
+    cum = global_prefix_sum(df, order, weight_col, "cum_weight")
+    w = F.col(weight_col).cast("long")
+    # integral DIV, not float division + cast: exact for any long
+    keep = F.expr(f"cum_weight DIV {int(stride)}") > F.expr(
+        f"(cum_weight - CAST({weight_col} AS BIGINT)) DIV {int(stride)}"
+    )
+    return cum.filter(w > 0).filter(keep)

@@ -1789,3 +1789,43 @@ def q129_dedup_groups_logrounds(
         docs, "doc_id", "text", bands=4, band_bits=15, max_hamming=8
     )
     return D.dedup_groups_logrounds(pairs)
+
+
+@register(
+    "q131_systematic_weighted_sample",
+    f"""
+    WITH t AS (SELECT doc_id, {NTOK} AS n_tokens FROM documents),
+    c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (
+                   ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING
+               ) AS cum_weight
+        FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_weight AS BIGINT) AS cum_weight
+    FROM c
+    WHERE n_tokens > 0
+      AND cum_weight // 500 > (cum_weight - n_tokens) // 500
+    """,
+    doc="weight-proportional corpus sampling without a single float: "
+    "systematic (grid) draw over the cumulative token axis — keep a "
+    "row iff its weight span contains a multiple of stride=500, so "
+    "heavy docs are always kept and light docs at exactly w/stride "
+    "along the walk. Pure function of (data, order, stride): "
+    "reproducible on any engine/partitioning, coarser grids nest "
+    "inside finer ones. Running total is the two-pass range-"
+    "partitioned global_prefix_sum (no Exchange SinglePartition at "
+    "scale), grid test is a scan-side integer DIV filter "
+    "(functions/sampling.py:systematic_weighted_sample)",
+)
+def q131_systematic_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    sel = SAMP.systematic_weighted_sample(
+        t, "doc_id", "n_tokens", stride=500
+    )
+    return sel.select("doc_id", "n_tokens", "cum_weight")

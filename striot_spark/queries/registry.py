@@ -123,6 +123,7 @@ _SWEEP_FIRST = [
     "q90_filteracc_stream",
     "q91_sliding_count_stream",
     # (4) round-7 additions go here as they are registered
+    "q131_systematic_weighted_sample",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

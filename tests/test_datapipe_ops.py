@@ -1287,3 +1287,50 @@ def test_dedup_groups_logrounds_matches_label_prop(spark):
         for r in dedup_groups_logrounds(df).collect()
     }
     assert a == b == _uf_groups(edges)
+
+
+def test_systematic_weighted_sample_exact_properties(spark):
+    from striot_spark.functions.sampling import systematic_weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, (i * 7919) % 37) for i in range(300)],
+        "doc_id long, w long",
+    )
+    stride = 50
+    out = systematic_weighted_sample(docs, "doc_id", "w", stride)
+    rows = {r["doc_id"]: (r["w"], r["cum_weight"]) for r in out.collect()}
+    data = sorted((i, (i * 7919) % 37) for i in range(300))
+    total = sum(w for _, w in data)
+    # exactly one kept row per grid point in (0, total]
+    assert len(rows) == total // stride
+    # heavy rows (w >= stride) always kept; zero-weight rows never
+    for i, w in data:
+        if w >= stride:
+            assert i in rows
+        if w == 0:
+            assert i not in rows
+    # brute-force replication of the grid rule
+    acc, expect = 0, {}
+    for i, w in data:
+        if w > 0 and (acc + w) // stride > acc // stride:
+            expect[i] = (w, acc + w)
+        acc += w
+    assert rows == expect
+
+
+def test_systematic_weighted_sample_grids_nest(spark):
+    from striot_spark.functions.sampling import systematic_weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, (i * 104729) % 19 + 1) for i in range(200)],
+        "doc_id long, w long",
+    )
+    fine = {
+        r["doc_id"]
+        for r in systematic_weighted_sample(docs, "doc_id", "w", 25).collect()
+    }
+    coarse = {
+        r["doc_id"]
+        for r in systematic_weighted_sample(docs, "doc_id", "w", 50).collect()
+    }
+    assert coarse <= fine  # multiples of 2s are a subset of multiples of s
