@@ -488,3 +488,43 @@ def q127_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).alias("total_rev_c"),
         )
     )
+
+
+@register(
+    "q132_bucketed_colocated_join",
+    f"""
+    SELECT o.o_orderpriority AS priority,
+           count(*) AS n_items,
+           sum({_cents('l.l_extendedprice')}) AS revenue_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="fact-fact equi-join with the shuffle paid at WRITE time: both "
+    "sides land as catalog tables bucketed on the join key "
+    "(functions/bucketing.py:write_bucketed, one sorted file per "
+    "bucket, explicit-LOCATION database), and the sort-merge join of "
+    "the bucketed scans plans with ZERO Exchange nodes (plan-gated). "
+    "At 100 TB this is the layout that amortizes one shuffle across "
+    "every future join/agg on the key — the Spark-native analogue of "
+    "the reference's ahead-of-time partition placement (SURVEY.md §4)",
+)
+def q132_bucketed_colocated_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions import bucketing as B
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    items = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    ot = B.write_bucketed(orders, "orders_b", "o_orderkey", 8)
+    lt = B.write_bucketed(items, "lineitem_b", "l_orderkey", 8)
+    j = B.bucketed_equijoin(
+        spark, ot, lt, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(money(F.col("l_extendedprice"))).alias("revenue_cents"),
+    )

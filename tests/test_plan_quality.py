@@ -634,3 +634,45 @@ def test_column_profile_single_expand_no_rescans(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") <= 1, final.count("Scan parquet")
     assert "Expand" in final
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The whole point of write_bucketed: a fact-fact SMJ over tables
+    bucketed on the join key plans with zero shuffles. Broadcast is
+    disabled so the small test tables take the same sort-merge path a
+    100 TB pair would."""
+    from striot_spark.functions import bucketing as B
+    from striot_spark.sources.batch import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    ot = B.write_bucketed(o, "orders_pq", "o_orderkey", 4)
+    lt = B.write_bucketed(li, "lineitem_pq", "l_orderkey", 4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = B.bucketed_equijoin(
+            spark, ot, lt, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
+    assert plan.count("SelectedBucketsCount: 4 out of 4") == 2
+
+
+def test_bucketed_agg_skips_exchange(spark, sf_dir):
+    """GroupBy on the bucket column reuses the write-time partitioning:
+    no Exchange in the aggregate either."""
+    from striot_spark.functions import bucketing as B
+    from striot_spark.sources.batch import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    lt = B.write_bucketed(li, "lineitem_pq2", "l_orderkey", 4)
+    agg = spark.table(lt).groupBy("l_orderkey").agg(F.sum("l_quantity"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
