@@ -125,6 +125,7 @@ _SWEEP_FIRST = [
     # (4) round-7 additions go here as they are registered
     "q131_systematic_weighted_sample",
     "q132_bucketed_colocated_join",
+    "q133_pagerank_customer_supplier",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

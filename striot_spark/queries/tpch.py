@@ -528,3 +528,73 @@ def q132_bucketed_colocated_join(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(money(F.col("l_extendedprice"))).alias("revenue_cents"),
     )
+
+
+def _pagerank_oracle(iterations: int, scale: int, dn: int, dd: int) -> str:
+    """Unroll the integer PageRank recurrence as chained CTEs — DuckDB
+    reproduces the scaled-long arithmetic digit for digit."""
+    teleport = (dd - dn) * scale // dd
+    sql = f"""
+    WITH eraw AS (
+        SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (SELECT a AS src, b AS dst FROM eraw
+              UNION ALL SELECT b AS src, a AS dst FROM eraw),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    v AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr FROM v)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+    r{i} AS (
+        SELECT v.node,
+               CAST({teleport} + ({dn} * COALESCE(s.s, 0)) // {dd}
+                    AS BIGINT) AS pr
+        FROM v LEFT JOIN (
+            SELECT e.dst AS node, sum(r.pr // d.outdeg) AS s
+            FROM edges e JOIN r{i - 1} r ON e.src = r.node
+                 JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) s ON v.node = s.node)"""
+    return sql + f"\n    SELECT node, pr FROM r{iterations}"
+
+
+@register(
+    "q133_pagerank_customer_supplier",
+    _pagerank_oracle(iterations=3, scale=10**9, dn=85, dd=100),
+    doc="fixed-iteration PageRank over the bipartite customer-supplier "
+    "trade graph (distinct pairs from orders x lineitem, both edge "
+    "directions), ALL arithmetic in scaled longs (rank DIV outdeg "
+    "contributions, damped integer update) so every iteration is "
+    "bit-identical under any partitioning/retry and the oracle "
+    "unrolls the same recurrence as chained CTEs. Per iteration: one "
+    "src-key join + one dst-key groupBy (map-side partials), edge "
+    "list degree-annotated and persisted once "
+    "(functions/graph.py:pagerank)",
+)
+def q133_pagerank_customer_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "a"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "b"
+            ),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    pr = pagerank(edges, iterations=3, src="a", dst="b")
+    return pr.select("node", F.col("rank").alias("pr"))

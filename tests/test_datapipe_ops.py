@@ -1334,3 +1334,38 @@ def test_systematic_weighted_sample_grids_nest(spark):
         for r in systematic_weighted_sample(docs, "doc_id", "w", 50).collect()
     }
     assert coarse <= fine  # multiples of 2s are a subset of multiples of s
+
+
+def test_pagerank_cycle_is_exact_fixed_point(spark):
+    from striot_spark.functions.graph import pagerank
+
+    # 3-cycle: outdeg 1 everywhere, so rank scale is a fixed point of
+    # teleport + 85*rank//100 = 0.15e9 + 0.85e9 = 1e9 exactly
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges, 4).collect()}
+    assert out == {"a": 10**9, "b": 10**9, "c": 10**9}
+
+
+def test_pagerank_star_matches_hand_rolled(spark):
+    from striot_spark.functions.graph import pagerank
+
+    # undirected star: hub h <-> leaves x,y,z (both directions)
+    und = [("h", "x"), ("h", "y"), ("h", "z")]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src string, dst string"
+    )
+    scale, dn, dd = 10**9, 85, 100
+    tp = (dd - dn) * scale // dd
+    ranks = {n: scale for n in "hxyz"}
+    deg = {"h": 3, "x": 1, "y": 1, "z": 1}
+    adj = {"h": list("xyz"), "x": ["h"], "y": ["h"], "z": ["h"]}
+    for _ in range(3):
+        contrib = {u: ranks[u] // deg[u] for u in ranks}
+        ranks = {
+            v: tp + dn * sum(contrib[u] for u in adj[v]) // dd
+            for v in ranks
+        }
+    out = {r["node"]: r["rank"] for r in pagerank(edges, 3).collect()}
+    assert out == ranks
