@@ -166,6 +166,56 @@ def latest_snapshot(
     )
 
 
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Expand an append-only change log into SCD type-2 validity
+    intervals: one row per change carrying ``valid_from`` (its own
+    timestamp) and ``valid_to`` (the key's NEXT change, null while
+    current) — the full-history companion to ``latest_snapshot``'s
+    latest-wins compaction. Any past state of the world is then a
+    filter (``snapshot_asof``), not a replay.
+
+    Ties share a timestamp but are totally ordered by
+    ``tiebreak_col`` (a unique event id); an overwritten tied row gets
+    an EMPTY interval [ts, ts), so as-of reads at that instant see
+    exactly the last write — the same total-order contract as
+    ``latest_snapshot``. Change logs with consecutive no-op updates
+    can be collapsed first with ``Stream.changes``.
+
+    Lowering: one window ``lead`` per key (partitioned by the key —
+    parallel at any key cardinality; per-key history sorts locally
+    within its partition). This is the one snapshot operator where a
+    window beats ``max_by``: every history row is emitted, so there is
+    nothing for a map-side partial to prune.
+    """
+    w = W.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    return df.select(
+        *key_cols,
+        *payload_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+    )
+
+
+def snapshot_asof(history: DataFrame, asof) -> DataFrame:
+    """Point-in-time read over an ``scd2_history`` table: rows whose
+    validity interval contains ``asof`` (a timestamp literal/Column).
+    A pure scan-side filter — time travel over 100 TB of history costs
+    one pruned scan, no join, no window."""
+    t = F.lit(asof) if not isinstance(asof, Column) else asof
+    return history.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

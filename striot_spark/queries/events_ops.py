@@ -686,3 +686,86 @@ def q107_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(F.col("ts")).alias("last_ts"),
         F.col("value_c").alias("last_value_c"),
     )
+
+
+@register(
+    "q134_scd2_history",
+    f"""
+    SELECT user_id, event_type, {CENTS_SQL} AS value_c,
+           strftime(ts, '{TS_FMT}') AS valid_from,
+           strftime(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+               '{TS_FMT}') AS valid_to
+    FROM events
+    """,
+    doc="SCD type-2 expansion of the change log: every event becomes a "
+    "validity interval [its ts, the key's next change), null while "
+    "current — the full-history companion to q107's latest-wins "
+    "compaction; any past state is then a filter, not a replay. One "
+    "window lead per key (parallel at any key cardinality); ties "
+    "totally ordered by event_id so overwritten tied rows carry empty "
+    "intervals (functions/analytics.py:scd2_history)",
+)
+def q134_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import cents, scd2_history, ts_str
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_c", cents(F.col("value"))
+    )
+    hist = scd2_history(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+        payload_cols=["event_type", "value_c"],
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        "value_c",
+        ts_str(F.col("valid_from")).alias("valid_from"),
+        ts_str(F.col("valid_to")).alias("valid_to"),
+    )
+
+
+@register(
+    "q135_snapshot_asof",
+    f"""
+    SELECT user_id, event_type AS type_asof, {CENTS_SQL} AS value_c
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t
+    WHERE rn = 1
+    """,
+    doc="point-in-time ('time travel') read: the state of the world at "
+    "an instant, computed as a pure scan-side interval filter over the "
+    "q134 SCD-2 history (valid_from <= T < valid_to) — no join, no "
+    "window at read time; the oracle recomputes it as latest-wins over "
+    "the truncated log (functions/analytics.py:snapshot_asof)",
+)
+def q135_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from striot_spark.functions.analytics import (
+        cents,
+        scd2_history,
+        snapshot_asof,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_c", cents(F.col("value"))
+    )
+    hist = scd2_history(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+        payload_cols=["event_type", "value_c"],
+    )
+    snap = snapshot_asof(hist, datetime.datetime(2024, 1, 15, 0, 0, 0))
+    return snap.select(
+        "user_id",
+        F.col("event_type").alias("type_asof"),
+        "value_c",
+    )

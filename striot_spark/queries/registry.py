@@ -126,6 +126,8 @@ _SWEEP_FIRST = [
     "q131_systematic_weighted_sample",
     "q132_bucketed_colocated_join",
     "q133_pagerank_customer_supplier",
+    "q134_scd2_history",
+    "q135_snapshot_asof",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

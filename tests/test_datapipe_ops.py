@@ -1369,3 +1369,51 @@ def test_pagerank_star_matches_hand_rolled(spark):
         }
     out = {r["node"]: r["rank"] for r in pagerank(edges, 3).collect()}
     assert out == ranks
+
+
+def test_scd2_asof_equals_latest_wins_and_ties_are_empty(spark):
+    import datetime
+
+    from striot_spark.functions.analytics import (
+        latest_snapshot,
+        scd2_history,
+        snapshot_asof,
+    )
+
+    t = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return t + datetime.timedelta(seconds=s)
+
+    # key 1: two changes + a TIED pair at s=20 (id 4 must win);
+    # key 2: single current row
+    log = spark.createDataFrame(
+        [
+            (1, at(0), 1, "a"),
+            (1, at(10), 2, "b"),
+            (1, at(20), 3, "c"),
+            (1, at(20), 4, "d"),
+            (2, at(5), 5, "x"),
+        ],
+        "k long, ts timestamp, eid long, v string",
+    )
+    hist = scd2_history(log, ["k"], "ts", "eid", ["eid", "v"])
+    rows = {
+        (r["k"], r["eid"]): (r["valid_from"], r["valid_to"])
+        for r in hist.collect()
+    }
+    assert rows[(1, 3)] == (at(20), at(20))  # overwritten tie: empty
+    assert rows[(1, 4)] == (at(20), None)  # tie winner: current
+    # as-of at several instants equals latest-wins over the cut log
+    for probe in (at(0), at(15), at(20), at(99)):
+        snap = {
+            (r["k"], r["v"])
+            for r in snapshot_asof(hist, probe).select("k", "v").collect()
+        }
+        ref = {
+            (r["k"], r["v"])
+            for r in latest_snapshot(
+                log.filter(F.col("ts") <= probe), ["k"], ["ts", "eid"], ["v"]
+            ).collect()
+        }
+        assert snap == ref, probe
