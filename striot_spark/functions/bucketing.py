@@ -88,3 +88,62 @@ def bucketed_equijoin(
     specs the planned join carries no Exchange on either side — the
     write-time layout IS the shuffle."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def zorder_key(cols: list, bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` bits of k
+    non-negative integer columns into one long, so sorting/range-
+    chunking by the key clusters rows that are close in EVERY
+    dimension at once — the multi-dimensional data-layout trick behind
+    Delta/Iceberg OPTIMIZE ZORDER. Files cut from contiguous key
+    ranges cover small rectangles of the dimension space, making
+    min/max zone maps (``zone_map``) selective for filters on ANY
+    keyed dimension, where a plain sort is selective for only the
+    leading one.
+
+    ``bits`` must cover each dimension's range (values >= 2^bits would
+    alias); k*bits must stay < 63. Pure unrolled bitwise expression —
+    whole-stage codegen, zero shuffle, oracle-reproducible on any
+    engine with integer shifts.
+    """
+    import functools
+
+    k = len(cols)
+    if k * bits >= 63:
+        raise ValueError("k*bits must stay below 63 for a long key")
+    terms = []
+    for j, c in enumerate(cols):
+        x = F.col(c) if isinstance(c, str) else c
+        x = x.cast("long")
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(x, i).bitwiseAND(F.lit(1)), i * k + j
+                )
+            )
+    return functools.reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def zorder_key_sql(exprs: list[str], bits: int = 16) -> str:
+    """The identical Morton key as a SQL string (oracle twin of
+    ``zorder_key``)."""
+    k = len(exprs)
+    # every term FULLY parenthesized: DuckDB (like Postgres) gives <<
+    # and | the same precedence, left-associative, so a bare
+    # `a << 1 | b << 3` parses as `((a << 1) | b) << 3`
+    terms = [
+        f"(((({e}) >> {i}) & 1) << {i * k + j})"
+        for j, e in enumerate(exprs)
+        for i in range(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def zone_map(df: DataFrame, file_col, dims: list[str]) -> DataFrame:
+    """Per-file min/max statistics over ``dims`` — the zone-map index a
+    scan consults to skip files. One groupBy over the layout column;
+    output is #files rows (bounded, driver-safe to inspect)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for d in dims:
+        aggs += [F.min(d).alias(f"min_{d}"), F.max(d).alias(f"max_{d}")]
+    return df.groupBy(file_col).agg(*aggs)

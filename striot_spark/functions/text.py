@@ -582,3 +582,57 @@ def domain_quality_filter(
         >= F.lit(int(min_stop_pct)) * F.col("total_tokens")
     ).select(F.col("domain").alias(domain_col))
     return df.join(F.broadcast(keep), domain_col, "inner")
+
+
+def novelty_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document novelty: how much of a doc's n-gram vocabulary
+    appears NOWHERE else in the corpus. Emits ``n_grams`` (the doc's
+    distinct n-gram count) and ``n_unique`` (those with corpus
+    document-frequency 1) — integer numerator/denominator of the
+    novelty ratio, the memorization-risk / boilerplate signal dual to
+    ``repetition_stats`` (which looks within a doc, this looks across
+    the corpus).
+
+    Zero joins on the gram axis (q109's trick): the df=1 owner is
+    recovered as ``min(id)`` inside the single gram groupBy, so the
+    corpus text is scanned once, exploded once, and aggregated by gram
+    once; ``n_grams`` itself is a scan-side ``size(array_distinct(...))``
+    projection on the same scan. The only join is doc-keyed (unique
+    counts back onto the doc list) and carries at most one row per doc.
+    """
+    from striot_spark.functions.dedup import shingles
+
+    base = scatter(df).select(
+        F.col(id_col),
+        F.size(F.array_distinct(shingles(F.col(text_col), n))).alias(
+            "n_grams"
+        ),
+    )
+    grams = scatter(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias(
+            "gram"
+        ),
+    )
+    uniq = (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min(F.col(id_col)).alias("owner"),
+        )
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return base.join(uniq, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce(F.col("n_unique"), F.lit(0)).cast("long").alias(
+            "n_unique"
+        ),
+    )

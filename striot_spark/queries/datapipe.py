@@ -1829,3 +1829,42 @@ def q131_systematic_weighted_sample(
         t, "doc_id", "n_tokens", stride=500
     )
     return sel.select("doc_id", "n_tokens", "cum_weight")
+
+
+@register(
+    "q136_novelty_stats",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                   AS tk
+        FROM documents),
+    idx AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM toks),
+    g AS (
+        SELECT DISTINCT doc_id,
+               tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+               tk[i+3] || ' ' || tk[i+4] AS gram
+        FROM idx),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+    u AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY gram
+          HAVING count(*) = 1),
+    uc AS (SELECT doc_id, count(*) AS n_unique FROM u GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(t.n_grams, 0) AS INTEGER) AS n_grams,
+           CAST(COALESCE(uc.n_unique, 0) AS BIGINT) AS n_unique
+    FROM documents d
+    LEFT JOIN tot t ON d.doc_id = t.doc_id
+    LEFT JOIN uc ON d.doc_id = uc.doc_id
+    """,
+    doc="cross-corpus novelty per doc: distinct 5-gram count and how "
+    "many of those appear in NO other doc (integer numerator/"
+    "denominator of the novelty ratio) — the boilerplate/memorization "
+    "signal dual to q70's within-doc repetition stats. Zero joins on "
+    "the gram axis: the df=1 owner comes back as min(doc_id) inside "
+    "the one gram groupBy (q109's trick); totals are a scan-side "
+    "size(array_distinct) projection; the only join is doc-keyed "
+    "(functions/text.py:novelty_stats)",
+)
+def q136_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.novelty_stats(docs, "doc_id", "text", n=5)

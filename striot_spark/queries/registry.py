@@ -128,6 +128,8 @@ _SWEEP_FIRST = [
     "q133_pagerank_customer_supplier",
     "q134_scd2_history",
     "q135_snapshot_asof",
+    "q136_novelty_stats",
+    "q137_zorder_zone_map",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

@@ -598,3 +598,48 @@ def q133_pagerank_customer_supplier(
     )
     pr = pagerank(edges, iterations=3, src="a", dst="b")
     return pr.select("node", F.col("rank").alias("pr"))
+
+
+def _q137_oracle() -> str:
+    from striot_spark.functions.bucketing import zorder_key_sql
+
+    z = zorder_key_sql(["ck", "day"], bits=18)
+    return f"""
+    WITH d AS (
+        SELECT o_custkey AS ck,
+               date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day
+        FROM orders),
+    z AS (SELECT ck, day, {z} AS zkey FROM d)
+    SELECT zkey >> 20 AS file_id, count(*) AS n_rows,
+           min(ck) AS min_ck, max(ck) AS max_ck,
+           min(day) AS min_day, max(day) AS max_day
+    FROM z GROUP BY zkey >> 20
+    """
+
+
+@register(
+    "q137_zorder_zone_map",
+    _q137_oracle(),
+    doc="multi-dimensional data layout: Morton (Z-order) key "
+    "interleaving customer and order-day bits "
+    "(functions/bucketing.py:zorder_key, unrolled bitwise expression "
+    "in whole-stage codegen, zero shuffle), rows chunked into files "
+    "by key range, then the zone_map per-file min/max index — each "
+    "file covers a small RECTANGLE of (customer, day) space, so "
+    "min/max pruning is selective for filters on EITHER dimension, "
+    "where a plain sort serves only its leading column. The oracle "
+    "recomputes the identical key via zorder_key_sql",
+)
+def q137_zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions import bucketing as B
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("day"),
+    )
+    z = d.withColumn("zkey", B.zorder_key(["ck", "day"], bits=18))
+    files = z.withColumn("file_id", F.shiftright(F.col("zkey"), 20))
+    return B.zone_map(files, "file_id", ["ck", "day"])

@@ -1417,3 +1417,36 @@ def test_scd2_asof_equals_latest_wins_and_ties_are_empty(spark):
             ).collect()
         }
         assert snap == ref, probe
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from striot_spark.functions.bucketing import zorder_key
+
+    def ref(a, b, bits=10):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(i, (i * 37) % 1024, (i * 101) % 1024) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    out = df.withColumn("z", zorder_key(["a", "b"], bits=10))
+    for r in out.collect():
+        assert r["z"] == ref(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_zorder_files_cover_small_rectangles(spark):
+    from striot_spark.functions.bucketing import zone_map, zorder_key
+
+    # 2^14-range z-keys chopped into 2^10-span files: each file's
+    # rectangle is at most 2^5 wide per dimension
+    rows = [(i, (i * 37) % 128, (i * 101) % 128) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    z = df.withColumn("z", zorder_key(["a", "b"], bits=7))
+    files = z.withColumn("f", F.shiftright(F.col("z"), 10))
+    zm = zone_map(files, "f", ["a", "b"]).collect()
+    assert len(zm) > 1
+    for r in zm:
+        assert r["max_a"] - r["min_a"] < 32
+        assert r["max_b"] - r["min_b"] < 32
