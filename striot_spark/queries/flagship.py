@@ -1741,3 +1741,52 @@ def q130_cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.select(
         "tok", "exact_n", est.cast("long").alias("cms_estimate")
     )
+
+
+@register(
+    "q138_incremental_agg_stream",
+    """
+    SELECT user_id, event_type,
+           count(*) AS n_rows,
+           sum(CAST(round((value)*100.0, 0) AS BIGINT)) AS sum_value_c
+    FROM events GROUP BY user_id, event_type
+    """,
+    doc="streaming incremental MATERIALIZED VIEW: per-(user,type) "
+    "count/sum totals maintained by merging only each micro-batch's "
+    "pre-aggregated DELTA into the snapshot "
+    "(streaming/runtime.py:incremental_agg_sink) — O(batch + #keys) "
+    "per batch forever, never rescanning history. Driven through the "
+    "ADVERSARIAL 4-batch out-of-order replay on purpose: addition is "
+    "associative+commutative so totals are provably independent of "
+    "batch boundaries and arrival order; replay idempotence comes "
+    "from the last-applied batch id in the atomic A/B pointer. Same "
+    "oracle as the plain batch groupBy",
+)
+def q138_incremental_agg_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from striot_spark.functions.analytics import cents
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events_ooo(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(
+        spark, src, schema, max_files_per_trigger=1
+    ).withColumn("value_c", cents(F.col("value")))
+    path = tempfile.mkdtemp(prefix="striot_q138_mv_")
+    q = RT.incremental_agg_sink(
+        sdf,
+        path,
+        tempfile.mkdtemp(prefix="striot_q138_ck_"),
+        key_cols=["user_id", "event_type"],
+        sum_cols=["value_c"],
+    )
+    q.awaitTermination()
+    snap = RT.read_snapshot(spark, path).filter(
+        F.col("user_id") != BARRIER_USER
+    )
+    return snap.select(
+        "user_id", "event_type", "n_rows", F.col("sum_value_c")
+    )

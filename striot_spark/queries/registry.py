@@ -130,6 +130,9 @@ _SWEEP_FIRST = [
     "q135_snapshot_asof",
     "q136_novelty_stats",
     "q137_zorder_zone_map",
+    # beyond the 50 cap from here down - no driver row possible this
+    # round; rotate these into the round-8 head
+    "q138_incremental_agg_stream",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

@@ -924,12 +924,96 @@ def upsert_snapshot_sink(
 
 
 def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
-    """Read the current snapshot written by ``upsert_snapshot_sink``."""
+    """Read the current snapshot written by ``upsert_snapshot_sink`` or
+    ``incremental_agg_sink`` (whose pointer also carries the last
+    applied batch id after a colon)."""
     import os as _os
 
     with open(_os.path.join(path, "_CURRENT")) as f:
-        cur = f.read().strip()
+        cur = f.read().strip().split(":")[0]
     return spark.read.parquet(_os.path.join(path, cur))
+
+
+def incremental_agg_sink(
+    sdf: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    available_now: bool = True,
+):
+    """Streaming incremental MATERIALIZED VIEW for additive aggregates:
+    maintain per-key ``count``/``sum`` totals continuously, merging only
+    each micro-batch's DELTA into the snapshot — the view never rescans
+    history, so maintaining totals over an unbounded stream costs
+    O(batch + #keys) per batch forever (the batch-recompute alternative
+    grows linearly with history).
+
+    Per micro-batch (foreachBatch): pre-aggregate the batch to one
+    partial row per key (map-side combine does most of the work), union
+    with the previous totals, and re-sum — addition is associative and
+    commutative, so the final totals are provably independent of
+    micro-batch boundaries and cross-batch arrival order, with no
+    watermark needed. Unlike the latest-wins upsert (idempotent by
+    max_by), ADDITIVE merge would double-count a replayed batch, so the
+    A/B pointer records the last applied batch id ("a:17") and a
+    replayed ``batch_id <= last`` is skipped — Structured Streaming
+    replays only the last uncommitted batch, and if the pointer already
+    advanced past it the merge result is already durable. Same atomic
+    pointer-flip crash discipline as ``upsert_snapshot_sink``;
+    snapshots are #keys-sized. Read back with ``read_snapshot``.
+
+    Non-additive aggregates decompose the standard way before this
+    sink: avg = sum/count at read time; distinct counts via an exact
+    pre-dedup (``dedup_exact_stream``) or a mergeable sketch (q128's
+    count-min / HLL), both additive.
+    """
+    import os as _os
+
+    cols = list(dict.fromkeys([*key_cols, *sum_cols]))
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.select(*cols).groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ptr = _os.path.join(path, "_CURRENT")
+        prev, cur, last = None, None, -1
+        if _os.path.exists(ptr):
+            with open(ptr) as f:
+                cur, last_s = f.read().strip().split(":")
+            last = int(last_s)
+            if batch_id <= last:
+                return  # replayed batch: merge already durable
+            prev = spark.read.parquet(_os.path.join(path, cur))
+        delta = _partial(batch_df)
+        if prev is not None:
+            merged = prev.unionByName(delta).groupBy(*key_cols).agg(
+                F.sum("n_rows").alias("n_rows"),
+                *[
+                    F.sum(f"sum_{c}").alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            )
+            nxt = "b" if cur == "a" else "a"
+        else:
+            merged, nxt = delta, "a"
+        merged.write.mode("overwrite").parquet(_os.path.join(path, nxt))
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{nxt}:{batch_id}")
+        _os.replace(tmp, ptr)  # atomic flip commits dir AND batch id
+
+    w = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def to_console(sdf: DataFrame, checkpoint_dir: str, mode: str = "append"):
