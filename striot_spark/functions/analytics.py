@@ -354,3 +354,80 @@ def cms_heavy_hitters(
         "exact_n",
         est.cast("long").alias("cms_estimate"),
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    m: int = 64,
+    max_rho: int = 40,
+    alpha_num: int = 709,
+    alpha_den: int = 1000,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group, every step in
+    EXACT integer arithmetic — the mergeable-cardinality-sketch
+    companion to ``cms_heavy_hitters`` (frequency) under the same
+    design rule: an APPROXIMATE structure whose VALUE is
+    bit-reproducible on any engine, because the hash is md5-derived
+    and the estimate avoids floats entirely.
+
+    Per item: bucket = h mod m, rho = trailing-zeros(h div m) + 1
+    (capped at ``max_rho``; the cap also defines the empty-bucket
+    power). Registers are per-(group, bucket) MAX — insensitive to
+    duplicate items by construction, so no pre-distinct is needed,
+    and max merges map-side like any algebraic aggregate: the shuffle
+    carries at most ``m`` partial registers per group per task, never
+    the item stream. The harmonic mean runs as shifted longs:
+
+        est = (alpha_num * m^2 * 2^max_rho)
+              DIV (alpha_den * Σ_b 2^(max_rho - reg_b))
+
+    with absent buckets contributing 2^max_rho. Defaults keep every
+    intermediate below 2^63 (alpha_num*m^2*2^40 ~ 3.2e18). Standard
+    HLL bias correction for the small-cardinality regime (linear
+    counting) is intentionally omitted — it needs a log; the estimate
+    is the raw Flajolet et al. 2007 form, accurate to ~1.04/sqrt(m)
+    relative error in the mid range (unit-tested against exact counts).
+
+    Emits one row per group: ``(group_cols..., hll_est)``.
+    """
+    from striot_spark.functions.text import md5_hash64
+
+    assert alpha_num * m * m * (1 << max_rho) < (1 << 63)
+    h = md5_hash64(F.col(item_col))
+    rest = F.expr(f"__hll_h DIV {m}")
+    rho = F.when(rest == 0, F.lit(max_rho)).otherwise(
+        F.least(
+            F.bit_count((rest.bitwiseAND(-rest)) - 1) + F.lit(1),
+            F.lit(max_rho),
+        )
+    )
+    regs = (
+        df.select(
+            *group_cols,
+            h.alias("__hll_h"),
+        )
+        .select(
+            *group_cols,
+            F.pmod(F.col("__hll_h"), F.lit(m)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rho} - reg)")).alias(
+            "s_obs"
+        ),
+    )
+    num = alpha_num * m * m * (1 << max_rho)
+    return per_group.select(
+        *group_cols,
+        F.expr(
+            f"CAST({num} AS BIGINT) DIV "
+            f"({alpha_den} * (s_obs + ({m} - n_obs) * "
+            f"shiftleft(CAST(1 AS BIGINT), {max_rho})))"
+        ).alias("hll_est"),
+    )

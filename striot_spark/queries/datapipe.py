@@ -1868,3 +1868,59 @@ def q131_systematic_weighted_sample(
 def q136_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.novelty_stats(docs, "doc_id", "text", n=5)
+
+
+@register(
+    "q139_hll_distinct",
+    f"""
+    WITH toks AS (
+        SELECT lang,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS tok
+        FROM documents),
+    h AS (SELECT lang, {H64.format(x='tok')} AS hv FROM toks),
+    r AS (
+        SELECT lang, hv % 64 AS bucket,
+               CASE WHEN (hv // 64) = 0 THEN 40
+                    ELSE least(bit_count(((hv // 64) & (-(hv // 64))) - 1)
+                               + 1, 40)
+               END AS rho
+        FROM h),
+    regs AS (SELECT lang, bucket, max(rho) AS reg
+             FROM r GROUP BY lang, bucket),
+    g AS (SELECT lang, count(*) AS n_obs,
+                 sum((1::BIGINT << (40 - reg))) AS s_obs
+          FROM regs GROUP BY lang),
+    ex AS (SELECT lang, count(DISTINCT tok) AS exact_distinct
+           FROM toks GROUP BY lang)
+    SELECT g.lang, ex.exact_distinct,
+           CAST((709 * 64 * 64 * (1::BIGINT << 40)) //
+                (1000 * (s_obs + (64 - n_obs) * (1::BIGINT << 40)))
+                AS BIGINT) AS hll_est
+    FROM g JOIN ex ON g.lang = ex.lang
+    """,
+    doc="HyperLogLog distinct-token estimate per language NEXT TO its "
+    "exact count, the cardinality twin of q128's count-min sketch: "
+    "md5-derived bucket/rho, per-(lang,bucket) MAX registers (dup-"
+    "insensitive, algebraic — the shuffle carries <= m partial "
+    "registers per group per task, never the token stream), and the "
+    "harmonic mean evaluated entirely in shifted longs so the "
+    "APPROXIMATE estimate is bit-reproducible on any engine "
+    "(functions/analytics.py:hll_distinct). At 100 TB keep the "
+    "register table and drop the exact side; both run here so the "
+    "gate proves the sketch math",
+)
+def q139_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import hll_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(T.nonempty_tokens(F.col("text"))).alias("tok")
+    )
+    est = hll_distinct(toks, ["lang"], "tok")
+    exact = toks.groupBy("lang").agg(
+        F.count_distinct(F.col("tok")).alias("exact_distinct")
+    )
+    return exact.join(est, "lang").select(
+        "lang", "exact_distinct", "hll_est"
+    )

@@ -133,6 +133,7 @@ _SWEEP_FIRST = [
     # beyond the 50 cap from here down - no driver row possible this
     # round; rotate these into the round-8 head
     "q138_incremental_agg_stream",
+    "q139_hll_distinct",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

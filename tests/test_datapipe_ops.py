@@ -1450,3 +1450,24 @@ def test_zorder_files_cover_small_rectangles(spark):
     for r in zm:
         assert r["max_a"] - r["min_a"] < 32
         assert r["max_b"] - r["min_b"] < 32
+
+
+def test_hll_distinct_accuracy_and_dup_insensitivity(spark):
+    from striot_spark.functions.analytics import hll_distinct
+
+    rows = []
+    for g, n in (("s", 100), ("m", 1000), ("l", 5000)):
+        rows += [(g, f"{g}-item-{i}") for i in range(n)]
+    # duplicates must not move the estimate (register max is idempotent)
+    rows += [("m", f"m-item-{i % 50}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, item string")
+    est = {r["g"]: r["hll_est"] for r in hll_distinct(df, ["g"], "item").collect()}
+    for g, n in (("s", 100), ("m", 1000), ("l", 5000)):
+        rel = abs(est[g] / n - 1)
+        assert rel < 0.35, (g, n, est[g])  # ~2.5 sigma at m=64
+    nodup = df.distinct()
+    est2 = {
+        r["g"]: r["hll_est"]
+        for r in hll_distinct(nodup, ["g"], "item").collect()
+    }
+    assert est == est2
