@@ -1924,3 +1924,29 @@ def q139_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "lang").select(
         "lang", "exact_distinct", "hll_est"
     )
+
+
+@register(
+    "q140_fuzzy_link_pairs",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    doc="blocked record linkage (entity resolution): candidate pairs "
+    "from the EXACT (brand, size) blocking equi-join, verified by "
+    "built-in integer Levenshtein — the block-then-compare shape with "
+    "the same scale contract as every pair family here (candidates "
+    "from a key equi-join, never all-pairs; plan-gated no cartesian). "
+    "Spark's and DuckDB's edit distances agree symbol for symbol, so "
+    "the verify step itself is oracle-gated "
+    "(functions/dedup.py:fuzzy_pairs)",
+)
+def q140_fuzzy_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, sf_dir, "part")
+    return D.fuzzy_pairs(
+        parts, "p_partkey", "p_name", ["p_brand", "p_size"], max_edit=4
+    )

@@ -134,6 +134,7 @@ _SWEEP_FIRST = [
     # round; rotate these into the round-8 head
     "q138_incremental_agg_stream",
     "q139_hll_distinct",
+    "q140_fuzzy_link_pairs",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

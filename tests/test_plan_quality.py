@@ -676,3 +676,9 @@ def test_bucketed_agg_skips_exchange(spark, sf_dir):
     agg = spark.table(lt).groupBy("l_orderkey").agg(F.sum("l_quantity"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_fuzzy_pairs_never_cartesian(spark, sf_dir):
+    plan = _executed(spark, "q140_fuzzy_link_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
