@@ -392,9 +392,30 @@ def hll_distinct(
 
     Emits one row per group: ``(group_cols..., hll_est)``.
     """
+    return hll_estimate(
+        hll_registers(df, group_cols, item_col, m, max_rho),
+        group_cols,
+        m,
+        max_rho,
+        alpha_num,
+        alpha_den,
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    m: int = 64,
+    max_rho: int = 40,
+) -> DataFrame:
+    """The mergeable half of ``hll_distinct``: per-(group, bucket) MAX
+    registers. Max is algebraic, so this aggregation also runs
+    unchanged as a complete-mode STREAMING aggregation (registers over
+    an unbounded stream) or unions across shards — merge is just
+    another max groupBy."""
     from striot_spark.functions.text import md5_hash64
 
-    assert alpha_num * m * m * (1 << max_rho) < (1 << 63)
     h = md5_hash64(F.col(item_col))
     rest = F.expr(f"__hll_h DIV {m}")
     rho = F.when(rest == 0, F.lit(max_rho)).otherwise(
@@ -403,7 +424,7 @@ def hll_distinct(
             F.lit(max_rho),
         )
     )
-    regs = (
+    return (
         df.select(
             *group_cols,
             h.alias("__hll_h"),
@@ -416,6 +437,19 @@ def hll_distinct(
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("reg"))
     )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: Sequence[str],
+    m: int = 64,
+    max_rho: int = 40,
+    alpha_num: int = 709,
+    alpha_den: int = 1000,
+) -> DataFrame:
+    """Finish an ``hll_registers`` table into per-group estimates (the
+    shifted-long harmonic mean; see ``hll_distinct``)."""
+    assert alpha_num * m * m * (1 << max_rho) < (1 << 63)
     per_group = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rho} - reg)")).alias(

@@ -1790,3 +1790,78 @@ def q138_incremental_agg_stream(
     return snap.select(
         "user_id", "event_type", "n_rows", F.col("sum_value_c")
     )
+
+
+@register(
+    "q141_hll_sketch_stream",
+    f"""
+    WITH toks AS (
+        SELECT lang,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS tok
+        FROM documents),
+    h AS (SELECT lang,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv,
+                 tok
+          FROM toks),
+    r AS (
+        SELECT lang, hv % 64 AS bucket,
+               CASE WHEN (hv // 64) = 0 THEN 40
+                    ELSE least(bit_count(((hv // 64) & (-(hv // 64))) - 1)
+                               + 1, 40)
+               END AS rho
+        FROM h),
+    regs AS (SELECT lang, bucket, max(rho) AS reg
+             FROM r GROUP BY lang, bucket),
+    g AS (SELECT lang, count(*) AS n_obs,
+                 sum((1::BIGINT << (40 - reg))) AS s_obs
+          FROM regs GROUP BY lang),
+    ex AS (SELECT lang, count(DISTINCT tok) AS exact_distinct
+           FROM toks GROUP BY lang)
+    SELECT g.lang, ex.exact_distinct,
+           CAST((709 * 64 * 64 * (1::BIGINT << 40)) //
+                (1000 * (s_obs + (64 - n_obs) * (1::BIGINT << 40)))
+                AS BIGINT) AS hll_est
+    FROM g JOIN ex ON g.lang = ex.lang
+    """,
+    doc="the q139 HyperLogLog built ON THE STREAM: hll_registers runs "
+    "as a complete-mode streaming max aggregation (register max is "
+    "algebraic, so the sketch is exactly batching-insensitive), the "
+    "drained register table is finished with the shifted-long "
+    "harmonic mean, and the result is gated against the SAME oracle "
+    "as batch q139 — the cardinality twin of q130's streaming "
+    "count-min sketch",
+)
+def q141_hll_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.analytics import hll_estimate, hll_registers
+    from striot_spark.functions.text import nonempty_tokens
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_documents(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema)
+    toks_s = sdf.select(
+        "lang", F.explode(nonempty_tokens(F.col("text"))).alias("tok")
+    )
+    regs_s = hll_registers(toks_s, ["lang"], "tok")
+    drained = RT.run_available_now(
+        regs_s,
+        f"q141_hll_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q141_ck_"),
+        mode="complete",
+    )
+    est = hll_estimate(drained, ["lang"])
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        docs.select(
+            "lang", F.explode(nonempty_tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("lang")
+        .agg(F.count_distinct(F.col("tok")).alias("exact_distinct"))
+    )
+    return exact.join(est, "lang").select(
+        "lang", "exact_distinct", "hll_est"
+    )

@@ -135,6 +135,7 @@ _SWEEP_FIRST = [
     "q138_incremental_agg_stream",
     "q139_hll_distinct",
     "q140_fuzzy_link_pairs",
+    "q141_hll_sketch_stream",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
