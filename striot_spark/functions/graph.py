@@ -57,21 +57,55 @@ def pagerank(
     ``checkpoint_every`` rounds so deep iteration counts do not grow
     the plan unboundedly.
     """
+    from striot_spark.core.scale import (
+        SMALL_INPUT_CONF,
+        SMALL_INPUT_DEFAULT,
+        _estimated_bytes,
+    )
+
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
+    spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # small-graph gate (same conf as global_index): a graph whose edge
+    # list Catalyst estimates under the small-input threshold gains
+    # nothing from the session's shuffle width — per-iteration 200-task
+    # exchanges are pure scheduling overhead on a plain session, so pin
+    # every keyed exchange to defaultParallelism instead. Big graphs
+    # keep the session width untouched.
+    try:
+        small_bytes = int(
+            spark.conf.get(SMALL_INPUT_CONF, str(SMALL_INPUT_DEFAULT))
+        )
+    except ValueError:
+        small_bytes = SMALL_INPUT_DEFAULT
+    est = _estimated_bytes(e)
+    n = (
+        spark.sparkContext.defaultParallelism
+        if est is not None and est <= small_bytes
+        else None
+    )
+
+    def part(df: DataFrame, key: str) -> DataFrame:
+        return df.repartition(n, key) if n else df
+
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_deg = e.join(deg, "src").persist()
-    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    e_deg = part(e.join(deg, "src"), "src").persist()
+    nodes = part(
+        e.select(F.col("src").alias("node")).distinct(), "node"
+    ).persist()
     teleport = (damp_den - damp_num) * scale // damp_den
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for i in range(iterations):
         contribs = (
-            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            e_deg.join(part(ranks, "node"), e_deg["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank DIV outdeg").alias("c"),
             )
+        )
+        contribs = (
+            part(contribs, "node")
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
