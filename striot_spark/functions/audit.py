@@ -169,3 +169,39 @@ def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         F.col("__v")[0].alias("n_nonnull"),
         F.col("__v")[1].alias("n_distinct"),
     )
+
+
+def skew_stats(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Key-distribution skew profile: the ``top_n`` heaviest values of
+    ``key_col`` with their counts, rank, and integer-permille share of
+    all rows, plus the global row/key totals on every row — the
+    diagnostic that decides whether a join/agg on this key needs
+    salting (q60) or AQE skew handling before it burns a cluster.
+
+    Scale shape: one key groupBy with map-side partials, then the
+    top-N via ``orderBy().limit()`` — Spark plans TakeOrdered (each
+    partition keeps its local N, the driver merges #partitions*N
+    rows), NOT a single-partition global sort of the counted key set;
+    the rank window runs over the already-limited N rows. Totals are a
+    1-row aggregate of the same counts, broadcast-joined back.
+    """
+    counts = df.groupBy(F.col(key_col)).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col(key_col).asc()).limit(
+        top_n
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("n").desc(), F.col(key_col).asc())
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    return ranked.crossJoin(F.broadcast(totals)).select(
+        F.col(key_col).cast("string").alias("key_value"),
+        "n",
+        "rank",
+        F.expr("(n * 1000) DIV total_rows").alias("permille"),
+        "n_keys",
+        "total_rows",
+    )

@@ -1167,3 +1167,33 @@ def q124_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return profile(li, ["l_quantity", "l_linestatus", "l_returnflag"])
+
+
+@register(
+    "q142_skew_profile",
+    """
+    WITH c AS (SELECT user_id AS k, count(*) AS n
+               FROM events GROUP BY user_id),
+    t AS (SELECT sum(n) AS total_rows, count(*) AS n_keys FROM c),
+    r AS (SELECT k, n, row_number() OVER (ORDER BY n DESC, k ASC) AS rank
+          FROM c)
+    SELECT CAST(r.k AS VARCHAR) AS key_value,
+           r.n, r.rank,
+           (r.n * 1000) // t.total_rows AS permille,
+           t.n_keys, CAST(t.total_rows AS BIGINT) AS total_rows
+    FROM r, t WHERE r.rank <= 10
+    """,
+    doc="key-distribution skew profile: the 10 heaviest keys with "
+    "count, rank and integer-permille share plus global row/key "
+    "totals — the pre-flight diagnostic for choosing salting (q60) or "
+    "AQE skew handling before a hot-key join burns a cluster. Top-N "
+    "is TakeOrdered (per-partition local N, driver merge), NEVER a "
+    "single-partition sort of the key set; totals broadcast back "
+    "(functions/audit.py:skew_stats)",
+)
+def q142_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.audit import skew_stats
+    from striot_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_stats(ev, "user_id", top_n=10)

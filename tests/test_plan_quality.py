@@ -682,3 +682,19 @@ def test_fuzzy_pairs_never_cartesian(spark, sf_dir):
     plan = _executed(spark, "q140_fuzzy_link_pairs", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_profile_uses_take_ordered(spark, sf_dir):
+    """The heavy-key top-N must be TakeOrdered (per-partition local N +
+    driver merge), not a global single-partition sort of the counted
+    key set."""
+    plan = _executed(spark, "q142_skew_profile", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    # the rank window runs over the ALREADY-limited top-N (Window node
+    # sits above TakeOrdered), and the only single-partition exchange
+    # is the 1-row scalar totals combine (partial_sum per partition,
+    # #partitions rows through the funnel) — never the counted key set
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    assert plan.count("Exchange SinglePartition") == 1
+    totals = plan.split("Exchange SinglePartition")[1]
+    assert "partial_sum" in totals
