@@ -147,3 +147,39 @@ def zone_map(df: DataFrame, file_col, dims: list[str]) -> DataFrame:
     for d in dims:
         aggs += [F.min(d).alias(f"min_{d}"), F.max(d).alias(f"max_{d}")]
     return df.groupBy(file_col).agg(*aggs)
+
+
+def compact_files(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(size / target_bytes)`` files of comfortable scan size — the
+    maintenance pass every streaming/incremental sink needs, because
+    per-batch writers (upsert/incremental sinks, dead-letter drains,
+    micro-batch appends) accrete files far smaller than a scan task
+    wants, and at 100 TB file-listing + task-granularity overhead from
+    millions of tiny files dominates the scan itself.
+
+    The rewrite is a ``coalesce`` (narrow dependency — each output
+    task concatenates whole input files, NO shuffle and no
+    re-sorting), so compaction cost is one sequential read+write of
+    the data. Size comes from the Hadoop FS listing of the actual
+    directory (not Catalyst estimates — compaction cares about bytes
+    on disk). Returns the compacted DataFrame re-read from
+    ``out_dir``.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = p.getFileSystem(conf)
+    size = fs.getContentSummary(p).getLength()
+    n = max(1, math.ceil(size / target_bytes))
+    spark.read.parquet(src_dir).coalesce(n).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    return spark.read.parquet(out_dir)

@@ -266,3 +266,73 @@ def systematic_weighted_sample(
         f"(cum_weight - CAST({weight_col} AS BIGINT)) DIV {int(stride)}"
     )
     return cum.filter(w > 0).filter(keep)
+
+
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred,
+    buckets: int = 4096,
+    scale: int = 10**6,
+) -> DataFrame:
+    """DSIR-shaped data selection (hashed n-gram importance sampling,
+    Xie et al. 2023 public methodology) with EXACT integer arithmetic:
+    score each doc by how target-like its token distribution is, where
+    the per-feature importance ratio is the target/corpus occurrence
+    ratio over ``buckets`` hashed unigram features:
+
+        w(b)  = (target_count(b) * scale) DIV corpus_count(b)
+        score = Σ_tokens w(bucket(token))          (occurrences, not set)
+
+    ``target_pred`` marks the in-domain rows (e.g. ``lang == 'en'``).
+    Rank by ``raw_score DIV n_tokens`` (or feed ``raw_score`` to
+    ``systematic_weighted_sample``) to select target-like data; all
+    integers, so the ranking is identical on any engine.
+
+    Scale shape: ONE exploded scan feeds a single ``buckets``-row
+    groupBy counting corpus and target occurrences together (map-side
+    partials; the bucket table is scale-invariant in doc count), the
+    weight vector collects driver-side (bounded by ``buckets``) and
+    returns to the plan as ONE array literal (`F.lit(list)` — the
+    PERF.md §23 rule; a per-entry CreateMap would be 2*buckets
+    expression nodes), and the scoring pass is a zero-shuffle in-row
+    fold — docs are never joined or shuffled.
+    """
+    from striot_spark.functions.text import md5_hash64, nonempty_tokens
+
+    def bkt(c):
+        return F.pmod(md5_hash64(c), F.lit(buckets))
+
+    cnt = (
+        df.select(
+            F.explode(nonempty_tokens(F.col(text_col))).alias("tok"),
+            target_pred.cast("long").alias("is_t"),
+        )
+        .select(bkt(F.col("tok")).alias("b"), "is_t")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_c"),
+            F.sum("is_t").alias("n_t"),
+        )
+    )
+    w = [0] * buckets
+    for r in cnt.collect():  # <= buckets rows, scale-invariant
+        w[r["b"]] = r["n_t"] * scale // r["n_c"]
+    arr = F.lit(w)
+    toks = nonempty_tokens(F.col(text_col))
+    score = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.element_at(
+                arr, (bkt(t) + F.lit(1)).cast("int")
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("raw_score"),
+    )

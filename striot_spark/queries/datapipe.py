@@ -1950,3 +1950,42 @@ def q140_fuzzy_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.fuzzy_pairs(
         parts, "p_partkey", "p_name", ["p_brand", "p_size"], max_edit=4
     )
+
+
+@register(
+    "q144_importance_weights",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS tok
+        FROM documents),
+    b AS (SELECT doc_id, lang,
+                 {H64.format(x='tok')} % 4096 AS bkt
+          FROM toks),
+    w AS (SELECT bkt, count(*) AS n_c,
+                 (sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000)
+                     // count(*) AS wt
+          FROM b GROUP BY bkt),
+    s AS (SELECT b.doc_id, count(*) AS n_tokens, sum(w.wt) AS raw_score
+          FROM b JOIN w ON b.bkt = w.bkt GROUP BY b.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.raw_score, 0) AS BIGINT) AS raw_score
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """,
+    doc="DSIR-shaped importance scoring (hashed-feature target/corpus "
+    "occurrence ratios, Xie et al. 2023 methodology) in exact integer "
+    "arithmetic: one exploded scan counts corpus AND target (lang=en) "
+    "occurrences per 4096 hashed buckets together, the weight vector "
+    "returns to the plan as ONE F.lit array literal (PERF.md §23 "
+    "rule), and scoring is a zero-shuffle in-row fold — docs are "
+    "never joined or shuffled. Rank by raw_score DIV n_tokens or "
+    "feed raw_score straight into q131's systematic weighted sampler "
+    "(functions/sampling.py:importance_weights)",
+)
+def q144_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return SAMP.importance_weights(
+        docs, "doc_id", "text", F.col("lang") == "en"
+    )

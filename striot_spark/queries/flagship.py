@@ -1865,3 +1865,41 @@ def q141_hll_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "lang").select(
         "lang", "exact_distinct", "hll_est"
     )
+
+
+@register(
+    "q143_compact_small_files",
+    f"""
+    SELECT event_id, user_id, event_type,
+           CAST(round((value)*100.0, 0) AS BIGINT) AS value_c,
+           strftime(ts, '{_TS_FMT_Q89}') AS ts_s
+    FROM events
+    """,
+    doc="small-file compaction as a first-class maintenance pass: the "
+    "events table is deliberately scattered into 64 tiny parquet "
+    "files (the debris every micro-batch sink accretes), then "
+    "compact_files rewrites them into ceil(bytes/target) "
+    "comfortable files via a NARROW coalesce — no shuffle, no "
+    "re-sort, one sequential read+write; sizes come from the Hadoop "
+    "FS listing, not estimates. The gate proves content identity "
+    "through the rewrite; the unit test pins the file-count collapse "
+    "(functions/bucketing.py:compact_files)",
+)
+def q143_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from striot_spark.functions.analytics import cents, ts_str
+    from striot_spark.functions.bucketing import compact_files
+
+    ev = load_table(spark, sf_dir, "events")
+    frag = tempfile.mkdtemp(prefix="striot_q143_frag_") + "/data"
+    ev.repartition(64).write.parquet(frag)
+    out = tempfile.mkdtemp(prefix="striot_q143_out_") + "/data"
+    compacted = compact_files(spark, frag, out, target_bytes=8 * 1024 * 1024)
+    return compacted.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        cents(F.col("value")).alias("value_c"),
+        ts_str(F.col("ts")).alias("ts_s"),
+    )

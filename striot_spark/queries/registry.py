@@ -136,6 +136,9 @@ _SWEEP_FIRST = [
     "q139_hll_distinct",
     "q140_fuzzy_link_pairs",
     "q141_hll_sketch_stream",
+    "q142_skew_profile",
+    "q143_compact_small_files",
+    "q144_importance_weights",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

@@ -1471,3 +1471,54 @@ def test_hll_distinct_accuracy_and_dup_insensitivity(spark):
         for r in hll_distinct(nodup, ["g"], "item").collect()
     }
     assert est == est2
+
+
+def test_compact_files_collapses_file_count_preserving_rows(spark, tmp_path):
+    import os
+
+    from striot_spark.functions.bucketing import compact_files
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    spark.range(20000).withColumn("v", F.col("id") * 3).repartition(
+        50
+    ).write.parquet(src)
+    n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_before == 50
+    got = compact_files(spark, src, out, target_bytes=64 * 1024)
+    n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert 1 <= n_after < n_before
+    assert sorted(
+        (r["id"], r["v"]) for r in got.collect()
+    ) == [(i, i * 3) for i in range(20000)]
+    # narrow rewrite: a tighter budget yields proportionally more files
+    out2 = str(tmp_path / "compact2")
+    compact_files(spark, src, out2, target_bytes=16 * 1024)
+    n2 = len([f for f in os.listdir(out2) if f.endswith(".parquet")])
+    assert n2 > n_after
+
+
+def test_importance_weights_rank_target_like_docs(spark):
+    from striot_spark.functions.sampling import importance_weights
+
+    # target topic uses a disjoint vocabulary from the off-target noise
+    rows = [(i, "t", "alpha beta gamma delta alpha beta") for i in range(6)]
+    rows += [(10 + i, "o", "zero one two three four five") for i in range(6)]
+    rows += [(20, "t", "alpha beta zero one")]  # mixed doc: in between
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["raw_score"])
+        for r in importance_weights(
+            df, "doc_id", "text", F.col("grp") == "t", buckets=512
+        ).collect()
+    }
+    # per-token normalized score orders: pure-target > mixed > pure-noise
+    def per_tok(i):
+        n, s = out[i]
+        return s / n
+
+    assert per_tok(0) > per_tok(20) > per_tok(10)
+    # target tokens appear ONLY in target rows -> their bucket weight is
+    # scale (ratio 1); a pure-target doc scores exactly n_tokens * scale
+    n, s = out[0]
+    assert s == n * 10**6
