@@ -82,6 +82,8 @@ def main() -> None:
         "q123_zip_join_stream",
         "q125_upsert_snapshot_stream",
         "q130_cms_sketch_stream",
+        "q138_incremental_agg_stream",
+        "q141_hll_sketch_stream",
     }
     # best-of-3 (was 2): PERF.md r4 measured 10-23% CV across identical
     # back-to-back runs on this shared box; a third repeat materially
