@@ -519,3 +519,39 @@ def kmeans(
         return assigned, cents
     finally:
         base.unpersist()
+
+
+def group_centroids(
+    df: DataFrame,
+    group_cols,
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-group embedding centroid TRANSPORT form: for each (group,
+    dimension), the EXACT integer sum of quantized coordinates plus
+    the group count — the mean-pooling step of class prototypes /
+    label centroids / per-source embedding summaries, in the same
+    deterministic M-step arithmetic as ``kmeans`` (long sums are
+    order-insensitive, so the result is bit-identical under any
+    partitioning and reproducible in any engine; one double division
+    ``q_sum / (n * quant)`` wherever the float mean is finally
+    needed).
+
+    Plan: one ``posexplode`` of the vector column into (group, dim,
+    val) and one groupBy — after map-side partials the shuffle
+    carries at most #groups × dim partial rows per task, independent
+    of corpus size; output is #groups × dim rows (driver-safe).
+    """
+    gcols = [F.col(c) for c in (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )]
+    exploded = df.select(
+        *gcols, F.posexplode(F.col(vec_col)).alias("dim", "val")
+    )
+    qv = F.floor(F.col("val") * F.lit(float(quant)) + F.lit(0.5)).cast(
+        "long"
+    )
+    return exploded.groupBy(*[c for c in gcols] + [F.col("dim")]).agg(
+        F.sum(qv).alias("q_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1989,3 +1989,30 @@ def q144_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SAMP.importance_weights(
         docs, "doc_id", "text", F.col("lang") == "en"
     )
+
+
+@register(
+    "q145_label_centroids",
+    """
+    WITH idx AS (
+        SELECT label, embedding AS em,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+           sum(CAST(floor(CAST(em[i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT)) AS q_sum,
+           count(*) AS n
+    FROM idx GROUP BY label, i
+    """,
+    doc="per-label embedding centroids in the kmeans M-step transport "
+    "form: (label, dim) -> exact integer sum of quantized coordinates "
+    "+ count, one posexplode + one groupBy whose shuffle carries at "
+    "most #labels x dim partials per task regardless of corpus size; "
+    "long sums are order-insensitive so the centroid is bit-identical "
+    "on any engine/partitioning, with the single float division "
+    "deferred to the consumer "
+    "(functions/similarity.py:group_centroids)",
+)
+def q145_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.group_centroids(emb, "label")

@@ -769,3 +769,48 @@ def q135_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("type_asof"),
         "value_c",
     )
+
+
+@register(
+    "q146_interarrival_stats",
+    """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+                   AS gap_us
+        FROM events)
+    SELECT user_id,
+           count(*) AS n_events,
+           count(gap_us) AS n_gaps,
+           min(gap_us) AS min_gap_us,
+           max(gap_us) AS max_gap_us,
+           sum(gap_us) AS sum_gap_us
+    FROM g GROUP BY user_id
+    """,
+    doc="per-entity inter-arrival time features (the IoT/behavioral "
+    "cadence signal: burstiness, dormancy, rate): consecutive-event "
+    "gaps from one per-key window lag in exact integer microseconds, "
+    "then a key groupBy with map-side partials — min/max/sum+count "
+    "are emitted instead of a float mean so the gate and any "
+    "downstream mean (sum DIV n) stay engine-exact. Window is "
+    "partitioned by the key: parallel at any key cardinality",
+)
+def q146_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag(F.col("ts")).over(w)
+    )
+    g = ev.select("user_id", gap.alias("gap_us"))
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("sum_gap_us"),
+    )

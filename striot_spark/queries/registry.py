@@ -139,6 +139,8 @@ _SWEEP_FIRST = [
     "q142_skew_profile",
     "q143_compact_small_files",
     "q144_importance_weights",
+    "q145_label_centroids",
+    "q146_interarrival_stats",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
