@@ -465,3 +465,104 @@ def hll_estimate(
             f"shiftleft(CAST(1 AS BIGINT), {max_rho})))"
         ).alias("hll_est"),
     )
+
+
+def quantiles_at_scale(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_quantiles: int = 10,
+) -> DataFrame:
+    """EXACT quantiles of an integer column by distributed rank
+    selection — the form that survives 100 TB, unlike
+    ``F.percentile``/``F.median``, whose aggregation buffers every
+    value of the group in one task's memory (fine for q13's bounded
+    per-day groups, a non-starter for a whole-table quantile over
+    billions of rows).
+
+    Two-pass: ``global_index`` assigns each row its global rank in
+    (value, tiebreak) order (range-repartitioned — no
+    single-partition sort), then the ``n_quantiles + 1`` boundary
+    ranks ``floor(k * (n-1) / q)`` are selected by a scan-side filter
+    on the rank column. Quantiles are type-``discrete`` (an actual
+    data value, no interpolation), so integer columns stay integer
+    and any engine agrees exactly. Output: (quantile k, rank, value).
+    """
+    from striot_spark.core.scale import global_index
+
+    spark = df.sparkSession
+    n = df.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], f"q int, rank long, {value_col} long"
+        )
+    wanted = [
+        (k, k * (n - 1) // n_quantiles) for k in range(n_quantiles + 1)
+    ]
+    ranks_df = spark.createDataFrame(wanted, "q int, rank long")
+    idx = global_index(
+        df.select(value_col, tiebreak_col),
+        [F.col(value_col).asc(), F.col(tiebreak_col).asc()],
+        "rank",
+    )
+    return (
+        idx.join(F.broadcast(ranks_df), "rank")
+        .select("q", "rank", F.col(value_col))
+    )
+
+
+def table_digest(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Order-insensitive content digest of a table, bucketed so two
+    copies can be compared without moving data — the
+    replication/migration validation primitive (did the cross-region
+    copy, engine migration, or compaction rewrite preserve every
+    row?). Two tables are content-equal iff their digest tables are
+    equal; a mismatch localizes to a bucket (~1/n_buckets of the
+    data) for drill-down.
+
+    Per row: the same injection-safe digest discipline as
+    ``snapshot_diff`` (each column md5-hashed FIRST, fixed-width
+    concat, '<NULL>' sentinel), folded to a 60-bit integer. Per
+    bucket (= row-hash mod n_buckets): the row count and the SUM of
+    row hashes mod 2^31-1 — addition is commutative/associative, so
+    the digest is independent of row order, partitioning, and
+    engine; unlike XOR it does NOT cancel duplicate rows (two copies
+    of a row change the sum). The sum runs in decimal(38,0) (exact at
+    any row count, the ``dedup_groups`` discipline) with ONE final
+    mod back to a long.
+
+    One scan + one ``n_buckets``-row aggregate; map-side partials
+    carry at most n_buckets rows per task. Pass the same ``cols`` on
+    both sides; restrict to columns with engine-stable string casts
+    (integers/strings — float/timestamp formatting differs across
+    engines).
+    """
+    from striot_spark.functions.text import md5_hash64
+
+    parts: list[Column] = []
+    for c in cols:
+        parts.append(
+            F.coalesce(
+                F.md5(F.encode(F.col(c).cast("string"), "UTF-8")),
+                F.lit("<NULL>"),
+            )
+        )
+    h = md5_hash64(F.concat(*parts)) % F.lit(2147483647)
+    return (
+        df.select(
+            F.pmod(h, F.lit(n_buckets)).alias("bucket"),
+            h.alias("__h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.col("__h").cast("decimal(38,0)"))
+                % F.lit(2147483647)
+            ).cast("long").alias("digest"),
+        )
+    )

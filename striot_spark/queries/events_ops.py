@@ -814,3 +814,43 @@ def q146_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").alias("max_gap_us"),
         F.sum("gap_us").alias("sum_gap_us"),
     )
+
+
+@register(
+    "q148_table_digest",
+    f"""
+    WITH p AS (
+        SELECT COALESCE(md5(CAST(event_id AS VARCHAR)), '<NULL>') ||
+               COALESCE(md5(CAST(user_id AS VARCHAR)), '<NULL>') ||
+               COALESCE(md5(event_type), '<NULL>') ||
+               COALESCE(md5(CAST({CENTS_SQL} AS VARCHAR)), '<NULL>')
+                   AS s
+        FROM events),
+    h AS (SELECT ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
+              AS hv
+          FROM p)
+    SELECT hv % 64 AS bucket, count(*) AS n_rows,
+           CAST(sum(hv) % 2147483647 AS BIGINT) AS digest
+    FROM h GROUP BY hv % 64
+    """,
+    doc="order-insensitive bucketed table content digest "
+    "(functions/analytics.py:table_digest): per-row injection-safe "
+    "column-wise md5 fold, per-bucket row count + modular SUM of row "
+    "hashes (commutative, so identical on any engine/partitioning; "
+    "unlike XOR, duplicates do not cancel) — the replication/"
+    "migration validation primitive: compare two copies by comparing "
+    "64 digest rows, mismatches localize to a bucket. One scan, one "
+    "bucket-row aggregate with map-side partials",
+)
+def q148_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import cents, table_digest
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        cents(F.col("value")).alias("value_c"),
+    )
+    return table_digest(
+        ev, ["event_id", "user_id", "event_type", "value_c"]
+    )

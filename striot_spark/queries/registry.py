@@ -141,6 +141,8 @@ _SWEEP_FIRST = [
     "q144_importance_weights",
     "q145_label_centroids",
     "q146_interarrival_stats",
+    "q147_quantiles_at_scale",
+    "q148_table_digest",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

@@ -643,3 +643,41 @@ def q137_zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = d.withColumn("zkey", B.zorder_key(["ck", "day"], bits=18))
     files = z.withColumn("file_id", F.shiftright(F.col("zkey"), 20))
     return B.zone_map(files, "file_id", ["ck", "day"])
+
+
+@register(
+    "q147_quantiles_at_scale",
+    """
+    WITH v AS (
+        SELECT CAST(round(l_extendedprice*100.0, 0) AS BIGINT) AS cents_v,
+               l_orderkey * 100 + l_linenumber AS tb
+        FROM lineitem),
+    r AS (SELECT cents_v,
+                 row_number() OVER (ORDER BY cents_v ASC, tb ASC) - 1
+                     AS rank
+          FROM v),
+    n AS (SELECT count(*) AS n FROM v),
+    t AS (SELECT unnest(range(0, 11)) AS q)
+    SELECT CAST(t.q AS INTEGER) AS q, r.rank, r.cents_v AS value_cents
+    FROM t CROSS JOIN n
+    JOIN r ON r.rank = (t.q * (n.n - 1)) // 10
+    """,
+    doc="whole-table EXACT deciles by distributed rank selection "
+    "(functions/analytics.py:quantiles_at_scale): global_index "
+    "assigns ranks via the two-pass range partitioning (no "
+    "single-partition sort) and the 11 boundary ranks are picked by "
+    "a broadcast join — the quantile form that survives 100 TB, "
+    "where F.percentile/median would buffer every value of the "
+    "group in one task (fine for q13's bounded per-day groups, fatal "
+    "for a whole-table quantile). Discrete quantiles: actual data "
+    "values, integer-exact on any engine",
+)
+def q147_quantiles_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import quantiles_at_scale
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        money(F.col("l_extendedprice")).alias("cents_v"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("tb"),
+    )
+    q = quantiles_at_scale(li, "cents_v", "tb", n_quantiles=10)
+    return q.select("q", "rank", F.col("cents_v").alias("value_cents"))

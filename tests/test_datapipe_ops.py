@@ -1522,3 +1522,52 @@ def test_importance_weights_rank_target_like_docs(spark):
     # scale (ratio 1); a pure-target doc scores exactly n_tokens * scale
     n, s = out[0]
     assert s == n * 10**6
+
+
+def test_table_digest_detects_changes_not_order(spark):
+    from striot_spark.functions.analytics import table_digest
+
+    rows = [(i, f"u{i % 7}", i * 3) for i in range(500)]
+    a = spark.createDataFrame(rows, "id long, u string, v long")
+    b = spark.createDataFrame(list(reversed(rows)), "id long, u string, v long").repartition(7)
+
+    def dig(df):
+        return sorted(map(tuple, table_digest(df, ["id", "u", "v"]).collect()))
+
+    assert dig(a) == dig(b)  # order/partitioning-insensitive
+    changed = spark.createDataFrame(
+        rows[:-1] + [(499, "u3", 9999)], "id long, u string, v long"
+    )
+    assert dig(changed) != dig(a)  # one changed row flips a bucket
+    duped = spark.createDataFrame(rows + rows[:1], "id long, u string, v long")
+    assert dig(duped) != dig(a)  # duplicates do NOT cancel (sum, not xor)
+
+
+def test_quantiles_at_scale_matches_python_and_forced_two_pass(spark):
+    from striot_spark.functions.analytics import quantiles_at_scale
+
+    vals = [((i * 7919) % 1000, i) for i in range(2000)]
+    df = spark.createDataFrame(vals, "v long, tb long")
+    expect = sorted(vals)
+    want = {
+        k: expect[k * 1999 // 10][0] for k in range(11)
+    }
+    got = {
+        r["q"]: r["v"]
+        for r in quantiles_at_scale(df, "v", "tb").collect()
+    }
+    assert got == want
+    # force the range-partitioned two-pass path and assert identity
+    old = spark.conf.get("striot.globalIndex.smallInputBytes", None)
+    try:
+        spark.conf.set("striot.globalIndex.smallInputBytes", "0")
+        got2 = {
+            r["q"]: r["v"]
+            for r in quantiles_at_scale(df, "v", "tb").collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("striot.globalIndex.smallInputBytes")
+        else:
+            spark.conf.set("striot.globalIndex.smallInputBytes", old)
+    assert got2 == want
