@@ -119,3 +119,75 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact global triangle count over an undirected edge list
+    (distinct pairs, either orientation) — with the degree-orientation
+    trick that makes it survive skewed graphs: every edge is directed
+    from its lower-(degree, hash) endpoint to the higher, so each
+    triangle is counted exactly once AND the out-degree of any node is
+    O(sqrt(m)) — the wedge join (the quadratic step) is bounded by
+    sum(outdeg²) ≤ m^1.5 instead of blowing up on hub nodes
+    (Suri & Vassilvitskii WWW'11 "Counting triangles and the curse of
+    the last reducer", public methodology).
+
+    The total order is the (degree, md5-hash-of-id) tuple compared
+    lexicographically (60-bit hash — ties need an md5 collision), so
+    orientation is deterministic for any id type and any engine.
+    Plan: one degree groupBy, two degree-annotation equi-joins, one
+    wedge self-join on the pivot, one equi-join of wedges against
+    oriented edges — all key equi-joins, no cartesian. Returns a
+    single row (n_triangles).
+    """
+    from striot_spark.functions.text import md5_hash64
+
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    both = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ann = (
+        e.join(
+            deg.select(F.col("u").alias("__n"), F.col("d").alias("du")),
+            F.col("u") == F.col("__n"),
+        )
+        .drop("__n")
+        .join(
+            deg.select(F.col("u").alias("__n"), F.col("d").alias("dv")),
+            F.col("v") == F.col("__n"),
+        )
+        .drop("__n")
+        .withColumn("hu", md5_hash64(F.col("u").cast("string")))
+        .withColumn("hv", md5_hash64(F.col("v").cast("string")))
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("hu") < F.col("hv"))
+    )
+    oriented = ann.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+        F.when(u_first, F.col("hv")).otherwise(F.col("hu")).alias("dh"),
+    ).persist()
+    w1 = oriented.select(
+        F.col("src").alias("p"),
+        F.col("dst").alias("x"),
+        F.col("dd").alias("dx"),
+        F.col("dh").alias("hx"),
+    )
+    w2 = oriented.select(
+        F.col("src").alias("p"),
+        F.col("dst").alias("y"),
+        F.col("dd").alias("dy"),
+        F.col("dh").alias("hy"),
+    )
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("hx") < F.col("hy"))
+    )
+    wedges = w1.join(w2, "p").filter(x_first).select("x", "y")
+    closing = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

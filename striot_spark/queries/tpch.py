@@ -681,3 +681,64 @@ def q147_quantiles_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = quantiles_at_scale(li, "cents_v", "tb", n_quantiles=10)
     return q.select("q", "rank", F.col("cents_v").alias("value_cents"))
+
+
+@register(
+    "q149_triangle_count",
+    """
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    nd AS (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0),
+    deg AS (SELECT n, count(*) AS d FROM nd GROUP BY n),
+    ann AS (
+        SELECT e0.u, e0.v, du.d AS du, dv.d AS dv,
+               ('0x' || substr(md5(e0.u::VARCHAR), 1, 15))::BIGINT AS hu,
+               ('0x' || substr(md5(e0.v::VARCHAR), 1, 15))::BIGINT AS hv
+        FROM e0 JOIN deg du ON e0.u = du.n JOIN deg dv ON e0.v = dv.n),
+    o AS (
+        SELECT CASE WHEN du < dv OR (du = dv AND hu < hv)
+                    THEN u ELSE v END AS src,
+               CASE WHEN du < dv OR (du = dv AND hu < hv)
+                    THEN v ELSE u END AS dst,
+               CASE WHEN du < dv OR (du = dv AND hu < hv)
+                    THEN dv ELSE du END AS dd,
+               CASE WHEN du < dv OR (du = dv AND hu < hv)
+                    THEN hv ELSE hu END AS dh
+        FROM ann),
+    w AS (
+        SELECT o1.dst AS x, o2.dst AS y
+        FROM o o1 JOIN o o2 ON o1.src = o2.src
+        WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dh < o2.dh))
+    SELECT count(*) AS n_triangles
+    FROM w JOIN o ON w.x = o.src AND w.y = o.dst
+    """,
+    doc="exact triangle count over the part co-purchase graph "
+    "(distinct part pairs sharing an order) with DEGREE orientation "
+    "(Suri & Vassilvitskii WWW'11): each edge directed toward its "
+    "higher-(degree, md5) endpoint, so every triangle counts once and "
+    "the wedge self-join is bounded by m^1.5 even on hub-skewed "
+    "graphs — all key equi-joins, no cartesian. Completes the graph "
+    "family next to CC (q74/q129) and PageRank (q133) "
+    "(functions/graph.py:triangle_count)",
+)
+def q149_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .distinct()
+    )
+    return triangle_count(edges)

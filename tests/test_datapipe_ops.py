@@ -1571,3 +1571,19 @@ def test_quantiles_at_scale_matches_python_and_forced_two_pass(spark):
         else:
             spark.conf.set("striot.globalIndex.smallInputBytes", old)
     assert got2 == want
+
+
+def test_triangle_count_known_graphs(spark):
+    from striot_spark.functions.graph import triangle_count
+
+    def count(pairs):
+        df = spark.createDataFrame(pairs, "a long, b long")
+        return triangle_count(df).collect()[0]["n_triangles"]
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert count(k4) == 4  # K4 has C(4,3) triangles
+    square = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    assert count(square) == 0
+    # two triangles sharing an edge + a pendant node
+    bowtie = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4), (4, 5)]
+    assert count(bowtie) == 2
