@@ -1903,3 +1903,73 @@ def q143_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("value")).alias("value_c"),
         ts_str(F.col("ts")).alias("ts_s"),
     )
+
+
+@register(
+    "q150_table_digest_stream",
+    f"""
+    WITH p AS (
+        SELECT COALESCE(md5(CAST(event_id AS VARCHAR)), '<NULL>') ||
+               COALESCE(md5(CAST(user_id AS VARCHAR)), '<NULL>') ||
+               COALESCE(md5(event_type), '<NULL>') ||
+               COALESCE(md5(CAST(CAST(round((value)*100.0, 0) AS BIGINT)
+                                 AS VARCHAR)), '<NULL>')
+                   AS s
+        FROM events),
+    h AS (SELECT ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
+              AS hv
+          FROM p)
+    SELECT hv % 64 AS bucket, count(*) AS n_rows,
+           CAST(sum(hv) % 2147483647 AS BIGINT) AS digest
+    FROM h GROUP BY hv % 64
+    """,
+    doc="the q148 content digest built ON THE STREAM through the "
+    "adversarial out-of-order multi-batch replay: count and modular "
+    "SUM are algebraic aggregates, so the complete-mode streaming "
+    "digest is exactly batching- and arrival-order-insensitive — "
+    "continuous replication validation (digest the stream while it "
+    "loads, compare against the source's batch digest) under the "
+    "SAME oracle as batch q148",
+)
+def q150_table_digest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.analytics import cents
+    from striot_spark.functions.text import md5_hash64
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events_ooo(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+        .filter(F.col("user_id") != BARRIER_USER)
+        .withColumn("value_c", cents(F.col("value")))
+    )
+    parts = [
+        F.coalesce(
+            F.md5(F.encode(F.col(c).cast("string"), "UTF-8")),
+            F.lit("<NULL>"),
+        )
+        for c in ("event_id", "user_id", "event_type", "value_c")
+    ]
+    h = md5_hash64(F.concat(*parts)) % F.lit(2147483647)
+    digest_s = (
+        sdf.select(
+            F.pmod(h, F.lit(64)).alias("bucket"), h.alias("__h")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.col("__h").cast("decimal(38,0)"))
+                % F.lit(2147483647)
+            ).cast("long").alias("digest"),
+        )
+    )
+    return RT.run_available_now(
+        digest_s,
+        f"q150_digest_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q150_ck_"),
+        mode="complete",
+    )
