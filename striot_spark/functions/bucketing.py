@@ -61,19 +61,25 @@ def write_bucketed(
 ) -> str:
     """Write ``df`` as a catalog-registered parquet table bucketed (and
     by default sorted) on ``bucket_col``; returns the qualified table
-    name. One file per bucket; overwrites any previous version."""
+    name. Thin wrapper over `sources/bucketed.py:write_bucketed` (the
+    layout/one-file-per-bucket mechanics live there) that supplies the
+    explicit temp-LOCATION database, so callers — q132, the plan gates
+    — need no writable warehouse or path of their own."""
+    import os
+
+    from striot_spark.sources.bucketed import write_bucketed as _wb
+
     spark = df.sparkSession
     db = _ensure_db(spark)
     name = f"{db}.{table}"
-    writer = (
-        df.repartition(num_buckets, F.col(bucket_col))
-        .write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(num_buckets, bucket_col)
+    _wb(
+        df,
+        name,
+        os.path.join(_LOCATION, table),
+        [bucket_col],
+        num_buckets,
+        sort_cols=[bucket_col] if sort else None,
     )
-    if sort:
-        writer = writer.sortBy(bucket_col)
-    writer.saveAsTable(name)
     return name
 
 

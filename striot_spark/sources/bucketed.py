@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -35,9 +36,18 @@ def write_bucketed(
 ) -> None:
     """Write ``df`` as an external bucketed table (parquet at ``path``,
     bucket metadata in the session catalog). Joins between tables
-    bucketed the same way on the same keys need no shuffle."""
+    bucketed the same way on the same keys need no shuffle.
+
+    Rows are repartitioned onto the bucket keys first so each bucket
+    lands as ONE file: many-files-per-bucket still avoids the join
+    exchange, but forces a per-task merge of file splits, while one
+    ``sort_cols``-sorted file per bucket lets the scan satisfy a
+    sort-merge join's sort requirement straight from ``sortBy`` order.
+    (`functions/bucketing.py:write_bucketed` is the temp-LOCATION
+    catalog wrapper over this, used by the oracle-gated q132.)"""
     w = (
-        df.write.mode("overwrite")
+        df.repartition(buckets, *[F.col(k) for k in keys])
+        .write.mode("overwrite")
         .option("path", path)
         .bucketBy(buckets, *keys)
     )
