@@ -27,6 +27,23 @@ def _estimated_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def is_small_input(df: DataFrame) -> bool:
+    """The shared small-input gate: True iff Catalyst's size estimate
+    for ``df`` is at or under ``striot.globalIndex.smallInputBytes``
+    (default 64 MB). Used by ``global_index`` / ``global_prefix_sum``
+    to pick the plain one-task form, and by ``functions/graph.py``'s
+    iterative ops to pin exchange widths — one conf, one rule."""
+    spark = df.sparkSession
+    try:
+        small = int(
+            spark.conf.get(SMALL_INPUT_CONF, str(SMALL_INPUT_DEFAULT))
+        )
+    except ValueError:
+        small = SMALL_INPUT_DEFAULT
+    est = _estimated_bytes(df)
+    return est is not None and est <= small
+
+
 def global_index(
     df: DataFrame,
     order_cols: list,
@@ -67,12 +84,7 @@ def global_index(
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
-    try:
-        small = int(spark.conf.get(SMALL_INPUT_CONF, str(SMALL_INPUT_DEFAULT)))
-    except ValueError:
-        small = SMALL_INPUT_DEFAULT
-    est = _estimated_bytes(df)
-    if est is not None and est <= small:
+    if is_small_input(df):
         w = W.orderBy(*order_cols)
         return df.withColumn(out_col, F.row_number().over(w) - F.lit(1))
     n = partitions or max(
@@ -187,13 +199,8 @@ def global_prefix_sum(
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
-    try:
-        small = int(spark.conf.get(SMALL_INPUT_CONF, str(SMALL_INPUT_DEFAULT)))
-    except ValueError:
-        small = SMALL_INPUT_DEFAULT
-    est = _estimated_bytes(df)
     run = F.sum(F.col(value_col))
-    if est is not None and est <= small:
+    if is_small_input(df):
         w = W.orderBy(*order_cols).rowsBetween(W.unboundedPreceding, 0)
         return df.withColumn(out_col, run.over(w))
     n = partitions or max(

@@ -449,7 +449,11 @@ def hll_estimate(
 ) -> DataFrame:
     """Finish an ``hll_registers`` table into per-group estimates (the
     shifted-long harmonic mean; see ``hll_distinct``)."""
-    assert alpha_num * m * m * (1 << max_rho) < (1 << 63)
+    if alpha_num * m * m * (1 << max_rho) >= (1 << 63):
+        raise ValueError(
+            "alpha_num * m^2 * 2^max_rho must stay below 2^63 "
+            "(lower max_rho or m)"
+        )
     per_group = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rho} - reg)")).alias(

@@ -57,43 +57,34 @@ def pagerank(
     ``checkpoint_every`` rounds so deep iteration counts do not grow
     the plan unboundedly.
     """
-    from striot_spark.core.scale import (
-        SMALL_INPUT_CONF,
-        SMALL_INPUT_DEFAULT,
-        _estimated_bytes,
-    )
+    from striot_spark.core.scale import is_small_input
 
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    # small-graph gate (same conf as global_index): a graph whose edge
-    # list Catalyst estimates under the small-input threshold gains
-    # nothing from the session's shuffle width — per-iteration 200-task
-    # exchanges are pure scheduling overhead on a plain session, so pin
-    # every keyed exchange to defaultParallelism instead. Big graphs
-    # keep the session width untouched.
-    try:
-        small_bytes = int(
-            spark.conf.get(SMALL_INPUT_CONF, str(SMALL_INPUT_DEFAULT))
-        )
-    except ValueError:
-        small_bytes = SMALL_INPUT_DEFAULT
-    est = _estimated_bytes(e)
+    # small-graph gate (same conf/threshold as global_index): a graph
+    # whose edge list Catalyst estimates under the small-input
+    # threshold gains nothing from the session's shuffle width —
+    # per-iteration 200-task exchanges are pure scheduling overhead on
+    # a plain session, so pin every keyed exchange to
+    # defaultParallelism instead. Big graphs keep the session width.
     n = (
         spark.sparkContext.defaultParallelism
-        if est is not None and est <= small_bytes
+        if is_small_input(e)
         else None
     )
 
     def part(df: DataFrame, key: str) -> DataFrame:
         return df.repartition(n, key) if n else df
 
+    from striot_spark.functions.caching import track_persist
+
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_deg = part(e.join(deg, "src"), "src").persist()
-    nodes = part(
-        e.select(F.col("src").alias("node")).distinct(), "node"
-    ).persist()
+    e_deg = track_persist(part(e.join(deg, "src"), "src"))
+    nodes = track_persist(
+        part(e.select(F.col("src").alias("node")).distinct(), "node")
+    )
     teleport = (damp_den - damp_num) * scale // damp_den
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for i in range(iterations):
@@ -164,12 +155,16 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("hu") < F.col("hv"))
     )
-    oriented = ann.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
-        F.when(u_first, F.col("hv")).otherwise(F.col("hu")).alias("dh"),
-    ).persist()
+    from striot_spark.functions.caching import track_persist
+
+    oriented = track_persist(
+        ann.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+            F.when(u_first, F.col("hv")).otherwise(F.col("hu")).alias("dh"),
+        )
+    )
     w1 = oriented.select(
         F.col("src").alias("p"),
         F.col("dst").alias("x"),

@@ -600,25 +600,25 @@ def novelty_stats(
 
     Zero joins on the gram axis (q109's trick): the df=1 owner is
     recovered as ``min(id)`` inside the single gram groupBy, so the
-    corpus text is scanned once, exploded once, and aggregated by gram
-    once; ``n_grams`` itself is a scan-side ``size(array_distinct(...))``
-    projection on the same scan. The only join is doc-keyed (unique
-    counts back onto the doc list) and carries at most one row per doc.
+    corpus text is scanned once and exploded once; per-doc totals come
+    from a doc groupBy of the same exploded set. The only joins are
+    doc-keyed (totals and unique counts back onto the pruned id column)
+    and carry at most one row per doc.
     """
     from striot_spark.functions.dedup import shingles
 
-    base = scatter(df).select(
-        F.col(id_col),
-        F.size(F.array_distinct(shingles(F.col(text_col), n))).alias(
-            "n_grams"
-        ),
-    )
+    # ONE scan + ONE shingle pass: every per-doc stat derives from the
+    # single distinct-(doc, gram) explode — totals are grams.groupBy(id)
+    # (not a second size() projection, which would re-scan and re-shingle
+    # the whole corpus), and the final doc-keyed joins touch only the
+    # pruned id column of the base table.
     grams = scatter(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias(
             "gram"
         ),
     )
+    tot = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     uniq = (
         grams.groupBy("gram")
         .agg(
@@ -629,10 +629,17 @@ def novelty_stats(
         .groupBy(F.col("owner").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
-    return base.join(uniq, id_col, "left").select(
-        id_col,
-        "n_grams",
-        F.coalesce(F.col("n_unique"), F.lit(0)).cast("long").alias(
-            "n_unique"
-        ),
+    return (
+        df.select(id_col)
+        .join(tot, id_col, "left")
+        .join(uniq, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("int").alias(
+                "n_grams"
+            ),
+            F.coalesce(F.col("n_unique"), F.lit(0)).cast("long").alias(
+                "n_unique"
+            ),
+        )
     )
