@@ -20,6 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: graphs with at most this many edges pin iteration exchanges to
+#: defaultParallelism (see pagerank's small-graph gate)
+SMALL_GRAPH_CONF = "striot.graph.smallEdgeRows"
+SMALL_GRAPH_DEFAULT = 5_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -57,28 +62,37 @@ def pagerank(
     ``checkpoint_every`` rounds so deep iteration counts do not grow
     the plan unboundedly.
     """
-    from striot_spark.core.scale import is_small_input
+    from striot_spark.functions.caching import track_persist
 
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    # small-graph gate (same conf/threshold as global_index): a graph
-    # whose edge list Catalyst estimates under the small-input
-    # threshold gains nothing from the session's shuffle width —
-    # per-iteration 200-task exchanges are pure scheduling overhead on
-    # a plain session, so pin every keyed exchange to
-    # defaultParallelism instead. Big graphs keep the session width.
+    e = track_persist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    # small-graph gate: per-iteration exchanges at the session's
+    # shuffle width (200 on a plain session) are pure scheduling
+    # overhead when the graph is small, so pin them to
+    # defaultParallelism below a row threshold. The gate counts the
+    # PERSISTED edge list (one cheap job over data every later stage
+    # reuses) instead of Catalyst's size estimate: edge lists are
+    # usually join-derived, and without CBO a join's estimate is the
+    # product of its children — uselessly large. Big graphs keep the
+    # session width untouched.
+    try:
+        small_edges = int(
+            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
+        )
+    except ValueError:
+        small_edges = SMALL_GRAPH_DEFAULT
     n = (
         spark.sparkContext.defaultParallelism
-        if is_small_input(e)
+        if e.count() <= small_edges
         else None
     )
 
     def part(df: DataFrame, key: str) -> DataFrame:
         return df.repartition(n, key) if n else df
-
-    from striot_spark.functions.caching import track_persist
 
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e_deg = track_persist(part(e.join(deg, "src"), "src"))
