@@ -570,3 +570,49 @@ def table_digest(
             ).cast("long").alias("digest"),
         )
     )
+
+
+def group_quantiles_at_scale(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    tiebreak_col: str,
+    n_quantiles: int = 4,
+) -> DataFrame:
+    """EXACT per-group quantiles for groups too large to buffer:
+    ``F.percentile``/``median`` aggregate by collecting every value of
+    the group into one task's MEMORY (fine for bounded groups, an OOM
+    for a billion-row group); this form instead ranks within each group
+    with a window (Spark's sort SPILLS to disk, so group size is
+    bounded by executor disk, not heap) and selects the boundary ranks
+    ``floor(k * (n-1) / q)`` per group with a scan-side filter.
+
+    Discrete quantiles (actual data values): integer columns stay
+    integer and any engine agrees exactly. One key shuffle (the window
+    partitioning) + one tiny count join. Output: one row per
+    (group, k) — ``(group_cols..., q, rank, value)``.
+
+    The whole-table sibling is ``quantiles_at_scale`` (range-
+    partitioned two-pass — no key to partition by there).
+    """
+    w = W.partitionBy(*group_cols).orderBy(
+        F.col(value_col).asc(), F.col(tiebreak_col).asc()
+    )
+    sizes = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    ranked = df.withColumn("rank", F.row_number().over(w) - F.lit(1))
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in range(n_quantiles + 1)])
+    ).alias("q")
+    wanted = sizes.select(*group_cols, "__n", ks).select(
+        *group_cols,
+        "q",
+        F.expr(f"CAST(q * (__n - 1) DIV {n_quantiles} AS BIGINT)").alias(
+            "rank"
+        ),
+    )
+    return (
+        ranked.join(
+            F.broadcast(wanted), [*group_cols, "rank"]
+        )
+        .select(*group_cols, "q", "rank", F.col(value_col))
+    )

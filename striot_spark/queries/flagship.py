@@ -1973,3 +1973,78 @@ def q150_table_digest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="striot_q150_ck_"),
         mode="complete",
     )
+
+
+@register(
+    "q152_pit_enrich_stream",
+    f"""
+    WITH odd AS (SELECT * FROM events WHERE event_id % 2 = 1),
+    even AS (SELECT * FROM events WHERE event_id % 2 = 0),
+    j AS (
+        SELECT e.event_id, o.event_type AS state_type,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.ts DESC, o.event_id DESC) AS rn
+        FROM even e JOIN odd o
+          ON e.user_id = o.user_id AND o.ts <= e.ts)
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '{_TS_FMT_Q89}') AS ts_s,
+           j2.state_type
+    FROM even e
+    LEFT JOIN (SELECT event_id, state_type FROM j WHERE rn = 1) j2
+      ON e.event_id = j2.event_id
+    """,
+    doc="streaming POINT-IN-TIME feature join (the training-serving-"
+    "skew killer): each streamed event is enriched with the state its "
+    "entity had AT THE EVENT'S OWN TIMESTAMP, by a stateless stream-"
+    "static LEFT join against the q134 SCD-2 validity intervals "
+    "(valid_from <= ts < valid_to) — no window, no state store, "
+    "batch-deterministic under any replay batching. History here: "
+    "odd event_ids form the per-user state changes, the even half "
+    "streams through the adversarial out-of-order replay; the oracle "
+    "recomputes the as-of lookup per event",
+)
+def q152_pit_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import scd2_history, ts_str
+    from striot_spark.streaming import runtime as RT
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev.filter(F.col("event_id") % 2 == 1),
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+        payload_cols=["event_type"],
+    ).select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("state_type"),
+        "valid_from",
+        "valid_to",
+    )
+    src = _stage_events_ooo(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+        .filter(F.col("user_id") != BARRIER_USER)
+        .filter(F.col("event_id") % 2 == 0)
+    )
+    joined = sdf.join(
+        hist,
+        (F.col("user_id") == F.col("h_user"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    ).select(
+        "event_id",
+        "user_id",
+        ts_str(F.col("ts")).alias("ts_s"),
+        "state_type",
+    )
+    import tempfile
+    import uuid
+
+    return RT.run_available_now(
+        joined,
+        f"q152_pit_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q152_ck_"),
+    )

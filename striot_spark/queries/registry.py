@@ -145,6 +145,8 @@ _SWEEP_FIRST = [
     "q148_table_digest",
     "q149_triangle_count",
     "q150_table_digest_stream",
+    "q151_group_quantiles",
+    "q152_pit_enrich_stream",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

@@ -742,3 +742,46 @@ def q149_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+@register(
+    "q151_group_quantiles",
+    """
+    WITH v AS (
+        SELECT p_brand,
+               CAST(round(p_retailprice*100.0, 0) AS BIGINT) AS cents_v,
+               p_partkey AS tb
+        FROM part),
+    r AS (SELECT p_brand, cents_v,
+                 row_number() OVER (
+                     PARTITION BY p_brand
+                     ORDER BY cents_v ASC, tb ASC) - 1 AS rank
+          FROM v),
+    n AS (SELECT p_brand, count(*) AS n FROM v GROUP BY p_brand),
+    t AS (SELECT unnest(range(0, 5)) AS q),
+    w AS (SELECT n.p_brand, CAST(t.q AS INTEGER) AS q,
+                 (t.q * (n.n - 1)) // 4 AS rank
+          FROM n CROSS JOIN t)
+    SELECT w.p_brand, w.q, w.rank, r.cents_v AS value_cents
+    FROM w JOIN r ON w.p_brand = r.p_brand AND w.rank = r.rank
+    """,
+    doc="per-brand EXACT price quartiles for groups too big to buffer "
+    "(functions/analytics.py:group_quantiles_at_scale): rank within "
+    "each group via a window — Spark's sort SPILLS to disk, so group "
+    "size is bounded by executor disk, where F.percentile/median "
+    "collect the whole group into one task's heap — then select the "
+    "boundary ranks per group with a broadcast rank join. Discrete "
+    "integer-cents quantiles, engine-exact; one key shuffle total",
+)
+def q151_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import group_quantiles_at_scale
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        money(F.col("p_retailprice")).alias("cents_v"),
+        F.col("p_partkey").alias("tb"),
+    )
+    q = group_quantiles_at_scale(p, ["p_brand"], "cents_v", "tb", 4)
+    return q.select(
+        "p_brand", "q", "rank", F.col("cents_v").alias("value_cents")
+    )
