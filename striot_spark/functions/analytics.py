@@ -616,3 +616,81 @@ def group_quantiles_at_scale(
         )
         .select(*group_cols, "q", "rank", F.col(value_col))
     )
+
+
+def funnel(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+) -> DataFrame:
+    """Ordered conversion funnel: for each entity, the earliest
+    timestamp at which each stage completes *strictly after the
+    previous stage* (the sequenced CEP pattern A then B then C — a
+    later 'view' after the first 'click' does not reopen stage one).
+    Null from the first incomplete stage onward.
+
+    Lowering: one conditional-min aggregation per stage, each keyed by
+    the entity — stage k's aggregation takes ``min(ts) WHERE type =
+    stages[k] AND ts > t_{k-1}``, with ``t_{k-1}`` equi-joined back
+    from the previous round (one row per entity — broadcast-sized for
+    bounded entity sets, AQE picks). len(stages) key shuffles of
+    (entity, ts) pairs; no window over full histories, no collect.
+    For funnels over billions of entities each aggregation is map-side
+    partial and the joined state is one row per entity.
+
+    Emits (key_cols..., t_<stage> for each stage).
+    """
+    keys = list(key_cols)
+    out = df.select(*keys).distinct()
+    prev: str | None = None
+    for st in stages:
+        cond = F.col(type_col) == st
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        src = df.join(out, keys) if prev is not None else df
+        stage_ts = (
+            src.filter(cond)
+            .groupBy(*keys)
+            .agg(F.min(ts_col).alias(f"t_{st}"))
+        )
+        out = out.join(stage_ts, keys, "left")
+        prev = f"t_{st}"
+    return out
+
+
+def retention_cohorts(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    origin: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: entities grouped by their FIRST-active
+    period (cohort), counted in every later period they return —
+    ``(cohort, period_offset, n_active)``, the classic
+    product-analytics triangle, in pure integer period arithmetic
+    (``datediff DIV period_days`` from a fixed origin; no float ages).
+
+    Lowering: one key groupBy for first-activity periods, one distinct
+    over (entity, period) — which already dedups multi-event periods,
+    so the final cell count is a plain ``count(*)`` — and one key
+    equi-join between two entity-sized tables. Three key shuffles
+    total, map-side partials everywhere; nothing scales with events
+    per entity beyond the first scan.
+    """
+    keys = list(key_cols)
+    wk = F.expr(
+        f"datediff({ts_col}, '{origin}') DIV {int(period_days)}"
+    ).alias("__wk")
+    acts = df.select(*keys, wk).distinct()
+    first = acts.groupBy(*keys).agg(F.min("__wk").alias("cohort"))
+    return (
+        acts.join(first, keys)
+        .groupBy(
+            "cohort",
+            (F.col("__wk") - F.col("cohort")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -854,3 +854,78 @@ def q148_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_digest(
         ev, ["event_id", "user_id", "event_type", "value_c"]
     )
+
+
+@register(
+    "q153_conversion_funnel",
+    f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t_click
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t_view
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+           GROUP BY e.user_id)
+    SELECT u.user_id,
+           strftime(s1.t_view, '{TS_FMT}') AS t_view,
+           strftime(s2.t_click, '{TS_FMT}') AS t_click,
+           strftime(s3.t_purchase, '{TS_FMT}') AS t_purchase
+    FROM u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
+    doc="ordered conversion funnel (view THEN click THEN purchase): "
+    "per entity, the earliest completion of each stage STRICTLY after "
+    "the previous one — the sequenced CEP pattern, lowered as one "
+    "conditional-min key aggregation per stage with the prior stage "
+    "time equi-joined back (len(stages) key shuffles, map-side "
+    "partials, one row per entity of state; no window over full "
+    "histories, no collect) "
+    "(functions/analytics.py:funnel)",
+)
+def q153_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import funnel, ts_str
+
+    ev = load_table(spark, sf_dir, "events")
+    out = funnel(
+        ev, ["user_id"], "ts", "event_type", ["view", "click", "purchase"]
+    )
+    return out.select(
+        "user_id",
+        ts_str(F.col("t_view")).alias("t_view"),
+        ts_str(F.col("t_click")).alias("t_click"),
+        ts_str(F.col("t_purchase")).alias("t_purchase"),
+    )
+
+
+@register(
+    "q154_retention_cohorts",
+    """
+    WITH a AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', TIMESTAMP '2024-01-01', ts) // 7 AS wk
+        FROM events),
+    f AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY user_id)
+    SELECT f.cohort, a.wk - f.cohort AS period_offset,
+           count(*) AS n_active
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY f.cohort, a.wk - f.cohort
+    """,
+    doc="weekly cohort retention triangle: entities grouped by their "
+    "first-active week, counted in every week they return — pure "
+    "integer period arithmetic (datediff DIV 7 from a fixed origin). "
+    "One distinct over (entity, period) dedups multi-event weeks so "
+    "the cell count is a plain count(*); three key shuffles total, "
+    "nothing scales with events-per-entity past the first scan "
+    "(functions/analytics.py:retention_cohorts)",
+)
+def q154_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts(ev, ["user_id"], "ts", "2024-01-01")

@@ -147,6 +147,8 @@ _SWEEP_FIRST = [
     "q150_table_digest_stream",
     "q151_group_quantiles",
     "q152_pit_enrich_stream",
+    "q153_conversion_funnel",
+    "q154_retention_cohorts",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

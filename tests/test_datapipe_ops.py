@@ -1587,3 +1587,54 @@ def test_triangle_count_known_graphs(spark):
     # two triangles sharing an edge + a pendant node
     bowtie = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4), (4, 5)]
     assert count(bowtie) == 2
+
+
+def test_funnel_strict_ordering(spark):
+    import datetime
+
+    from striot_spark.functions.analytics import funnel
+
+    t = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return t + datetime.timedelta(seconds=s)
+
+    rows = [
+        # u1 converts in order
+        (1, at(0), "view"), (1, at(10), "click"), (1, at(20), "purchase"),
+        # u2 clicks BEFORE viewing: click must not count; later click does
+        (2, at(0), "click"), (2, at(5), "view"), (2, at(9), "purchase"),
+        (2, at(12), "click"), (2, at(30), "purchase"),
+        # u3 never clicks
+        (3, at(0), "view"), (3, at(50), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+    out = {
+        r["u"]: (r["t_view"], r["t_click"], r["t_purchase"])
+        for r in funnel(df, ["u"], "ts", "et", ["view", "click", "purchase"]).collect()
+    }
+    assert out[1] == (at(0), at(10), at(20))
+    # u2: first click AFTER view is t=12; first purchase after that is 30
+    assert out[2] == (at(5), at(12), at(30))
+    assert out[3] == (at(0), None, None)
+
+
+def test_retention_cohorts_triangle(spark):
+    import datetime
+
+    from striot_spark.functions.analytics import retention_cohorts
+
+    def day(d):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+
+    rows = [
+        (1, day(0)), (1, day(7)), (1, day(8)),  # cohort 0, weeks 0+1
+        (2, day(1)), (2, day(15)),              # cohort 0, weeks 0+2
+        (3, day(9)),                            # cohort 1, week 1 only
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    out = {
+        (r["cohort"], r["period_offset"]): r["n_active"]
+        for r in retention_cohorts(df, ["u"], "ts", "2024-01-01").collect()
+    }
+    assert out == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}
