@@ -929,3 +929,126 @@ def q154_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return retention_cohorts(ev, ["user_id"], "ts", "2024-01-01")
+
+
+@register(
+    "q155_rolling_active_users",
+    """
+    WITH a AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', TIMESTAMP '2024-01-01', ts)
+                    AS BIGINT) AS d
+        FROM events),
+    cover AS (
+        SELECT DISTINCT user_id, d + g.o AS target_d
+        FROM a, (SELECT unnest(range(0, 7)) AS o) g),
+    days AS (SELECT DISTINCT d FROM a)
+    SELECT c.target_d AS day_idx, count(*) AS active_7d
+    FROM cover c JOIN days ON c.target_d = days.d
+    GROUP BY c.target_d
+    """,
+    doc="EXACT rolling 7-day active entities per day (the WAU shape — "
+    "the classic hard-at-scale sliding DISTINCT): each distinct "
+    "(entity, day) activity is expanded to the 7 target days it "
+    "covers, re-deduped, and counted — a bounded x7 row expansion of "
+    "the (entity, day) table, never of raw events, so cost scales "
+    "with active-pairs not event volume; emitted only for days with "
+    "actual activity. Compare q156: the same curve from mergeable "
+    "HLL registers",
+)
+def q155_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id",
+        F.datediff(F.col("ts"), F.lit("2024-01-01"))
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    cover = (
+        a.select(
+            "user_id",
+            F.explode(
+                F.array(*[F.col("d") + F.lit(o) for o in range(7)])
+            ).alias("target_d"),
+        )
+        .distinct()
+    )
+    days = a.select("d").distinct()
+    return (
+        cover.join(days, cover["target_d"] == days["d"])
+        .groupBy(F.col("target_d").alias("day_idx"))
+        .agg(F.count(F.lit(1)).alias("active_7d"))
+    )
+
+
+@register(
+    "q156_hll_rolling_merge",
+    """
+    WITH a AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid,
+               CAST(date_diff('day', TIMESTAMP '2024-01-01', ts)
+                    AS BIGINT) AS d
+        FROM events),
+    h AS (SELECT d, ('0x' || substr(md5(uid), 1, 15))::BIGINT AS hv
+          FROM a),
+    r AS (
+        SELECT d, hv % 64 AS bucket,
+               CASE WHEN (hv // 64) = 0 THEN 40
+                    ELSE least(bit_count(((hv // 64) & (-(hv // 64))) - 1)
+                               + 1, 40)
+               END AS rho
+        FROM h),
+    regs AS (SELECT d, bucket, max(rho) AS reg FROM r GROUP BY d, bucket),
+    cover AS (
+        SELECT regs.d + g.o AS day_idx, regs.bucket, regs.reg
+        FROM regs, (SELECT unnest(range(0, 7)) AS o) g),
+    merged AS (
+        SELECT day_idx, bucket, max(reg) AS reg
+        FROM cover GROUP BY day_idx, bucket),
+    g AS (SELECT day_idx, count(*) AS n_obs,
+                 sum((1::BIGINT << (40 - reg))) AS s_obs
+          FROM merged GROUP BY day_idx),
+    days AS (SELECT DISTINCT d FROM a)
+    SELECT g.day_idx,
+           CAST((709 * 64 * 64 * (1::BIGINT << 40)) //
+                (1000 * (s_obs + (64 - n_obs) * (1::BIGINT << 40)))
+                AS BIGINT) AS hll_active_7d
+    FROM g JOIN days ON g.day_idx = days.d
+    """,
+    doc="q155's rolling 7-day active curve from MERGEABLE HLL "
+    "registers — the property that makes sketches the scale answer "
+    "for sliding distinct: per-day registers are built once (one "
+    "pass), and a window is a register-wise MAX of its days (7 tiny "
+    "rows per bucket), never a re-scan of the entities. At 100 TB the "
+    "exact q155 expansion grows with active-pairs x window; this "
+    "grows with days x 64 registers. Same engine-exact shifted-long "
+    "estimate as q139",
+)
+def q156_hll_rolling_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("user_id").cast("string").alias("uid"),
+        F.datediff(F.col("ts"), F.lit("2024-01-01"))
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    regs = hll_registers(a, ["d"], "uid")
+    cover = regs.select(
+        F.explode(
+            F.array(*[F.col("d") + F.lit(o) for o in range(7)])
+        ).alias("day_idx"),
+        "bucket",
+        "reg",
+    )
+    merged = cover.groupBy("day_idx", "bucket").agg(
+        F.max("reg").alias("reg")
+    )
+    est = hll_estimate(merged, ["day_idx"]).withColumnRenamed(
+        "hll_est", "hll_active_7d"
+    )
+    days = a.select("d").distinct()
+    return est.join(days, est["day_idx"] == days["d"]).select(
+        "day_idx", "hll_active_7d"
+    )

@@ -149,6 +149,8 @@ _SWEEP_FIRST = [
     "q152_pit_enrich_stream",
     "q153_conversion_funnel",
     "q154_retention_cohorts",
+    "q155_rolling_active_users",
+    "q156_hll_rolling_merge",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

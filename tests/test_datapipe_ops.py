@@ -1638,3 +1638,28 @@ def test_retention_cohorts_triangle(spark):
         for r in retention_cohorts(df, ["u"], "ts", "2024-01-01").collect()
     }
     assert out == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_hll_register_merge_equals_union_sketch(spark):
+    """The mergeability law behind q156: max-merging two groups'
+    registers gives EXACTLY the registers (and estimate) of the
+    unioned item set."""
+    from striot_spark.functions.analytics import hll_estimate, hll_registers
+
+    rows = [("a", f"x{i}") for i in range(400)]
+    rows += [("b", f"y{i}") for i in range(300)]
+    rows += [("b", f"x{i}") for i in range(100)]  # overlap with a
+    df = spark.createDataFrame(rows, "g string, item string")
+    regs = hll_registers(df, ["g"], "item")
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .withColumn("g", F.lit("u"))
+    )
+    est_merged = hll_estimate(merged, ["g"]).collect()[0]["hll_est"]
+    union = df.select(F.lit("u").alias("g"), "item").distinct()
+    est_union = (
+        hll_estimate(hll_registers(union, ["g"], "item"), ["g"])
+        .collect()[0]["hll_est"]
+    )
+    assert est_merged == est_union
