@@ -1052,3 +1052,95 @@ def q156_hll_rolling_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(days, est["day_idx"] == days["d"]).select(
         "day_idx", "hll_active_7d"
     )
+
+
+@register(
+    "q157_event_transitions",
+    """
+    WITH s AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                   AS prev_type
+        FROM events)
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    doc="behavioral Markov transition counts: adjacent event-type "
+    "bigrams per entity in (ts, event_id) order — one per-key window "
+    "lag (parallel at any key cardinality; per-key history sorts "
+    "locally and SPILLS, never buffers in a map) feeding one "
+    "map-side-partial groupBy of at most |types|^2 cells. The "
+    "transition matrix that drives next-event prediction and "
+    "anomalous-sequence scoring",
+)
+def q157_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    s = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return s.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q158_mad_outliers",
+    f"""
+    WITH v AS (SELECT event_type, {CENTS_SQL} AS c FROM events),
+    med AS (SELECT event_type, quantile_cont(c, 0.5) AS med_c
+            FROM v GROUP BY event_type),
+    dev AS (SELECT v.event_type, v.c, abs(v.c - med.med_c) AS ad,
+                   med.med_c
+            FROM v JOIN med ON v.event_type = med.event_type),
+    mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad_c
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           any_value(d.med_c) / 100.0 AS median_v,
+           any_value(m.mad_c) / 100.0 AS mad_v,
+           sum(CASE WHEN d.ad > 3 * m.mad_c THEN 1 ELSE 0 END)
+               AS n_outliers,
+           count(*) AS n
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+    doc="robust anomaly screen per group: median + MAD (median "
+    "absolute deviation) over integer cents — the outlier detector "
+    "that, unlike mean/stddev z-scores, is not dragged by the "
+    "outliers it hunts. Exact cross-engine: cents are integers, so "
+    "every interpolated median is an exact x.0/x.5 double in IEEE754 "
+    "on both engines (the q13 discipline). Two median passes (each a "
+    "per-group percentile over BOUNDED groups — for unbuffered groups "
+    "use q151's rank-selection form) + one flag aggregation",
+)
+def q158_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import cents
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("c")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("c"), 0.5).alias("med_c")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("c") - F.col("med_c"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("ad"), 0.5).alias("mad_c")
+    )
+    out = dev.join(F.broadcast(mad), "event_type")
+    return out.groupBy("event_type").agg(
+        (F.any_value(F.col("med_c")) / 100.0).alias("median_v"),
+        (F.any_value(F.col("mad_c")) / 100.0).alias("mad_v"),
+        F.sum(
+            (F.col("ad") > 3 * F.col("mad_c")).cast("long")
+        ).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n"),
+    )

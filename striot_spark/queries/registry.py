@@ -151,6 +151,8 @@ _SWEEP_FIRST = [
     "q154_retention_cohorts",
     "q155_rolling_active_users",
     "q156_hll_rolling_merge",
+    "q157_event_transitions",
+    "q158_mad_outliers",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
