@@ -131,7 +131,11 @@ _SWEEP_FIRST = [
     "q136_novelty_stats",
     "q137_zorder_zone_map",
     # beyond the 50 cap from here down - no driver row possible this
-    # round; rotate these into the round-8 head
+    # round; ROUND-8 HEAD PLAN: (1) q138-q158 (21 never-swept, all
+    # verified green in the full plain-session sweeps this round),
+    # (2) fill to 50 with the oldest stale cohort (r04-green batch:
+    # q11-q50 era + _SWEEP_LAST) - that is 21 + 29, exactly the cap;
+    # the cohort swept green in r07 (q93-q137 head) can wait for r09
     "q138_incremental_agg_stream",
     "q139_hll_distinct",
     "q140_fuzzy_link_pairs",
