@@ -205,3 +205,55 @@ def skew_stats(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
         "n_keys",
         "total_rows",
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Predict an equi-join's output size BEFORE running it:
+    ``|A ⋈ B| = Σ_k c_A(k) · c_B(k)`` over per-key counts — exact, and
+    computed from two key-count aggregates joined to each other
+    (key-cardinality-sized inputs, never the fact rows). The
+    per-key products also expose WHICH keys explode: the companion to
+    ``skew_stats`` in the pre-flight family — run both before a
+    100 TB join to decide between plain, broadcast, salted (q60), or
+    bucketed (q132) execution.
+
+    Emits one summary row (key_value='<TOTAL>') with the predicted
+    row count plus the ``top_n`` heaviest contributing keys with
+    their per-key output sizes and integer-permille share.
+    """
+    ca = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    prod = ca.join(cb, "k").select(
+        "k", (F.col("ca") * F.col("cb")).alias("rows_out")
+    )
+    total = prod.agg(F.sum("rows_out").alias("t"))
+    top = prod.orderBy(F.col("rows_out").desc(), F.col("k").asc()).limit(
+        top_n
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("rows_out").desc(), F.col("k").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    detail = ranked.crossJoin(F.broadcast(total)).select(
+        F.col("k").cast("string").alias("key_value"),
+        F.col("rank").cast("int").alias("rank"),
+        "rows_out",
+        F.expr("(rows_out * 1000) DIV t").alias("permille"),
+    )
+    summary = total.select(
+        F.lit("<TOTAL>").alias("key_value"),
+        F.lit(0).cast("int").alias("rank"),
+        F.col("t").alias("rows_out"),
+        F.lit(1000).cast("long").alias("permille"),
+    )
+    return summary.unionByName(detail)

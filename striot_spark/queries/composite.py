@@ -1197,3 +1197,46 @@ def q142_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return skew_stats(ev, "user_id", top_n=10)
+
+
+@register(
+    "q159_join_size_estimate",
+    """
+    WITH ca AS (SELECT o_orderkey AS k, count(*) AS ca
+                FROM orders GROUP BY o_orderkey),
+    cb AS (SELECT l_orderkey AS k, count(*) AS cb
+           FROM lineitem GROUP BY l_orderkey),
+    p AS (SELECT ca.k, ca.ca * cb.cb AS rows_out
+          FROM ca JOIN cb ON ca.k = cb.k),
+    t AS (SELECT sum(rows_out) AS t FROM p),
+    r AS (SELECT k, rows_out,
+                 row_number() OVER (
+                     ORDER BY rows_out DESC, k ASC) AS rank
+          FROM p)
+    SELECT CAST('<TOTAL>' AS VARCHAR) AS key_value,
+           CAST(0 AS INTEGER) AS rank,
+           CAST(t.t AS BIGINT) AS rows_out,
+           CAST(1000 AS BIGINT) AS permille
+    FROM t
+    UNION ALL
+    SELECT CAST(r.k AS VARCHAR), CAST(r.rank AS INTEGER),
+           CAST(r.rows_out AS BIGINT),
+           (r.rows_out * 1000) // t.t
+    FROM r, t WHERE r.rank <= 10
+    """,
+    doc="EXACT equi-join output-size prediction before running the "
+    "join: sum over keys of count_left x count_right, computed from "
+    "two key-count aggregates joined to each other (key-cardinality-"
+    "sized, never the fact rows) plus the 10 heaviest keys with "
+    "integer-permille shares — skew_stats' companion in the "
+    "pre-flight family that decides plain vs broadcast vs salted "
+    "(q60) vs bucketed (q132) execution "
+    "(functions/audit.py:join_size_estimate)",
+)
+def q159_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.audit import join_size_estimate
+    from striot_spark.sources.batch import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return join_size_estimate(o, li, "o_orderkey", "l_orderkey")

@@ -1144,3 +1144,34 @@ def q158_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_outliers"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q160_gini_diversity",
+    """
+    WITH c AS (SELECT user_id, event_type, count(*) AS c
+               FROM events GROUP BY user_id, event_type)
+    SELECT user_id,
+           CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum(c * c) AS BIGINT) AS sum_sq,
+           count(*) AS n_types
+    FROM c GROUP BY user_id
+    """,
+    doc="behavioral diversity per entity as EXACT rational Gini "
+    "impurity transport: emit n and sum of squared per-type counts "
+    "(gini = 1 - sum_sq/n^2, computed downstream from two integers — "
+    "an entropy-style concentration signal with no logs, so any "
+    "engine agrees digit for digit). Two key-grouped aggregations "
+    "with map-side partials; the first collapses events to at most "
+    "|types| rows per entity",
+)
+def q160_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return c.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        F.count(F.lit(1)).alias("n_types"),
+    )

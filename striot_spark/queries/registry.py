@@ -157,6 +157,8 @@ _SWEEP_FIRST = [
     "q156_hll_rolling_merge",
     "q157_event_transitions",
     "q158_mad_outliers",
+    "q159_join_size_estimate",
+    "q160_gini_diversity",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

@@ -1663,3 +1663,18 @@ def test_hll_register_merge_equals_union_sketch(spark):
         .collect()[0]["hll_est"]
     )
     assert est_merged == est_union
+
+
+def test_join_size_estimate_is_exact(spark):
+    from striot_spark.functions.audit import join_size_estimate
+
+    a = spark.createDataFrame(
+        [(k,) for k in [1] * 5 + [2] * 3 + [3]], "k long"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in [1] * 4 + [3] * 2 + [4]], "k long"
+    )
+    out = join_size_estimate(a, b, "k", "k")
+    total = [r for r in out.collect() if r["key_value"] == "<TOTAL>"][0]
+    actual = a.join(b, "k").count()
+    assert total["rows_out"] == actual == 5 * 4 + 1 * 2
