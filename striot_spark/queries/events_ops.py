@@ -1175,3 +1175,127 @@ def q160_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
         F.count(F.lit(1)).alias("n_types"),
     )
+
+
+@register(
+    "q161_ohlc_bars",
+    f"""
+    WITH v AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               {CENTS_SQL} AS c, ts, event_id
+        FROM events),
+    rk AS (
+        SELECT day, c,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY ts ASC, event_id ASC) AS ra,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY ts DESC, event_id DESC) AS rd
+        FROM v)
+    SELECT day,
+           max(CASE WHEN ra = 1 THEN c END) AS open_c,
+           max(c) AS high_c,
+           min(c) AS low_c,
+           max(CASE WHEN rd = 1 THEN c END) AS close_c,
+           count(*) AS n
+    FROM rk GROUP BY day
+    """,
+    doc="time-series downsampling to OHLC bars (open/high/low/close "
+    "per day in integer cents): open/close are min_by/max_by on the "
+    "(ts, event_id) total order — ONE groupBy with map-side partials, "
+    "each task pre-reducing to one candidate bar per day, so the "
+    "shuffle carries bars not ticks (the oracle's window row_number "
+    "form would sort every day's full history). The resample shape "
+    "that turns a 100 TB tick stream into queryable bars",
+)
+def q161_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import cents, day_str
+
+    ev = load_table(spark, sf_dir, "events").select(
+        day_str(F.col("ts")).alias("day"),
+        cents(F.col("value")).alias("c"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("o"),
+    )
+    return ev.groupBy("day").agg(
+        F.min_by(F.col("c"), F.col("o")).alias("open_c"),
+        F.max("c").alias("high_c"),
+        F.min("c").alias("low_c"),
+        F.max_by(F.col("c"), F.col("o")).alias("close_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q162_gap_fill_ffill",
+    f"""
+    WITH v AS (
+        SELECT date_trunc('day', ts) AS day, {CENTS_SQL} AS c,
+               ts, event_id
+        FROM events WHERE event_type = 'purchase' AND user_id % 10 = 3),
+    rk AS (SELECT day, c, row_number() OVER (
+               PARTITION BY day ORDER BY ts DESC, event_id DESC) AS rd
+           FROM v),
+    bars AS (SELECT day, max(CASE WHEN rd = 1 THEN c END) AS close_c,
+                    count(*) AS n
+             FROM rk GROUP BY day),
+    span AS (SELECT min(day) AS lo, max(day) AS hi FROM bars),
+    cal AS (SELECT unnest(generate_series(lo, hi,
+                                          INTERVAL 1 DAY)) AS day
+            FROM span)
+    SELECT strftime(cal.day, '%Y-%m-%d') AS day,
+           COALESCE(b.n, 0) AS n,
+           last_value(b.close_c IGNORE NULLS) OVER (
+               ORDER BY cal.day ASC
+               ROWS UNBOUNDED PRECEDING) AS close_ffill
+    FROM cal LEFT JOIN bars b ON cal.day = b.day
+    """,
+    doc="calendar gap-fill + forward fill: a sparse daily series "
+    "(purchases of a 10% user cohort) is completed over the full "
+    "min..max day range (sequence + explode — no driver collect) and "
+    "the last observed close carries across missing days via "
+    "last_value(ignorenulls) — the resample/as-of-carry step every "
+    "downstream time-series model assumes. The ffill window runs "
+    "over the BOUNDED calendar table (days, not events); for "
+    "per-entity calendars partition the window by the entity",
+)
+def q162_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from striot_spark.functions.analytics import cents, day_str
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("user_id") % 10 == 3)
+        )
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            cents(F.col("value")).alias("c"),
+            F.struct(F.col("ts"), F.col("event_id")).alias("o"),
+        )
+    )
+    bars = ev.groupBy("day").agg(
+        F.max_by(F.col("c"), F.col("o")).alias("close_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    span = bars.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    cal = span.select(
+        F.explode(
+            F.sequence(
+                F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day")
+    )
+    w = W.orderBy(F.col("day").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    joined = cal.join(bars, "day", "left")
+    return joined.select(
+        day_str(F.col("day")).alias("day"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.last(F.col("close_c"), ignorenulls=True).over(w).alias(
+            "close_ffill"
+        ),
+    )

@@ -159,6 +159,8 @@ _SWEEP_FIRST = [
     "q158_mad_outliers",
     "q159_join_size_estimate",
     "q160_gini_diversity",
+    "q161_ohlc_bars",
+    "q162_gap_fill_ffill",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
