@@ -2016,3 +2016,52 @@ def q144_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q145_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.group_centroids(emb, "label")
+
+
+@register(
+    "q163_entity_resolution",
+    """
+    WITH RECURSIVE p AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 4),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION SELECT id_b, id_a FROM p),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+    comp AS (
+        SELECT u AS pk, least(u, min(v)) AS group_id
+        FROM reach GROUP BY u),
+    winners AS (
+        SELECT group_id, pk AS win FROM (
+            SELECT c.group_id, c.pk,
+                   row_number() OVER (
+                       PARTITION BY c.group_id
+                       ORDER BY pt.p_size DESC, c.pk ASC) AS rn
+            FROM comp c JOIN part pt ON c.pk = pt.p_partkey)
+        WHERE rn = 1)
+    SELECT pt.p_partkey, pt.p_brand, pt.p_size FROM part pt
+    WHERE pt.p_partkey IN (SELECT win FROM winners)
+       OR pt.p_partkey NOT IN (SELECT pk FROM comp)
+    """,
+    doc="END-TO-END entity resolution: blocked Levenshtein linkage "
+    "(q140's fuzzy_pairs) -> connected-component entity groups "
+    "(q74's min-label CC) -> canonical keep-one per entity (q104's "
+    "integer-preference max_by) — block, verify, cluster, "
+    "canonicalize as one composed pipeline under a single gate. "
+    "Every stage keeps its own scale contract: equi-join candidates, "
+    "pair-graph-sized group machinery, corpus never shuffled in the "
+    "keep-one step",
+)
+def q163_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, sf_dir, "part")
+    pairs = D.fuzzy_pairs(
+        parts, "p_partkey", "p_name", ["p_brand", "p_size"], max_edit=4
+    ).select("id_a", "id_b")
+    kept = D.canonical_docs(parts, pairs, "p_partkey", "p_size")
+    return kept.select("p_partkey", "p_brand", "p_size")

@@ -161,6 +161,7 @@ _SWEEP_FIRST = [
     "q160_gini_diversity",
     "q161_ohlc_bars",
     "q162_gap_fill_ffill",
+    "q163_entity_resolution",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
