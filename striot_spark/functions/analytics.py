@@ -595,6 +595,8 @@ def group_quantiles_at_scale(
     The whole-table sibling is ``quantiles_at_scale`` (range-
     partitioned two-pass — no key to partition by there).
     """
+    if n_quantiles < 1:
+        raise ValueError("n_quantiles must be >= 1")
     w = W.partitionBy(*group_cols).orderBy(
         F.col(value_col).asc(), F.col(tiebreak_col).asc()
     )
@@ -610,11 +612,11 @@ def group_quantiles_at_scale(
             "rank"
         ),
     )
-    return (
-        ranked.join(
-            F.broadcast(wanted), [*group_cols, "rank"]
-        )
-        .select(*group_cols, "q", "rank", F.col(value_col))
+    # no forced broadcast: `wanted` is n_groups x (n_quantiles+1) rows,
+    # which can exceed driver memory at extreme group cardinality - let
+    # the planner/AQE pick broadcast when it actually fits
+    return ranked.join(wanted, [*group_cols, "rank"]).select(
+        *group_cols, "q", "rank", F.col(value_col)
     )
 
 
@@ -648,8 +650,17 @@ def funnel(
     for st in stages:
         cond = F.col(type_col) == st
         if prev is not None:
+            # join ONLY the entities still alive in the funnel, and only
+            # their previous-stage time - entities eliminated upstream
+            # (and the other accumulated t_ columns) stay out of the
+            # per-stage shuffle
+            alive = out.filter(F.col(prev).isNotNull()).select(
+                *keys, F.col(prev)
+            )
+            src = df.join(alive, keys)
             cond = cond & (F.col(ts_col) > F.col(prev))
-        src = df.join(out, keys) if prev is not None else df
+        else:
+            src = df
         stage_ts = (
             src.filter(cond)
             .groupBy(*keys)
@@ -673,6 +684,12 @@ def retention_cohorts(
     product-analytics triangle, in pure integer period arithmetic
     (``datediff DIV period_days`` from a fixed origin; no float ages).
 
+    ``origin`` should be at or before the earliest event: both engines
+    TRUNCATE integer division (Spark ``DIV`` and DuckDB ``//`` agree,
+    including for negatives), so pre-origin days -(period-1)..+(period-1)
+    would fold into one double-width period 0 — pick the origin, don't
+    let data precede it.
+
     Lowering: one key groupBy for first-activity periods, one distinct
     over (entity, period) — which already dedups multi-event periods,
     so the final cell count is a plain ``count(*)`` — and one key
@@ -693,4 +710,25 @@ def retention_cohorts(
             (F.col("__wk") - F.col("cohort")).alias("period_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Downsample to open/high/low/close bars per bucket: open/close
+    are min_by/max_by on a caller-supplied total-order column (build
+    it as ``F.struct(ts, unique_id)``), so the whole bar is ONE
+    groupBy with map-side partials — each task pre-reduces to a
+    candidate bar per bucket and the shuffle carries bars, not ticks.
+    Shared by q161 (full bars) and q162 (close-only for gap-fill)."""
+    return df.groupBy(bucket_col).agg(
+        F.min_by(F.col(value_col), F.col(order_col)).alias("open_c"),
+        F.max(value_col).alias("high_c"),
+        F.min(value_col).alias("low_c"),
+        F.max_by(F.col(value_col), F.col(order_col)).alias("close_c"),
+        F.count(F.lit(1)).alias("n"),
     )

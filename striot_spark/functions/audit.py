@@ -236,7 +236,10 @@ def join_size_estimate(
     prod = ca.join(cb, "k").select(
         "k", (F.col("ca") * F.col("cb")).alias("rows_out")
     )
-    total = prod.agg(F.sum("rows_out").alias("t"))
+    # empty key intersection => predicted size 0, not NULL
+    total = prod.agg(
+        F.coalesce(F.sum("rows_out"), F.lit(0).cast("long")).alias("t")
+    )
     top = prod.orderBy(F.col("rows_out").desc(), F.col("k").asc()).limit(
         top_n
     )
@@ -254,6 +257,9 @@ def join_size_estimate(
         F.lit("<TOTAL>").alias("key_value"),
         F.lit(0).cast("int").alias("rank"),
         F.col("t").alias("rows_out"),
-        F.lit(1000).cast("long").alias("permille"),
+        F.when(F.col("t") > 0, F.lit(1000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("permille"),
     )
     return summary.unionByName(detail)

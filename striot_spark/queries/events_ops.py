@@ -1210,18 +1210,14 @@ def q160_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q161_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from striot_spark.functions.analytics import cents, day_str
 
+    from striot_spark.functions.analytics import ohlc_bars
+
     ev = load_table(spark, sf_dir, "events").select(
         day_str(F.col("ts")).alias("day"),
         cents(F.col("value")).alias("c"),
         F.struct(F.col("ts"), F.col("event_id")).alias("o"),
     )
-    return ev.groupBy("day").agg(
-        F.min_by(F.col("c"), F.col("o")).alias("open_c"),
-        F.max("c").alias("high_c"),
-        F.min("c").alias("low_c"),
-        F.max_by(F.col("c"), F.col("o")).alias("close_c"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    return ohlc_bars(ev, "day", "c", "o")
 
 
 @register(
@@ -1274,10 +1270,9 @@ def q162_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("ts"), F.col("event_id")).alias("o"),
         )
     )
-    bars = ev.groupBy("day").agg(
-        F.max_by(F.col("c"), F.col("o")).alias("close_c"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    from striot_spark.functions.analytics import ohlc_bars
+
+    bars = ohlc_bars(ev, "day", "c", "o").select("day", "close_c", "n")
     span = bars.agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )

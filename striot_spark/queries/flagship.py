@@ -2021,6 +2021,12 @@ def q152_pit_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         "valid_to",
     )
+    # stream-static joins re-evaluate the static side every micro-batch
+    # - persist the (window-aggregated) history so the 4-batch replay
+    # computes it once, not four times
+    from striot_spark.functions.caching import track_persist
+
+    hist = track_persist(hist)
     src = _stage_events_ooo(spark, sf_dir)
     schema = spark.read.parquet(src).schema
     sdf = (

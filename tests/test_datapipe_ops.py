@@ -1678,3 +1678,15 @@ def test_join_size_estimate_is_exact(spark):
     total = [r for r in out.collect() if r["key_value"] == "<TOTAL>"][0]
     actual = a.join(b, "k").count()
     assert total["rows_out"] == actual == 5 * 4 + 1 * 2
+
+
+def test_join_size_estimate_disjoint_keys_is_zero(spark):
+    from striot_spark.functions.audit import join_size_estimate
+
+    a = spark.createDataFrame([(1,), (1,)], "k long")
+    b = spark.createDataFrame([(2,)], "k long")
+    rows = join_size_estimate(a, b, "k", "k").collect()
+    assert len(rows) == 1
+    assert (rows[0]["key_value"], rows[0]["rows_out"], rows[0]["permille"]) == (
+        "<TOTAL>", 0, 0,
+    )
