@@ -86,6 +86,7 @@ def main() -> None:
         "q141_hll_sketch_stream",
         "q150_table_digest_stream",
         "q152_pit_enrich_stream",
+        "q164_ohlc_bars_stream",
     }
     # best-of-3 (was 2): PERF.md r4 measured 10-23% CV across identical
     # back-to-back runs on this shared box; a third repeat materially

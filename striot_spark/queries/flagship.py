@@ -2054,3 +2054,60 @@ def q152_pit_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q152_pit_{uuid.uuid4().hex[:8]}",
         tempfile.mkdtemp(prefix="striot_q152_ck_"),
     )
+
+
+@register(
+    "q164_ohlc_bars_stream",
+    """
+    WITH v AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(round((value)*100.0, 0) AS BIGINT) AS c, ts, event_id
+        FROM events),
+    rk AS (
+        SELECT day, c,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY ts ASC, event_id ASC) AS ra,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY ts DESC, event_id DESC) AS rd
+        FROM v)
+    SELECT day,
+           max(CASE WHEN ra = 1 THEN c END) AS open_c,
+           max(c) AS high_c,
+           min(c) AS low_c,
+           max(CASE WHEN rd = 1 THEN c END) AS close_c,
+           count(*) AS n
+    FROM rk GROUP BY day
+    """,
+    doc="q161's OHLC downsampling computed ON THE STREAM through the "
+    "adversarial out-of-order multi-batch replay: min_by/max_by over "
+    "the (ts, event_id) total order, min/max/count are all "
+    "order-insensitive algebraic aggregates, so the complete-mode "
+    "streaming bars are exactly batching- and arrival-order-"
+    "insensitive — tick-to-bar compression in flight, same oracle as "
+    "the batch form",
+)
+def q164_ohlc_bars_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.analytics import cents, day_str, ohlc_bars
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events_ooo(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+        .filter(F.col("user_id") != BARRIER_USER)
+        .select(
+            day_str(F.col("ts")).alias("day"),
+            cents(F.col("value")).alias("c"),
+            F.struct(F.col("ts"), F.col("event_id")).alias("o"),
+        )
+    )
+    bars_s = ohlc_bars(sdf, "day", "c", "o")
+    return RT.run_available_now(
+        bars_s,
+        f"q164_ohlc_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q164_ck_"),
+        mode="complete",
+    )
