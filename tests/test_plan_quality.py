@@ -698,3 +698,35 @@ def test_skew_profile_uses_take_ordered(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") == 1
     totals = plan.split("Exchange SinglePartition")[1]
     assert "partial_sum" in totals
+
+
+def test_whole_table_quantiles_avoid_single_partition_sort(spark, sf_dir):
+    """q147's scale path: with the small-input gate forced off, the
+    global ranking must be the two-pass range-partitioned form — no
+    Exchange SinglePartition anywhere in the plan (the 1-row count is
+    a collect, not a plan node)."""
+    old = spark.conf.get("striot.globalIndex.smallInputBytes", None)
+    try:
+        spark.conf.set("striot.globalIndex.smallInputBytes", "0")
+        plan = _executed(spark, "q147_quantiles_at_scale", sf_dir)
+    finally:
+        if old is None:
+            spark.conf.unset("striot.globalIndex.smallInputBytes")
+        else:
+            spark.conf.set("striot.globalIndex.smallInputBytes", old)
+    assert "Exchange SinglePartition" not in plan
+    # the range repartition itself sits behind global_index's
+    # localCheckpoint (plan truncated at the checkpointed RDD); what
+    # must be visible is the two-pass signature: the pid-keyed window
+    # exchange over the checkpoint scan — and no global sort
+    assert "__gidx_pid__" in plan
+    assert "ExistingRDD" in plan
+
+
+def test_group_quantiles_have_no_percentile_buffering(spark, sf_dir):
+    """q151 must rank with a per-group window (sort-based, spills),
+    never the value-buffering percentile aggregate."""
+    plan = _executed(spark, "q151_group_quantiles", sf_dir)
+    assert "percentile" not in plan.lower()
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
