@@ -2065,3 +2065,80 @@ def q163_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
     kept = D.canonical_docs(parts, pairs, "p_partkey", "p_size")
     return kept.select("p_partkey", "p_brand", "p_size")
+
+
+# The RE2-safe subset of functions/text.py:PII_PATTERNS (email, IPv4,
+# card-shaped digit runs). The phone pattern uses lookaround, which
+# DuckDB's RE2 cannot run, so the oracle-gated query scrubs with the
+# first three patterns; the full four-pattern set stays covered by
+# tests/test_datapipe_ops.py:test_scrub_pii_masks_shapes_not_substrings.
+_PII_EMAIL, _PII_IP, _PII_NUM = (p for p, _ in T.PII_PATTERNS[:3])
+
+# Deterministic PII-bearing suffix derived from doc_id — the synthetic
+# corpus carries no real PII, so both engines append the same
+# email/IP/card-shaped spans before scrubbing. Spark and SQL forms of
+# the identical concatenation.
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com from ' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.20.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    " || '.9 card 4111 1111 1111 '"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@register(
+    "q165_pii_scrub",
+    f"""
+    WITH aug AS (
+        SELECT doc_id, {_PII_AUG_SQL} AS t
+        FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_NUM}', '<NUMBER>', 'g') AS scrubbed,
+           len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+           len(regexp_extract_all(t, '{_PII_IP}')) AS n_ip,
+           len(regexp_extract_all(t, '{_PII_NUM}')) AS n_number
+    FROM aug
+    """,
+    doc="PII release scrubbing (functions/text.py:scrub_pii) under the "
+    "driver gate: email/IPv4/card-shaped spans masked with typed "
+    "placeholders by chained regexp_replace, per-pattern hit counts "
+    "as the audit columns — one corpus scan, whole-stage codegen, no "
+    "Python, no shuffle; the C4/Dolma-style release pass. Input text "
+    "is augmented with deterministic doc_id-derived PII shapes so the "
+    "scrub provably fires on every row in both engines",
+)
+def q165_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.text import PII_PATTERNS, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com from "),
+            (did % 256).cast("string"),
+            F.lit(".20."),
+            ((did * 7) % 256).cast("string"),
+            F.lit(".9 card 4111 1111 1111 "),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    t = F.col("t")
+
+    def hits(pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+
+    return aug.select(
+        "doc_id",
+        scrub_pii(t, PII_PATTERNS[:3]).alias("scrubbed"),
+        hits(PII_PATTERNS[0][0]).alias("n_email"),
+        hits(PII_PATTERNS[1][0]).alias("n_ip"),
+        hits(PII_PATTERNS[2][0]).alias("n_number"),
+    )

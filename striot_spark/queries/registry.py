@@ -163,6 +163,7 @@ _SWEEP_FIRST = [
     "q162_gap_fill_ffill",
     "q163_entity_resolution",
     "q164_ohlc_bars_stream",
+    "q165_pii_scrub",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

@@ -102,6 +102,13 @@ def test_text_projection_queries_shuffle_free(spark, sf_dir):
         assert "Exchange" not in plan, q
 
 
+def test_pii_scrub_shuffle_free(spark, sf_dir):
+    """q165: the release-scrubbing pass is one codegen'd scan —
+    chained regexp_replace + extract counts, no Exchange."""
+    plan = _executed(spark, "q165_pii_scrub", sf_dir)
+    assert "Exchange" not in plan
+
+
 def test_fingerprint_queries_no_hash_shuffle(spark, sf_dir):
     """Fingerprint passes fold in-row arrays: the only allowed Exchange
     is scatter()'s RoundRobin fan-out of a tiny local input (a no-op on
