@@ -732,3 +732,62 @@ def ohlc_bars(
         F.max_by(F.col(value_col), F.col(order_col)).alias("close_c"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def grain_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: Sequence[str],
+    grains: Sequence[str] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Multi-resolution time rollup where every coarser grain is
+    RE-AGGREGATED from the next finer grain's partials — the
+    hypertable / continuous-aggregate serving pattern: raw data is
+    scanned exactly once (for the finest grain); hour bars are sums of
+    minute bars, day bars sums of hour bars. Correct because (count,
+    integer-cents sum) is algebraic: combine(partials) == agg(raw).
+
+    Contrast q54's ROLLUP grouping sets (dimension hierarchy in one
+    pass): here the hierarchy is the TIME axis and the point is
+    partial reuse — at 100 TB you materialize the minute level once
+    and serve every coarser resolution from aggregates that are
+    orders of magnitude smaller than the raw table, never rescanning
+    it. Each non-final level is persisted so the union of levels
+    really does read the finer partials instead of re-deriving them.
+
+    Output: one row per (grain, bucket, *key_cols) with exact ``n``
+    and integer-cents ``sum_c``; ``bucket`` stays a timestamp (caller
+    formats).
+    """
+    from striot_spark.functions.caching import track_persist
+
+    cur = track_persist(
+        df.groupBy(
+            F.date_trunc(grains[0], F.col(ts_col)).alias("bucket"),
+            *key_cols,
+        ).agg(
+            F.sum(cents(F.col(value_col))).alias("sum_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    levels = [(grains[0], cur)]
+    for g in grains[1:]:
+        nxt = cur.groupBy(
+            F.date_trunc(g, F.col("bucket")).alias("bucket"), *key_cols
+        ).agg(F.sum("sum_c").alias("sum_c"), F.sum("n").alias("n"))
+        if g != grains[-1]:
+            nxt = track_persist(nxt)
+        levels.append((g, nxt))
+        cur = nxt
+    out = None
+    for g, lv in levels:
+        piece = lv.select(
+            F.lit(g).alias("grain"),
+            F.col("bucket"),
+            *key_cols,
+            F.col("n"),
+            F.col("sum_c"),
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out

@@ -1294,3 +1294,54 @@ def q162_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "close_ffill"
         ),
     )
+
+
+@register(
+    "q166_grain_rollup_reuse",
+    f"""
+    WITH m AS (
+        SELECT date_trunc('minute', ts) AS bucket, event_type,
+               sum({CENTS_SQL}) AS sum_c, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    h AS (
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               sum({CENTS_SQL}) AS sum_c, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    d AS (
+        SELECT date_trunc('day', ts) AS bucket, event_type,
+               sum({CENTS_SQL}) AS sum_c, count(*) AS n
+        FROM events GROUP BY 1, 2)
+    SELECT 'minute' AS grain, strftime(bucket, '{TS_FMT}') AS bucket,
+           event_type, n, sum_c FROM m
+    UNION ALL
+    SELECT 'hour', strftime(bucket, '{TS_FMT}'), event_type, n, sum_c
+    FROM h
+    UNION ALL
+    SELECT 'day', strftime(bucket, '{TS_FMT}'), event_type, n, sum_c
+    FROM d
+    """,
+    doc="hierarchical time-grain rollup with PARTIAL REUSE "
+    "(functions/analytics.py:grain_rollup): minute bars from ONE raw "
+    "scan, hour bars re-aggregated from minute partials, day bars "
+    "from hour partials — the hypertable/continuous-aggregate serving "
+    "pattern. The oracle computes every grain directly from raw "
+    "events, so equality proves the algebraic combine law the reuse "
+    "depends on; the plan gate proves the raw table really is "
+    "scanned once. Contrast q54 (dimension ROLLUP grouping sets in "
+    "one pass): here the hierarchy is the time axis and coarser "
+    "levels never touch the raw table — at 100 TB the hour/day "
+    "levels aggregate tables orders of magnitude smaller than the "
+    "events they summarize",
+)
+def q166_grain_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import grain_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    out = grain_rollup(ev, "ts", "value", ["event_type"])
+    return out.select(
+        "grain",
+        ts_str(F.col("bucket")).alias("bucket"),
+        "event_type",
+        "n",
+        "sum_c",
+    )

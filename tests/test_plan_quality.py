@@ -109,6 +109,20 @@ def test_pii_scrub_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_grain_rollup_reuses_partials(spark, sf_dir):
+    """q166: every union branch reads the persisted partials, never
+    the raw table — each textual FileScan in the plan sits inside an
+    InMemoryRelation's build subtree (cache-build prints nest the
+    original lineage), so scans never outnumber cache relations; an
+    uncached branch would add a bare FileScan without one."""
+    plan = _executed(spark, "q166_grain_rollup_reuse", sf_dir)
+    assert "Union" in plan
+    n_scan = plan.count("Scan parquet")
+    n_cache = plan.count("InMemoryRelation")
+    assert plan.count("InMemoryTableScan") >= 3
+    assert n_scan <= n_cache, (n_scan, n_cache)
+
+
 def test_fingerprint_queries_no_hash_shuffle(spark, sf_dir):
     """Fingerprint passes fold in-row arrays: the only allowed Exchange
     is scatter()'s RoundRobin fan-out of a tiny local input (a no-op on
