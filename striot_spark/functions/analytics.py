@@ -791,3 +791,40 @@ def grain_rollup(
         )
         out = piece if out is None else out.unionByName(piece)
     return out
+
+
+def apply_changes(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    op_col: str,
+    delete_ops: Sequence[str] = ("D",),
+) -> DataFrame:
+    """Apply a CDC change log WITH delete tombstones to a final
+    snapshot: per key, the maximally-ordered log row wins; if that row
+    is a delete op the key is absent from the result (the
+    Debezium-tombstone semantics ``latest_snapshot`` lacks). Also
+    emits ``n_changes``, the log depth per surviving key.
+
+    Same scale contract as ``latest_snapshot``: ONE key shuffle with
+    map-side partial aggregation — every task pre-reduces its slice to
+    one candidate row per key, so the shuffle carries candidates, not
+    history, and a deleted key costs one candidate row. The tombstone
+    filter runs AFTER the aggregate (a delete only wins if nothing
+    newer follows it), which a pre-filter would get wrong.
+    """
+    pay = F.struct(
+        F.col(op_col).alias("_op"), *[F.col(c) for c in payload_cols]
+    )
+    order = F.struct(*[F.col(c) for c in order_cols])
+    g = df.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.max_by(pay, order).alias("_last"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    live = g.filter(~F.col("_last._op").isin(list(delete_ops)))
+    return live.select(
+        *key_cols,
+        *[F.col(f"_last.{c}").alias(c) for c in payload_cols],
+        "n_changes",
+    )

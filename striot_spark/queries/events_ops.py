@@ -1345,3 +1345,48 @@ def q166_grain_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_c",
     )
+
+
+@register(
+    "q167_cdc_apply_deletes",
+    f"""
+    WITH r AS (
+        SELECT user_id, event_type, {CENTS_SQL} AS c,
+               strftime(ts, '{TS_FMT}') AS t,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM events)
+    SELECT user_id, c AS last_cents, t AS last_ts, n_changes
+    FROM r WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="CDC apply WITH delete tombstones "
+    "(functions/analytics.py:apply_changes): the events log folds to "
+    "final state per user — latest (ts, event_id) row wins, and a "
+    "winning 'error' op is a tombstone that removes the key entirely "
+    "(Debezium semantics; contrast q107's delete-free latest-wins). "
+    "One key shuffle with map-side candidate reduction: tasks ship "
+    "one candidate per key, never history, and the tombstone filter "
+    "runs post-aggregate so a delete only wins when nothing newer "
+    "follows it",
+)
+def q167_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import apply_changes
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        cents(F.col("value")).alias("last_cents"),
+        ts_str(F.col("ts")).alias("last_ts"),
+    )
+    return apply_changes(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        payload_cols=["last_cents", "last_ts"],
+        op_col="event_type",
+        delete_ops=("error",),
+    )

@@ -1690,3 +1690,31 @@ def test_join_size_estimate_disjoint_keys_is_zero(spark):
     assert (rows[0]["key_value"], rows[0]["rows_out"], rows[0]["permille"]) == (
         "<TOTAL>", 0, 0,
     )
+
+
+def test_apply_changes_tombstone_semantics(spark):
+    """Delete only wins when nothing newer follows: U-then-D drops the
+    key, D-then-U resurrects it, and n_changes counts the full log."""
+    from striot_spark.functions.analytics import apply_changes
+
+    log = spark.createDataFrame(
+        [
+            # key 1: upsert then delete -> gone
+            (1, 1, "U", "a"),
+            (1, 2, "D", None),
+            # key 2: delete then newer upsert -> alive with latest
+            (2, 1, "D", None),
+            (2, 2, "U", "x"),
+            (2, 3, "U", "y"),
+            # key 3: single upsert -> alive
+            (3, 1, "U", "z"),
+        ],
+        "k long, seq long, op string, payload string",
+    )
+    out = {
+        r["k"]: (r["payload"], r["n_changes"])
+        for r in apply_changes(
+            log, ["k"], ["seq"], ["payload"], "op"
+        ).collect()
+    }
+    assert out == {2: ("y", 3), 3: ("z", 1)}
