@@ -263,3 +263,30 @@ def join_size_estimate(
         .alias("permille"),
     )
     return summary.unionByName(detail)
+
+
+def k_anonymous_rows(
+    df: DataFrame, qi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """k-anonymity suppression: keep only rows whose quasi-identifier
+    combination is shared by at least ``k`` rows, annotated with the
+    group size ``group_n`` — the release-gate that makes a
+    quasi-identifier join attack ambiguous among >= k people.
+
+    Lowering for scale: group sizes come from ONE map-side-combined
+    groupBy over the QI columns (shuffle carries #groups partials, not
+    rows), the >=k survivor list is BROADCAST back, and the corpus is
+    filtered by a broadcast hash join — the big table is never sorted
+    or re-shuffled, unlike the window-count form whose per-QI
+    partition sort is the 100 TB bottleneck. Bounded by #QI combos,
+    which a release pipeline keeps small by construction
+    (generalize-then-check).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sizes = (
+        df.groupBy(*[F.col(c) for c in qi_cols])
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .filter(F.col("group_n") >= k)
+    )
+    return df.join(F.broadcast(sizes), list(qi_cols), "inner")

@@ -2142,3 +2142,33 @@ def q165_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits(PII_PATTERNS[1][0]).alias("n_ip"),
         hits(PII_PATTERNS[2][0]).alias("n_number"),
     )
+
+
+@register(
+    "q168_k_anonymity",
+    """
+    WITH s AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS group_n
+        FROM customer GROUP BY 1, 2)
+    SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, s.group_n
+    FROM customer c
+    JOIN s ON c.c_nationkey = s.c_nationkey
+          AND c.c_mktsegment = s.c_mktsegment
+    WHERE s.group_n >= 10
+    """,
+    doc="k-anonymity release gate (functions/audit.py:k_anonymous_rows, "
+    "k=10): rows whose (nation, segment) quasi-identifier combination "
+    "is shared by fewer than k customers are suppressed before "
+    "release, survivors annotated with their group size. Group sizes "
+    "from one map-side-combined groupBy; the >=k list broadcasts back "
+    "so the corpus is filtered by a broadcast hash join — never "
+    "sorted or re-shuffled (the window-count form would per-QI-sort "
+    "the whole table); plan-gated BHJ",
+)
+def q168_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.audit import k_anonymous_rows
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymous_rows(
+        cust, ["c_nationkey", "c_mktsegment"], k=10
+    ).select("c_custkey", "c_nationkey", "c_mktsegment", "group_n")

@@ -166,6 +166,7 @@ _SWEEP_FIRST = [
     "q165_pii_scrub",
     "q166_grain_rollup_reuse",
     "q167_cdc_apply_deletes",
+    "q168_k_anonymity",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

@@ -751,3 +751,12 @@ def test_group_quantiles_have_no_percentile_buffering(spark, sf_dir):
     assert "percentile" not in plan.lower()
     assert "Window" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_k_anonymity_broadcasts_group_sizes(spark, sf_dir):
+    """q168: the >=k survivor list broadcasts back over the corpus —
+    never a sort-merge join or a per-QI window sort."""
+    plan = _executed(spark, "q168_k_anonymity", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
