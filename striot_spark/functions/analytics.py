@@ -828,3 +828,49 @@ def apply_changes(
         *[F.col(f"_last.{c}").alias(c) for c in payload_cols],
         "n_changes",
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    tiebreak_col: str,
+    n_quantiles: int = 20,
+    k_lo: int = 1,
+    k_hi: int = 19,
+) -> DataFrame:
+    """Per-group winsorized statistics: clamp each value into the
+    [k_lo/n_q, k_hi/n_q] quantile band (defaults: p05..p95) before
+    summing — the outlier-robust aggregate a metrics/feature pipeline
+    wants when a handful of extreme rows would otherwise dominate the
+    mean. Also counts how many rows were clamped on each side.
+
+    Boundaries are EXACT discrete quantiles from
+    ``group_quantiles_at_scale`` (rank ``k*(n-1) DIV n_q`` in
+    (value, tiebreak) order — spill-safe window rank, no per-group
+    value buffering), so every engine picks identical boundary values
+    and the clamped integer sum is engine-exact. The per-group
+    boundary table (one row per group) joins back and the clamp runs
+    in the final aggregate's scan — two key shuffles total beyond the
+    quantile machinery, nothing buffers a group in memory.
+    """
+    qs = group_quantiles_at_scale(
+        df, group_cols, value_col, tiebreak_col, n_quantiles
+    )
+    v = F.col(value_col)
+    b = (
+        qs.filter(F.col("q").isin(k_lo, k_hi))
+        .groupBy(*group_cols)
+        .agg(
+            F.min(F.when(F.col("q") == k_lo, v)).alias("_lo"),
+            F.min(F.when(F.col("q") == k_hi, v)).alias("_hi"),
+        )
+    )
+    j = df.join(b, list(group_cols))
+    clamped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return j.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(clamped).alias("wsum"),
+        F.sum((v < F.col("_lo")).cast("long")).alias("n_lo"),
+        F.sum((v > F.col("_hi")).cast("long")).alias("n_hi"),
+    )

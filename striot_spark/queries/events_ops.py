@@ -1390,3 +1390,48 @@ def q167_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         op_col="event_type",
         delete_ops=("error",),
     )
+
+
+@register(
+    "q169_winsorized_stats",
+    f"""
+    WITH v AS (
+        SELECT event_type, {CENTS_SQL} AS c, event_id FROM events),
+    s AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+    r AS (
+        SELECT event_type, c,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY c, event_id) - 1
+                   AS rnk
+        FROM v),
+    b AS (
+        SELECT r.event_type,
+               min(CASE WHEN r.rnk = (s.n - 1) // 20 THEN r.c END)
+                   AS lo,
+               min(CASE WHEN r.rnk = 19 * (s.n - 1) // 20 THEN r.c END)
+                   AS hi
+        FROM r JOIN s USING (event_type)
+        GROUP BY r.event_type)
+    SELECT v.event_type, count(*) AS n,
+           sum(least(greatest(v.c, b.lo), b.hi)) AS wsum,
+           sum(CASE WHEN v.c < b.lo THEN 1 ELSE 0 END) AS n_lo,
+           sum(CASE WHEN v.c > b.hi THEN 1 ELSE 0 END) AS n_hi
+    FROM v JOIN b USING (event_type)
+    GROUP BY v.event_type
+    """,
+    doc="per-group winsorized sums (functions/analytics.py:"
+    "winsorized_stats): values clamped into the exact discrete "
+    "[p05, p95] band before aggregation, clamp counts per side — the "
+    "outlier-robust rollup. Boundaries are q151's spill-safe ranked "
+    "quantiles (rank k*(n-1) DIV 20 in (cents, event_id) order), so "
+    "both engines pick identical boundary VALUES and the clamped "
+    "integer sum is exact; the one-row-per-group boundary table joins "
+    "back and the clamp folds into the final aggregate's scan",
+)
+def q169_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import winsorized_stats
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("c"), "event_id"
+    )
+    return winsorized_stats(ev, ["event_type"], "c", "event_id")

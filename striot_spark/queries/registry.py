@@ -167,6 +167,7 @@ _SWEEP_FIRST = [
     "q166_grain_rollup_reuse",
     "q167_cdc_apply_deletes",
     "q168_k_anonymity",
+    "q169_winsorized_stats",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

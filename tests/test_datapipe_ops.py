@@ -1718,3 +1718,20 @@ def test_apply_changes_tombstone_semantics(spark):
         ).collect()
     }
     assert out == {2: ("y", 3), 3: ("z", 1)}
+
+
+def test_winsorized_stats_matches_python_reference(spark):
+    from striot_spark.functions.analytics import winsorized_stats
+
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000, -500, 10]
+    rows = [("g", v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, c long, tb long")
+    got = winsorized_stats(df, ["g"], "c", "tb").collect()[0]
+    # boundaries at rank k*(n-1) DIV 20 of sorted values
+    sv = sorted(vals)
+    n = len(vals)
+    lo, hi = sv[(n - 1) // 20], sv[19 * (n - 1) // 20]
+    ref = sum(min(max(v, lo), hi) for v in vals)
+    assert got["n"] == n and got["wsum"] == ref
+    assert got["n_lo"] == sum(v < lo for v in vals)
+    assert got["n_hi"] == sum(v > hi for v in vals)
