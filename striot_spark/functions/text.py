@@ -643,3 +643,48 @@ def novelty_stats(
             ),
         )
     )
+
+
+def posting_lists(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Inverted-index build: per token, the document frequency plus the
+    first ``k`` doc ids in ascending order as the posting-list head —
+    the search-index / retrieval-side view of a corpus.
+
+    Scale lowering: per-document token dedup happens IN-ROW
+    (array_distinct before the explode — a pairwise .distinct() would
+    cost its own (doc, token) shuffle), so the whole build is ONE
+    shuffle by token that the rank window, the df window and the
+    final groupBy all reuse (superset keys, no second Exchange). df
+    comes from a partition-wide window count and the posting head from
+    a rank filter BEFORE collect_list — per-group state is bounded by
+    k, so a stop-word token with a billion postings never buffers more
+    than k ids anywhere. Posting head emitted as a comma-joined string
+    (engine-portable, hash-stable).
+    """
+    from pyspark.sql import Window as W
+
+    pairs = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(tokens_col(F.col(text_col)))
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    w_rank = W.partitionBy("token").orderBy(F.col("doc").asc())
+    w_all = W.partitionBy("token")
+    ranked = pairs.withColumn(
+        "rnk", F.row_number().over(w_rank)
+    ).withColumn("df_ct", F.count(F.lit(1)).over(w_all))
+    return (
+        ranked.filter(F.col("rnk") <= k)
+        .groupBy("token", "df_ct")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("doc"))), ","
+            ).alias("postings")
+        )
+    )

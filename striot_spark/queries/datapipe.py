@@ -2172,3 +2172,37 @@ def q168_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymous_rows(
         cust, ["c_nationkey", "c_mktsegment"], k=10
     ).select("c_custkey", "c_nationkey", "c_mktsegment", "group_n")
+
+
+@register(
+    "q170_posting_lists",
+    """
+    WITH flat AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS token
+        FROM documents),
+    r AS (
+        SELECT token, doc_id,
+               row_number() OVER (
+                   PARTITION BY token ORDER BY doc_id) AS rnk,
+               count(*) OVER (PARTITION BY token) AS df_ct
+        FROM flat)
+    SELECT token, df_ct,
+           string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY doc_id) AS postings
+    FROM r WHERE rnk <= 5
+    GROUP BY token, df_ct
+    """,
+    doc="inverted-index build (functions/text.py:posting_lists): per "
+    "token, document frequency + the first-5 ascending doc ids as the "
+    "posting-list head. ONE token shuffle reused by the rank window, "
+    "the df window and the final groupBy (superset keys, no second "
+    "Exchange — plan-gated); the rank filter runs BEFORE collect, so "
+    "a stop-word with a billion postings buffers k ids, never the "
+    "full list. Posting head emitted as a comma string for "
+    "engine-portable hashing",
+)
+def q170_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.posting_lists(docs, "doc_id", "text", k=5)

@@ -168,6 +168,7 @@ _SWEEP_FIRST = [
     "q167_cdc_apply_deletes",
     "q168_k_anonymity",
     "q169_winsorized_stats",
+    "q170_posting_lists",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

@@ -760,3 +760,11 @@ def test_k_anonymity_broadcasts_group_sizes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_posting_lists_single_token_shuffle(spark, sf_dir):
+    """q170: per-doc token dedup is in-row (array_distinct), so the
+    index build is ONE hash shuffle by token reused by both windows
+    and the final groupBy."""
+    plan = _executed(spark, "q170_posting_lists", sf_dir)
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
