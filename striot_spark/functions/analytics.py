@@ -874,3 +874,47 @@ def winsorized_stats(
         F.sum((v < F.col("_lo")).cast("long")).alias("n_lo"),
         F.sum((v > F.col("_hi")).cast("long")).alias("n_hi"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    weight_col: str,
+    ps: Sequence[int] = (25, 50, 75),
+) -> DataFrame:
+    """Exact WEIGHTED quantiles of ``value_col`` under non-negative
+    integer weights: for each percentile p, the first value (in
+    (value, tiebreak) total order) whose inclusive cumulative weight
+    reaches p% of the total — e.g. the token-weighted median document
+    length ("half the corpus' tokens sit in docs this long or
+    shorter"), which an unweighted median badly misstates when long
+    docs dominate the token mass.
+
+    Scale lowering: the cumulative weight comes from the two-pass
+    range-partitioned ``global_prefix_sum`` (never an Exchange
+    SinglePartition), the 1-row total broadcasts, and because the
+    qualifying rows form a SUFFIX of the order (weights >= 0 make the
+    running sum nondecreasing), each percentile's answer is a plain
+    min over that suffix — one map-side-combined aggregate, no second
+    sort. All-integer arithmetic (cw*100 >= p*total), engine-exact.
+    """
+    from striot_spark.core.scale import global_prefix_sum
+
+    ps_df = global_prefix_sum(
+        df.select(value_col, tiebreak_col, weight_col),
+        [value_col, tiebreak_col],
+        weight_col,
+        "cw",
+    )
+    tot = ps_df.agg(F.sum(F.col(weight_col)).alias("tw"))
+    e = ps_df.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.explode(F.array(*[F.lit(int(p)) for p in ps])).alias("p"),
+    )
+    q = e.filter(F.col("cw") * 100 >= F.col("p") * F.col("tw"))
+    return q.groupBy("p").agg(
+        F.min(F.col(value_col)).alias("value"),
+        F.min(F.col("cw")).alias("cum_w"),
+        F.min(F.col("tw")).alias("total_w"),
+    )

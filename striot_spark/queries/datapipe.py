@@ -2206,3 +2206,41 @@ def q168_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q170_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.posting_lists(docs, "doc_id", "text", k=5)
+
+
+@register(
+    "q171_weighted_median_len",
+    f"""
+    WITH v AS (
+        SELECT n_chars AS val, doc_id, {NTOK} AS w FROM documents),
+    c AS (
+        SELECT val, doc_id, w,
+               sum(w) OVER (ORDER BY val, doc_id) AS cw,
+               sum(w) OVER () AS tw
+        FROM v),
+    p AS (SELECT unnest([25, 50, 75]) AS p)
+    SELECT p.p AS p, min(c.val) AS value, min(c.cw) AS cum_w,
+           min(c.tw) AS total_w
+    FROM c JOIN p ON c.cw * 100 >= p.p * c.tw
+    GROUP BY p.p
+    """,
+    doc="token-weighted length quantiles "
+    "(functions/analytics.py:weighted_quantiles): the document length "
+    "at which 25/50/75% of the corpus' TOKEN MASS lies at or below — "
+    "the curriculum/packing statistic an unweighted median misstates "
+    "when long docs dominate. Cumulative weights from the two-pass "
+    "range-partitioned global_prefix_sum (no single-partition "
+    "Exchange — plan-gated), 1-row total broadcast; qualifying rows "
+    "form a suffix of the order so each percentile is a plain min, "
+    "all-integer comparisons",
+)
+def q171_weighted_median_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        F.col("n_chars").alias("val"),
+        "doc_id",
+        T.token_count(F.col("text")).alias("w"),
+    )
+    from striot_spark.functions.analytics import weighted_quantiles
+
+    return weighted_quantiles(v, "val", "doc_id", "w")

@@ -169,6 +169,7 @@ _SWEEP_FIRST = [
     "q168_k_anonymity",
     "q169_winsorized_stats",
     "q170_posting_lists",
+    "q171_weighted_median_len",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

@@ -1735,3 +1735,42 @@ def test_winsorized_stats_matches_python_reference(spark):
     assert got["n"] == n and got["wsum"] == ref
     assert got["n_lo"] == sum(v < lo for v in vals)
     assert got["n_hi"] == sum(v > hi for v in vals)
+
+
+def test_weighted_quantiles_python_reference(spark):
+    """Suffix-selection semantics under zero weights and value ties,
+    on both the small-input window and the forced two-pass path."""
+    from striot_spark.functions.analytics import weighted_quantiles
+
+    rows = [
+        (10, 1, 3), (10, 2, 0), (20, 3, 5), (20, 4, 1), (30, 5, 1),
+        (40, 6, 0), (50, 7, 2),
+    ]
+    total = sum(w for _, _, w in rows)
+
+    def ref(p):
+        cw = 0
+        for v, _, w in sorted(rows, key=lambda r: (r[0], r[1])):
+            cw += w
+            if cw * 100 >= p * total:
+                return v, cw
+        raise AssertionError
+
+    df = spark.createDataFrame(rows, "val long, tb long, w long")
+    old = spark.conf.get("striot.globalIndex.smallInputBytes", None)
+    try:
+        for forced in (None, "0"):
+            if forced is not None:
+                spark.conf.set("striot.globalIndex.smallInputBytes", forced)
+            got = {
+                r["p"]: (r["value"], r["cum_w"], r["total_w"])
+                for r in weighted_quantiles(df, "val", "tb", "w").collect()
+            }
+            for p in (25, 50, 75):
+                v, cw = ref(p)
+                assert got[p] == (v, cw, total), (forced, p, got[p])
+    finally:
+        if old is None:
+            spark.conf.unset("striot.globalIndex.smallInputBytes")
+        else:
+            spark.conf.set("striot.globalIndex.smallInputBytes", old)

@@ -768,3 +768,26 @@ def test_posting_lists_single_token_shuffle(spark, sf_dir):
     and the final groupBy."""
     plan = _executed(spark, "q170_posting_lists", sf_dir)
     assert plan.count("Exchange") == 1, plan.count("Exchange")
+
+
+def test_weighted_quantiles_avoid_single_partition_sum(spark, sf_dir):
+    """q171's scale path: with the small-input gate forced off, the
+    cumulative weight must come from the two-pass range-partitioned
+    prefix sum. The only allowed single-partition exchange is the
+    1-row scalar total (a partials-only combine whose parent is
+    HashAggregate(keys=[])) — never the global-sort window fallback,
+    whose parent would be a Sort over the full data."""
+    old = spark.conf.get("striot.globalIndex.smallInputBytes", None)
+    try:
+        spark.conf.set("striot.globalIndex.smallInputBytes", "0")
+        plan = _executed(spark, "q171_weighted_median_len", sf_dir)
+    finally:
+        if old is None:
+            spark.conf.unset("striot.globalIndex.smallInputBytes")
+        else:
+            spark.conf.set("striot.globalIndex.smallInputBytes", old)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            assert "HashAggregate(keys=[]" in lines[i - 1], lines[i - 1]
+    assert "__gps_pid__" in plan
