@@ -200,3 +200,82 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     )
     tri = wedges.join(closing, ["x", "y"])
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Fixed-round k-core peeling over a SYMMETRIC edge list (pass both
+    directions; degree is then the src-side count): each round removes
+    every node of degree < k and the edges touching it, the classic
+    densest-region extractor (dedup-cluster cores, spam/link farms,
+    community nuclei).
+
+    ``rounds`` is FIXED, not run-to-convergence: both engines peel
+    exactly ``rounds`` times, so the result is well-defined (and
+    oracle-reproducible as chained CTEs) whether or not a fixed point
+    was reached; it equals the true k-core exactly when a round
+    removes nothing (the peeling sequence is monotone decreasing, so
+    convergence is detectable by comparing successive edge counts —
+    see the unit test). Degeneracy-ordering peeling is inherently
+    sequential; the round-synchronous form trades iterations for full
+    per-round parallelism (the standard distributed formulation).
+
+    Plan shape per round: one degree groupBy with map-side partials
+    (shuffle carries #nodes partials) + two survivor semi-joins on the
+    endpoint keys — all key equi-joins, nothing buffers a node's
+    neighborhood. The surviving edge set is persisted per round (the
+    next round reads the cache, not the lineage); peels deep enough
+    for plan growth to matter should add a localCheckpoint cadence as
+    ``pagerank`` does. Small graphs pin exchanges to
+    defaultParallelism via the same gate as pagerank.
+    """
+    from striot_spark.functions.caching import track_persist
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    spark = edges.sparkSession
+    e = track_persist(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    )
+    try:
+        small_edges = int(
+            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
+        )
+    except ValueError:
+        small_edges = SMALL_GRAPH_DEFAULT
+    n = (
+        spark.sparkContext.defaultParallelism
+        if e.count() <= small_edges
+        else None
+    )
+
+    def part(df: DataFrame, key: str) -> DataFrame:
+        return df.repartition(n, key) if n else df
+
+    for r in range(rounds):
+        deg = part(e, "s").groupBy("s").agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        ok = deg.filter(F.col("deg") >= k).select("s")
+        e = (
+            part(e, "s")
+            .join(part(ok, "s"), "s", "left_semi")
+            .withColumnRenamed("s", "_s")
+            .withColumnRenamed("d", "s")
+            .join(part(ok, "s"), "s", "left_semi")
+            .select(F.col("_s").alias("s"), F.col("s").alias("d"))
+        )
+        e = track_persist(e)
+    return (
+        part(e, "s")
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("s").alias("node"), "deg")
+    )

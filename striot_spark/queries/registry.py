@@ -170,6 +170,7 @@ _SWEEP_FIRST = [
     "q169_winsorized_stats",
     "q170_posting_lists",
     "q171_weighted_median_len",
+    "q172_kcore_parts",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

@@ -785,3 +785,65 @@ def q151_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "p_brand", "q", "rank", F.col("cents_v").alias("value_cents")
     )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Chained-CTE unroll of exactly ``rounds`` peeling steps over the
+    part co-purchase graph (q149's edge set, both directions)."""
+    sql = """
+    WITH p AS (
+        SELECT DISTINCT a.l_partkey AS ia, b.l_partkey AS ib
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e0 AS (SELECT ia AS s, ib AS d FROM p UNION ALL SELECT ib, ia FROM p)"""
+    cur = "e0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+    d{r} AS (SELECT s, count(*) AS deg FROM {cur} GROUP BY s),
+    ok{r} AS (SELECT s FROM d{r} WHERE deg >= {k}),
+    e{r} AS (
+        SELECT e.s, e.d FROM {cur} e
+        JOIN ok{r} a ON e.s = a.s JOIN ok{r} b ON e.d = b.s)"""
+        cur = f"e{r}"
+    sql += f"""
+    SELECT s AS node, count(*) AS deg FROM {cur} GROUP BY s"""
+    return sql
+
+
+@register(
+    "q172_kcore_parts",
+    _kcore_oracle(k=90, rounds=3),
+    doc="fixed-round k-core peeling (k=90, 3 rounds) over the part "
+    "co-purchase graph — each round drops nodes of degree < k and "
+    "their edges, extracting the densest co-purchase region (the "
+    "degeneracy structure CC/PageRank/triangles don't see; "
+    "functions/graph.py:k_core). Round-synchronous peeling: per round "
+    "one map-side-combined degree groupBy + two survivor semi-joins, "
+    "all key equi-joins; the oracle unrolls the identical rounds as "
+    "chained CTEs, so equality proves every intermediate peel. On "
+    "this graph the 3 fixed rounds are mid-cascade (2000 -> 1745 -> "
+    "1534 -> 1221 nodes at sf0.01) — fixed-round semantics stay "
+    "well-defined with or without convergence",
+)
+def q172_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return k_core(edges, k=90, rounds=3, src="u", dst="v")

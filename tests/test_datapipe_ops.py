@@ -1774,3 +1774,38 @@ def test_weighted_quantiles_python_reference(spark):
             spark.conf.unset("striot.globalIndex.smallInputBytes")
         else:
             spark.conf.set("striot.globalIndex.smallInputBytes", old)
+
+
+def test_k_core_converges_to_true_core(spark):
+    """On a graph whose peel cascades (chain tail into a clique), a
+    fixed round count >= the cascade depth reproduces the true k-core;
+    mid-cascade rounds match a python reference peel."""
+    from striot_spark.functions.graph import k_core
+
+    # 4-clique (1,2,3,4) with a chain 4-5-6 hanging off it
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    sym = und + [(b, a) for a, b in und]
+
+    def ref_peel(es, k, rounds):
+        for _ in range(rounds):
+            deg = {}
+            for s, _d in es:
+                deg[s] = deg.get(s, 0) + 1
+            ok = {v for v, d in deg.items() if d >= k}
+            es = [(s, d) for s, d in es if s in ok and d in ok]
+        return es
+
+    df = spark.createDataFrame(sym, "u long, v long")
+    for rounds in (1, 2, 3):
+        got = {
+            (r["node"], r["deg"])
+            for r in k_core(df, k=2, rounds=rounds, src="u", dst="v").collect()
+        }
+        es = ref_peel(sym, 2, rounds)
+        deg = {}
+        for s, _d in es:
+            deg[s] = deg.get(s, 0) + 1
+        assert got == set(deg.items()), rounds
+    # rounds=2 already reaches the fixed point here: the 2-core is the
+    # clique; node 6 falls in round 1, node 5 in round 2
+    assert {n for n, _ in got} == {1, 2, 3, 4}
