@@ -1435,3 +1435,45 @@ def q169_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", cents(F.col("value")).alias("c"), "event_id"
     )
     return winsorized_stats(ev, ["event_type"], "c", "event_id")
+
+
+@register(
+    "q173_partition_pruned_day",
+    f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, count(*) AS n, sum({CENTS_SQL}) AS sum_c
+    FROM events
+    WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-15'
+    GROUP BY 1, 2
+    """,
+    doc="hive-partition pruning end to end: events written "
+    "day-partitioned via sources/bucketed.py:write_partitioned (the "
+    "repartition-first layout — one file per day, not tasks x days "
+    "tiny files), then ONE day read back with a partition-column "
+    "filter that prunes at the DIRECTORY level (plan-gated "
+    "PartitionFilters; 1/30th of the files ever listed into the "
+    "scan) and aggregated. The oracle recomputes the day from the "
+    "raw table, proving the layout round-trips content exactly — "
+    "at 100 TB this directory prune is the difference between "
+    "scanning a day and scanning three years",
+)
+def q173_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from striot_spark.functions.analytics import day_str
+    from striot_spark.sources.bucketed import write_partitioned
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", day_str(F.col("ts"))
+    )
+    path = tempfile.mkdtemp(prefix="striot_q173_part_") + "/data"
+    write_partitioned(ev, path, ["day"], sort_by=["ts", "event_id"])
+    back = spark.read.parquet(path).filter(
+        F.col("day") == F.lit("2024-01-15")
+    )
+    return back.groupBy(
+        F.col("day").cast("string").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("value"))).alias("sum_c"),
+    )

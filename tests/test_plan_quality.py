@@ -791,3 +791,11 @@ def test_weighted_quantiles_avoid_single_partition_sum(spark, sf_dir):
         if "Exchange SinglePartition" in line:
             assert "HashAggregate(keys=[]" in lines[i - 1], lines[i - 1]
     assert "__gps_pid__" in plan
+
+
+def test_partition_pruned_day_filters_at_directory_level(spark, sf_dir):
+    """q173: the day predicate must land in PartitionFilters (directory
+    prune), not as a data filter over all files."""
+    plan = _formatted(spark, "q173_partition_pruned_day", sf_dir)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "2024-01-15" in pf[0], pf
