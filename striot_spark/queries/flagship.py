@@ -2111,3 +2111,60 @@ def q164_ohlc_bars_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="striot_q164_ck_"),
         mode="complete",
     )
+
+
+@register(
+    "q174_rollup_serve_stream",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f')
+               AS bucket,
+           event_type, count(*) AS n,
+           sum(CAST(round((value)*100.0, 0) AS BIGINT)) AS sum_c
+    FROM events GROUP BY 1, 2
+    """,
+    doc="the CONTINUOUS AGGREGATE serving pattern: the stream "
+    "maintains minute-level (bucket, type) totals incrementally "
+    "(q138's delta-merge sink — O(batch + #keys) per batch, history "
+    "never rescanned), and the HOUR level is served by re-aggregating "
+    "the minute snapshot (q166's algebraic combine law) — raw events "
+    "are touched exactly once, at ingest. Driven through the "
+    "adversarial out-of-order replay; the oracle computes the hour "
+    "level directly from raw events, so equality proves delta "
+    "maintenance AND partial reuse compose exactly",
+)
+def q174_rollup_serve_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from striot_spark.functions.analytics import cents, ts_str
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events_ooo(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+        .filter(F.col("user_id") != BARRIER_USER)
+        .select(
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+            "event_type",
+            cents(F.col("value")).alias("value_c"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="striot_q174_mv_")
+    q = RT.incremental_agg_sink(
+        sdf,
+        path,
+        tempfile.mkdtemp(prefix="striot_q174_ck_"),
+        key_cols=["minute", "event_type"],
+        sum_cols=["value_c"],
+    )
+    q.awaitTermination()
+    snap = RT.read_snapshot(spark, path)
+    return snap.groupBy(
+        ts_str(F.date_trunc("hour", F.col("minute"))).alias("bucket"),
+        "event_type",
+    ).agg(
+        F.sum("n_rows").alias("n"),
+        F.sum("sum_value_c").alias("sum_c"),
+    )

@@ -172,6 +172,7 @@ _SWEEP_FIRST = [
     "q171_weighted_median_len",
     "q172_kcore_parts",
     "q173_partition_pruned_day",
+    "q174_rollup_serve_stream",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
