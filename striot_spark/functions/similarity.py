@@ -555,3 +555,71 @@ def group_centroids(
         F.sum(qv).alias("q_sum"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def pq_encode(
+    base: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+) -> DataFrame:
+    """Product-quantization encode (Jégou et al. TPAMI'11, public
+    methodology): split each vector into ``m`` contiguous subvectors
+    and assign each to its nearest codebook entry by squared L2 — the
+    compressed representation an ANN index stores instead of raw
+    floats (d floats -> m small codes). Output: one row per
+    (vector, subspace) with the chosen ``code`` and its rounded
+    quantization distance.
+
+    Same scale contract as ``nearest_centroid``: the codebook is tiny
+    by construction, so it is collected once and inlined as literal
+    arrays — the encode is a PURE PROJECTION (one corpus scan, zero
+    joins, zero shuffles; m x c fold dot-products per row, JVM-side).
+    Distances use the dot-product expansion ||v||² - 2<v,c> + ||c||²
+    rounded to 6 decimals so both engines agree digit for digit
+    (the proven nearest_centroid parity convention); argmin via
+    ``array_min`` over (dist, cid) structs — ties pick the smaller
+    code, deterministically.
+    """
+    rows = codebook.select(cid_col, vec_col).collect()
+    cents = sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+    if not cents:
+        raise ValueError("empty codebook")
+    d = len(cents[0][1])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub_d = d // m
+    b = scatter(base).select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    )
+    subs = []
+    for j in range(m):
+        sl = F.slice(F.col("__v"), j * sub_d + 1, sub_d)
+        dvv = dot(sl, sl)
+        choices = []
+        for cid, vec in cents:
+            cv = vec[j * sub_d : (j + 1) * sub_d]
+            dcc = sum(x * x for x in cv)
+            cl = F.array(*[F.lit(x) for x in cv])
+            dist = F.round(dvv - 2 * dot(sl, cl) + F.lit(dcc), 6)
+            choices.append(
+                F.struct(
+                    dist.alias("dist"),
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+            )
+        best = F.array_min(F.array(*choices))
+        subs.append(
+            F.struct(
+                F.lit(j).cast("long").alias("sub"),
+                best["cid"].alias("code"),
+                best["dist"].alias("dist"),
+            )
+        )
+    e = b.select(F.col(id_col), F.explode(F.array(*subs)).alias("pq"))
+    return e.select(
+        F.col(id_col), F.col("pq.sub"), F.col("pq.code"),
+        F.col("pq.dist"),
+    )

@@ -2244,3 +2244,47 @@ def q171_weighted_median_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     from striot_spark.functions.analytics import weighted_quantiles
 
     return weighted_quantiles(v, "val", "doc_id", "w")
+
+
+@register(
+    "q175_pq_encode",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+    s AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+    d AS (
+        SELECT e.vec_id, s.sub, c.cid,
+               round(list_dot_product(
+                         list_slice(v, s.sub*16 + 1, (s.sub+1)*16),
+                         list_slice(v, s.sub*16 + 1, (s.sub+1)*16))
+                     - 2 * list_dot_product(
+                         list_slice(v, s.sub*16 + 1, (s.sub+1)*16),
+                         list_slice(cv, s.sub*16 + 1, (s.sub+1)*16))
+                     + list_dot_product(
+                         list_slice(cv, s.sub*16 + 1, (s.sub+1)*16),
+                         list_slice(cv, s.sub*16 + 1, (s.sub+1)*16)),
+                     6) AS dist
+        FROM e, c, s WHERE e.vec_id >= 4)
+    SELECT vec_id, sub, cid AS code, dist FROM (
+        SELECT vec_id, sub, cid, dist,
+               row_number() OVER (
+                   PARTITION BY vec_id, sub
+                   ORDER BY dist, cid) AS rnk
+        FROM d) t
+    WHERE rnk = 1
+    """,
+    doc="product-quantization encode "
+    "(functions/similarity.py:pq_encode): vectors split into 4 "
+    "16-dim subvectors, each assigned to its nearest of 4 inlined "
+    "codebook entries by squared L2 (dot-product expansion, round-6 "
+    "cross-engine convention) — the d-floats -> m-codes compression "
+    "an ANN index stores. Pure projection: one scan, zero "
+    "joins/shuffles (plan-gated), m x c JVM fold dot-products per "
+    "row; deterministic tie-break toward the smaller code",
+)
+def q175_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return SIM.pq_encode(emb.filter(F.col("vec_id") >= 4), book, m=4)

@@ -799,3 +799,14 @@ def test_partition_pruned_day_filters_at_directory_level(spark, sf_dir):
     plan = _formatted(spark, "q173_partition_pruned_day", sf_dir)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "2024-01-15" in pf[0], pf
+
+
+def test_pq_encode_is_projection_only(spark, sf_dir):
+    """q175: the PQ encode is a pure projection — codebook inlined as
+    literals, no join, and the only Exchange is scatter()'s RoundRobin
+    fan-out (a no-op on well-partitioned inputs at scale)."""
+    plan = _executed(spark, "q175_pq_encode", sf_dir)
+    assert "Join" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "Reused" not in line:
+            assert "roundrobin" in line.lower(), line
