@@ -2288,3 +2288,73 @@ def q175_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return SIM.pq_encode(emb.filter(F.col("vec_id") >= 4), book, m=4)
+
+
+_COS_Q = (
+    "round(list_dot_product(b.v, q.qv)"
+    " / (sqrt(list_dot_product(b.v, b.v))"
+    "    * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+)
+
+
+@register(
+    "q176_ann_recall_eval",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+          WHERE vec_id < 8),
+    b AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 8),
+    ex AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, b.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_COS_Q} DESC, b.vec_id ASC) AS rnk
+            FROM b, q) t
+        WHERE rnk <= 5),
+    iv AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, b.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_COS_Q} DESC, b.vec_id ASC) AS rnk
+            FROM b JOIN q ON b.label = q.qlabel) t
+        WHERE rnk <= 5)
+    SELECT ex.qid AS query_id, count(iv.vec_id) AS n_hit,
+           count(*) AS k
+    FROM ex LEFT JOIN iv
+      ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
+    GROUP BY ex.qid
+    """,
+    doc="offline ANN quality eval: recall@5 of the IVF probe (q37's "
+    "one-cell scan) against the exact brute-force ground truth (q27) "
+    "per query vector — the measurement that justifies shipping an "
+    "approximate index at 100 TB, computed by the engine itself. "
+    "Both rankings share the round-6 cosine and id tie-break; the "
+    "hit count is an equi-join of two k-row-per-query tables (never "
+    "corpus-sized) aggregated from the exact side, so unfound "
+    "neighbors count as misses",
+)
+def q176_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") >= 8)
+    exact = SIM.brute_force_topk(base, queries, k=5).select(
+        "query_id", "vec_id"
+    )
+    approx = SIM.ivf_topk(base, queries, k=5).select(
+        F.col("query_id").alias("aq"), F.col("vec_id").alias("av")
+    )
+    j = exact.join(
+        approx,
+        (F.col("query_id") == F.col("aq"))
+        & (F.col("vec_id") == F.col("av")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.col("av")).alias("n_hit"),
+        F.count(F.lit(1)).alias("k"),
+    )
