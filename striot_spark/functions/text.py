@@ -688,3 +688,76 @@ def posting_lists(
             ).alias("postings")
         )
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Collocation mining: the top-k adjacent-token bigrams by a
+    scaled integer PMI proxy ``(nab * N * 10000) DIV (na * nb)`` (N = corpus tokens) —
+    the phrase-detection / tokenizer-merge statistic (public
+    methodology: Mikolov et al. 2013 word2vec phrase scoring), kept in
+    integers so the ranking is engine-exact. Headroom: the proxy
+    needs ``nab * N * 10000 < 2^63``; corpora past ~10^9 tokens should
+    move the score to decimal(38,0) (the ``dedup_groups`` pattern) —
+    counts themselves never overflow.
+
+    Lowering: bigrams are formed IN-ROW (zip_with of the token array
+    against its own shift — no self-join, no positional explode
+    round-trip), so the corpus is scanned once and shuffled only as
+    (w1, w2) count partials with map-side combine. Unigram counts are
+    vocabulary-sized and broadcast back onto the bigram table (two
+    BHJs, plan-gated); the min-count filter runs before the joins so
+    the scored table is heavy-bigrams only. Top-k via the TakeOrdered
+    path under a total (score, nab, w1, w2) order.
+    """
+    sel = df.select(nonempty_tokens(F.col(text_col)).alias("tk"))
+    toks = sel.select(F.explode(F.col("tk")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    bg = sel.select(
+        F.explode(
+            F.zip_with(
+                F.expr("slice(tk, 1, size(tk) - 1)"),
+                F.expr("slice(tk, 2, size(tk) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= min_count)
+    )
+    scored = (
+        bc.join(
+            F.broadcast(
+                uni.select(F.col("tok").alias("w1"), F.col("n").alias("na"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("tok").alias("w2"), F.col("n").alias("nb"))
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "nab",
+            "na",
+            "nb",
+            F.expr("(nab * n_total * 10000) DIV (na * nb)").alias("score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score").desc(),
+        F.col("nab").desc(),
+        F.col("w1").asc(),
+        F.col("w2").asc(),
+    ).limit(k)

@@ -2358,3 +2358,36 @@ def q176_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("av")).alias("n_hit"),
         F.count(F.lit(1)).alias("k"),
     )
+
+
+@register(
+    "q177_collocations",
+    """
+    WITH tk AS (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+    toks AS (SELECT unnest(t) AS tok FROM tk),
+    uni AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    tot AS (SELECT count(*) AS n_total FROM toks),
+    idx AS (SELECT t, unnest(range(1, len(t))) AS i FROM tk),
+    bg AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM idx),
+    bc AS (SELECT w1, w2, count(*) AS nab FROM bg GROUP BY w1, w2
+           HAVING count(*) >= 5)
+    SELECT w1, w2, nab, a.n AS na, b.n AS nb,
+           (nab * n_total * 10000) // (a.n * b.n) AS score
+    FROM bc JOIN uni a ON bc.w1 = a.tok
+            JOIN uni b ON bc.w2 = b.tok, tot
+    ORDER BY score DESC, nab DESC, w1, w2 LIMIT 20
+    """,
+    doc="collocation mining (functions/text.py:collocations): top-20 "
+    "adjacent bigrams by the scaled integer PMI proxy "
+    "nab*N*10000 DIV (na*nb) — phrase detection / tokenizer-merge "
+    "scoring, engine-exact because the ranking never touches a "
+    "float. Bigrams form IN-ROW (zip_with against the array's own "
+    "shift, no self-join), one (w1,w2) count shuffle with map-side "
+    "partials, vocabulary-sized unigram counts broadcast back "
+    "(plan-gated BHJ), total (score, nab, w1, w2) tie order",
+)
+def q177_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.collocations(docs, "text", min_count=5, k=20)

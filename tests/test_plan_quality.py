@@ -810,3 +810,13 @@ def test_pq_encode_is_projection_only(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line and "Reused" not in line:
             assert "roundrobin" in line.lower(), line
+
+
+def test_collocations_broadcast_unigrams_take_ordered(spark, sf_dir):
+    """q177: unigram counts broadcast onto the heavy-bigram table (no
+    sort-merge join) and the top-k is TakeOrdered, never a global
+    sort."""
+    plan = _executed(spark, "q177_collocations", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrdered" in plan
