@@ -761,3 +761,57 @@ def collocations(
         F.col("w1").asc(),
         F.col("w2").asc(),
     ).limit(k)
+
+
+def lexical_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_tokens: Sequence[str],
+    k: int = 10,
+) -> DataFrame:
+    """Lexical retrieval: score every document against a (small) query
+    token set with integer tf-idf weighting
+    ``score = Σ_t tf(t, doc) * (N_docs DIV df(t))`` and return the
+    top-k — a BM25-shaped ranking kept in integers so it is
+    engine-exact (the idf is the integer rarity ratio; log-shaping
+    changes ordering only across extreme df gaps, which DIV preserves
+    directionally).
+
+    Two-pass lowering: pass 1 computes df for the query tokens ONLY
+    (corpus scan with an in-row intersection — at serving scale this
+    lookup comes from the q170 posting-list index instead) and
+    collects them (len(query) tiny rows) into literal weights; pass 2
+    scores as a PURE PROJECTION (per-token in-row tf counts times
+    literal weights — zero joins, zero shuffles) with TakeOrdered
+    top-k under the (score, id) total order. The corpus is never
+    joined or shuffled.
+    """
+    toks = nonempty_tokens(F.col(text_col))
+    qlist = list(query_tokens)
+    n_docs = df.count()
+    df_counts = df.select(
+        *[
+            F.array_contains(toks, F.lit(t)).cast("long").alias(f"__c{i}")
+            for i, t in enumerate(qlist)
+        ]
+    ).agg(*[F.sum(f"__c{i}").alias(f"df{i}") for i in range(len(qlist))])
+    dfs = df_counts.collect()[0]
+    weights = [
+        n_docs // int(dfs[f"df{i}"]) if int(dfs[f"df{i}"]) > 0 else 0
+        for i in range(len(qlist))
+    ]
+    def _tf(tok: str) -> Column:
+        return F.size(F.filter(toks, lambda x: x == F.lit(tok)))
+
+    tf = [_tf(t) for t in qlist]
+    score = None
+    for tf_i, w in zip(tf, weights):
+        term = tf_i.cast("long") * F.lit(int(w))
+        score = term if score is None else score + term
+    scored = df.select(
+        F.col(id_col), score.alias("score")
+    ).filter(F.col("score") > 0)
+    return scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)

@@ -2391,3 +2391,46 @@ def q176_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q177_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.collocations(docs, "text", min_count=5, k=20)
+
+
+@register(
+    "q178_lexical_search",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    dfs AS (
+        SELECT
+            sum(CASE WHEN list_contains(t, 'vector') THEN 1 ELSE 0 END)
+                AS df0,
+            sum(CASE WHEN list_contains(t, 'stream') THEN 1 ELSE 0 END)
+                AS df1,
+            sum(CASE WHEN list_contains(t, 'window') THEN 1 ELSE 0 END)
+                AS df2
+        FROM toks),
+    scored AS (
+        SELECT doc_id,
+               len(list_filter(t, x -> x = 'vector')) * (n_docs // df0)
+             + len(list_filter(t, x -> x = 'stream')) * (n_docs // df1)
+             + len(list_filter(t, x -> x = 'window')) * (n_docs // df2)
+                   AS score
+        FROM toks, nd, dfs)
+    SELECT doc_id, score FROM scored WHERE score > 0
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+    doc="lexical retrieval (functions/text.py:lexical_search): top-10 "
+    "docs for the query {vector, stream, window} under integer tf-idf "
+    "score Σ tf * (N_docs DIV df) — BM25-shaped, engine-exact. "
+    "Pass 1 computes df for the query tokens only (a 3-long-column "
+    "aggregate; a serving deployment reads q170's posting lists "
+    "instead); pass 2 scores as a PURE PROJECTION with the weights "
+    "inlined as literals — zero joins/shuffles over the corpus, "
+    "TakeOrdered top-k (plan-gated)",
+)
+def q178_lexical_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.lexical_search(
+        docs, "doc_id", "text", ["vector", "stream", "window"], k=10
+    )

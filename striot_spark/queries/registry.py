@@ -176,6 +176,7 @@ _SWEEP_FIRST = [
     "q175_pq_encode",
     "q176_ann_recall_eval",
     "q177_collocations",
+    "q178_lexical_search",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

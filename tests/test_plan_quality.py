@@ -820,3 +820,12 @@ def test_collocations_broadcast_unigrams_take_ordered(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "TakeOrdered" in plan
+
+
+def test_lexical_search_scores_as_projection(spark, sf_dir):
+    """q178: with query-token weights inlined as literals, scoring is
+    a pure projection — no join, no Exchange, TakeOrdered top-k."""
+    plan = _executed(spark, "q178_lexical_search", sf_dir)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "TakeOrdered" in plan
