@@ -2168,3 +2168,64 @@ def q174_rollup_serve_stream(
         F.sum("n_rows").alias("n"),
         F.sum("sum_value_c").alias("sum_c"),
     )
+
+
+@register(
+    "q179_cdc_apply_stream",
+    """
+    WITH r AS (
+        SELECT user_id, event_type,
+               CAST(round((value)*100.0, 0) AS BIGINT) AS c,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS t,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    SELECT user_id, c AS last_cents, t AS last_ts
+    FROM r WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="q167's CDC-apply-with-tombstones ON THE STREAM: the upsert "
+    "snapshot sink keeps the latest (ts, event_id) row per key with "
+    "the op riding in the payload, and the tombstone filter runs at "
+    "READ time — so a delete holds the key's slot (suppressing it "
+    "from serving) until a newer upsert resurrects it, across ANY "
+    "micro-batch boundaries. Driven through the adversarial "
+    "out-of-order replay: max_by latest-wins is batching- and "
+    "arrival-order-insensitive, replay-idempotent via the A/B "
+    "pointer; oracle is the batch semantics minus the log-depth "
+    "count (per-key counts belong to the additive sink, q138)",
+)
+def q179_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from striot_spark.functions.analytics import cents, ts_str
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events_ooo(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+        .filter(F.col("user_id") != BARRIER_USER)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            cents(F.col("value")).alias("last_cents"),
+            ts_str(F.col("ts")).alias("last_ts"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="striot_q179_snap_")
+    q = RT.upsert_snapshot_sink(
+        sdf,
+        path,
+        tempfile.mkdtemp(prefix="striot_q179_ck_"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        payload_cols=["event_type", "last_cents", "last_ts"],
+    )
+    q.awaitTermination()
+    snap = RT.read_snapshot(spark, path)
+    return snap.filter(F.col("event_type") != "error").select(
+        "user_id", "last_cents", "last_ts"
+    )

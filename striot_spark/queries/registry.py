@@ -177,6 +177,7 @@ _SWEEP_FIRST = [
     "q176_ann_recall_eval",
     "q177_collocations",
     "q178_lexical_search",
+    "q179_cdc_apply_stream",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
