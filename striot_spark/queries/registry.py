@@ -131,11 +131,12 @@ _SWEEP_FIRST = [
     "q136_novelty_stats",
     "q137_zorder_zone_map",
     # beyond the 50 cap from here down - no driver row possible this
-    # round; ROUND-8 HEAD PLAN: (1) q138-q158 (21 never-swept, all
-    # verified green in the full plain-session sweeps this round),
-    # (2) fill to 50 with the oldest stale cohort (r04-green batch:
-    # q11-q50 era + _SWEEP_LAST) - that is 21 + 29, exactly the cap;
-    # the cohort swept green in r07 (q93-q137 head) can wait for r09
+    # round; ROUND-8 HEAD PLAN: the never-swept cohort is now
+    # q138-q179 (42 queries, all verified green in the full
+    # plain-session sweeps this round) - that fills 42 head slots;
+    # fill the remaining 8 with the OLDEST stale rows (_SWEEP_LAST's
+    # seven r04-green queries + the next-oldest r04 batch row); the
+    # cohort swept green in r07 (q93-q137 head) waits for r09
     "q138_incremental_agg_stream",
     "q139_hll_distinct",
     "q140_fuzzy_link_pairs",
@@ -178,6 +179,8 @@ _SWEEP_FIRST = [
     "q177_collocations",
     "q178_lexical_search",
     "q179_cdc_apply_stream",
+    "q180_forecast_revenue_band",
+    "q181_promo_revenue_share",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

@@ -847,3 +847,105 @@ def q172_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     return k_core(edges, k=90, rounds=3, src="u", dst="v")
+
+
+@register(
+    "q180_forecast_revenue_band",
+    f"""
+    SELECT count(*) AS n_rows,
+           sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+               * CAST(round(l_discount * 100.0, 0) AS BIGINT))
+               AS revenue_c2
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2024-01-01'
+      AND l_shipdate < TIMESTAMP '2024-07-01'
+      AND CAST(round(l_discount * 100.0, 0) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecasting revenue change): one filtered "
+    "scan, one scalar aggregate — the canonical predicate-pushdown "
+    "benchmark. The revenue product stays EXACT by working in "
+    "cent-hundredths (cents(price) x integer discount points), and "
+    "the discount band compares rounded integer points, never raw "
+    "floats; date + discount + quantity predicates all reach the "
+    "parquet scan (plan-gated PushedFilters), so at 100 TB the scan "
+    "reads row groups whose stats intersect the band and nothing "
+    "else. No joins, no shuffle beyond the scalar combine",
+)
+def q180_forecast_revenue_band(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = F.round(F.col("l_discount") * 100.0, 0).cast("long")
+    kept = li.filter(
+        (F.col("l_shipdate") >= "2024-01-01")
+        & (F.col("l_shipdate") < "2024-07-01")
+        & (F.col("l_quantity") < 24)
+    ).filter(pts.between(5, 7))
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100.0, 0).cast("long") * pts
+        ).alias("revenue_c2"),
+    )
+
+
+@register(
+    "q181_promo_revenue_share",
+    f"""
+    SELECT
+        sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 100.0, 0) AS BIGINT)
+                 ELSE 0 END) AS promo_c,
+        sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                 AS BIGINT)) AS total_c,
+        1000 * sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                        * 100.0, 0) AS BIGINT)
+                        ELSE 0 END)
+             // sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0,
+                              0) AS BIGINT)) AS promo_permille
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '2024-03-01'
+      AND l_shipdate < TIMESTAMP '2024-04-01'
+    """,
+    doc="TPC-H Q14 shape (promotion effect): one month of lineitem "
+    "joined to part, promo share of discounted revenue as an integer "
+    "permille of exact cents (the float percent is a consumer-side "
+    "division of two emitted integers). The part side broadcasts "
+    "(dimension BHJ, plan-gated) and the date band is pushed to the "
+    "fact scan — the month's row groups only; conditional aggregation "
+    "folds both sums into ONE pass with map-side partials",
+)
+def q181_promo_revenue_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "2024-03-01")
+        & (F.col("l_shipdate") < "2024-04-01")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type"
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+    ).cast("long")
+    j = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    )
+    total = F.sum(rev)
+    return j.agg(
+        promo.alias("promo_c"),
+        total.alias("total_c"),
+        F.expr(
+            "1000 * sum(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0) "
+            "AS BIGINT) ELSE 0L END) DIV "
+            "sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, "
+            "0) AS BIGINT))"
+        ).alias("promo_permille"),
+    )

@@ -829,3 +829,23 @@ def test_lexical_search_scores_as_projection(spark, sf_dir):
     assert "Join" not in plan
     assert "Exchange" not in plan
     assert "TakeOrdered" in plan
+
+
+def test_revenue_band_pushes_all_predicates(spark, sf_dir):
+    """q180: date, discount-points and quantity predicates reach the
+    parquet scan; the plan is scan -> scalar aggregate, no shuffle
+    beyond the 1-row combine."""
+    fmt = _formatted(spark, "q180_forecast_revenue_band", sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate," in fmt
+    assert "LessThan(l_quantity,24.0)" in fmt
+    plan = _executed(spark, "q180_forecast_revenue_band", sf_dir)
+    assert "Join" not in plan
+
+
+def test_promo_share_broadcasts_part_single_pass(spark, sf_dir):
+    """q181: the part dimension broadcasts and both conditional sums
+    fold into one aggregate pass (2 HashAggregates: partial+final)."""
+    plan = _executed(spark, "q181_promo_revenue_share", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") == 2
