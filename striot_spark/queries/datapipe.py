@@ -2434,3 +2434,158 @@ def q178_lexical_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lexical_search(
         docs, "doc_id", "text", ["vector", "stream", "window"], k=10
     )
+
+
+@register(
+    "q182_rank_normalize",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN n > 1 THEN (r * 1000) // (n - 1) ELSE 0 END
+               AS len_permille
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n_chars, doc_id) - 1 AS r,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents) t
+    """,
+    doc="per-group rank normalization (the quantile-transform feature "
+    "encoder): each doc's length mapped to its integer permille rank "
+    "within its language — distribution-free, outlier-immune, and "
+    "engine-exact (rank arithmetic, no floats). One key shuffle "
+    "shared by both windows (same partitioning); ties totally "
+    "ordered by doc_id so the transform is deterministic. The "
+    "normalize-before-mixing step heterogeneous corpora need",
+)
+def q182_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    wr = W.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    wn = W.partitionBy("lang")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        (F.row_number().over(wr) - F.lit(1)).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CASE WHEN n > 1 THEN (r * 1000) DIV (n - 1) ELSE 0 END"
+        ).alias("len_permille"),
+    )
+
+
+@register(
+    "q185_oov_audit",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+    freq AS (
+        SELECT tok, count(*) AS tf
+        FROM (SELECT unnest(t) AS tok FROM toks) x GROUP BY tok),
+    v AS (
+        SELECT tok FROM (
+            SELECT tok, row_number() OVER (
+                       ORDER BY tf DESC, tok ASC) AS rnk
+            FROM freq) r
+        WHERE rnk <= 100),
+    vl AS (SELECT list(tok) AS vlist FROM v)
+    SELECT doc_id, len(t) AS n_tokens,
+           len(list_filter(t, x -> NOT list_contains(vlist, x)))
+               AS n_oov,
+           CASE WHEN len(t) > 0
+                THEN len(list_filter(t, x -> NOT list_contains(vlist, x)))
+                     * 1000 // len(t)
+                ELSE 0 END AS oov_permille
+    FROM toks, vl
+    """,
+    doc="tokenizer-vocabulary coverage audit: per doc, whitespace "
+    "token count, how many fall outside the top-100 frequency-ranked "
+    "vocabulary (q75's build_vocab ranking: tf DESC, token ASC "
+    "ties), and the integer OOV permille — the coverage check run "
+    "before committing to a vocab size. The vocabulary is collected "
+    "once and inlined as a literal array, so the corpus audit is a "
+    "ZERO-JOIN zero-shuffle projection (q75's map-literal "
+    "discipline); the vocab build itself rides the size-gated "
+    "global_index",
+)
+def q185_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = T.build_vocab(docs, "text", 100)
+    vlist = [r["token"] for r in vocab.collect()]
+    lit_v = F.array(*[F.lit(t) for t in vlist])
+    toks = T.nonempty_tokens(F.col("text"))
+    n_oov = F.size(
+        F.filter(toks, lambda x: ~F.array_contains(lit_v, x))
+    )
+    sel = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        n_oov.alias("n_oov"),
+    )
+    return sel.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN (n_oov * 1000) DIV n_tokens "
+            "ELSE 0 END"
+        ).alias("oov_permille"),
+    )
+
+
+@register(
+    "q186_dup_cluster_census",
+    _simhash_sql_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """,
+    p AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b, range(0, 4) r(band)
+        WHERE a.doc_id < b.doc_id
+          AND ((a.simhash >> (band * 15)) & 32767)
+              = ((b.simhash >> (band * 15)) & 32767)
+          AND bit_count(xor(a.simhash, b.simhash)) <= 8),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION SELECT id_b, id_a FROM p),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+    comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS group_id
+        FROM reach GROUP BY u),
+    sz AS (SELECT group_id, count(*) AS cluster_size FROM comp
+           GROUP BY group_id)
+    SELECT cluster_size, count(*) AS n_clusters
+    FROM sz GROUP BY cluster_size
+    """,
+    doc="duplicate-cluster census: the size distribution of q74's "
+    "near-dup connected components (how much of the corpus sits in "
+    "2-doc pairs vs mega-clusters) — the diagnostic that sets dedup "
+    "policy (keep-one-per-cluster erases mega-clusters; cap-per-"
+    "cluster keeps diversity) BEFORE deleting anything. Two tiny "
+    "aggregations on the component table; all heavy lifting is the "
+    "proven q45 pair-gen + q74 min-label machinery",
+)
+def q186_dup_cluster_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs(
+        docs, "doc_id", "text", bands=4, band_bits=15, max_hamming=8
+    )
+    comp = D.dedup_groups(pairs)
+    sz = comp.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sz.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )

@@ -1477,3 +1477,38 @@ def q173_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(cents(F.col("value"))).alias("sum_c"),
     )
+
+
+@register(
+    "q184_freshness_audit",
+    f"""
+    WITH g AS (
+        SELECT event_type, count(*) AS n, max(ts) AS mx
+        FROM events GROUP BY 1),
+    t AS (SELECT max(ts) AS gmx FROM events)
+    SELECT event_type, n, strftime(mx, '{TS_FMT}') AS latest,
+           epoch_us(gmx) - epoch_us(mx) AS lag_us
+    FROM g, t
+    """,
+    doc="data-freshness audit (the ingestion-SLO check): per stream "
+    "partition (event type), row count, latest event time, and the "
+    "exact microsecond lag behind the globally freshest event — the "
+    "'is source X stalled' monitor every continuously-ingesting "
+    "pipeline runs. One map-side-combined groupBy + one 1-row global "
+    "max broadcast back; lag in integer microseconds (epoch_us both "
+    "engines), no truncation ambiguity",
+)
+def q184_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.max("ts").alias("mx")
+    )
+    t = ev.agg(F.max("ts").alias("gmx"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n",
+        ts_str(F.col("mx")).alias("latest"),
+        (F.unix_micros(F.col("gmx")) - F.unix_micros(F.col("mx"))).alias(
+            "lag_us"
+        ),
+    )

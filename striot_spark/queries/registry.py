@@ -181,6 +181,11 @@ _SWEEP_FIRST = [
     "q179_cdc_apply_stream",
     "q180_forecast_revenue_band",
     "q181_promo_revenue_share",
+    "q182_rank_normalize",
+    "q183_equiwidth_histogram",
+    "q184_freshness_audit",
+    "q185_oov_audit",
+    "q186_dup_cluster_census",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

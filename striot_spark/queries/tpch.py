@@ -949,3 +949,44 @@ def q181_promo_revenue_share(
             "0) AS BIGINT))"
         ).alias("promo_permille"),
     )
+
+
+@register(
+    "q183_equiwidth_histogram",
+    """
+    WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS v
+        FROM lineitem),
+    b AS (SELECT min(v) AS lo, max(v) AS hi FROM c)
+    SELECT least(15, ((v - lo) * 16) // (hi - lo + 1)) AS bucket,
+           count(*) AS n, min(v) AS v_min, max(v) AS v_max
+    FROM c, b
+    GROUP BY 1
+    """,
+    doc="equi-width histogram build (the ANALYZE-stats / optimizer "
+    "column-statistics pass): 16 integer-cents buckets between the "
+    "observed min/max with per-bucket counts and actual value "
+    "bounds. The 2-long bounds row comes from one scalar aggregate "
+    "and BROADCASTS back (no second data shuffle beyond the bucket "
+    "groupBy's map-side-combined partials); bucket index is pure "
+    "integer arithmetic so every engine bins identically — the "
+    "selectivity-estimation input a cost-based optimizer and a skew "
+    "profiler both consume",
+)
+def q183_equiwidth_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(money(F.col("l_extendedprice")).alias("v"))
+    b = c.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    j = c.crossJoin(F.broadcast(b))
+    return j.select(
+        F.expr("least(15, ((v - lo) * 16) DIV (hi - lo + 1))").alias(
+            "bucket"
+        ),
+        "v",
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+    )
