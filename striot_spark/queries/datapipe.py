@@ -2589,3 +2589,125 @@ def q186_dup_cluster_census(
     return sz.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters")
     )
+
+
+_EK_MIX = (
+    "('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT % 10000"
+)
+
+
+@register(
+    "q187_leakage_aware_split",
+    _simhash_sql_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + f""",
+    p AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b, range(0, 4) r(band)
+        WHERE a.doc_id < b.doc_id
+          AND ((a.simhash >> (band * 15)) & 32767)
+              = ((b.simhash >> (band * 15)) & 32767)
+          AND bit_count(xor(a.simhash, b.simhash)) <= 8),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION SELECT id_b, id_a FROM p),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+    comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS group_id
+        FROM reach GROUP BY u),
+    eff AS (
+        SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS k
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+    SELECT doc_id, k AS split_key,
+           CASE WHEN {_EK_MIX} < 8000 THEN 'train'
+                WHEN {_EK_MIX} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM eff
+    """,
+    doc="LEAKAGE-AWARE train/val/test split: q76's deterministic "
+    "md5-bucket assignment, but keyed on the near-dup COMPONENT id "
+    "(q74's connected components) instead of the doc id — every "
+    "member of a duplicate cluster lands in the same split, closing "
+    "the eval-contamination hole a per-doc split leaves open (near-"
+    "identical docs straddling train and test). Singletons fall back "
+    "to their own id; assignment stays a pure projection over the "
+    "(doc, effective-key) table, so the only added cost is the "
+    "component build the dedup pass already ran",
+)
+def q187_leakage_aware_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs(
+        docs, "doc_id", "text", bands=4, band_bits=15, max_hamming=8
+    )
+    comp = D.dedup_groups(pairs)
+    eff = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("group_id"), F.col("doc_id")).alias("k"),
+    )
+    return SAMP.split_assign(
+        eff, "k", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", F.col("k").alias("split_key"), "split")
+
+
+@register(
+    "q188_cap_per_cluster",
+    _simhash_sql_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """,
+    p AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b, range(0, 4) r(band)
+        WHERE a.doc_id < b.doc_id
+          AND ((a.simhash >> (band * 15)) & 32767)
+              = ((b.simhash >> (band * 15)) & 32767)
+          AND bit_count(xor(a.simhash, b.simhash)) <= 8),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION SELECT id_b, id_a FROM p),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+    comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS group_id
+        FROM reach GROUP BY u),
+    eff AS (
+        SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS g
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    rk AS (
+        SELECT doc_id, g,
+               row_number() OVER (
+                   PARTITION BY g ORDER BY doc_id) AS rnk
+        FROM eff)
+    SELECT doc_id, g AS group_id FROM rk WHERE rnk <= 2
+    """,
+    doc="cap-per-cluster dedup policy: keep at most 2 docs (smallest "
+    "ids) from every near-dup component, singletons untouched — the "
+    "diversity-preserving alternative to keep-one canonicalization "
+    "that q186's census motivates (mega-clusters shrink to 2, pairs "
+    "survive intact). Rank window partitioned by the component key "
+    "over the (doc, key) table; the heavy lifting is the same proven "
+    "pair-gen + CC machinery, the policy itself is one bounded "
+    "window pass",
+)
+def q188_cap_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs(
+        docs, "doc_id", "text", bands=4, band_bits=15, max_hamming=8
+    )
+    comp = D.dedup_groups(pairs)
+    eff = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("group_id"), F.col("doc_id")).alias("g"),
+    )
+    w = W.partitionBy("g").orderBy(F.col("doc_id").asc())
+    return (
+        eff.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("doc_id", F.col("g").alias("group_id"))
+    )
