@@ -87,6 +87,9 @@ def main() -> None:
         "q150_table_digest_stream",
         "q152_pit_enrich_stream",
         "q164_ohlc_bars_stream",
+        "q174_rollup_serve_stream",
+        "q179_cdc_apply_stream",
+        "q189_freshness_stream",
     }
     # best-of-3 (was 2): PERF.md r4 measured 10-23% CV across identical
     # back-to-back runs on this shared box; a third repeat materially

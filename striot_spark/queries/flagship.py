@@ -2229,3 +2229,56 @@ def q179_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.filter(F.col("event_type") != "error").select(
         "user_id", "last_cents", "last_ts"
     )
+
+
+@register(
+    "q189_freshness_stream",
+    """
+    WITH g AS (
+        SELECT event_type, max(ts) AS mx FROM events GROUP BY 1),
+    t AS (SELECT max(ts) AS gmx FROM events)
+    SELECT event_type, strftime(mx, '%Y-%m-%d %H:%M:%S.%f') AS latest,
+           epoch_us(gmx) - epoch_us(mx) AS lag_us
+    FROM g, t
+    """,
+    doc="q184's freshness audit maintained ON THE STREAM: the upsert "
+    "snapshot sink keeps the maximally-(ts, event_id) row per event "
+    "type (latest-wins IS running max), so the monitor reads a "
+    "types-sized snapshot instead of scanning history; the global "
+    "reference max is the max OVER the snapshot (max of per-type "
+    "maxes). Adversarial out-of-order replay: max_by is batching- "
+    "and arrival-order-insensitive, so the lag table is exact at "
+    "every drain point",
+)
+def q189_freshness_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from striot_spark.functions.analytics import ts_str
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events_ooo(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+        .filter(F.col("user_id") != BARRIER_USER)
+        .select("event_type", "ts", "event_id")
+    )
+    path = tempfile.mkdtemp(prefix="striot_q189_snap_")
+    q = RT.upsert_snapshot_sink(
+        sdf,
+        path,
+        tempfile.mkdtemp(prefix="striot_q189_ck_"),
+        key_cols=["event_type"],
+        order_cols=["ts", "event_id"],
+        payload_cols=[],
+    )
+    q.awaitTermination()
+    snap = RT.read_snapshot(spark, path)
+    t = snap.agg(F.max("ts").alias("gmx"))
+    return snap.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        ts_str(F.col("ts")).alias("latest"),
+        (F.unix_micros(F.col("gmx")) - F.unix_micros(F.col("ts"))).alias(
+            "lag_us"
+        ),
+    )

@@ -188,6 +188,7 @@ _SWEEP_FIRST = [
     "q186_dup_cluster_census",
     "q187_leakage_aware_split",
     "q188_cap_per_cluster",
+    "q189_freshness_stream",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
