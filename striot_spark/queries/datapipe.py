@@ -2711,3 +2711,43 @@ def q188_cap_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 2)
         .select("doc_id", F.col("g").alias("group_id"))
     )
+
+
+@register(
+    "q190_media_embed",
+    """
+    WITH g AS (SELECT unnest(range(0, 16)) AS dim),
+    d AS (SELECT doc_id, greatest(1, length(text)) AS total
+          FROM documents),
+    i AS (SELECT doc_id, text,
+                 unnest(range(1, length(text) + 1)) AS i
+          FROM documents),
+    h AS (SELECT doc_id, ord(substr(text, i, 1)) % 16 AS dim,
+                 count(*) AS cnt
+          FROM i GROUP BY 1, 2)
+    SELECT d.doc_id, CAST(g.dim AS INTEGER) AS dim,
+           coalesce(h.cnt, 0) / d.total AS feat
+    FROM d CROSS JOIN g
+    LEFT JOIN h ON d.doc_id = h.doc_id AND g.dim = h.dim
+    """,
+    doc="the multimodal ENCODE path under the full hash-compare gate: "
+    "binary media payloads stream through Arrow-batched mapInPandas "
+    "(functions/multimodal.py:extract_features) into dense feature "
+    "vectors — the deterministic byte-histogram stub keeps the exact "
+    "numeric shape a model forward pass would have, and because the "
+    "synthetic payloads are ASCII the DuckDB oracle reproduces every "
+    "float (small-int division is IEEE-exact in both engines). "
+    "Upgrades the multimodal plumbing from rows-only checks to "
+    "value-gated; one scan, no shuffle, embarrassingly parallel "
+    "encode",
+)
+def q190_media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = to_media(docs, "doc_id", "text")
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "doc_id",
+        F.posexplode("features").alias("dim", "feat"),
+    )

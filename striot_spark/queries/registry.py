@@ -189,6 +189,7 @@ _SWEEP_FIRST = [
     "q187_leakage_aware_split",
     "q188_cap_per_cluster",
     "q189_freshness_stream",
+    "q190_media_embed",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
