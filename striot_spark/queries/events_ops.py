@@ -1512,3 +1512,44 @@ def q184_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag_us"
         ),
     )
+
+
+@register(
+    "q191_trend_stats",
+    f"""
+    WITH v AS (
+        SELECT event_type,
+               date_diff('minute', TIMESTAMP '2024-01-01', ts) AS x,
+               {CENTS_SQL} AS y
+        FROM events)
+    SELECT event_type, count(*) AS n,
+           sum(x) AS sum_x, sum(y) AS sum_y,
+           sum(x * y) AS sum_xy, sum(x * x) AS sum_xx
+    FROM v GROUP BY event_type
+    """,
+    doc="per-group trend (least-squares slope) as exact SUFFICIENT "
+    "STATISTICS: n, Σx, Σy, Σxy, Σx² over (minutes-since-origin, "
+    "cents) — the distributed-regression primitive: one map-side-"
+    "combined groupBy, partials merge by addition, the slope "
+    "(n·Σxy − Σx·Σy)/(n·Σx² − Σx²) is a consumer-side rational of "
+    "emitted integers so the fit is bit-identical on any "
+    "partitioning. Headroom: Σxy at 1e12 rows needs decimal(38,0) "
+    "accumulators (the dedup_groups pattern); longs hold to ~1e9 "
+    "rows at these magnitudes",
+)
+def q191_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = (
+        (F.unix_micros(F.col("ts"))
+         - F.unix_micros(F.lit("2024-01-01").cast("timestamp")))
+        / F.lit(60_000_000)
+    ).cast("long")
+    y = cents(F.col("value"))
+    v = ev.select("event_type", x.alias("x"), y.alias("y"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
+    )

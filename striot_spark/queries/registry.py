@@ -190,6 +190,7 @@ _SWEEP_FIRST = [
     "q188_cap_per_cluster",
     "q189_freshness_stream",
     "q190_media_embed",
+    "q191_trend_stats",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
