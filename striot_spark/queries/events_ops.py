@@ -1553,3 +1553,137 @@ def q191_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
         F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
     )
+
+
+@register(
+    "q192_scd2_enrich",
+    f"""
+    WITH h AS (
+        SELECT user_id, event_type, {CENTS_SQL} AS value_c,
+               ts AS valid_from,
+               lead(ts) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS valid_to
+        FROM events)
+    SELECT o.o_orderkey, o.o_custkey,
+           h.event_type AS state_type, h.value_c AS state_c
+    FROM orders o JOIN h
+      ON o.o_custkey = h.user_id
+     AND o.o_orderdate >= h.valid_from
+     AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    """,
+    doc="fact-to-dimension AS-OF enrichment over SCD-2 history (the "
+    "warehouse PIT join): each order picks the user state valid at "
+    "its order date — q134's validity intervals make this one "
+    "equi-join on the KEY with the interval containment as a join "
+    "filter (plan-gated: a key hash/merge join, never a cartesian "
+    "range join); empty tied intervals [ts, ts) are skipped by "
+    "construction so an order at an overwrite instant sees exactly "
+    "the last write. Batch twin of the streaming PIT enrich (q152)",
+)
+def q192_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_c", cents(F.col("value"))
+    )
+    hist = scd2_history(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+        payload_cols=["event_type", "value_c"],
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    j = orders.join(
+        hist,
+        (F.col("o_custkey") == F.col("user_id"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("o_orderdate") < F.col("valid_to"))
+        ),
+    )
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("event_type").alias("state_type"),
+        F.col("value_c").alias("state_c"),
+    )
+
+
+@register(
+    "q193_twap_daily",
+    f"""
+    WITH v AS (
+        SELECT event_type, ts, event_id, {CENTS_SQL} AS c,
+               date_trunc('day', ts) AS day
+        FROM events),
+    w AS (
+        SELECT event_type, day, c,
+               epoch_us(ts) AS t_us,
+               epoch_us(coalesce(
+                   lead(ts) OVER (
+                       PARTITION BY event_type, day
+                       ORDER BY ts ASC, event_id ASC),
+                   day + INTERVAL 1 DAY)) AS t_next_us,
+               min(epoch_us(ts)) OVER (
+                   PARTITION BY event_type, day) AS first_us
+        FROM v)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           sum(c * (t_next_us - t_us)) AS twap_num,
+           max(epoch_us(day + INTERVAL 1 DAY) - first_us) AS twap_den,
+           count(*) AS n
+    FROM w
+    GROUP BY event_type, day, epoch_us(day)
+    """,
+    doc="daily time-weighted average price (TWAP) in EXACT integer "
+    "cent-microseconds: piecewise-constant value held from each event "
+    "to the next (last one to day end), numerator Σ c·Δt and "
+    "denominator (day_end − first_event) emitted separately so the "
+    "average is a consumer-side rational — no float ever enters the "
+    "pipeline, unlike a naive avg() which ignores holding time "
+    "entirely. One (type, day) window shuffle shared by the lead and "
+    "the min, then a map-side-combined aggregate; the metric "
+    "volume-clock/metrics stores actually want next to q161's OHLC",
+)
+def q193_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        cents(F.col("value")).alias("c"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    wl = W.partitionBy("event_type", "day").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wp = W.partitionBy("event_type", "day")
+    day_end = F.unix_micros(
+        F.col("day") + F.expr("INTERVAL 1 DAY")
+    )
+    w = v.select(
+        "event_type",
+        "day",
+        "c",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.coalesce(
+            F.unix_micros(F.lead("ts").over(wl)), day_end
+        ).alias("t_next_us"),
+        F.min(F.unix_micros(F.col("ts"))).over(wp).alias("first_us"),
+        day_end.alias("day_end_us"),
+    )
+    return w.groupBy(
+        "event_type", day_str(F.col("day")).alias("day")
+    ).agg(
+        F.sum(F.col("c") * (F.col("t_next_us") - F.col("t_us"))).alias(
+            "twap_num"
+        ),
+        F.max(F.col("day_end_us") - F.col("first_us")).alias("twap_den"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -191,6 +191,8 @@ _SWEEP_FIRST = [
     "q189_freshness_stream",
     "q190_media_embed",
     "q191_trend_stats",
+    "q192_scd2_enrich",
+    "q193_twap_daily",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
