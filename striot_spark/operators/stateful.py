@@ -262,3 +262,78 @@ def filter_acc_apply(
 
     res = work.groupBy(BUCKET).applyInPandas(fn, schema=work.schema)
     return res.drop(BUCKET)
+
+
+def filter_keep_acc(
+    df: DataFrame,
+    step: Callable[[Any, dict], Any],
+    init: Any,
+    pred: Callable[[dict, Any], bool],
+    time_col: str | None,
+    seq_col: str | None,
+    key: list[str] | None = None,
+) -> DataFrame:
+    """Keep-dependent stateful filter: ``pred(row, state)`` decides
+    keep, and the state advances ONLY when the row is kept
+    (``state = step(state, row)``) — the semantics behind debounce /
+    rate-limit / min-spacing selection, which ``filter_acc_apply``
+    (reference streamFilterAcc, accumulator updates on every row)
+    cannot express: whether row i survives depends on which earlier
+    rows SURVIVED, a truly sequential recurrence.
+
+    Same per-key Arrow lowering as the other general forms: keys
+    shard across partitions (parallel at any key cardinality), each
+    key's history is replayed in (time, seq) order inside its Arrow
+    batch; keyless input degenerates to one sequential group, exactly
+    like the reference's single lazy list.
+    """
+    key = key or []
+    order = _order_cols(time_col, seq_col)
+    work = _bucketed(df, key)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for g in _per_key_groups(pdf, key, order):
+            cols = g.columns.tolist()
+            state = init
+            keep = []
+            for tup in g.itertuples(index=False, name=None):
+                row = dict(zip(cols, tup))
+                k = bool(pred(row, state))
+                keep.append(k)
+                if k:
+                    state = step(state, row)
+            outs.append(g[pd.Series(keep, index=g.index)])
+        return pd.concat(outs) if outs else pdf.iloc[0:0]
+
+    res = work.groupBy(BUCKET).applyInPandas(fn, schema=work.schema)
+    return res.drop(BUCKET)
+
+
+def debounce(
+    df: DataFrame,
+    key: list[str],
+    time_col: str,
+    seq_col: str,
+    gap_us: int,
+) -> DataFrame:
+    """Per-key debounce: keep an event iff at least ``gap_us``
+    microseconds passed since the last KEPT event of that key (the
+    first event per key always survives) — ingestion rate-limiting /
+    duplicate-burst suppression. A direct ``filter_keep_acc``
+    application: state = timestamp of the last kept row.
+    """
+
+    def pred(row: dict, state) -> bool:
+        if state is None:
+            return True
+        # exact integer microseconds via the ns counters — a float
+        # total_seconds() product could round at extreme spans
+        return (row[time_col].value - state.value) // 1000 >= gap_us
+
+    def step(state, row: dict):
+        return row[time_col]
+
+    return filter_keep_acc(
+        df, step, None, pred, time_col, seq_col, key=key
+    )

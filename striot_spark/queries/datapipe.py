@@ -2751,3 +2751,60 @@ def q190_media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode("features").alias("dim", "feat"),
     )
+
+
+@register(
+    "q194_pareto_frontier",
+    f"""
+    WITH m AS (
+        SELECT doc_id, {NTOK} AS x,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN {STOP_EN})) AS y
+        FROM documents),
+    cand AS (
+        SELECT x, max(y) AS y, min(doc_id) AS doc_id
+        FROM m GROUP BY x),
+    r AS (
+        SELECT doc_id, x, y,
+               max(y) OVER (
+                   ORDER BY x DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS best_above
+        FROM cand)
+    SELECT doc_id, x AS n_tokens, y AS stop_hits
+    FROM r WHERE best_above IS NULL OR y > best_above
+    """,
+    doc="2-D Pareto frontier (skyline) over (token count, stopword "
+    "hits), maximizing both: docs no other doc dominates — the "
+    "multi-objective selection shape (quality vs length) that a "
+    "cartesian dominance join would make O(n²). Lowering: collapse "
+    "to one candidate per distinct x (max y, min doc_id tie), then "
+    "ONE running-max window in x-descending order — a candidate "
+    "survives iff its y beats every candidate with larger x; "
+    "O(n log n) total, the window runs over the DISTINCT-x table "
+    "(bounded by the metric's cardinality, not the corpus)",
+)
+def q194_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    m = docs.select(
+        "doc_id",
+        T.token_count(text).alias("x"),
+        T.stopword_hits(text).alias("y"),
+    )
+    cand = m.groupBy("x").agg(
+        F.max("y").alias("y"), F.min("doc_id").alias("doc_id")
+    )
+    w = W.orderBy(F.col("x").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    r = cand.select(
+        "doc_id", "x", "y", F.max("y").over(w).alias("best_above")
+    )
+    return r.filter(
+        F.col("best_above").isNull() | (F.col("y") > F.col("best_above"))
+    ).select(
+        "doc_id", F.col("x").alias("n_tokens"), F.col("y").alias("stop_hits")
+    )

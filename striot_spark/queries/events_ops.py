@@ -1687,3 +1687,52 @@ def q193_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("day_end_us") - F.col("first_us")).alias("twap_den"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q195_debounce_per_user",
+    f"""
+    WITH RECURSIVE r AS (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events),
+    k AS (
+        SELECT user_id, ts, event_id, rn,
+               TRUE AS kept, ts AS last_kept
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.ts, r.event_id, r.rn,
+               epoch_us(r.ts) - epoch_us(k.last_kept) >= 43200000000
+                   AS kept,
+               CASE WHEN epoch_us(r.ts) - epoch_us(k.last_kept)
+                         >= 43200000000
+                    THEN r.ts ELSE k.last_kept END AS last_kept
+        FROM k JOIN r
+          ON r.user_id = k.user_id AND r.rn = k.rn + 1)
+    SELECT user_id, event_id, strftime(ts, '{TS_FMT}') AS ts
+    FROM k WHERE kept
+    """,
+    doc="per-key DEBOUNCE (12h min spacing): keep an event iff >= "
+    "gap since the last KEPT event of that user — the rate-limit / "
+    "burst-suppression selection whose state depends on which "
+    "earlier rows SURVIVED, a truly sequential recurrence that "
+    "neither windows nor reference streamFilterAcc (accumulator "
+    "updates on every row) can express "
+    "(operators/stateful.py:filter_keep_acc / debounce). Keys shard "
+    "across partitions, each key's history replays in (ts, id) "
+    "order inside its Arrow batch; the oracle runs the identical "
+    "recurrence as a per-key recursive CTE, exact integer "
+    "microseconds on both sides",
+)
+def q195_debounce_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.operators.stateful import debounce
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    out = debounce(
+        ev, ["user_id"], "ts", "event_id", gap_us=43_200_000_000
+    )
+    return out.select("user_id", "event_id", ts_str(F.col("ts")).alias("ts"))

@@ -193,6 +193,8 @@ _SWEEP_FIRST = [
     "q191_trend_stats",
     "q192_scd2_enrich",
     "q193_twap_daily",
+    "q194_pareto_frontier",
+    "q195_debounce_per_user",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

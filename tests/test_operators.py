@@ -479,3 +479,32 @@ def test_join_e_positional_matches_haskell_zip_semantics(spark):
         if a[1] > b[1]
     )
     assert got == want and len(got) > 0
+
+
+def test_debounce_keep_dependent_state(spark):
+    """Debounce state advances only on KEPT rows. gap=10s over
+    t=0,6,12,17,25: keep t=0 (first), suppress t=6 (6s after kept 0),
+    keep t=12 (12s after kept 0), suppress t=17 (5s after kept 12),
+    keep t=25. An every-row accumulator (plain filter_acc comparing
+    against the previous EVENT) would instead suppress t=12, since
+    only 6s separate it from the t=6 event — that divergence is what
+    this pins."""
+    import datetime as dt
+
+    from striot_spark.operators.stateful import debounce
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(seconds=s), i)
+        for i, s in enumerate([0, 6, 12, 17, 25])
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = sorted(
+        r["event_id"]
+        for r in debounce(
+            df, ["user_id"], "ts", "event_id", gap_us=10_000_000
+        ).collect()
+    )
+    # kept: t=0 (first), t=12 (12-0>=10), t=25 (25-12>=10); t=6 and
+    # t=17 are suppressed because they are <10s after the last KEPT
+    assert got == [0, 2, 4]
