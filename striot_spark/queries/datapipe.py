@@ -2808,3 +2808,51 @@ def q194_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.col("x").alias("n_tokens"), F.col("y").alias("stop_hits")
     )
+
+
+@register(
+    "q197_curriculum_interleave",
+    """
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY doc_id) - 1 AS rnk
+        FROM documents)
+    SELECT doc_id, source, rnk AS round, 
+           rnk * 100 + ('0x' || substr(md5(source), 1, 15))::BIGINT % 100
+               AS interleave_key
+    FROM r
+    """,
+    doc="deterministic round-robin corpus interleave: each doc gets "
+    "an interleave key (round * K + stable source offset) so reading "
+    "in key order alternates sources round-by-round — the "
+    "source-balanced training order a curriculum wants, without any "
+    "global shuffle of the corpus (one per-source rank window; the "
+    "total order is a SORT KEY the consumer applies, not an imposed "
+    "global sort here). Source offset is an md5 bucket so ordering "
+    "within a round is stable in any engine; K=100 bounds sources "
+    "per round",
+)
+def q197_curriculum_interleave(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from striot_spark.functions.text import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.col("doc_id").asc())
+    r = docs.select(
+        "doc_id",
+        "source",
+        (F.row_number().over(w) - F.lit(1)).alias("round"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "round",
+        (
+            F.col("round") * F.lit(100)
+            + md5_hash64(F.col("source")) % F.lit(100)
+        ).alias("interleave_key"),
+    )

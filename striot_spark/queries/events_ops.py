@@ -1736,3 +1736,66 @@ def q195_debounce_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], "ts", "event_id", gap_us=43_200_000_000
     )
     return out.select("user_id", "event_id", ts_str(F.col("ts")).alias("ts"))
+
+
+@register(
+    "q196_burst_detection",
+    f"""
+    WITH m AS (
+        SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    w AS (
+        SELECT event_type, b, n,
+               list_sort(list(n) OVER (
+                   PARTITION BY event_type ORDER BY b
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS prev
+        FROM m)
+    SELECT event_type, strftime(b, '{TS_FMT}') AS bucket, n,
+           prev[(len(prev) + 1) // 2] AS med_prev
+    FROM w
+    WHERE len(prev) >= 4 AND 2 * n > 3 * prev[(len(prev) + 1) // 2]
+    """,
+    doc="rate-burst detection over the active-hour series: a "
+    "(type, hour) is flagged when its event count exceeds 1.5x the "
+    "exact lower median of the up-to-7 preceding active hours — "
+    "integer cross-multiplication (2n > 3·med), no stddev float. "
+    "The sliding window runs over the hour-COUNT table (bounded by "
+    "types x hours), never raw events, and each row's median sorts "
+    "<= 7 values in-row — the ops anomaly monitor next to q158's "
+    "global MAD screen; >= 4 samples required before flagging",
+)
+def q196_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("b").asc())
+        .rowsBetween(-7, -1)
+    )
+    prev = F.array_sort(F.collect_list(F.col("n")).over(w))
+    sel = m.select(
+        "event_type",
+        "b",
+        "n",
+        prev.alias("prev"),
+    ).select(
+        "event_type",
+        "b",
+        "n",
+        F.expr("prev[CAST((size(prev) + 1) / 2 AS INT) - 1]").alias(
+            "med_prev"
+        ),
+        F.size(F.col("prev")).alias("np"),
+    )
+    return sel.filter(
+        (F.col("np") >= 4) & (2 * F.col("n") > 3 * F.col("med_prev"))
+    ).select(
+        "event_type",
+        ts_str(F.col("b")).alias("bucket"),
+        "n",
+        "med_prev",
+    )

@@ -195,6 +195,8 @@ _SWEEP_FIRST = [
     "q193_twap_daily",
     "q194_pareto_frontier",
     "q195_debounce_per_user",
+    "q196_burst_detection",
+    "q197_curriculum_interleave",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
