@@ -90,6 +90,7 @@ def main() -> None:
         "q174_rollup_serve_stream",
         "q179_cdc_apply_stream",
         "q189_freshness_stream",
+        "q198_debounce_stream",
     }
     # best-of-3 (was 2): PERF.md r4 measured 10-23% CV across identical
     # back-to-back runs on this shared box; a third repeat materially

@@ -2282,3 +2282,74 @@ def q189_freshness_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag_us"
         ),
     )
+
+
+@register(
+    "q198_debounce_stream",
+    """
+    WITH RECURSIVE r AS (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events),
+    k AS (
+        SELECT user_id, ts, event_id, rn,
+               TRUE AS kept, ts AS last_kept
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.ts, r.event_id, r.rn,
+               epoch_us(r.ts) - epoch_us(k.last_kept) >= 43200000000
+                   AS kept,
+               CASE WHEN epoch_us(r.ts) - epoch_us(k.last_kept)
+                         >= 43200000000
+                    THEN r.ts ELSE k.last_kept END AS last_kept
+        FROM k JOIN r
+          ON r.user_id = k.user_id AND r.rn = k.rn + 1)
+    SELECT user_id, event_id FROM k WHERE kept
+    """,
+    doc="q195's keep-dependent debounce ON THE STREAM "
+    "(streaming/runtime.py:filter_keep_acc_stream): per-key state = "
+    "last KEPT timestamp in exact integer microseconds, advanced "
+    "only on kept rows via applyInPandasWithState; in-order replay "
+    "(the q89/q90 staging) because burst suppression is inherently "
+    "order-sensitive — same recursive-CTE oracle as the batch form, "
+    "proving the micro-batched state handoff reproduces the "
+    "sequential recurrence exactly",
+)
+def q198_debounce_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema)
+    gap_us = 43_200_000_000
+
+    def pred(row: dict, acc) -> bool:
+        if acc[0] is None:
+            return True
+        return row["ts"].value // 1000 - acc[0] >= gap_us
+
+    def step(acc, row: dict):
+        return (row["ts"].value // 1000,)
+
+    out = RT.filter_keep_acc_stream(
+        sdf,
+        step=step,
+        init=(None,),
+        pred=pred,
+        key=["user_id"],
+        time_col="ts",
+        state_type="last_us long",
+        tiebreak="event_id",
+    )
+    drained = RT.run_available_now(
+        out,
+        f"q198_deb_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q198_ck_"),
+        mode="append",
+    )
+    return drained.select("user_id", "event_id")

@@ -197,6 +197,7 @@ _SWEEP_FIRST = [
     "q195_debounce_per_user",
     "q196_burst_detection",
     "q197_curriculum_interleave",
+    "q198_debounce_stream",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

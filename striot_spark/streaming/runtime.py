@@ -1647,3 +1647,56 @@ def sliding_count_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def filter_keep_acc_stream(
+    sdf: DataFrame,
+    step: Callable[[Any, dict], Any],
+    init: tuple,
+    pred: Callable[[dict, Any], bool],
+    key: Sequence[str],
+    time_col: str,
+    state_type: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming keep-dependent stateful filter — the streaming twin of
+    ``operators/stateful.py:filter_keep_acc`` (debounce / rate-limit:
+    the state advances ONLY on kept rows, so survival depends on which
+    earlier rows survived). Same discipline as ``filter_acc_stream``:
+    per-key state via applyInPandasWithState, each micro-batch's rows
+    for a key concat-then-sorted in (time, tiebreak) order before the
+    sequential replay; cross-batch order is arrival order, so
+    order-sensitive gates should replay in-order staged input (the
+    q89/q90 pattern).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key = list(key)
+    sort_cols = [time_col] if tiebreak is None else [time_col, tiebreak]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
+    )
+
+    def fn(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        acc = tuple(state.get) if state.exists else init
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(sort_cols, kind="mergesort")
+            keep = []
+            for row in pdf.to_dict("records"):
+                kp = bool(pred(row, acc))
+                keep.append(kp)
+                if kp:
+                    acc = step(acc, row)
+            yield pdf[pd.Series(keep, index=pdf.index)]
+        state.update(tuple(acc))
+
+    return sdf.groupBy(*key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
