@@ -2856,3 +2856,56 @@ def q197_curriculum_interleave(
             + md5_hash64(F.col("source")) % F.lit(100)
         ).alias("interleave_key"),
     )
+
+
+@register(
+    "q200_sorted_export",
+    """
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY doc_id) - 1 AS rnk
+        FROM documents)
+    SELECT doc_id,
+           rnk * 100 + ('0x' || substr(md5(source), 1, 15))::BIGINT % 100
+               AS interleave_key,
+           length(text) AS n_chars
+    FROM r JOIN documents USING (doc_id, source)
+    """,
+    doc="the corpus EXPORT step: the q197 interleave order written as "
+    "a globally range-partitioned, within-file-sorted parquet layout "
+    "(repartitionByRange + sortWithinPartitions + maxRecordsPerFile) "
+    "and read back — files cover disjoint key ranges, so a training "
+    "job streams them in name order and sees the exact curriculum "
+    "order with NO global sort at read time; the oracle proves the "
+    "layout round-trips content exactly. The write's range exchange "
+    "is the one unavoidable shuffle of an ordered export; a "
+    "file-level disjointness check runs in the unit suite",
+)
+def q200_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from striot_spark.functions.text import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.col("doc_id").asc())
+    keyed = docs.select(
+        "doc_id",
+        F.length(F.col("text")).alias("n_chars"),
+        (
+            (F.row_number().over(w) - F.lit(1)) * F.lit(100)
+            + md5_hash64(F.col("source")) % F.lit(100)
+        ).alias("interleave_key"),
+    )
+    out = tempfile.mkdtemp(prefix="striot_q200_export_") + "/data"
+    (
+        keyed.repartitionByRange(8, F.col("interleave_key"))
+        .sortWithinPartitions("interleave_key", "doc_id")
+        .write.option("maxRecordsPerFile", "2000")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.select("doc_id", "interleave_key", "n_chars")

@@ -198,6 +198,8 @@ _SWEEP_FIRST = [
     "q196_burst_detection",
     "q197_curriculum_interleave",
     "q198_debounce_stream",
+    "q199_returned_revenue_customers",
+    "q200_sorted_export",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

@@ -990,3 +990,50 @@ def q183_equiwidth_histogram(
         F.min("v").alias("v_min"),
         F.max("v").alias("v_max"),
     )
+
+
+@register(
+    "q199_returned_revenue_customers",
+    """
+    SELECT c_custkey, c_name,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                    AS BIGINT)) AS lost_c,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY lost_c DESC, c_custkey ASC LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): top-20 customers "
+    "by exact-cents revenue of returned items. The returnflag "
+    "predicate pushes to the lineitem scan, customer broadcasts "
+    "(dimension BHJ), revenue folds with map-side partials, and the "
+    "top-20 runs through TakeOrdered under a (lost_c, custkey) total "
+    "order — no global sort (plan-gated)",
+)
+def q199_returned_revenue_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+    ).cast("long")
+    j = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    agg = j.groupBy("c_custkey", "c_name").agg(
+        F.sum(rev).alias("lost_c"), F.count(F.lit(1)).alias("n_items")
+    )
+    return agg.orderBy(
+        F.col("lost_c").desc(), F.col("c_custkey").asc()
+    ).limit(20)

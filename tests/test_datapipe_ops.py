@@ -1809,3 +1809,40 @@ def test_k_core_converges_to_true_core(spark):
     # rounds=2 already reaches the fixed point here: the 2-core is the
     # clique; node 6 falls in round 1, node 5 in round 2
     assert {n for n, _ in got} == {1, 2, 3, 4}
+
+
+def test_sorted_export_files_cover_disjoint_key_ranges(spark):
+    """q200's layout claim: after repartitionByRange +
+    sortWithinPartitions, parquet files cover pairwise-disjoint
+    interleave_key ranges, so reading files in range order IS the
+    global order without a sort."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 37 % 1000).alias("interleave_key"),
+    )
+    out = tempfile.mkdtemp(prefix="striot_export_gate_") + "/d"
+    (
+        df.repartitionByRange(6, F.col("interleave_key"))
+        .sortWithinPartitions("interleave_key", "doc_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    import duckdb
+
+    spans = []
+    for f in glob.glob(out + "/*.parquet"):
+        lo, hi, n = duckdb.sql(
+            f"SELECT min(interleave_key), max(interleave_key), count(*) "
+            f"FROM '{f}'"
+        ).fetchone()
+        if n:
+            spans.append((lo, hi))
+    spans.sort()
+    assert len(spans) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # ranges may touch, never overlap
