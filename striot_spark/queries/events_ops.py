@@ -1799,3 +1799,133 @@ def q196_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "med_prev",
     )
+
+
+@register(
+    "q201_json_schema_profile",
+    f"""
+    WITH j AS (
+        SELECT CASE
+            WHEN event_type = 'purchase' THEN
+                '{{"k": ' || json_extract_string(props, '$.k')
+                || ', "amount": ' || CAST({CENTS_SQL} AS VARCHAR) || '}}'
+            WHEN event_type = 'error' THEN
+                '{{"k": ' || json_extract_string(props, '$.k')
+                || ', "code": ' || CAST(event_id % 7 AS VARCHAR) || '}}'
+            ELSE props END AS p
+        FROM events)
+    SELECT array_to_string(list_sort(json_keys(p)), ',') AS key_sig,
+           count(*) AS n
+    FROM j GROUP BY 1
+    """,
+    doc="semi-structured SCHEMA-DRIFT profile: the distribution of "
+    "JSON key-set signatures across the payload column — the audit "
+    "that catches producers adding/dropping fields before a typed "
+    "extract breaks. Payloads parse JVM-side to map<string,string> "
+    "(from_json) and the sorted key list aggregates with map-side "
+    "partials; input is deterministically augmented with "
+    "type-dependent fields so the profile is heterogeneous in both "
+    "engines (q165's augmentation discipline). Signature space is "
+    "bounded by distinct schemas, not rows",
+)
+def q201_json_schema_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    p = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(
+                F.lit('{"k": '), k, F.lit(', "amount": '),
+                cents(F.col("value")).cast("string"), F.lit("}"),
+            ),
+        )
+        .when(
+            F.col("event_type") == "error",
+            F.concat(
+                F.lit('{"k": '), k, F.lit(', "code": '),
+                (F.col("event_id") % 7).cast("string"), F.lit("}"),
+            ),
+        )
+        .otherwise(F.col("props"))
+    )
+    parsed = ev.select(
+        F.from_json(p, "map<string,string>").alias("m")
+    )
+    return parsed.select(
+        F.array_join(F.array_sort(F.map_keys(F.col("m"))), ",").alias(
+            "key_sig"
+        )
+    ).groupBy("key_sig").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q203_nearest_event_align",
+    """
+    WITH err AS (
+        SELECT event_id AS err_id, user_id, ts FROM events
+        WHERE event_type = 'error'),
+    pur AS (
+        SELECT event_id AS pur_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'),
+    j AS (
+        SELECT e.err_id, p.pur_id,
+               abs(epoch_us(e.ts) - epoch_us(p.ts)) AS dist_us
+        FROM err e JOIN pur p
+          ON e.user_id = p.user_id
+         AND p.ts >= e.ts - INTERVAL 6 HOUR
+         AND p.ts <= e.ts + INTERVAL 6 HOUR)
+    SELECT err_id, pur_id, dist_us FROM (
+        SELECT err_id, pur_id, dist_us,
+               row_number() OVER (
+                   PARTITION BY err_id
+                   ORDER BY dist_us ASC, pur_id ASC) AS rnk
+        FROM j) t
+    WHERE rnk = 1
+    """,
+    doc="nearest-event alignment with tolerance (the sensor-fusion "
+    "as-of variant: q53 carries the LAST event backward, this picks "
+    "the CLOSEST matching event in either direction within +-6h, "
+    "ties toward the earlier id) — each error aligned to its "
+    "nearest purchase of the same user. KEY equi-join with the "
+    "tolerance band as a join filter, so candidates per row are "
+    "band-bounded and the plan is never a cartesian range join; "
+    "exact integer microsecond distances",
+)
+def q203_nearest_event_align(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("e_ts"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pur_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = err.join(
+        pur,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 6 HOUR"))
+        & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 6 HOUR")),
+    ).select(
+        "err_id",
+        "pur_id",
+        F.abs(
+            F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("p_ts"))
+        ).alias("dist_us"),
+    )
+    w = W.partitionBy("err_id").orderBy(
+        F.col("dist_us").asc(), F.col("pur_id").asc()
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("err_id", "pur_id", "dist_us")
+    )

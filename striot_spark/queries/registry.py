@@ -200,6 +200,9 @@ _SWEEP_FIRST = [
     "q198_debounce_stream",
     "q199_returned_revenue_customers",
     "q200_sorted_export",
+    "q201_json_schema_profile",
+    "q202_large_order_customers",
+    "q203_nearest_event_align",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

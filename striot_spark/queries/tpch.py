@@ -1037,3 +1037,57 @@ def q199_returned_revenue_customers(
     return agg.orderBy(
         F.col("lost_c").desc(), F.col("c_custkey").asc()
     ).limit(20)
+
+
+@register(
+    "q202_large_order_customers",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 180)
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           big.total_qty
+    FROM big
+    JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="TPC-H Q18 shape (large-volume orders): orders whose total "
+    "line quantity exceeds the threshold, joined back to customer. "
+    "The HAVING aggregate runs FIRST with map-side partials "
+    "(quantities summed as integers), so only the tiny qualifying "
+    "set — not the fact table — flows into the joins; the "
+    "qualifying set (small by the HAVING premise) and the customer "
+    "dimension both BROADCAST over the orders scan (plan-gated)",
+)
+def q202_large_order_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("q").alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    from striot_spark.functions.analytics import day_str
+
+    j = orders.join(
+        F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"]
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    return j.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        day_str(F.col("o_orderdate")).alias("o_orderdate"),
+        "total_qty",
+    )
