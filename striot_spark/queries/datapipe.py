@@ -2909,3 +2909,47 @@ def q200_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.parquet(out)
     return back.select("doc_id", "interleave_key", "n_chars")
+
+
+@register(
+    "q204_int8_quantize",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    i AS (
+        SELECT vec_id, v, nrm,
+               unnest(range(1, len(v) + 1)) AS i
+        FROM n WHERE nrm > 0)
+    SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+           CAST(round(v[i] / nrm * 127, 0) AS BIGINT) AS q8
+    FROM i
+    """,
+    doc="int8 embedding quantization (the storage-compression prep "
+    "for ANN serving): L2-normalize then scale to [-127, 127] — 4x "
+    "smaller than float32 with the norm stored once. Cross-engine "
+    "exactness piggybacks the proven cosine discipline: the norm is "
+    "the same sqrt(list_dot_product) both engines compute "
+    "bit-identically, and the final round lands on integers. Pure "
+    "projection (posexplode of an in-row transform): one scan, zero "
+    "joins/shuffles; zero-norm vectors are dropped on both sides",
+)
+def q204_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.similarity import as_double, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    n = emb.select(
+        "vec_id", v.alias("v"), F.sqrt(dot(v, v)).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+    q = n.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("v"),
+                lambda x: F.round(x / F.col("nrm") * 127, 0).cast("long"),
+            )
+        ).alias("dim", "q8"),
+    )
+    return q.select("vec_id", F.col("dim").cast("int").alias("dim"), "q8")

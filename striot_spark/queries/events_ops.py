@@ -1929,3 +1929,63 @@ def q203_nearest_event_align(
         .filter(F.col("rnk") == 1)
         .select("err_id", "pur_id", "dist_us")
     )
+
+
+@register(
+    "q205_session_stats",
+    f"""
+    WITH s AS (
+        SELECT user_id, ts, event_id,
+               sum(CASE WHEN prev IS NULL
+                        OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS session_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+            FROM events) t),
+    g AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        FROM s GROUP BY user_id, session_id)
+    SELECT CASE WHEN n_events = 1 THEN 1 ELSE 0 END AS singleton,
+           dur_us // 60000000 AS dur_min,
+           count(*) AS n_sessions,
+           sum(n_events) AS total_events
+    FROM g GROUP BY 1, 2
+    """,
+    doc="session duration/depth distribution on top of q12's "
+    "gaps-and-islands sessionization (30-min gap): sessions bucketed "
+    "by integer duration minutes with counts and event totals — the "
+    "engagement profile (how long, how deep) downstream of the "
+    "session assignment. Two window passes + two map-side-combined "
+    "aggregates; durations in exact integer microseconds before the "
+    "minute DIV",
+)
+def q205_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    s = sessionize(
+        ev, "ts", 30, ["user_id"], order_cols=["ts", "event_id"]
+    )
+    g = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        ).alias("dur_us"),
+    )
+    return g.groupBy(
+        F.when(F.col("n_events") == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("singleton"),
+        F.expr("dur_us DIV 60000000").alias("dur_min"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+    )

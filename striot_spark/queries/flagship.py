@@ -2353,3 +2353,81 @@ def q198_debounce_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     return drained.select("user_id", "event_id")
+
+
+@register(
+    "q206_burst_detection_stream",
+    """
+    WITH m AS (
+        SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    w AS (
+        SELECT event_type, b, n,
+               list_sort(list(n) OVER (
+                   PARTITION BY event_type ORDER BY b
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS prev
+        FROM m)
+    SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S.%f') AS bucket,
+           n, prev[(len(prev) + 1) // 2] AS med_prev
+    FROM w
+    WHERE len(prev) >= 4 AND 2 * n > 3 * prev[(len(prev) + 1) // 2]
+    """,
+    doc="q196's rate-burst monitor fed ON THE STREAM: the "
+    "(type, hour) counts are maintained as a complete-mode streaming "
+    "aggregation (count is algebraic, so the drained table is "
+    "batching- and arrival-order-insensitive — adversarial replay), "
+    "and the sliding-median flag is a read-side view over the "
+    "BOUNDED hour-count table — the monitor never touches raw "
+    "events after ingest; same oracle as the batch form",
+)
+def q206_burst_detection_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from striot_spark.functions.analytics import ts_str
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events_ooo(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+        .filter(F.col("user_id") != BARRIER_USER)
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = RT.run_available_now(
+        sdf,
+        f"q206_burst_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q206_ck_"),
+        mode="complete",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("b").asc())
+        .rowsBetween(-7, -1)
+    )
+    prev = F.array_sort(F.collect_list(F.col("n")).over(w))
+    sel = m.select("event_type", "b", "n", prev.alias("prev")).select(
+        "event_type",
+        "b",
+        "n",
+        F.expr("prev[CAST((size(prev) + 1) / 2 AS INT) - 1]").alias(
+            "med_prev"
+        ),
+        F.size(F.col("prev")).alias("np"),
+    )
+    return sel.filter(
+        (F.col("np") >= 4) & (2 * F.col("n") > 3 * F.col("med_prev"))
+    ).select(
+        "event_type",
+        ts_str(F.col("b")).alias("bucket"),
+        "n",
+        "med_prev",
+    )

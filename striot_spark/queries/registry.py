@@ -203,6 +203,9 @@ _SWEEP_FIRST = [
     "q201_json_schema_profile",
     "q202_large_order_customers",
     "q203_nearest_event_align",
+    "q204_int8_quantize",
+    "q205_session_stats",
+    "q206_burst_detection_stream",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
