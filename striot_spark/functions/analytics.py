@@ -918,3 +918,38 @@ def weighted_quantiles(
         F.min(F.col("cw")).alias("cum_w"),
         F.min(F.col("tw")).alias("total_w"),
     )
+
+
+def burst_flags(counts: DataFrame, key_col: str, bucket_col: str) -> DataFrame:
+    """Sliding-median rate-burst flags over a (key, bucket, n) count
+    table: flag buckets whose count exceeds 1.5x the exact lower
+    median of the up-to-7 preceding active buckets (integer
+    cross-multiplication 2n > 3*med; >= 4 samples required). Shared by
+    the batch (q196) and streaming (q206) monitors so both forms stay
+    provably identical; each row's median sorts <= 7 values in-row and
+    the window runs over the bounded count table, never raw events."""
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(F.col(bucket_col).asc())
+        .rowsBetween(-7, -1)
+    )
+    prev = F.array_sort(F.collect_list(F.col("n")).over(w))
+    sel = counts.select(
+        key_col, bucket_col, "n", prev.alias("prev")
+    ).select(
+        key_col,
+        bucket_col,
+        "n",
+        F.expr("prev[CAST((size(prev) + 1) / 2 AS INT) - 1]").alias(
+            "med_prev"
+        ),
+        F.size(F.col("prev")).alias("np"),
+    )
+    return sel.filter(
+        (F.col("np") >= 4) & (2 * F.col("n") > 3 * F.col("med_prev"))
+    ).select(
+        key_col,
+        ts_str(F.col(bucket_col)).alias("bucket"),
+        "n",
+        "med_prev",
+    )

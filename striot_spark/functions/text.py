@@ -721,8 +721,10 @@ def collocations(
     bg = sel.select(
         F.explode(
             F.zip_with(
-                F.expr("slice(tk, 1, size(tk) - 1)"),
-                F.expr("slice(tk, 2, size(tk) - 1)"),
+                # greatest(0, ...) guards empty/1-token docs: slice()
+                # throws on a negative length at runtime
+                F.expr("slice(tk, 1, greatest(0, size(tk) - 1))"),
+                F.expr("slice(tk, 2, greatest(0, size(tk) - 1))"),
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("bg")
@@ -778,10 +780,11 @@ def lexical_search(
     changes ordering only across extreme df gaps, which DIV preserves
     directionally).
 
-    Two-pass lowering: pass 1 computes df for the query tokens ONLY
-    (corpus scan with an in-row intersection — at serving scale this
-    lookup comes from the q170 posting-list index instead) and
-    collects them (len(query) tiny rows) into literal weights; pass 2
+    Two-pass lowering: pass 1 computes N_docs AND the query tokens'
+    dfs in ONE corpus scan (in-row membership columns folded into a
+    single aggregate — at serving scale this lookup comes from the
+    q170 posting-list index instead), collected into literal weights;
+    pass 2
     scores as a PURE PROJECTION (per-token in-row tf counts times
     literal weights — zero joins, zero shuffles) with TakeOrdered
     top-k under the (score, id) total order. The corpus is never
@@ -789,14 +792,17 @@ def lexical_search(
     """
     toks = nonempty_tokens(F.col(text_col))
     qlist = list(query_tokens)
-    n_docs = df.count()
     df_counts = df.select(
         *[
             F.array_contains(toks, F.lit(t)).cast("long").alias(f"__c{i}")
             for i, t in enumerate(qlist)
         ]
-    ).agg(*[F.sum(f"__c{i}").alias(f"df{i}") for i in range(len(qlist))])
+    ).agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        *[F.sum(f"__c{i}").alias(f"df{i}") for i in range(len(qlist))],
+    )
     dfs = df_counts.collect()[0]
+    n_docs = int(dfs["__n_docs"])
     weights = [
         n_docs // int(dfs[f"df{i}"]) if int(dfs[f"df{i}"]) > 0 else 0
         for i in range(len(qlist))

@@ -383,6 +383,32 @@ def _simhash_sql_cte() -> str:
         FROM votes GROUP BY doc_id)
     """
 
+def _cc_sql_cte() -> str:
+    """Shared oracle prefix of every connected-components query (q74,
+    q104, q129, q186, q187, q188): the q45 simhash pair graph plus the
+    recursive transitive closure, ending at the ``reach`` CTE so
+    callers append their own final SELECT (or a ``comp`` CTE)."""
+    return (
+        _simhash_sql_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + """,
+    p AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b, range(0, 4) r(band)
+        WHERE a.doc_id < b.doc_id
+          AND ((a.simhash >> (band * 15)) & 32767)
+              = ((b.simhash >> (band * 15)) & 32767)
+          AND bit_count(xor(a.simhash, b.simhash)) <= 8),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION SELECT id_b, id_a FROM p),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)"""
+    )
+
+
+
 
 @register(
     "q45_simhash_near_dups",
@@ -409,22 +435,8 @@ def q45_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q74_dedup_groups",
-    _simhash_sql_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
-    + """,
-    p AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a, sh b, range(0, 4) r(band)
-        WHERE a.doc_id < b.doc_id
-          AND ((a.simhash >> (band * 15)) & 32767)
-              = ((b.simhash >> (band * 15)) & 32767)
-          AND bit_count(xor(a.simhash, b.simhash)) <= 8),
-    edges AS (
-        SELECT id_a AS u, id_b AS v FROM p
-        UNION SELECT id_b, id_a FROM p),
-    reach(u, v) AS (
-        SELECT u, v FROM edges
-        UNION
-        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+    _cc_sql_cte()
+    + """
     SELECT u AS doc_id, least(u, min(v)) AS group_id
     FROM reach GROUP BY u
     """,
@@ -1399,22 +1411,8 @@ def q103_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q104_canonical_docs",
-    _simhash_sql_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    _cc_sql_cte()
     + """,
-    p AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a, sh b, range(0, 4) r(band)
-        WHERE a.doc_id < b.doc_id
-          AND ((a.simhash >> (band * 15)) & 32767)
-              = ((b.simhash >> (band * 15)) & 32767)
-          AND bit_count(xor(a.simhash, b.simhash)) <= 8),
-    edges AS (
-        SELECT id_a AS u, id_b AS v FROM p
-        UNION SELECT id_b, id_a FROM p),
-    reach(u, v) AS (
-        SELECT u, v FROM edges
-        UNION
-        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
     comp AS (
         SELECT u AS doc_id, least(u, min(v)) AS group_id
         FROM reach GROUP BY u),
@@ -1753,22 +1751,8 @@ def q128_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q129_dedup_groups_logrounds",
-    _simhash_sql_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
-    + """,
-    p AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a, sh b, range(0, 4) r(band)
-        WHERE a.doc_id < b.doc_id
-          AND ((a.simhash >> (band * 15)) & 32767)
-              = ((b.simhash >> (band * 15)) & 32767)
-          AND bit_count(xor(a.simhash, b.simhash)) <= 8),
-    edges AS (
-        SELECT id_a AS u, id_b AS v FROM p
-        UNION SELECT id_b, id_a FROM p),
-    reach(u, v) AS (
-        SELECT u, v FROM edges
-        UNION
-        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+    _cc_sql_cte()
+    + """
     SELECT u AS doc_id, least(u, min(v)) AS group_id
     FROM reach GROUP BY u
     """,
@@ -2412,9 +2396,12 @@ def q177_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks),
     scored AS (
         SELECT doc_id,
-               len(list_filter(t, x -> x = 'vector')) * (n_docs // df0)
-             + len(list_filter(t, x -> x = 'stream')) * (n_docs // df1)
-             + len(list_filter(t, x -> x = 'window')) * (n_docs // df2)
+               len(list_filter(t, x -> x = 'vector'))
+                   * (CASE WHEN df0 > 0 THEN n_docs // df0 ELSE 0 END)
+             + len(list_filter(t, x -> x = 'stream'))
+                   * (CASE WHEN df1 > 0 THEN n_docs // df1 ELSE 0 END)
+             + len(list_filter(t, x -> x = 'window'))
+                   * (CASE WHEN df2 > 0 THEN n_docs // df2 ELSE 0 END)
                    AS score
         FROM toks, nd, dfs)
     SELECT doc_id, score FROM scored WHERE score > 0
@@ -2543,22 +2530,8 @@ def q185_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q186_dup_cluster_census",
-    _simhash_sql_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    _cc_sql_cte()
     + """,
-    p AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a, sh b, range(0, 4) r(band)
-        WHERE a.doc_id < b.doc_id
-          AND ((a.simhash >> (band * 15)) & 32767)
-              = ((b.simhash >> (band * 15)) & 32767)
-          AND bit_count(xor(a.simhash, b.simhash)) <= 8),
-    edges AS (
-        SELECT id_a AS u, id_b AS v FROM p
-        UNION SELECT id_b, id_a FROM p),
-    reach(u, v) AS (
-        SELECT u, v FROM edges
-        UNION
-        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
     comp AS (
         SELECT u AS doc_id, least(u, min(v)) AS group_id
         FROM reach GROUP BY u),
@@ -2598,22 +2571,8 @@ _EK_MIX = (
 
 @register(
     "q187_leakage_aware_split",
-    _simhash_sql_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    _cc_sql_cte()
     + f""",
-    p AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a, sh b, range(0, 4) r(band)
-        WHERE a.doc_id < b.doc_id
-          AND ((a.simhash >> (band * 15)) & 32767)
-              = ((b.simhash >> (band * 15)) & 32767)
-          AND bit_count(xor(a.simhash, b.simhash)) <= 8),
-    edges AS (
-        SELECT id_a AS u, id_b AS v FROM p
-        UNION SELECT id_b, id_a FROM p),
-    reach(u, v) AS (
-        SELECT u, v FROM edges
-        UNION
-        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
     comp AS (
         SELECT u AS doc_id, least(u, min(v)) AS group_id
         FROM reach GROUP BY u),
@@ -2655,22 +2614,8 @@ def q187_leakage_aware_split(
 
 @register(
     "q188_cap_per_cluster",
-    _simhash_sql_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    _cc_sql_cte()
     + """,
-    p AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a, sh b, range(0, 4) r(band)
-        WHERE a.doc_id < b.doc_id
-          AND ((a.simhash >> (band * 15)) & 32767)
-              = ((b.simhash >> (band * 15)) & 32767)
-          AND bit_count(xor(a.simhash, b.simhash)) <= 8),
-    edges AS (
-        SELECT id_a AS u, id_b AS v FROM p
-        UNION SELECT id_b, id_a FROM p),
-    reach(u, v) AS (
-        SELECT u, v FROM edges
-        UNION
-        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
     comp AS (
         SELECT u AS doc_id, least(u, min(v)) AS group_id
         FROM reach GROUP BY u),

@@ -30,6 +30,49 @@ from striot_spark.sources.batch import event_stream, load_table
 TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
 CENTS_SQL = "CAST(round((value)*100.0, 0) AS BIGINT)"
 
+# shared by q196 (batch) and q206 (stream): the flag view over a
+# (type, hour, n) count table — both query forms call
+# analytics.burst_flags and both oracles use this string
+BURST_ORACLE = f"""
+    WITH m AS (
+        SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    w AS (
+        SELECT event_type, b, n,
+               list_sort(list(n) OVER (
+                   PARTITION BY event_type ORDER BY b
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS prev
+        FROM m)
+    SELECT event_type, strftime(b, '{TS_FMT}') AS bucket, n,
+           prev[(len(prev) + 1) // 2] AS med_prev
+    FROM w
+    WHERE len(prev) >= 4 AND 2 * n > 3 * prev[(len(prev) + 1) // 2]
+    """
+
+# shared by q195 (batch) and q198 (stream): the per-key debounce
+# recurrence as a recursive CTE, up to the kept-rows table ``k``
+DEBOUNCE_ORACLE_CTE = """
+    WITH RECURSIVE r AS (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events),
+    k AS (
+        SELECT user_id, ts, event_id, rn,
+               TRUE AS kept, ts AS last_kept
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.ts, r.event_id, r.rn,
+               epoch_us(r.ts) - epoch_us(k.last_kept) >= 43200000000
+                   AS kept,
+               CASE WHEN epoch_us(r.ts) - epoch_us(k.last_kept)
+                         >= 43200000000
+                    THEN r.ts ELSE k.last_kept END AS last_kept
+        FROM k JOIN r
+          ON r.user_id = k.user_id AND r.rn = k.rn + 1)"""
+
+
 
 # -- streamFilter + streamMap (ops #1, #2) -----------------------------------
 @register(
@@ -1564,51 +1607,61 @@ def q191_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                lead(ts) OVER (
                    PARTITION BY user_id
                    ORDER BY ts ASC, event_id ASC) AS valid_to
-        FROM events)
-    SELECT o.o_orderkey, o.o_custkey,
+        FROM events WHERE event_type <> 'purchase'),
+    f AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT f.event_id AS purchase_id, f.user_id,
            h.event_type AS state_type, h.value_c AS state_c
-    FROM orders o JOIN h
-      ON o.o_custkey = h.user_id
-     AND o.o_orderdate >= h.valid_from
-     AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    FROM f JOIN h
+      ON f.user_id = h.user_id
+     AND f.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR f.ts < h.valid_to)
     """,
     doc="fact-to-dimension AS-OF enrichment over SCD-2 history (the "
-    "warehouse PIT join): each order picks the user state valid at "
-    "its order date — q134's validity intervals make this one "
-    "equi-join on the KEY with the interval containment as a join "
+    "warehouse PIT join): each purchase picks the user state valid "
+    "at its instant, where state is the SCD-2 expansion of the "
+    "user's non-purchase activity (q134's validity intervals) — one "
+    "equi-join on the KEY with interval containment as a join "
     "filter (plan-gated: a key hash/merge join, never a cartesian "
     "range join); empty tied intervals [ts, ts) are skipped by "
-    "construction so an order at an overwrite instant sees exactly "
+    "construction so a fact at an overwrite instant sees exactly "
     "the last write. Batch twin of the streaming PIT enrich (q152)",
 )
 def q192_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from striot_spark.functions.analytics import scd2_history
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.filter(F.col("event_type") != "purchase").withColumn(
         "value_c", cents(F.col("value"))
     )
     hist = scd2_history(
-        ev,
+        dim,
         key_cols=["user_id"],
         ts_col="ts",
         tiebreak_col="event_id",
         payload_cols=["event_type", "value_c"],
+    ).select(
+        F.col("user_id").alias("h_user"),
+        "event_type",
+        "value_c",
+        "valid_from",
+        "valid_to",
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
     )
-    j = orders.join(
+    j = facts.join(
         hist,
-        (F.col("o_custkey") == F.col("user_id"))
-        & (F.col("o_orderdate") >= F.col("valid_from"))
+        (F.col("user_id") == F.col("h_user"))
+        & (F.col("ts") >= F.col("valid_from"))
         & (
             F.col("valid_to").isNull()
-            | (F.col("o_orderdate") < F.col("valid_to"))
+            | (F.col("ts") < F.col("valid_to"))
         ),
     )
     return j.select(
-        "o_orderkey",
-        "o_custkey",
+        "purchase_id",
+        "user_id",
         F.col("event_type").alias("state_type"),
         F.col("value_c").alias("state_c"),
     )
@@ -1691,26 +1744,8 @@ def q193_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q195_debounce_per_user",
-    f"""
-    WITH RECURSIVE r AS (
-        SELECT user_id, ts, event_id,
-               row_number() OVER (
-                   PARTITION BY user_id
-                   ORDER BY ts ASC, event_id ASC) AS rn
-        FROM events),
-    k AS (
-        SELECT user_id, ts, event_id, rn,
-               TRUE AS kept, ts AS last_kept
-        FROM r WHERE rn = 1
-        UNION ALL
-        SELECT r.user_id, r.ts, r.event_id, r.rn,
-               epoch_us(r.ts) - epoch_us(k.last_kept) >= 43200000000
-                   AS kept,
-               CASE WHEN epoch_us(r.ts) - epoch_us(k.last_kept)
-                         >= 43200000000
-                    THEN r.ts ELSE k.last_kept END AS last_kept
-        FROM k JOIN r
-          ON r.user_id = k.user_id AND r.rn = k.rn + 1)
+    DEBOUNCE_ORACLE_CTE
+    + f"""
     SELECT user_id, event_id, strftime(ts, '{TS_FMT}') AS ts
     FROM k WHERE kept
     """,
@@ -1740,21 +1775,7 @@ def q195_debounce_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q196_burst_detection",
-    f"""
-    WITH m AS (
-        SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS n
-        FROM events GROUP BY 1, 2),
-    w AS (
-        SELECT event_type, b, n,
-               list_sort(list(n) OVER (
-                   PARTITION BY event_type ORDER BY b
-                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS prev
-        FROM m)
-    SELECT event_type, strftime(b, '{TS_FMT}') AS bucket, n,
-           prev[(len(prev) + 1) // 2] AS med_prev
-    FROM w
-    WHERE len(prev) >= 4 AND 2 * n > 3 * prev[(len(prev) + 1) // 2]
-    """,
+    BURST_ORACLE,
     doc="rate-burst detection over the active-hour series: a "
     "(type, hour) is flagged when its event count exceeds 1.5x the "
     "exact lower median of the up-to-7 preceding active hours — "
@@ -1762,43 +1783,18 @@ def q195_debounce_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The sliding window runs over the hour-COUNT table (bounded by "
     "types x hours), never raw events, and each row's median sorts "
     "<= 7 values in-row — the ops anomaly monitor next to q158's "
-    "global MAD screen; >= 4 samples required before flagging",
+    "global MAD screen; >= 4 samples required before flagging "
+    "(functions/analytics.py:burst_flags, shared with the streaming "
+    "form q206)",
 )
 def q196_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from striot_spark.functions.analytics import burst_flags
 
     ev = load_table(spark, sf_dir, "events")
     m = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("b")
     ).agg(F.count(F.lit(1)).alias("n"))
-    w = (
-        W.partitionBy("event_type")
-        .orderBy(F.col("b").asc())
-        .rowsBetween(-7, -1)
-    )
-    prev = F.array_sort(F.collect_list(F.col("n")).over(w))
-    sel = m.select(
-        "event_type",
-        "b",
-        "n",
-        prev.alias("prev"),
-    ).select(
-        "event_type",
-        "b",
-        "n",
-        F.expr("prev[CAST((size(prev) + 1) / 2 AS INT) - 1]").alias(
-            "med_prev"
-        ),
-        F.size(F.col("prev")).alias("np"),
-    )
-    return sel.filter(
-        (F.col("np") >= 4) & (2 * F.col("n") > 3 * F.col("med_prev"))
-    ).select(
-        "event_type",
-        ts_str(F.col("b")).alias("bucket"),
-        "n",
-        "med_prev",
-    )
+    return burst_flags(m, "event_type", "b")
 
 
 @register(

@@ -183,6 +183,13 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
 # barrier sentinel ids: real event_id/user_id are non-negative bigints
 BARRIER_USER = -1
 
+# shared batch/stream oracle pieces (the streaming twins q198/q206 run
+# under the identical SQL as their batch forms q195/q196)
+from striot_spark.queries.events_ops import (  # noqa: E402
+    BURST_ORACLE,
+    DEBOUNCE_ORACLE_CTE,
+)
+
 
 def _stage_events_barrier(
     spark: SparkSession, sf_dir: str, barrier_hours: int = 1
@@ -2286,26 +2293,8 @@ def q189_freshness_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q198_debounce_stream",
-    """
-    WITH RECURSIVE r AS (
-        SELECT user_id, ts, event_id,
-               row_number() OVER (
-                   PARTITION BY user_id
-                   ORDER BY ts ASC, event_id ASC) AS rn
-        FROM events),
-    k AS (
-        SELECT user_id, ts, event_id, rn,
-               TRUE AS kept, ts AS last_kept
-        FROM r WHERE rn = 1
-        UNION ALL
-        SELECT r.user_id, r.ts, r.event_id, r.rn,
-               epoch_us(r.ts) - epoch_us(k.last_kept) >= 43200000000
-                   AS kept,
-               CASE WHEN epoch_us(r.ts) - epoch_us(k.last_kept)
-                         >= 43200000000
-                    THEN r.ts ELSE k.last_kept END AS last_kept
-        FROM k JOIN r
-          ON r.user_id = k.user_id AND r.rn = k.rn + 1)
+    DEBOUNCE_ORACLE_CTE
+    + """
     SELECT user_id, event_id FROM k WHERE kept
     """,
     doc="q195's keep-dependent debounce ON THE STREAM "
@@ -2357,28 +2346,15 @@ def q198_debounce_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q206_burst_detection_stream",
-    """
-    WITH m AS (
-        SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS n
-        FROM events GROUP BY 1, 2),
-    w AS (
-        SELECT event_type, b, n,
-               list_sort(list(n) OVER (
-                   PARTITION BY event_type ORDER BY b
-                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS prev
-        FROM m)
-    SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S.%f') AS bucket,
-           n, prev[(len(prev) + 1) // 2] AS med_prev
-    FROM w
-    WHERE len(prev) >= 4 AND 2 * n > 3 * prev[(len(prev) + 1) // 2]
-    """,
+    BURST_ORACLE,
     doc="q196's rate-burst monitor fed ON THE STREAM: the "
     "(type, hour) counts are maintained as a complete-mode streaming "
     "aggregation (count is algebraic, so the drained table is "
     "batching- and arrival-order-insensitive — adversarial replay), "
-    "and the sliding-median flag is a read-side view over the "
+    "and the sliding-median flag is the SAME read-side view the "
+    "batch form uses (functions/analytics.py:burst_flags) over the "
     "BOUNDED hour-count table — the monitor never touches raw "
-    "events after ingest; same oracle as the batch form",
+    "events after ingest; same oracle string as q196",
 )
 def q206_burst_detection_stream(
     spark: SparkSession, sf_dir: str
@@ -2386,9 +2362,7 @@ def q206_burst_detection_stream(
     import tempfile
     import uuid
 
-    from pyspark.sql import Window as W
-
-    from striot_spark.functions.analytics import ts_str
+    from striot_spark.functions.analytics import burst_flags
     from striot_spark.streaming import runtime as RT
 
     src = _stage_events_ooo(spark, sf_dir)
@@ -2408,26 +2382,4 @@ def q206_burst_detection_stream(
         tempfile.mkdtemp(prefix="striot_q206_ck_"),
         mode="complete",
     )
-    w = (
-        W.partitionBy("event_type")
-        .orderBy(F.col("b").asc())
-        .rowsBetween(-7, -1)
-    )
-    prev = F.array_sort(F.collect_list(F.col("n")).over(w))
-    sel = m.select("event_type", "b", "n", prev.alias("prev")).select(
-        "event_type",
-        "b",
-        "n",
-        F.expr("prev[CAST((size(prev) + 1) / 2 AS INT) - 1]").alias(
-            "med_prev"
-        ),
-        F.size(F.col("prev")).alias("np"),
-    )
-    return sel.filter(
-        (F.col("np") >= 4) & (2 * F.col("n") > 3 * F.col("med_prev"))
-    ).select(
-        "event_type",
-        ts_str(F.col("b")).alias("bucket"),
-        "n",
-        "med_prev",
-    )
+    return burst_flags(m, "event_type", "b")

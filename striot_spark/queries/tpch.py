@@ -857,8 +857,8 @@ def q172_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                * CAST(round(l_discount * 100.0, 0) AS BIGINT))
                AS revenue_c2
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '2024-01-01'
-      AND l_shipdate < TIMESTAMP '2024-07-01'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-07-01'
       AND CAST(round(l_discount * 100.0, 0) AS BIGINT) BETWEEN 5 AND 7
       AND l_quantity < 24
     """,
@@ -878,8 +878,8 @@ def q180_forecast_revenue_band(
     li = load_table(spark, sf_dir, "lineitem")
     pts = F.round(F.col("l_discount") * 100.0, 0).cast("long")
     kept = li.filter(
-        (F.col("l_shipdate") >= "2024-01-01")
-        & (F.col("l_shipdate") < "2024-07-01")
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-07-01")
         & (F.col("l_quantity") < 24)
     ).filter(pts.between(5, 7))
     return kept.agg(
@@ -907,8 +907,8 @@ def q180_forecast_revenue_band(
              // sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0,
                               0) AS BIGINT)) AS promo_permille
     FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '2024-03-01'
-      AND l_shipdate < TIMESTAMP '2024-04-01'
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
     """,
     doc="TPC-H Q14 shape (promotion effect): one month of lineitem "
     "joined to part, promo share of discounted revenue as an integer "
@@ -922,8 +922,8 @@ def q181_promo_revenue_share(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "2024-03-01")
-        & (F.col("l_shipdate") < "2024-04-01")
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
     )
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_type"
