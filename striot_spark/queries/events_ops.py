@@ -1985,3 +1985,212 @@ def q205_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("total_events"),
     )
+
+
+@register(
+    "q207_timed_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, ts AS t_view FROM events
+        WHERE event_type = 'view'),
+    c AS (
+        SELECT v.user_id, v.t_view, min(e.ts) AS t_click
+        FROM v JOIN events e
+          ON e.user_id = v.user_id AND e.event_type = 'click'
+         AND e.ts > v.t_view
+         AND e.ts <= v.t_view + INTERVAL 6 HOUR
+        GROUP BY v.user_id, v.t_view),
+    p AS (
+        SELECT c.user_id, c.t_view, c.t_click, min(e.ts) AS t_purchase
+        FROM c JOIN events e
+          ON e.user_id = c.user_id AND e.event_type = 'purchase'
+         AND e.ts > c.t_click
+         AND e.ts <= c.t_click + INTERVAL 6 HOUR
+        GROUP BY c.user_id, c.t_view, c.t_click)
+    SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_chains
+    FROM p
+    """,
+    doc="TIME-CONSTRAINED funnel (view -> click within 6h -> purchase "
+    "within 6h of the click): q153's funnel orders steps globally, "
+    "this one bounds each hop's latency — the conversion metric "
+    "product analytics actually reports. Each hop is a KEY equi-join "
+    "with the hop window as a join filter (band-bounded candidates, "
+    "never a cartesian range join) folded to the EARLIEST qualifying "
+    "next step via min with map-side partials; chains and distinct "
+    "converting users emitted as one row",
+)
+def q207_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("t_view")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    c = (
+        v.join(
+            clicks,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("cts") > F.col("t_view"))
+            & (
+                F.col("cts")
+                <= F.col("t_view") + F.expr("INTERVAL 6 HOUR")
+            ),
+        )
+        .groupBy("user_id", "t_view")
+        .agg(F.min("cts").alias("t_click"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    p = (
+        c.join(
+            purch,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") > F.col("t_click"))
+            & (
+                F.col("pts")
+                <= F.col("t_click") + F.expr("INTERVAL 6 HOUR")
+            ),
+        )
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("pts").alias("t_purchase"))
+    )
+    return p.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_chains"),
+    )
+
+
+@register(
+    "q208_trigram_patterns",
+    """
+    WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id) AS t2,
+               lead(event_type, 2) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id) AS t3
+        FROM events)
+    SELECT event_type AS t1, t2, t3, count(*) AS n
+    FROM s WHERE t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, t1, t2, t3 LIMIT 20
+    """,
+    doc="frequent behavior trigrams: the top-20 3-step event-type "
+    "sequences across users (q157's Markov bigrams extended one "
+    "step — the sequence-mining input for next-action prediction "
+    "and bot detection). Two window leads share ONE per-user "
+    "shuffle, the pattern aggregate carries at most types^3 cells "
+    "with map-side partials, and top-k is TakeOrdered under a total "
+    "(n, t1, t2, t3) order",
+)
+def q208_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    s = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    agg = (
+        s.filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return agg.orderBy(
+        F.col("n").desc(),
+        F.col("t1").asc(),
+        F.col("t2").asc(),
+        F.col("t3").asc(),
+    ).limit(20)
+
+
+@register(
+    "q209_segment_overlap",
+    """
+    WITH u AS (
+        SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+        FROM events GROUP BY user_id),
+    pairs AS (
+        SELECT a.t AS type_a, b.t AS type_b
+        FROM u, unnest(u.types) a(t), unnest(u.types) b(t)
+        WHERE a.t < b.t),
+    inter AS (
+        SELECT type_a, type_b, count(*) AS n_both
+        FROM pairs GROUP BY 1, 2),
+    sz AS (
+        SELECT event_type, count(DISTINCT user_id) AS n
+        FROM events GROUP BY 1)
+    SELECT i.type_a, i.type_b, i.n_both,
+           sa.n AS n_a, sb.n AS n_b
+    FROM inter i
+    JOIN sz sa ON i.type_a = sa.event_type
+    JOIN sz sb ON i.type_b = sb.event_type
+    """,
+    doc="pairwise segment overlap: for every event-type pair, how "
+    "many users belong to BOTH segments, plus each segment's size — "
+    "the Jaccard/affinity matrix of audience analysis, emitted as "
+    "exact integers (the rational n_both/(n_a+n_b-n_both) is the "
+    "consumer's division). The intersection comes from q109's "
+    "IN-ROW pair-expansion trick: one groupBy collects each user's "
+    "bounded distinct-type set, pairs expand inside the row — the "
+    "user table is never self-joined; segment sizes broadcast back "
+    "onto the types^2-cell table",
+)
+def q209_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs = u.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("types"),
+                        lambda a: F.transform(
+                            F.col("types"),
+                            lambda b: F.struct(
+                                a.alias("type_a"), b.alias("type_b")
+                            ),
+                        ),
+                    )
+                ),
+                lambda s: s["type_a"] < s["type_b"],
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    inter = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    sz = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n")
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sz.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                sz.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .select("type_a", "type_b", "n_both", "n_a", "n_b")
+    )

@@ -207,6 +207,9 @@ _SWEEP_FIRST = [
     "q204_int8_quantize",
     "q205_session_stats",
     "q206_burst_detection_stream",
+    "q207_timed_funnel",
+    "q208_trigram_patterns",
+    "q209_segment_overlap",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
