@@ -2898,3 +2898,109 @@ def q204_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dim", "q8"),
     )
     return q.select("vec_id", F.col("dim").cast("int").alias("dim"), "q8")
+
+
+@register(
+    "q210_corpus_card",
+    f"""
+    SELECT count(*) AS n_docs,
+           sum({NTOK}) AS total_tokens,
+           sum(length(text)) AS total_chars,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           sum(CASE WHEN {NTOK} < 5 THEN 1 ELSE 0 END) AS n_short
+    FROM documents
+    """,
+    doc="the dataset-card summary row: corpus size in docs / tokens / "
+    "chars, language and source cardinalities, length extremes and "
+    "the short-doc count — every release ships one of these, and "
+    "every number here is an exact integer from ONE scan (the "
+    "distinct counts are dimension-bounded). The cheap always-run "
+    "audit in front of the deep passes (q124 column profile, q186 "
+    "dup census)",
+)
+def q210_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = T.token_count(F.col("text"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum((ntok < 5).cast("long")).alias("n_short"),
+    )
+
+
+_LANG_HITS_SQL = {
+    "en": "len(list_filter(t, x -> x IN ('the','and','of','to','is')))",
+    "es": "len(list_filter(t, x -> x IN ('el','la','de','que','los')))",
+    "de": "len(list_filter(t, x -> x IN ('der','die','und','das','ist')))",
+    "fr": "len(list_filter(t, x -> x IN ('le','la','et','les','des')))",
+}
+
+
+@register(
+    "q211_mixed_language_audit",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               {_LANG_HITS_SQL['en']} AS h_en,
+               {_LANG_HITS_SQL['es']} AS h_es,
+               {_LANG_HITS_SQL['de']} AS h_de,
+               {_LANG_HITS_SQL['fr']} AS h_fr
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                         AS t
+              FROM documents) x),
+    r AS (
+        SELECT doc_id,
+               greatest(h_en, h_es, h_de, h_fr) AS best,
+               h_en + h_es + h_de + h_fr
+                   - greatest(h_en, h_es, h_de, h_fr) AS rest
+        FROM h)
+    SELECT doc_id, best, rest,
+           CASE WHEN best > 0 AND 2 * rest > best
+                THEN 1 ELSE 0 END AS mixed
+    FROM r
+    """,
+    doc="mixed-language detection on top of q22's marker-based "
+    "language ID: per doc, the strongest language's marker hits vs "
+    "the total hits of ALL OTHER languages — flagged mixed when the "
+    "others exceed half the winner (integer cross-multiplication). "
+    "The code-switching / wrong-segmentation audit a multilingual "
+    "corpus runs before per-language routing; still one zero-shuffle "
+    "scan (all four hit counters are in-row filters)",
+)
+def q211_mixed_language_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hits = [
+        T.lang_hits(F.col("text"), lang).alias(f"h_{lang}")
+        for lang in ("en", "es", "de", "fr")
+    ]
+    h = docs.select("doc_id", *hits)
+    best = F.greatest("h_en", "h_es", "h_de", "h_fr")
+    total = (
+        F.col("h_en") + F.col("h_es") + F.col("h_de") + F.col("h_fr")
+    )
+    r = h.select(
+        "doc_id",
+        best.alias("best"),
+        (total - best).alias("rest"),
+    )
+    return r.select(
+        "doc_id",
+        "best",
+        "rest",
+        F.when(
+            (F.col("best") > 0) & (2 * F.col("rest") > F.col("best")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("mixed"),
+    )

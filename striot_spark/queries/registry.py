@@ -210,6 +210,8 @@ _SWEEP_FIRST = [
     "q207_timed_funnel",
     "q208_trigram_patterns",
     "q209_segment_overlap",
+    "q210_corpus_card",
+    "q211_mixed_language_audit",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
