@@ -3004,3 +3004,134 @@ def q211_mixed_language_audit(
         .otherwise(F.lit(0))
         .alias("mixed"),
     )
+
+
+@register(
+    "q213_source_drift",
+    """
+    WITH h AS (
+        SELECT source,
+               sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+        FROM documents GROUP BY source),
+    t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM h)
+    SELECT h.source, h.n_a, h.n_b,
+           (h.n_a * 1000) // t.ta AS share_a_pm,
+           (h.n_b * 1000) // t.tb AS share_b_pm,
+           abs((h.n_a * 1000) // t.ta - (h.n_b * 1000) // t.tb)
+               AS drift_pm
+    FROM h, t
+    """,
+    doc="corpus composition drift between two cohorts (here the "
+    "deterministic even/odd doc split standing in for snapshot A vs "
+    "B): per-source document shares in integer permille and their "
+    "absolute drift — the mix-shift monitor run before retraining "
+    "(a source silently doubling its share changes the model). One "
+    "conditional-count groupBy + a 2-long totals row broadcast "
+    "back; all-integer shares so the flag threshold is engine-exact",
+)
+def q213_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.groupBy("source").agg(
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("n_b"),
+    )
+    t = h.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    j = h.crossJoin(F.broadcast(t))
+    share_a = F.expr("(n_a * 1000) DIV ta")
+    share_b = F.expr("(n_b * 1000) DIV tb")
+    return j.select(
+        "source",
+        "n_a",
+        "n_b",
+        share_a.alias("share_a_pm"),
+        share_b.alias("share_b_pm"),
+        F.abs(share_a - share_b).alias("drift_pm"),
+    )
+
+
+@register(
+    "q214_dup_threshold_curve",
+    _simhash_sql_cte()
+    + """,
+    x AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hd
+        FROM (SELECT DISTINCT a.doc_id, a.simhash
+              FROM sh a) a,
+             (SELECT DISTINCT b.doc_id, b.simhash
+              FROM sh b) b,
+             range(0, 4) r(band)
+        WHERE a.doc_id < b.doc_id
+          AND ((a.simhash >> (band * 15)) & 32767)
+              = ((b.simhash >> (band * 15)) & 32767)),
+    u AS (SELECT DISTINCT id_a, id_b, hd FROM x),
+    thr AS (SELECT unnest([4, 8, 12]) AS t)
+    SELECT thr.t AS max_hamming, count(*) AS n_pairs
+    FROM u JOIN thr ON u.hd <= thr.t
+    GROUP BY thr.t
+    """,
+    doc="near-dup threshold tuning curve: candidate pairs from the "
+    "q45 simhash band join, counted at hamming cutoffs 4/8/12 from "
+    "ONE pair table (the banded candidates are computed once, each "
+    "threshold is a filter over the same distinct pairs) — the "
+    "sweep that picks a dedup threshold BEFORE committing to a "
+    "deletion pass, without re-running candidate generation per "
+    "setting",
+)
+def q214_dup_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions.caching import track_persist
+    from striot_spark.functions.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = simhash(docs, "doc_id", "text")
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    pairs = None
+    for band in range(4):
+        pa = a.select(
+            "id_a",
+            "sh_a",
+            (
+                F.shiftright(F.col("sh_a"), band * 15)
+                .bitwiseAND(F.lit(32767))
+            ).alias("bk"),
+        )
+        pb = b.select(
+            "id_b",
+            "sh_b",
+            (
+                F.shiftright(F.col("sh_b"), band * 15)
+                .bitwiseAND(F.lit(32767))
+            ).alias("bk"),
+        )
+        j = pa.join(pb, "bk").filter(F.col("id_a") < F.col("id_b"))
+        pairs = j if pairs is None else pairs.unionByName(j)
+    u = track_persist(
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+            ).alias("hd"),
+        ).distinct()
+    )
+    thr = (
+        u.crossJoin(
+            F.broadcast(
+                u.sparkSession.createDataFrame(
+                    [(4,), (8,), (12,)], "t int"
+                )
+            )
+        )
+        .filter(F.col("hd") <= F.col("t"))
+    )
+    return thr.groupBy(F.col("t").alias("max_hamming")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -2194,3 +2194,47 @@ def q209_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("type_a", "type_b", "n_both", "n_a", "n_b")
     )
+
+
+@register(
+    "q212_disorder_profile",
+    """
+    WITH d AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY event_type
+                   ORDER BY event_id)) AS delta_us
+        FROM events)
+    SELECT event_type,
+           count(*) AS n_steps,
+           sum(CASE WHEN delta_us < 0 THEN 1 ELSE 0 END) AS n_backward,
+           coalesce(-min(CASE WHEN delta_us < 0 THEN delta_us END), 0)
+               AS max_backjump_us
+    FROM d WHERE delta_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="out-of-orderness profile: per stream partition, how often "
+    "ARRIVAL order (the event_id sequence) runs backward in event "
+    "time and by how much at worst — THE input for choosing a "
+    "watermark delay (a delay below max_backjump drops data; far "
+    "above it bloats state). One per-key lag window + a map-side-"
+    "combined aggregate, exact integer microseconds",
+)
+def q212_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("event_id").asc())
+    d = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+        ).alias("delta_us"),
+    ).filter(F.col("delta_us").isNotNull())
+    neg = F.when(F.col("delta_us") < 0, F.col("delta_us"))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.sum((F.col("delta_us") < 0).cast("long")).alias("n_backward"),
+        F.coalesce(-F.min(neg), F.lit(0)).alias("max_backjump_us"),
+    )

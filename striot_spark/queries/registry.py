@@ -212,6 +212,9 @@ _SWEEP_FIRST = [
     "q209_segment_overlap",
     "q210_corpus_card",
     "q211_mixed_language_audit",
+    "q212_disorder_profile",
+    "q213_source_drift",
+    "q214_dup_threshold_curve",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
