@@ -3135,3 +3135,28 @@ def q214_dup_threshold_curve(
     return thr.groupBy(F.col("t").alias("max_hamming")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+@register(
+    "q215_compression_quality",
+    None,  # zlib is not SQL-expressible: rows-only driver check
+    doc="compression-ratio quality screen "
+    "(functions/text.py:compression_ratio_pm): per-doc zlib "
+    "permille — the repetitiveness signal template-spam filtering "
+    "uses; the repo's one scalar @pandas_udf (Arrow-vectorized "
+    "batches, C zlib per row) because a byte-level compressor is "
+    "genuinely inexpressible in Column algebra. Registered "
+    "ROWS-ONLY by the documented contract for non-SQL ops; "
+    "determinism and the repetitive-text ordering are pinned by "
+    "unit test instead. Zero shuffle — one scan with the UDF in "
+    "the projection",
+)
+def q215_compression_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("n_chars"),
+        T.compression_ratio_pm(F.col("text")).alias("zratio_pm"),
+    )

@@ -215,6 +215,7 @@ _SWEEP_FIRST = [
     "q212_disorder_profile",
     "q213_source_drift",
     "q214_dup_threshold_curve",
+    "q215_compression_quality",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

@@ -1846,3 +1846,37 @@ def test_sorted_export_files_cover_disjoint_key_ranges(spark):
     assert len(spans) > 1
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, (hi1, lo2)  # ranges may touch, never overlap
+
+
+def test_compression_ratio_deterministic_and_ordering(spark):
+    """zlib permille is stable across runs and orders repetitive text
+    below natural-ish prose; empty text -> 0, null -> null."""
+    from striot_spark.functions.text import compression_ratio_pm
+
+    rows = [
+        (1, "spam " * 200),
+        (2, "the quick brown fox jumps over a lazy dog near the bank "
+            "of the quiet river while rain falls on old stones"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["z"]
+        for r in df.select(
+            "doc_id", compression_ratio_pm(F.col("text")).alias("z")
+        ).collect()
+    }
+    out2 = {
+        r["doc_id"]: r["z"]
+        for r in df.select(
+            "doc_id", compression_ratio_pm(F.col("text")).alias("z")
+        ).collect()
+    }
+    assert out == out2  # deterministic
+    assert out[3] == 0 and out[4] is None
+    assert out[1] < out[2]  # repetitive text compresses far better
+    import zlib
+
+    raw = rows[0][1].encode()
+    assert out[1] == len(zlib.compress(raw, 6)) * 1000 // len(raw)
