@@ -2238,3 +2238,82 @@ def q212_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("delta_us") < 0).cast("long")).alias("n_backward"),
         F.coalesce(-F.min(neg), F.lit(0)).alias("max_backjump_us"),
     )
+
+
+@register(
+    "q216_peak_concurrency",
+    """
+    WITH s AS (
+        SELECT user_id, session_id, min(ts) AS t_start, max(ts) AS t_end
+        FROM (
+            SELECT user_id, ts,
+                   sum(CASE WHEN prev IS NULL
+                            OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS session_id
+            FROM (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events) a) b
+        GROUP BY user_id, session_id),
+    bd AS (
+        SELECT t_start AS t, user_id, session_id, 1 AS d FROM s
+        UNION ALL
+        SELECT t_end, user_id, session_id, -1 FROM s),
+    rs AS (
+        SELECT t, sum(d) OVER (
+                   ORDER BY t, d DESC, user_id, session_id) AS conc
+        FROM bd)
+    SELECT strftime(date_trunc('day', t), '%Y-%m-%d') AS day,
+           max(conc) AS peak_concurrent
+    FROM rs GROUP BY 1
+    """,
+    doc="peak concurrent sessions per day (the occupancy/capacity "
+    "gauge): q12's sessions become +1/-1 boundary events, the "
+    "concurrency curve is their running sum in (t, start-before-end) "
+    "order, and the per-day max is one aggregate. The running sum "
+    "rides the two-pass range-partitioned global_prefix_sum over the "
+    "BOUNDARY table (2 rows per session — session-bounded, not "
+    "event-bounded; no single-partition sort of anything "
+    "event-scaled); a session touching instant t counts as "
+    "concurrent at t (starts sort before ends at equal instants)",
+)
+def q216_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.core.scale import global_prefix_sum
+    from striot_spark.functions.analytics import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    s = (
+        sessionize(ev, "ts", 30, ["user_id"], order_cols=["ts", "event_id"])
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
+    )
+    bd = s.select(
+        F.col("t_start").alias("t"),
+        "user_id",
+        "session_id",
+        F.lit(1).alias("d"),
+    ).unionByName(
+        s.select(
+            F.col("t_end").alias("t"),
+            "user_id",
+            "session_id",
+            F.lit(-1).alias("d"),
+        )
+    )
+    # order key: starts before ends at the same instant (d desc), then
+    # (user, session) for a total order both engines share
+    rs = global_prefix_sum(
+        bd.withColumn("neg_d", -F.col("d")),
+        ["t", "neg_d", "user_id", "session_id"],
+        "d",
+        "conc",
+    )
+    return rs.groupBy(day_str(F.col("t")).alias("day")).agg(
+        F.max("conc").alias("peak_concurrent")
+    )

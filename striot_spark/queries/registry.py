@@ -216,6 +216,7 @@ _SWEEP_FIRST = [
     "q213_source_drift",
     "q214_dup_threshold_curve",
     "q215_compression_quality",
+    "q216_peak_concurrency",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
