@@ -2909,12 +2909,14 @@ def q204_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT lang) AS n_langs,
            count(DISTINCT source) AS n_sources,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-           sum(CASE WHEN {NTOK} < 5 THEN 1 ELSE 0 END) AS n_short
+           sum(CASE WHEN {NTOK} < 20 THEN 1 ELSE 0 END) AS n_short
     FROM documents
     """,
     doc="the dataset-card summary row: corpus size in docs / tokens / "
     "chars, language and source cardinalities, length extremes and "
-    "the short-doc count — every release ships one of these, and "
+    "the short-doc count (threshold 20 tokens — chosen to BITE on "
+    "the fixtures; a predicate no row matches would gate nothing) — "
+    "every release ships one of these, and "
     "every number here is an exact integer from ONE scan (the "
     "distinct counts are dimension-bounded). The cheap always-run "
     "audit in front of the deep passes (q124 column profile, q186 "
@@ -2931,7 +2933,7 @@ def q210_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
-        F.sum((ntok < 5).cast("long")).alias("n_short"),
+        F.sum((ntok < 20).cast("long")).alias("n_short"),
     )
 
 
@@ -2946,7 +2948,13 @@ _LANG_HITS_SQL = {
 @register(
     "q211_mixed_language_audit",
     f"""
-    WITH h AS (
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0
+                    THEN text || ' el que de la que el de'
+                    ELSE text END AS text
+        FROM documents),
+    h AS (
         SELECT doc_id,
                {_LANG_HITS_SQL['en']} AS h_en,
                {_LANG_HITS_SQL['es']} AS h_es,
@@ -2955,7 +2963,7 @@ _LANG_HITS_SQL = {
         FROM (SELECT doc_id,
                      list_filter(string_split(text, ' '), x -> x <> '')
                          AS t
-              FROM documents) x),
+              FROM aug) x),
     r AS (
         SELECT doc_id,
                greatest(h_en, h_es, h_de, h_fr) AS best,
@@ -2973,17 +2981,30 @@ _LANG_HITS_SQL = {
     "others exceed half the winner (integer cross-multiplication). "
     "The code-switching / wrong-segmentation audit a multilingual "
     "corpus runs before per-language routing; still one zero-shuffle "
-    "scan (all four hit counters are in-row filters)",
+    "scan (all four hit counters are in-row filters). Every tenth doc "
+    "is deterministically augmented with a Spanish marker phrase on "
+    "BOTH sides (q165's discipline) so the mixed path is genuinely "
+    "exercised — the raw fixtures are single-language and would gate "
+    "nothing",
 )
 def q211_mixed_language_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" el que de la que el de")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
     hits = [
         T.lang_hits(F.col("text"), lang).alias(f"h_{lang}")
         for lang in ("en", "es", "de", "fr")
     ]
-    h = docs.select("doc_id", *hits)
+    h = aug.select("doc_id", *hits)
     best = F.greatest("h_en", "h_es", "h_de", "h_fr")
     total = (
         F.col("h_en") + F.col("h_es") + F.col("h_de") + F.col("h_fr")
@@ -3011,8 +3032,12 @@ def q211_mixed_language_audit(
     """
     WITH h AS (
         SELECT source,
-               sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
-               sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+               sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1,
+                              15))::BIGINT % 2 = 0
+                        THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1,
+                              15))::BIGINT % 2 = 1
+                        THEN 1 ELSE 0 END) AS n_b
         FROM documents GROUP BY source),
     t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM h)
     SELECT h.source, h.n_a, h.n_b,
@@ -3023,8 +3048,10 @@ def q211_mixed_language_audit(
     FROM h, t
     """,
     doc="corpus composition drift between two cohorts (here the "
-    "deterministic even/odd doc split standing in for snapshot A vs "
-    "B): per-source document shares in integer permille and their "
+    "deterministic md5-parity doc split standing in for snapshot A "
+    "vs B — a plain even/odd split aliases with the fixtures' "
+    "round-robin source assignment and degenerates to one-sided "
+    "cohorts): per-source document shares in integer permille and their "
     "absolute drift — the mix-shift monitor run before retraining "
     "(a source silently doubling its share changes the model). One "
     "conditional-count groupBy + a 2-long totals row broadcast "
@@ -3032,9 +3059,12 @@ def q211_mixed_language_audit(
 )
 def q213_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    from striot_spark.functions.text import md5_hash64
+
+    par = md5_hash64(F.col("doc_id").cast("string")) % 2
     h = docs.groupBy("source").agg(
-        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("n_a"),
-        F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("n_b"),
+        F.sum((par == 0).cast("long")).alias("n_a"),
+        F.sum((par == 1).cast("long")).alias("n_b"),
     )
     t = h.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
     j = h.crossJoin(F.broadcast(t))
@@ -3083,55 +3113,22 @@ def q214_dup_threshold_curve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from striot_spark.functions.caching import track_persist
-    from striot_spark.functions.dedup import simhash
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = simhash(docs, "doc_id", "text")
-    a = sh.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a")
-    )
-    b = sh.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b")
-    )
-    pairs = None
-    for band in range(4):
-        pa = a.select(
-            "id_a",
-            "sh_a",
-            (
-                F.shiftright(F.col("sh_a"), band * 15)
-                .bitwiseAND(F.lit(32767))
-            ).alias("bk"),
-        )
-        pb = b.select(
-            "id_b",
-            "sh_b",
-            (
-                F.shiftright(F.col("sh_b"), band * 15)
-                .bitwiseAND(F.lit(32767))
-            ).alias("bk"),
-        )
-        j = pa.join(pb, "bk").filter(F.col("id_a") < F.col("id_b"))
-        pairs = j if pairs is None else pairs.unionByName(j)
+    # the proven q45 machinery at the LOOSEST threshold: candidates
+    # with exact hamming attached, computed (and persisted) once —
+    # each tighter cutoff is then a filter over the same pair table
     u = track_persist(
-        pairs.select(
-            "id_a",
-            "id_b",
-            F.bit_count(
-                F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-            ).alias("hd"),
-        ).distinct()
+        D.simhash_near_dup_pairs(
+            docs, "doc_id", "text", bands=4, band_bits=15,
+            max_hamming=12,
+        ).select("id_a", "id_b", F.col("hamming").alias("hd"))
     )
-    thr = (
-        u.crossJoin(
-            F.broadcast(
-                u.sparkSession.createDataFrame(
-                    [(4,), (8,), (12,)], "t int"
-                )
-            )
+    thr = u.crossJoin(
+        F.broadcast(
+            u.sparkSession.createDataFrame([(4,), (8,), (12,)], "t int")
         )
-        .filter(F.col("hd") <= F.col("t"))
-    )
+    ).filter(F.col("hd") <= F.col("t"))
     return thr.groupBy(F.col("t").alias("max_hamming")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )

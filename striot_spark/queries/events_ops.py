@@ -2199,12 +2199,18 @@ def q209_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q212_disorder_profile",
     """
-    WITH d AS (
+    WITH ls AS (
+        SELECT event_type, user_id, ts,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id) AS local_seq
+        FROM events),
+    d AS (
         SELECT event_type,
                epoch_us(ts) - epoch_us(lag(ts) OVER (
                    PARTITION BY event_type
-                   ORDER BY event_id)) AS delta_us
-        FROM events)
+                   ORDER BY local_seq, user_id)) AS delta_us
+        FROM ls)
     SELECT event_type,
            count(*) AS n_steps,
            sum(CASE WHEN delta_us < 0 THEN 1 ELSE 0 END) AS n_backward,
@@ -2213,23 +2219,38 @@ def q209_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM d WHERE delta_us IS NOT NULL
     GROUP BY event_type
     """,
-    doc="out-of-orderness profile: per stream partition, how often "
-    "ARRIVAL order (the event_id sequence) runs backward in event "
-    "time and by how much at worst — THE input for choosing a "
-    "watermark delay (a delay below max_backjump drops data; far "
-    "above it bloats state). One per-key lag window + a map-side-"
-    "combined aggregate, exact integer microseconds",
+    doc="out-of-orderness profile of a ROUND-ROBIN MERGE of per-user "
+    "streams (each user's events in local order, users interleaved "
+    "step by step — the reference's distributed source-merge "
+    "situation, Nodes/TCP.hs): per partition, how often the merged "
+    "arrival order runs backward in event time and by how much at "
+    "worst — THE input for choosing a watermark delay (a delay below "
+    "max_backjump drops data; far above it bloats state). Two window "
+    "passes + a map-side-combined aggregate, exact integer "
+    "microseconds; the fixture interleave produces real backjumps at "
+    "every scale (a perfectly-ordered axis would gate nothing)",
 )
 def q212_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy(F.col("event_id").asc())
-    d = ev.select(
+    wl = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ls = ev.select(
+        "event_type",
+        "user_id",
+        "ts",
+        F.row_number().over(wl).alias("local_seq"),
+    )
+    wm = W.partitionBy("event_type").orderBy(
+        F.col("local_seq").asc(), F.col("user_id").asc()
+    )
+    d = ls.select(
         "event_type",
         (
             F.unix_micros(F.col("ts"))
-            - F.unix_micros(F.lag("ts").over(w))
+            - F.unix_micros(F.lag("ts").over(wm))
         ).alias("delta_us"),
     ).filter(F.col("delta_us").isNotNull())
     neg = F.when(F.col("delta_us") < 0, F.col("delta_us"))
