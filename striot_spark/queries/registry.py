@@ -218,6 +218,9 @@ _SWEEP_FIRST = [
     "q214_dup_threshold_curve",
     "q215_compression_quality",
     "q216_peak_concurrency",
+    "q217_customer_order_distribution",
+    "q218_top_supplier",
+    "q219_small_quantity_revenue",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for

@@ -1091,3 +1091,128 @@ def q202_large_order_customers(
         day_str(F.col("o_orderdate")).alias("o_orderdate"),
         "total_qty",
     )
+
+
+@register(
+    "q217_customer_order_distribution",
+    """
+    WITH co AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): how "
+    "many customers placed 0, 1, 2, ... non-urgent orders — the "
+    "left-join-then-histogram pattern whose subtlety is the "
+    "ZERO-ORDER customers (an inner join silently drops them; the "
+    "count(o_orderkey) of an unmatched left row is 0, not 1). Join "
+    "predicate filters the fact side BEFORE the join; two map-side-"
+    "combined aggregations, the second over a c_count-bounded table",
+)
+def q217_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    co = (
+        cust.join(
+            orders, cust["c_custkey"] == orders["o_custkey"], "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "q218_top_supplier",
+    """
+    WITH r AS (
+        SELECT l_suppkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount)
+                              * 100.0, 0) AS BIGINT)) AS total_c
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey),
+    m AS (SELECT max(total_c) AS mx FROM r)
+    SELECT s.s_suppkey, s.s_name, r.total_c
+    FROM r JOIN m ON r.total_c = m.mx
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    """,
+    doc="TPC-H Q15 shape (top supplier): the supplier(s) with maximum "
+    "quarterly revenue — the view-then-max pattern. Revenue per "
+    "supplier in exact cents from the date-pruned fact scan "
+    "(supplier-bounded table), the 1-row max broadcasts back, and "
+    "the supplier dimension broadcasts onto the winners; ties (all "
+    "max-revenue suppliers) are returned as the spec demands rather "
+    "than an arbitrary limit 1",
+)
+def q218_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+    ).cast("long")
+    r = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_c"))
+    m = r.agg(F.max("total_c").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        r.join(F.broadcast(m), r["total_c"] == m["mx"])
+        .join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select("s_suppkey", "s_name", "total_c")
+    )
+
+
+@register(
+    "q219_small_quantity_revenue",
+    """
+    WITH a AS (
+        SELECT l_partkey, avg(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey)
+    SELECT count(*) AS n_rows,
+           sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+               AS revenue_c
+    FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+    WHERE CAST(l.l_quantity AS BIGINT) * 5
+          < CAST(floor(avg_qty) AS BIGINT)
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): lineitems "
+    "whose quantity is below a fifth of their part's average — the "
+    "correlated-average pattern, decorrelated into ONE per-part "
+    "aggregate joined back (part-bounded table; at scale it "
+    "broadcasts or buckets with the fact). The threshold compares "
+    "5*qty < floor(avg) in integers — fixture quantities are whole "
+    "numbers, so floor(avg) is engine-exact where a float avg "
+    "comparison could split at representation boundaries",
+)
+def q219_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        F.floor(F.avg("l_quantity")).cast("long").alias("favg")
+    )
+    j = li.join(a, li["l_partkey"] == a["ap"]).filter(
+        F.col("l_quantity").cast("long") * 5 < F.col("favg")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+        ).alias("revenue_c"),
+    )
