@@ -92,6 +92,7 @@ def main() -> None:
         "q189_freshness_stream",
         "q198_debounce_stream",
         "q206_burst_detection_stream",
+        "q220_stream_exact_dedup",
     }
     # best-of-3 (was 2): PERF.md r4 measured 10-23% CV across identical
     # back-to-back runs on this shared box; a third repeat materially

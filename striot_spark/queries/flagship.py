@@ -2383,3 +2383,59 @@ def q206_burst_detection_stream(
         mode="complete",
     )
     return burst_flags(m, "event_type", "b")
+
+
+@register(
+    "q220_stream_exact_dedup",
+    """
+    SELECT user_id, event_type,
+           count(DISTINCT event_id) AS n_events,
+           sum(CAST(round((value)*100.0, 0) AS BIGINT)) AS sum_c
+    FROM events GROUP BY user_id, event_type
+    """,
+    doc="EXACT at-least-once -> exactly-once dedup ON the stream via "
+    "Spark's native dropDuplicatesWithinWatermark: the staged replay "
+    "delivers every event TWICE (two mtime-ordered copies — the "
+    "redelivery a crashing upstream producer causes), the id-keyed "
+    "dedup inside the watermark horizon drops the duplicates, and "
+    "the downstream per-(user, type) totals equal the oracle over "
+    "the ORIGINAL events — sum_c would be doubled if a single "
+    "duplicate survived, so the gate is redelivery-sensitive in "
+    "every cell. State is bounded by the watermark horizon (ids "
+    "older than the delay are evicted), unlike an unwatermarked "
+    "dropDuplicates whose state grows forever",
+)
+def q220_stream_exact_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.analytics import cents
+    from striot_spark.sources.batch import load_table as _lt
+    from striot_spark.streaming import runtime as RT
+
+    ck = (sf_dir, "dup2x")
+    path = _STAGED.get(ck)
+    if path is None:
+        base = _lt(spark, sf_dir, "events")
+        path = tempfile.mkdtemp(prefix="striot_q220_dup_src_")
+        RT.stage_ordered_files([base, base], path)
+        _STAGED[ck] = path
+    schema = spark.read.parquet(path).schema
+    sdf = RT.file_stream(spark, path, schema, max_files_per_trigger=1)
+    deduped = (
+        sdf.withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("sum_c"),
+        )
+    )
+    return RT.run_available_now(
+        deduped,
+        f"q220_dedup_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q220_ck_"),
+        mode="complete",
+    )
