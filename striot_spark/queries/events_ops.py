@@ -2338,3 +2338,34 @@ def q216_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rs.groupBy(day_str(F.col("t")).alias("day")).agg(
         F.max("conc").alias("peak_concurrent")
     )
+
+
+@register(
+    "q221_weekend_split",
+    f"""
+    SELECT event_type,
+           CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS is_weekend,
+           count(*) AS n, sum({CENTS_SQL}) AS sum_c
+    FROM events GROUP BY 1, 2
+    """,
+    doc="weekend/weekday activity split — the calendar-dimension "
+    "reporting shape, with the cross-engine day-of-week trap handled "
+    "explicitly: Spark's dayofweek() is 1=Sunday while DuckDB's "
+    "isodow() is 1=Monday..7=Sunday, so the Spark side uses "
+    "weekday()+1 (0=Monday -> ISO) and both engines agree that "
+    "weekend == isodow >= 6. Derived calendar attributes beat a "
+    "joined calendar dim at this grain: zero joins, the flag folds "
+    "into the scan",
+)
+def q221_weekend_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    isodow = F.weekday(F.col("ts")) + F.lit(1)
+    return ev.groupBy(
+        "event_type",
+        F.when(isodow >= 6, F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_weekend"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("value"))).alias("sum_c"),
+    )

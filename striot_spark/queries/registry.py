@@ -222,6 +222,7 @@ _SWEEP_FIRST = [
     "q218_top_supplier",
     "q219_small_quantity_revenue",
     "q220_stream_exact_dedup",
+    "q221_weekend_split",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
