@@ -131,12 +131,12 @@ _SWEEP_FIRST = [
     "q136_novelty_stats",
     "q137_zorder_zone_map",
     # beyond the 50 cap from here down - no driver row possible this
-    # round; ROUND-8/9 HEAD PLAN: the never-swept cohort is q138-q216
-    # (79 registry entries, every one green in the full plain-session
+    # round; ROUND-8/9 HEAD PLAN: the never-swept cohort is q138-q221
+    # (84 registry entries, every one green in the full plain-session
     # sweeps this round) - that is MORE than one head, so it rotates
     # over two rounds: round 8 sweeps q138-q187 (50 exactly); round 9
-    # sweeps q188-q216 (29) + the oldest stale rows (_SWEEP_LAST's
-    # seven r04-green queries + 14 more of the r04 q11-q50 batch) to
+    # sweeps q188-q221 (34) + the oldest stale rows (_SWEEP_LAST's
+    # seven r04-green queries + 9 more of the r04 q11-q50 batch) to
     # fill 50; the cohort swept green in r07 (q93-q137 head) waits
     # for r10. Keep this arithmetic in sync when appending queries.
     "q138_incremental_agg_stream",
