@@ -3157,3 +3157,47 @@ def q215_compression_quality(
         F.col("n_chars"),
         T.compression_ratio_pm(F.col("text")).alias("zratio_pm"),
     )
+
+
+@register(
+    "q222_stratum_floor_split",
+    f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_HB_MIX}, doc_id) AS rk
+        FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN rk <= 10 THEN 'val' ELSE 'train' END AS split
+    FROM r
+    """,
+    doc="stratified split with a PER-STRATUM FLOOR: every language "
+    "contributes exactly its 10 lowest-md5-bucket docs to the "
+    "validation set (deterministic quota — q76's global-ratio split "
+    "can starve a rare stratum entirely, and an eval set missing a "
+    "language can't measure it). Ranking inside each stratum by the "
+    "md5 bucket keeps membership id-deterministic and "
+    "rerun/partitioning-stable; one per-stratum rank window, "
+    "doc_id tiebreak",
+)
+def q222_stratum_floor_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from striot_spark.functions.text import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    hb = md5_hash64(F.col("doc_id").cast("string")) % 10000
+    w = W.partitionBy("lang").orderBy(hb.asc(), F.col("doc_id").asc())
+    r = docs.select(
+        "doc_id", "lang", F.row_number().over(w).alias("rk")
+    )
+    return r.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("rk") <= 10, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -2369,3 +2369,39 @@ def q221_weekend_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(cents(F.col("value"))).alias("sum_c"),
     )
+
+
+@register(
+    "q223_weekly_top_event",
+    f"""
+    SELECT user_id,
+           date_diff('day', TIMESTAMP '2024-01-01', ts) // 7 AS wk,
+           max_by(event_id, {CENTS_SQL} * 100000000 - event_id)
+               AS top_event,
+           max({CENTS_SQL}) AS top_c
+    FROM events
+    GROUP BY user_id, date_diff('day', TIMESTAMP '2024-01-01', ts) // 7
+    """,
+    doc="top event per (user, week) by value — the per-group argmax "
+    "reporting shape done as ONE groupBy with max_by over a "
+    "single-integer order key cents*1e8 - event_id (ties pick the "
+    "earlier event, deterministically; the multiplier dominates any "
+    "fixture event_id — re-derive it for id spaces past 1e8): tasks "
+    "pre-reduce to one candidate per "
+    "group, so the shuffle carries candidates, never events — the "
+    "rank-window form would per-group-sort the whole table for the "
+    "same answer (q107's latest-wins discipline applied to argmax)",
+)
+def q223_weekly_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = cents(F.col("value"))
+    wk = F.expr(
+        "CAST(datediff(ts, timestamp'2024-01-01') AS BIGINT) DIV 7"
+    )
+    return ev.groupBy("user_id", wk.alias("wk")).agg(
+        F.max_by(
+            F.col("event_id"),
+            c * F.lit(100_000_000) - F.col("event_id"),
+        ).alias("top_event"),
+        F.max(c).alias("top_c"),
+    )

@@ -223,6 +223,8 @@ _SWEEP_FIRST = [
     "q219_small_quantity_revenue",
     "q220_stream_exact_dedup",
     "q221_weekend_split",
+    "q222_stratum_floor_split",
+    "q223_weekly_top_event",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
