@@ -1880,3 +1880,73 @@ def test_compression_ratio_deterministic_and_ordering(spark):
 
     raw = rows[0][1].encode()
     assert out[1] == len(zlib.compress(raw, 6)) * 1000 // len(raw)
+
+
+def test_grain_rollup_combine_law(spark):
+    """Coarser grains re-aggregated from finer partials equal direct
+    aggregation of raw rows — the algebraic law q166 depends on."""
+    import datetime as dt
+
+    from striot_spark.functions.analytics import grain_rollup
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(50):
+        rows.append(
+            (base + dt.timedelta(minutes=7 * i), "a" if i % 3 else "b",
+             float(i) + 0.25)
+        )
+    df = spark.createDataFrame(rows, "ts timestamp, k string, value double")
+    out = grain_rollup(df, "ts", "value", ["k"])
+    got = {
+        (r["grain"], r["bucket"], r["k"]): (r["n"], r["sum_c"])
+        for r in out.collect()
+    }
+    # python reference: direct aggregation at each grain
+    from collections import defaultdict
+
+    for grain, trunc in (
+        ("minute", lambda t: t.replace(second=0, microsecond=0)),
+        ("hour", lambda t: t.replace(minute=0, second=0, microsecond=0)),
+        ("day", lambda t: t.replace(hour=0, minute=0, second=0,
+                                    microsecond=0)),
+    ):
+        ref = defaultdict(lambda: [0, 0])
+        for ts, k, v in rows:
+            b = trunc(ts)
+            ref[(b, k)][0] += 1
+            ref[(b, k)][1] += round(v * 100)
+        for (b, k), (n, sc) in ref.items():
+            assert got[(grain, b, k)] == (n, sc), (grain, b, k)
+
+
+def test_posting_lists_caps_heavy_tokens(spark):
+    """A token present in many docs emits df over ALL docs but only
+    the first-k ascending ids in the posting head."""
+    from striot_spark.functions.text import posting_lists
+
+    rows = [(i, "hot unique%d" % i) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["token"]: (r["df_ct"], r["postings"])
+        for r in posting_lists(df, "doc_id", "text", k=3).collect()
+    }
+    assert out["hot"] == (20, "0,1,2")
+    assert out["unique7"] == (1, "7")
+
+
+def test_k_anonymous_rows_edges(spark):
+    """k=1 keeps everything; k above the largest group suppresses all;
+    invalid k raises."""
+    import pytest
+
+    from striot_spark.functions.audit import k_anonymous_rows
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "id long, qi string"
+    )
+    assert k_anonymous_rows(df, ["qi"], 1).count() == 3
+    assert k_anonymous_rows(df, ["qi"], 2).count() == 2
+    assert k_anonymous_rows(df, ["qi"], 5).count() == 0
+    with pytest.raises(ValueError):
+        k_anonymous_rows(df, ["qi"], 0)
