@@ -145,7 +145,7 @@ def q87_joinw_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH l AS (
         SELECT ({EPOCH_S} // 86400) * 86400 AS left_window,
-               sum({CENTS_SQL}) AS revenue_c
+               CAST(sum({CENTS_SQL}) AS BIGINT) AS revenue_c
         FROM events WHERE event_type = 'purchase' GROUP BY 1),
     r AS (
         SELECT ({EPOCH_S} // 129600) * 129600 AS right_window,
@@ -311,7 +311,7 @@ def _assert_q93_closed(ev: DataFrame, res: DataFrame, wm_us: int) -> None:
     f"""
     WITH l AS (
         SELECT ({EPOCH_S} // 86400) * 86400 AS left_window,
-               sum({CENTS_SQL}) AS revenue_c
+               CAST(sum({CENTS_SQL}) AS BIGINT) AS revenue_c
         FROM events WHERE event_type = 'purchase' GROUP BY 1),
     r AS (
         SELECT ({EPOCH_S} // 129600) * 129600 AS right_window,
@@ -1179,7 +1179,7 @@ def q124_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM c)
     SELECT CAST(r.k AS VARCHAR) AS key_value,
            r.n, r.rank,
-           (r.n * 1000) // t.total_rows AS permille,
+           CAST((r.n * 1000) // t.total_rows AS BIGINT) AS permille,
            t.n_keys, CAST(t.total_rows AS BIGINT) AS total_rows
     FROM r, t WHERE r.rank <= 10
     """,
@@ -1221,7 +1221,7 @@ def q142_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT CAST(r.k AS VARCHAR), CAST(r.rank AS INTEGER),
            CAST(r.rows_out AS BIGINT),
-           (r.rows_out * 1000) // t.t
+           CAST((r.rows_out * 1000) // t.t AS BIGINT)
     FROM r, t WHERE r.rank <= 10
     """,
     doc="EXACT equi-join output-size prediction before running the "

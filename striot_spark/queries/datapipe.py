@@ -1983,8 +1983,8 @@ def q144_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(range(1, len(embedding) + 1)) AS i
         FROM embeddings)
     SELECT label, CAST(i - 1 AS INTEGER) AS dim,
-           sum(CAST(floor(CAST(em[i] AS DOUBLE) * 1000000 + 0.5)
-                    AS BIGINT)) AS q_sum,
+           CAST(sum(CAST(floor(CAST(em[i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS q_sum,
            count(*) AS n
     FROM idx GROUP BY label, i
     """,
@@ -2203,8 +2203,8 @@ def q170_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(w) OVER () AS tw
         FROM v),
     p AS (SELECT unnest([25, 50, 75]) AS p)
-    SELECT p.p AS p, min(c.val) AS value, min(c.cw) AS cum_w,
-           min(c.tw) AS total_w
+    SELECT p.p AS p, min(c.val) AS value, CAST(min(c.cw) AS BIGINT) AS cum_w,
+           CAST(min(c.tw) AS BIGINT) AS total_w
     FROM c JOIN p ON c.cw * 100 >= p.p * c.tw
     GROUP BY p.p
     """,
@@ -2404,7 +2404,8 @@ def q177_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * (CASE WHEN df2 > 0 THEN n_docs // df2 ELSE 0 END)
                    AS score
         FROM toks, nd, dfs)
-    SELECT doc_id, score FROM scored WHERE score > 0
+    SELECT doc_id, CAST(score AS BIGINT) AS score
+    FROM scored WHERE score > 0
     ORDER BY score DESC, doc_id ASC LIMIT 10
     """,
     doc="lexical retrieval (functions/text.py:lexical_search): top-10 "
@@ -2904,12 +2905,13 @@ def q204_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q210_corpus_card",
     f"""
     SELECT count(*) AS n_docs,
-           sum({NTOK}) AS total_tokens,
-           sum(length(text)) AS total_chars,
+           CAST(sum({NTOK}) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
            count(DISTINCT lang) AS n_langs,
            count(DISTINCT source) AS n_sources,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-           sum(CASE WHEN {NTOK} < 20 THEN 1 ELSE 0 END) AS n_short
+           CAST(sum(CASE WHEN {NTOK} < 20 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_short
     FROM documents
     """,
     doc="the dataset-card summary row: corpus size in docs / tokens / "
@@ -3040,11 +3042,12 @@ def q211_mixed_language_audit(
                         THEN 1 ELSE 0 END) AS n_b
         FROM documents GROUP BY source),
     t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM h)
-    SELECT h.source, h.n_a, h.n_b,
-           (h.n_a * 1000) // t.ta AS share_a_pm,
-           (h.n_b * 1000) // t.tb AS share_b_pm,
-           abs((h.n_a * 1000) // t.ta - (h.n_b * 1000) // t.tb)
-               AS drift_pm
+    SELECT h.source, CAST(h.n_a AS BIGINT) AS n_a,
+           CAST(h.n_b AS BIGINT) AS n_b,
+           CAST((h.n_a * 1000) // t.ta AS BIGINT) AS share_a_pm,
+           CAST((h.n_b * 1000) // t.tb AS BIGINT) AS share_b_pm,
+           CAST(abs((h.n_a * 1000) // t.ta - (h.n_b * 1000) // t.tb)
+               AS BIGINT) AS drift_pm
     FROM h, t
     """,
     doc="corpus composition drift between two cohorts (here the "

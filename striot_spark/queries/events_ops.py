@@ -828,7 +828,7 @@ def q135_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(gap_us) AS n_gaps,
            min(gap_us) AS min_gap_us,
            max(gap_us) AS max_gap_us,
-           sum(gap_us) AS sum_gap_us
+           CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
     FROM g GROUP BY user_id
     """,
     doc="per-entity inter-arrival time features (the IoT/behavioral "
@@ -1148,8 +1148,8 @@ def q157_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.event_type,
            any_value(d.med_c) / 100.0 AS median_v,
            any_value(m.mad_c) / 100.0 AS mad_v,
-           sum(CASE WHEN d.ad > 3 * m.mad_c THEN 1 ELSE 0 END)
-               AS n_outliers,
+           CAST(sum(CASE WHEN d.ad > 3 * m.mad_c THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers,
            count(*) AS n
     FROM dev d JOIN mad m ON d.event_type = m.event_type
     GROUP BY d.event_type
@@ -1344,15 +1344,15 @@ def q162_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH m AS (
         SELECT date_trunc('minute', ts) AS bucket, event_type,
-               sum({CENTS_SQL}) AS sum_c, count(*) AS n
+               CAST(sum({CENTS_SQL}) AS BIGINT) AS sum_c, count(*) AS n
         FROM events GROUP BY 1, 2),
     h AS (
         SELECT date_trunc('hour', ts) AS bucket, event_type,
-               sum({CENTS_SQL}) AS sum_c, count(*) AS n
+               CAST(sum({CENTS_SQL}) AS BIGINT) AS sum_c, count(*) AS n
         FROM events GROUP BY 1, 2),
     d AS (
         SELECT date_trunc('day', ts) AS bucket, event_type,
-               sum({CENTS_SQL}) AS sum_c, count(*) AS n
+               CAST(sum({CENTS_SQL}) AS BIGINT) AS sum_c, count(*) AS n
         FROM events GROUP BY 1, 2)
     SELECT 'minute' AS grain, strftime(bucket, '{TS_FMT}') AS bucket,
            event_type, n, sum_c FROM m
@@ -1456,9 +1456,11 @@ def q167_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r JOIN s USING (event_type)
         GROUP BY r.event_type)
     SELECT v.event_type, count(*) AS n,
-           sum(least(greatest(v.c, b.lo), b.hi)) AS wsum,
-           sum(CASE WHEN v.c < b.lo THEN 1 ELSE 0 END) AS n_lo,
-           sum(CASE WHEN v.c > b.hi THEN 1 ELSE 0 END) AS n_hi
+           CAST(sum(least(greatest(v.c, b.lo), b.hi)) AS BIGINT) AS wsum,
+           CAST(sum(CASE WHEN v.c < b.lo THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_lo,
+           CAST(sum(CASE WHEN v.c > b.hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hi
     FROM v JOIN b USING (event_type)
     GROUP BY v.event_type
     """,
@@ -1484,7 +1486,8 @@ def q169_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q173_partition_pruned_day",
     f"""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           event_type, count(*) AS n, sum({CENTS_SQL}) AS sum_c
+           event_type, count(*) AS n,
+           CAST(sum({CENTS_SQL}) AS BIGINT) AS sum_c
     FROM events
     WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-15'
     GROUP BY 1, 2
@@ -1566,8 +1569,10 @@ def q184_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                {CENTS_SQL} AS y
         FROM events)
     SELECT event_type, count(*) AS n,
-           sum(x) AS sum_x, sum(y) AS sum_y,
-           sum(x * y) AS sum_xy, sum(x * x) AS sum_xx
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_xx
     FROM v GROUP BY event_type
     """,
     doc="per-group trend (least-squares slope) as exact SUFFICIENT "
@@ -1686,7 +1691,7 @@ def q192_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY event_type, day) AS first_us
         FROM v)
     SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
-           sum(c * (t_next_us - t_us)) AS twap_num,
+           CAST(sum(c * (t_next_us - t_us)) AS BIGINT) AS twap_num,
            max(epoch_us(day + INTERVAL 1 DAY) - first_us) AS twap_den,
            count(*) AS n
     FROM w
@@ -1950,7 +1955,7 @@ def q203_nearest_event_align(
     SELECT CASE WHEN n_events = 1 THEN 1 ELSE 0 END AS singleton,
            dur_us // 60000000 AS dur_min,
            count(*) AS n_sessions,
-           sum(n_events) AS total_events
+           CAST(sum(n_events) AS BIGINT) AS total_events
     FROM g GROUP BY 1, 2
     """,
     doc="session duration/depth distribution on top of q12's "
@@ -2213,7 +2218,8 @@ def q209_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ls)
     SELECT event_type,
            count(*) AS n_steps,
-           sum(CASE WHEN delta_us < 0 THEN 1 ELSE 0 END) AS n_backward,
+           CAST(sum(CASE WHEN delta_us < 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_backward,
            coalesce(-min(CASE WHEN delta_us < 0 THEN delta_us END), 0)
                AS max_backjump_us
     FROM d WHERE delta_us IS NOT NULL
@@ -2289,7 +2295,7 @@ def q212_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY t, d DESC, user_id, session_id) AS conc
         FROM bd)
     SELECT strftime(date_trunc('day', t), '%Y-%m-%d') AS day,
-           max(conc) AS peak_concurrent
+           CAST(max(conc) AS BIGINT) AS peak_concurrent
     FROM rs GROUP BY 1
     """,
     doc="peak concurrent sessions per day (the occupancy/capacity "
@@ -2345,7 +2351,7 @@ def q216_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT event_type,
            CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS is_weekend,
-           count(*) AS n, sum({CENTS_SQL}) AS sum_c
+           count(*) AS n, CAST(sum({CENTS_SQL}) AS BIGINT) AS sum_c
     FROM events GROUP BY 1, 2
     """,
     doc="weekend/weekday activity split — the calendar-dimension "

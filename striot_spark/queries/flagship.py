@@ -557,7 +557,8 @@ def _stage_docs_jsonl(spark: SparkSession, sf_dir: str) -> str:
     "q98_docs_jsonl_dead_letter",
     """
     WITH good AS (
-        SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+        SELECT lang, count(*) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents
         WHERE doc_id % 101 <> 0 AND doc_id % 103 <> 0
         GROUP BY 1)
@@ -852,7 +853,7 @@ def q92_scan_stream_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events)
     SELECT user_id, rn // 5 AS window_ordinal,
            strftime(max(ts), '{_TS_FMT_Q89}') AS ts,
-           sum(cents) AS sum_c
+           CAST(sum(cents) AS BIGINT) AS sum_c
     FROM o GROUP BY user_id, rn // 5
     HAVING count(*) = 5
     """,
@@ -968,9 +969,10 @@ def q97_filteracc_stream_global(
                CAST(round((value)*100.0, 0) AS BIGINT) AS cents
         FROM events)
     SELECT user_id, strftime(ts, '{_TS_FMT_Q89}') AS ts,
-           sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           CAST(sum(cents) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
                             ROWS BETWEEN 2 PRECEDING
-                            AND CURRENT ROW) AS s3c
+                            AND CURRENT ROW) AS BIGINT) AS s3c
     FROM o
     """,
     doc="sliding COUNT window (sliding n, FunctionalProcessing.hs:93-97) "
@@ -1755,7 +1757,8 @@ def q130_cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id, event_type,
            count(*) AS n_rows,
-           sum(CAST(round((value)*100.0, 0) AS BIGINT)) AS sum_value_c
+           CAST(sum(CAST(round((value)*100.0, 0) AS BIGINT))
+               AS BIGINT) AS sum_value_c
     FROM events GROUP BY user_id, event_type
     """,
     doc="streaming incremental MATERIALIZED VIEW: per-(user,type) "
@@ -2126,7 +2129,8 @@ def q164_ohlc_bars_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f')
                AS bucket,
            event_type, count(*) AS n,
-           sum(CAST(round((value)*100.0, 0) AS BIGINT)) AS sum_c
+           CAST(sum(CAST(round((value)*100.0, 0) AS BIGINT))
+               AS BIGINT) AS sum_c
     FROM events GROUP BY 1, 2
     """,
     doc="the CONTINUOUS AGGREGATE serving pattern: the stream "
@@ -2390,7 +2394,8 @@ def q206_burst_detection_stream(
     """
     SELECT user_id, event_type,
            count(DISTINCT event_id) AS n_events,
-           sum(CAST(round((value)*100.0, 0) AS BIGINT)) AS sum_c
+           CAST(sum(CAST(round((value)*100.0, 0) AS BIGINT))
+               AS BIGINT) AS sum_c
     FROM events GROUP BY user_id, event_type
     """,
     doc="EXACT at-least-once -> exactly-once dedup ON the stream via "

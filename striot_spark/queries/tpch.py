@@ -439,9 +439,10 @@ def q126_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderdate >= DATE '1996-01-01'
           AND o_orderdate <= DATE '1997-12-31')
     SELECT o_year,
-           sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_c ELSE 0 END)
-               AS nation_rev_c,
-           sum(rev_c) AS total_rev_c
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                         THEN rev_c ELSE 0 END)
+               AS BIGINT) AS nation_rev_c,
+           CAST(sum(rev_c) AS BIGINT) AS total_rev_c
     FROM all_n GROUP BY o_year
     """,
     doc="TPC-H Q8 shape (a nation's market share inside one part "
@@ -495,7 +496,8 @@ def q127_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT o.o_orderpriority AS priority,
            count(*) AS n_items,
-           sum({_cents('l.l_extendedprice')}) AS revenue_cents
+           CAST(sum({_cents('l.l_extendedprice')}) AS BIGINT)
+               AS revenue_cents
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -853,9 +855,9 @@ def q172_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q180_forecast_revenue_band",
     f"""
     SELECT count(*) AS n_rows,
-           sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+           CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
                * CAST(round(l_discount * 100.0, 0) AS BIGINT))
-               AS revenue_c2
+               AS BIGINT) AS revenue_c2
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1996-07-01'
@@ -894,18 +896,19 @@ def q180_forecast_revenue_band(
     "q181_promo_revenue_share",
     f"""
     SELECT
-        sum(CASE WHEN p_type = 'PROMO'
+        CAST(sum(CASE WHEN p_type = 'PROMO'
                  THEN CAST(round(l_extendedprice * (1 - l_discount)
                                  * 100.0, 0) AS BIGINT)
-                 ELSE 0 END) AS promo_c,
-        sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
-                 AS BIGINT)) AS total_c,
-        1000 * sum(CASE WHEN p_type = 'PROMO'
+                 ELSE 0 END) AS BIGINT) AS promo_c,
+        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                 AS BIGINT)) AS BIGINT) AS total_c,
+        CAST(1000 * sum(CASE WHEN p_type = 'PROMO'
                         THEN CAST(round(l_extendedprice * (1 - l_discount)
                                         * 100.0, 0) AS BIGINT)
                         ELSE 0 END)
              // sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0,
-                              0) AS BIGINT)) AS promo_permille
+                              0) AS BIGINT))
+             AS BIGINT) AS promo_permille
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01'
       AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -996,8 +999,8 @@ def q183_equiwidth_histogram(
     "q199_returned_revenue_customers",
     """
     SELECT c_custkey, c_name,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
-                    AS BIGINT)) AS lost_c,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0,
+                              0) AS BIGINT)) AS BIGINT) AS lost_c,
            count(*) AS n_items
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -1137,8 +1140,9 @@ def q217_customer_order_distribution(
     """
     WITH r AS (
         SELECT l_suppkey,
-               sum(CAST(round(l_extendedprice * (1 - l_discount)
-                              * 100.0, 0) AS BIGINT)) AS total_c
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                              * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS total_c
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -1185,8 +1189,8 @@ def q218_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_partkey, avg(l_quantity) AS avg_qty
         FROM lineitem GROUP BY l_partkey)
     SELECT count(*) AS n_rows,
-           sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
-               AS revenue_c
+           CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+               AS BIGINT) AS revenue_c
     FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
     WHERE CAST(l.l_quantity AS BIGINT) * 5
           < CAST(floor(avg_qty) AS BIGINT)

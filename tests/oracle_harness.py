@@ -67,11 +67,31 @@ def normalize(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple
 
 
 def compare_query(spark, name: str, fn, oracle: str, sf_dir: str) -> list[str]:
-    """Returns a list of mismatch descriptions (empty = pass)."""
+    """Returns a list of mismatch descriptions (empty = pass).
+
+    Fails loudly if the oracle emits a HUGEINT/DECIMAL column: DBAPI
+    ``fetchall()`` returns Python ints for HUGEINT, so this harness
+    CANNOT reproduce the driver's normalizer on those types (the r07
+    five-red blind spot) — refusing is the only honest behavior.
+    """
     sdf = fn(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
     con = duck_con(sf_dir)
+    rel = con.sql(oracle)
+    hazard = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+    ]
+    if hazard:
+        con.close()
+        return [
+            f"{name}: oracle emits HUGEINT/DECIMAL columns {hazard} — "
+            "the driver's value hash renders these differently from "
+            "int64 and this harness cannot see it (VERDICT r07); "
+            "CAST(... AS BIGINT) in the oracle SQL"
+        ]
     res = con.execute(oracle)
     ocols = [d[0] for d in res.description]
     orows = [tuple(r) for r in res.fetchall()]
