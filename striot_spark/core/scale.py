@@ -31,8 +31,11 @@ def is_small_input(df: DataFrame) -> bool:
     """The shared small-input gate: True iff Catalyst's size estimate
     for ``df`` is at or under ``striot.globalIndex.smallInputBytes``
     (default 64 MB). Used by ``global_index`` / ``global_prefix_sum``
-    to pick the plain one-task form, and by ``functions/graph.py``'s
-    iterative ops to pin exchange widths — one conf, one rule."""
+    to pick the plain one-task form. (``functions/graph.py``'s
+    iterative ops use their own edge-ROW-count gate — SMALL_GRAPH_CONF
+    via ``e.count()`` — because a graph's cost scales with edge count
+    across iterations, not the byte size of one scan, and the exact
+    count is already materialized when the edge list is persisted.)"""
     spark = df.sparkSession
     try:
         small = int(

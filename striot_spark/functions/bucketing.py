@@ -96,7 +96,7 @@ def bucketed_equijoin(
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
-def zorder_key(cols: list, bits: int = 16):
+def zorder_key(cols: list, bits: int = 16, assert_range: bool = False):
     """Morton (Z-order) key: interleave the low ``bits`` bits of k
     non-negative integer columns into one long, so sorting/range-
     chunking by the key clusters rows that are close in EVERY
@@ -107,10 +107,20 @@ def zorder_key(cols: list, bits: int = 16):
     keyed dimension, where a plain sort is selective for only the
     leading one.
 
-    ``bits`` must cover each dimension's range (values >= 2^bits would
-    alias); k*bits must stay < 63. Pure unrolled bitwise expression —
-    whole-stage codegen, zero shuffle, oracle-reproducible on any
-    engine with integer shifts.
+    **Precondition: every input must be in [0, 2^bits).** Values >=
+    2^bits alias (high bits dropped), and NEGATIVE values are worse:
+    arithmetic-shift sign extension makes every sampled bit 1 beyond
+    the value's magnitude, so negative coordinates collide across
+    dimensions and the zone-map locality property silently degrades
+    (the key is still deterministic — an oracle recomputing the same
+    expression matches — but files stop covering small rectangles).
+    Bias into range at the call site (e.g. datediff from an origin at
+    or before the dataset minimum, as q137 does). k*bits must stay
+    < 63 for a long key. Pass ``assert_range=True`` to add a per-row
+    range check (raises via CASE/raise_error — debug/test mode; leave
+    off in production scans where the bias is proven). Pure unrolled
+    bitwise expression — whole-stage codegen, zero shuffle,
+    oracle-reproducible on any engine with integer shifts.
     """
     import functools
 
@@ -121,6 +131,19 @@ def zorder_key(cols: list, bits: int = 16):
     for j, c in enumerate(cols):
         x = F.col(c) if isinstance(c, str) else c
         x = x.cast("long")
+        if assert_range:
+            x = F.when(
+                (x < 0) | (x >= F.lit(1 << bits)),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"zorder_key: dimension {j} out of "
+                            f"[0, 2^{bits}): "
+                        ),
+                        x.cast("string"),
+                    )
+                ).cast("long"),
+            ).otherwise(x)
         for i in range(bits):
             terms.append(
                 F.shiftleft(
@@ -132,7 +155,9 @@ def zorder_key(cols: list, bits: int = 16):
 
 def zorder_key_sql(exprs: list[str], bits: int = 16) -> str:
     """The identical Morton key as a SQL string (oracle twin of
-    ``zorder_key``)."""
+    ``zorder_key``). Same precondition: inputs in [0, 2^bits) —
+    negative values sign-extend identically in both engines (parity
+    holds) but destroy the layout's locality."""
     k = len(exprs)
     # every term FULLY parenthesized: DuckDB (like Postgres) gives <<
     # and | the same precedence, left-associative, so a bare

@@ -451,6 +451,12 @@ def kmeans(
         .limit(k)
         .collect()
     )
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans: k={k} but the input has only {len(init)} rows — "
+            "the M-step rebuild indexes cents[i] for every cluster id "
+            "< k and would IndexError; pass k <= row count"
+        )
     cents = [[float(x) for x in r[1]] for r in init]
     dim = len(cents[0])
     base = (

@@ -794,6 +794,13 @@ def lexical_search(
     """
     toks = nonempty_tokens(F.col(text_col))
     qlist = list(query_tokens)
+    if not qlist:
+        # an empty query matches nothing (score would otherwise stay
+        # None and crash on .alias); emit the empty result with the
+        # contract schema
+        return df.select(
+            F.col(id_col), F.lit(0).cast("long").alias("score")
+        ).limit(0)
     df_counts = df.select(
         *[
             F.array_contains(toks, F.lit(t)).cast("long").alias(f"__c{i}")

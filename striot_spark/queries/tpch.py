@@ -609,7 +609,7 @@ def _q137_oracle() -> str:
     return f"""
     WITH d AS (
         SELECT o_custkey AS ck,
-               date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day
+               date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS day
         FROM orders),
     z AS (SELECT ck, day, {z} AS zkey FROM d)
     SELECT zkey >> 20 AS file_id, count(*) AS n_rows,
@@ -630,7 +630,12 @@ def _q137_oracle() -> str:
     "file covers a small RECTANGLE of (customer, day) space, so "
     "min/max pruning is selective for filters on EITHER dimension, "
     "where a plain sort serves only its leading column. The oracle "
-    "recomputes the identical key via zorder_key_sql",
+    "recomputes the identical key via zorder_key_sql. Day origin is "
+    "1992-01-01 (before the dataset minimum) so every coordinate "
+    "meets zorder_key's non-negative precondition — a later origin "
+    "would sign-extend negative days and silently destroy the "
+    "file-rectangle locality (r07 ADVICE); assert_range=True proves "
+    "the bias per-row",
 )
 def q137_zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     from striot_spark.functions import bucketing as B
@@ -638,11 +643,13 @@ def q137_zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     d = o.select(
         F.col("o_custkey").alias("ck"),
-        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
         .cast("long")
         .alias("day"),
     )
-    z = d.withColumn("zkey", B.zorder_key(["ck", "day"], bits=18))
+    z = d.withColumn(
+        "zkey", B.zorder_key(["ck", "day"], bits=18, assert_range=True)
+    )
     files = z.withColumn("file_id", F.shiftright(F.col("zkey"), 20))
     return B.zone_map(files, "file_id", ["ck", "day"])
 

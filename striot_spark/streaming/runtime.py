@@ -956,20 +956,33 @@ def incremental_agg_sink(
     micro-batch boundaries and cross-batch arrival order, with no
     watermark needed. Unlike the latest-wins upsert (idempotent by
     max_by), ADDITIVE merge would double-count a replayed batch, so the
-    A/B pointer records the last applied batch id ("a:17") and a
-    replayed ``batch_id <= last`` is skipped — Structured Streaming
-    replays only the last uncommitted batch, and if the pointer already
-    advanced past it the merge result is already durable. Same atomic
-    pointer-flip crash discipline as ``upsert_snapshot_sink``;
-    snapshots are #keys-sized. Read back with ``read_snapshot``.
+    A/B pointer records the last applied batch id and a run id derived
+    from the checkpoint dir ("a:17:3f2a9c1d"), and a replayed
+    ``batch_id <= last`` from the SAME run is skipped — Structured
+    Streaming replays only the last uncommitted batch, and if the
+    pointer already advanced past it the merge result is already
+    durable. The run id closes a silent-data-loss hole: restarting the
+    stream with a FRESH checkpoint dir against the same snapshot path
+    restarts batch ids at 0, which the bare ``<= last`` guard would
+    misread as replays and drop; a run-id mismatch instead raises with
+    instructions (keep the checkpoint to resume, or point at a fresh
+    snapshot path). A colon-less pointer (path previously used by
+    ``upsert_snapshot_sink``) raises a clear error rather than
+    ``ValueError`` from ``split``. Same atomic pointer-flip crash
+    discipline as ``upsert_snapshot_sink``; snapshots are #keys-sized.
+    Read back with ``read_snapshot``.
 
     Non-additive aggregates decompose the standard way before this
     sink: avg = sum/count at read time; distinct counts via an exact
     pre-dedup (``dedup_exact_stream``) or a mergeable sketch (q128's
     count-min / HLL), both additive.
     """
+    import hashlib as _hashlib
     import os as _os
 
+    run_id = _hashlib.sha1(
+        _os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
     cols = list(dict.fromkeys([*key_cols, *sum_cols]))
 
     def _partial(df: DataFrame) -> DataFrame:
@@ -984,10 +997,27 @@ def incremental_agg_sink(
         prev, cur, last = None, None, -1
         if _os.path.exists(ptr):
             with open(ptr) as f:
-                cur, last_s = f.read().strip().split(":")
-            last = int(last_s)
+                parts = f.read().strip().split(":")
+            if len(parts) < 2:
+                raise ValueError(
+                    f"incremental_agg_sink: pointer {ptr!r} has no "
+                    f"batch id ({parts!r}) — this snapshot path was "
+                    "written by upsert_snapshot_sink, not this sink; "
+                    "use a fresh path"
+                )
+            cur, last = parts[0], int(parts[1])
+            if len(parts) >= 3 and parts[2] != run_id:
+                raise ValueError(
+                    f"incremental_agg_sink: snapshot {path!r} was "
+                    f"built by a different run (pointer run id "
+                    f"{parts[2]}, this checkpoint's {run_id}). Batch "
+                    "ids restart at 0 under a fresh checkpoint dir, "
+                    "so the replay guard would silently drop data. "
+                    "Resume with the original checkpoint dir, or "
+                    "write to a fresh snapshot path"
+                )
             if batch_id <= last:
-                return  # replayed batch: merge already durable
+                return  # replayed batch (same run): already durable
             prev = spark.read.parquet(_os.path.join(path, cur))
         delta = _partial(batch_df)
         if prev is not None:
@@ -1004,7 +1034,7 @@ def incremental_agg_sink(
         merged.write.mode("overwrite").parquet(_os.path.join(path, nxt))
         tmp = ptr + ".tmp"
         with open(tmp, "w") as f:
-            f.write(f"{nxt}:{batch_id}")
+            f.write(f"{nxt}:{batch_id}:{run_id}")
         _os.replace(tmp, ptr)  # atomic flip commits dir AND batch id
 
     w = (

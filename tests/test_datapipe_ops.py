@@ -511,6 +511,52 @@ def test_kmeans_recovers_separated_blobs(spark):
         assert max(range(3), key=lambda d: c[d]) == b
 
 
+def test_kmeans_refuses_k_above_row_count(spark):
+    """k > rows used to IndexError deep in the M-step rebuild
+    (cents[i] past the init list); it must fail fast with a clear
+    ValueError instead (r07 ADVICE)."""
+    from striot_spark.functions.similarity import kmeans
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="only 2 rows"):
+        kmeans(df, k=5, max_iter=1)
+
+
+def test_lexical_search_empty_query_returns_empty(spark):
+    """An empty query token list must yield an empty result with the
+    contract (id, score) schema, not an AttributeError on a None score
+    (r07 ADVICE)."""
+    from striot_spark.functions.text import lexical_search
+
+    df = spark.createDataFrame(
+        [(0, "some words"), (1, "more words")], "doc_id long, text string"
+    )
+    got = lexical_search(df, "doc_id", "text", [], k=5)
+    assert got.columns == ["doc_id", "score"]
+    assert got.collect() == []
+
+
+def test_zorder_key_assert_range_rejects_negatives(spark):
+    """assert_range=True must raise on out-of-range coordinates —
+    negative inputs sign-extend and silently destroy zone-map locality
+    otherwise (r07 ADVICE)."""
+    from striot_spark.functions.bucketing import zorder_key
+
+    df = spark.createDataFrame([(3, -1)], "a long, b long")
+    ok = spark.createDataFrame([(3, 2)], "a long, b long")
+    assert (
+        ok.select(zorder_key(["a", "b"], bits=4, assert_range=True)).count()
+        == 1
+    )
+    with pytest.raises(Exception, match="out of"):
+        df.select(
+            zorder_key(["a", "b"], bits=4, assert_range=True)
+        ).collect()
+
+
 def test_short_docs_have_no_shingles_or_signatures(spark):
     """Docs with fewer than shingle_n tokens must vanish from the
     signature/pair tiers (matching the oracle's range(1, len(tk)) CTE,

@@ -1545,8 +1545,11 @@ def test_incremental_agg_sink_matches_batch_totals(
 ):
     """The additive materialized view over the adversarial out-of-order
     multi-batch replay must converge to exactly the batch groupBy
-    totals, the pointer must record the last applied batch id, and a
-    replayed batch id must be skipped (no double counting)."""
+    totals, the pointer must record the last applied batch id + run id,
+    a same-run replay must be a no-op (no double counting), and a
+    fresh-checkpoint restart against the same snapshot must REFUSE
+    (batch ids restart at 0, so the bare <= last guard would silently
+    drop every batch — the r07 ADVICE hole)."""
     import os
 
     src, ev, _delay = ooo_staged
@@ -1573,17 +1576,14 @@ def test_incremental_agg_sink_matches_batch_totals(
     )
     assert got == expect and len(got) > 0
     with open(os.path.join(snap_dir, "_CURRENT")) as f:
-        cur, last = f.read().strip().split(":")
+        cur, last, run_id = f.read().strip().split(":")
     assert cur in ("a", "b") and int(last) >= 2  # multi-batch replay ran
-    # replaying an already-applied batch id must be a no-op: restart
-    # from a FRESH checkpoint (batch ids restart at 0) against the same
-    # snapshot — every batch id is <= last, so totals stay identical
+    assert len(run_id) == 8
+    # resuming with the SAME checkpoint dir is the supported replay
+    # path: the engine re-offers nothing new, any replayed batch id is
+    # <= last under the SAME run id, and totals stay identical
     q2 = RT.incremental_agg_sink(
-        sdf,
-        snap_dir,
-        str(tmp_path / "ck2"),
-        key_cols=["user_id"],
-        sum_cols=["cents"],
+        sdf, snap_dir, ckpt, key_cols=["user_id"], sum_cols=["cents"]
     )
     q2.awaitTermination()
     again = sorted(
@@ -1592,3 +1592,28 @@ def test_incremental_agg_sink_matches_batch_totals(
         if r["user_id"] != -1
     )
     assert again == expect
+    # a FRESH checkpoint dir against the same snapshot restarts batch
+    # ids at 0; the replay guard would misread real data as replays and
+    # silently drop it, so the run-id guard must refuse instead
+    q3 = RT.incremental_agg_sink(
+        sdf,
+        snap_dir,
+        str(tmp_path / "ck2"),
+        key_cols=["user_id"],
+        sum_cols=["cents"],
+    )
+    with pytest.raises(Exception, match="different run"):
+        q3.awaitTermination()
+    # a colon-less pointer (path written by upsert_snapshot_sink) must
+    # raise the clear diagnostic, not a bare unpack ValueError
+    with open(os.path.join(snap_dir, "_CURRENT"), "w") as f:
+        f.write("a")
+    q4 = RT.incremental_agg_sink(
+        sdf,
+        snap_dir,
+        str(tmp_path / "ck3"),
+        key_cols=["user_id"],
+        sum_cols=["cents"],
+    )
+    with pytest.raises(Exception, match="no batch id"):
+        q4.awaitTermination()
