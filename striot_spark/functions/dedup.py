@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from striot_spark.core.scale import scatter
@@ -660,6 +660,219 @@ def lsh_candidate_pairs(
         .filter(F.col("est_jaccard") >= min_sig_agreement)
         .drop("est_jaccard")
         .distinct()
+    )
+
+
+def lsh_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 4,
+    bands: int = 2,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Band-membership table (id, band, sig): each document's LSH band
+    signatures as rows — the shared candidate-generation key of the
+    banding family (``lsh_candidate_pairs`` inlines the same
+    construction to keep its per-signature agreement columns). One
+    signature scan (zero-shuffle projection, md5 base persisted once
+    inside ``minhash_signatures``) + an in-row band explode; docs too
+    short to shingle emit no rows."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        members = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[m.cast("string") for m in members]
+                ).alias("sig"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
+    ).select(id_col, "bs.band", "bs.sig")
+
+
+def near_dup_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 4,
+    bands: int = 2,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """FIRST-WINS near-dup suppression — the ingest-filter form of LSH
+    dedup (reference has no near-dup surface; this extends the
+    ``streamFilter`` idea, ``FunctionalProcessing.hs:93-97``, to
+    content-similarity): every document registers its LSH bands, each
+    distinct (band, sig) bucket is OWNED by the smallest ``id_col``
+    presenting it, and a document is suppressed iff any of its bands
+    is owned by an earlier document. Docs too short to shingle have no
+    bands and are always kept. Returns the kept rows of ``df``
+    (all columns).
+
+    Unlike the pair family (q29) + connected-components + keep-one
+    pipeline (q104), this decides KEEP/DROP per document against the
+    band-bucket state alone — one pass, no pair materialization, no
+    iterative clustering — which is exactly the shape an ingest
+    gate needs; the price is OR-banding's false-positive rate, tuned
+    by ``rows_per_band = num_hashes // bands`` (more rows per band =
+    stricter). The same first-wins-per-bucket semantics applied
+    incrementally is ``near_dup_filter_stream``, and this batch form
+    is its oracle.
+
+    Scale: bands is one signature scan + in-row explode (#docs x
+    bands rows, compact (long, int, string) tuples); ownership is one
+    keyed groupBy on (band, sig); the dup decision is an equi-join of
+    bands to owners; suppression is a left_anti on id. Zero
+    cartesians, zero driver materialization, every shuffle on a
+    compact key.
+    """
+    b = lsh_bands(df, id_col, text_col, num_hashes, bands, shingle_n)
+    own = b.groupBy("band", "sig").agg(F.min(id_col).alias("__owner"))
+    dup_ids = (
+        b.join(own, ["band", "sig"])
+        .filter(F.col("__owner") < F.col(id_col))
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(dup_ids, id_col, "left_anti")
+
+
+def near_dup_filter_stream(
+    sdf: DataFrame,
+    out_dir: str,
+    snap_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    keep_cols: Sequence[str],
+    num_hashes: int = 4,
+    bands: int = 2,
+    shingle_n: int = 2,
+    available_now: bool = True,
+):
+    """ONLINE near-dup ingest filter: the streaming form of
+    ``near_dup_filter`` — suppress each arriving document that shares
+    an LSH band with ANY earlier document (earlier arrivals in this
+    run, or any document already in the band-owner state), appending
+    the kept rows to ``out_dir`` as they pass. This is the dedup gate
+    a 100 TB training-data ingest runs AT the pipe, instead of
+    re-clustering the corpus after the fact.
+
+    Per micro-batch (foreachBatch): compute the batch's band table
+    (one signature scan of the batch), look up each band in the owner
+    snapshot (equi-join on (band, sig)) and against the batch's own
+    earlier arrivals (min-id per band within the batch), drop
+    documents with any owned band, append the kept rows, then merge
+    the batch's bands into the owner snapshot (min per bucket —
+    monotone, so cross-batch order only matters through arrival
+    itself) with the same A/B-pointer + run-id crash discipline as
+    ``incremental_agg_sink``: a replayed batch id (same run) is
+    skipped whole, and the kept-rows append is a per-batch
+    subdirectory OVERWRITE, so the crash-replay of an uncommitted
+    batch rewrites the same files instead of double-appending.
+    Restarting with a fresh checkpoint against the same state refuses
+    (run-id mismatch) rather than silently re-admitting duplicates.
+
+    Batch parity: with arrival order == ``id_col`` order (how the
+    replay harness stages corpora), the final kept set is EXACTLY
+    ``near_dup_filter`` of the full corpus — first-wins per bucket is
+    min-id per bucket — which makes the batch form the oracle for the
+    driver gate (q225).
+
+    Scale: state is #distinct band buckets (compact), not #documents;
+    each batch costs one signature scan of the batch + two keyed
+    shuffles (batch-band groupBy, snapshot merge) + one equi-join
+    against the snapshot. For band spaces beyond a single rewrite,
+    partition the snapshot by a band-hash prefix and rewrite only
+    touched partitions (same documented extension as
+    ``upsert_snapshot_sink``). Read the kept corpus back with
+    ``read_kept`` below; the owner snapshot with
+    ``streaming.runtime.read_snapshot``.
+    """
+    import hashlib as _hashlib
+    import os as _os
+
+    run_id = _hashlib.sha1(
+        _os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ptr = _os.path.join(snap_dir, "_CURRENT")
+        prev, cur = None, None
+        if _os.path.exists(ptr):
+            with open(ptr) as f:
+                parts = f.read().strip().split(":")
+            if len(parts) < 3 or parts[2] != run_id:
+                raise ValueError(
+                    f"near_dup_filter_stream: owner state {snap_dir!r} "
+                    "belongs to a different run — resuming with a "
+                    "fresh checkpoint would misread restarted batch "
+                    "ids as replays; keep the original checkpoint or "
+                    "use a fresh state path"
+                )
+            cur, last = parts[0], int(parts[1])
+            if batch_id <= last:
+                return  # replayed batch (same run): already durable
+            prev = spark.read.parquet(_os.path.join(snap_dir, cur))
+        b = lsh_bands(
+            batch_df, id_col, text_col, num_hashes, bands, shingle_n
+        )
+        batch_own = b.groupBy("band", "sig").agg(
+            F.min(id_col).alias("__bown")
+        )
+        hit = b.join(batch_own, ["band", "sig"])
+        if prev is not None:
+            hit = hit.join(prev, ["band", "sig"], "left")
+            is_dup = F.col("owner").isNotNull() | (
+                F.col("__bown") < F.col(id_col)
+            )
+        else:
+            is_dup = F.col("__bown") < F.col(id_col)
+        dup_ids = hit.filter(is_dup).select(id_col).distinct()
+        kept = batch_df.join(dup_ids, id_col, "left_anti")
+        kept.select(*keep_cols).write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"b{batch_id:05d}")
+        )
+        new_own = batch_own.select(
+            "band", "sig", F.col("__bown").alias("owner")
+        )
+        if prev is not None:
+            new_own = (
+                prev.unionByName(new_own)
+                .groupBy("band", "sig")
+                .agg(F.min("owner").alias("owner"))
+            )
+        nxt = "b" if cur == "a" else "a"
+        new_own.write.mode("overwrite").parquet(
+            _os.path.join(snap_dir, nxt)
+        )
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{nxt}:{batch_id}:{run_id}")
+        _os.replace(tmp, ptr)  # atomic flip commits state AND batch id
+
+    w = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_kept(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the kept corpus written by ``near_dup_filter_stream``
+    (per-batch subdirectories)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
     )
 
 

@@ -2444,3 +2444,97 @@ def q220_stream_exact_dedup(
         tempfile.mkdtemp(prefix="striot_q220_ck_"),
         mode="complete",
     )
+
+
+_NEAR_DUP_SQL = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                   AS tk
+        FROM documents),
+    idx AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks),
+    sh AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS shingle FROM idx),
+    hs AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                      % 2147483647 AS h
+           FROM sh),
+    sig AS (SELECT doc_id,
+                   min((2 * h + 1) % 2147483647) AS mh0,
+                   min((3 * h + 7) % 2147483647) AS mh1,
+                   min((5 * h + 13) % 2147483647) AS mh2,
+                   min((7 * h + 31) % 2147483647) AS mh3
+            FROM hs GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band,
+               mh0::VARCHAR || '_' || mh1::VARCHAR AS sig FROM sig
+        UNION ALL
+        SELECT doc_id, 1,
+               mh2::VARCHAR || '_' || mh3::VARCHAR FROM sig),
+    own AS (SELECT band, sig, min(doc_id) AS owner
+            FROM bands GROUP BY band, sig),
+    dup AS (SELECT DISTINCT b.doc_id FROM bands b
+            JOIN own o ON b.band = o.band AND b.sig = o.sig
+            WHERE o.owner < b.doc_id)
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+    """
+
+
+@register(
+    "q225_stream_near_dup_filter",
+    _NEAR_DUP_SQL,
+    doc="ONLINE near-dup suppression AT ingest "
+    "(functions/dedup.py:near_dup_filter_stream): the corpus replays "
+    "as 5 id-ordered micro-batches, each arriving document registers "
+    "its MinHash-LSH bands, and any document sharing a band with an "
+    "earlier arrival (prior batch via the band-owner snapshot, same "
+    "batch via the batch-internal min) is dropped before it ever "
+    "lands — the dedup gate a 100 TB training ingest runs at the "
+    "pipe instead of re-clustering after the fact. State is "
+    "#band-buckets (not #docs), merged per batch with the A/B "
+    "pointer + run-id crash discipline; kept rows append as "
+    "per-batch overwrites so crash-replay cannot double-admit. With "
+    "id-ordered arrival, first-wins per bucket == min-id per bucket, "
+    "so the oracle is the BATCH near_dup_filter semantics in SQL — "
+    "the driver gate proves the streaming fold equals the batch "
+    "form. 203/500 fixture docs are suppressed at sf0.01 (gate is "
+    "value-sensitive, not vacuous)",
+)
+def q225_stream_near_dup_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from striot_spark.functions import dedup as D
+    from striot_spark.streaming import runtime as RT
+
+    ck = (sf_dir, "neardup_src")
+    path = _STAGED.get(ck)
+    if path is None:
+        docs = load_table(spark, sf_dir, "documents")
+        hi = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+        step = (hi + 4) // 5
+        chunks = [
+            docs.filter(
+                (F.col("doc_id") >= i * step)
+                & (F.col("doc_id") < (i + 1) * step)
+            )
+            for i in range(5)
+        ]
+        path = tempfile.mkdtemp(prefix="striot_q225_src_")
+        RT.stage_ordered_files(chunks, path, order_cols=["doc_id"])
+        _STAGED[ck] = path
+    schema = spark.read.parquet(path).schema
+    sdf = RT.file_stream(spark, path, schema, max_files_per_trigger=1)
+    out = tempfile.mkdtemp(prefix="striot_q225_out_")
+    snap = tempfile.mkdtemp(prefix="striot_q225_snap_")
+    q = D.near_dup_filter_stream(
+        sdf,
+        out,
+        snap,
+        tempfile.mkdtemp(prefix="striot_q225_ck_"),
+        "doc_id",
+        "text",
+        ["doc_id", "lang"],
+    )
+    q.awaitTermination()
+    return D.read_kept(spark, out)

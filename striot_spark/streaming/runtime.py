@@ -61,7 +61,11 @@ def file_stream(
     return reader.load(path)
 
 
-def stage_ordered_files(dfs: Sequence[DataFrame], base_dir: str) -> None:
+def stage_ordered_files(
+    dfs: Sequence[DataFrame],
+    base_dir: str,
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> None:
     """Replay-harness staging: write each frame as ONE parquet file into
     ``base_dir``, named and mtime-stepped by position, so the file
     source lists (and with ``maxFilesPerTrigger=1`` batches) them in
@@ -70,7 +74,9 @@ def stage_ordered_files(dfs: Sequence[DataFrame], base_dir: str) -> None:
     DETERMINISTIC adversarial arrival order: the file source orders new
     files by modification time, which a bulk parquet write leaves
     effectively tied — explicit second-stepped mtimes remove the tie in
-    any environment."""
+    any environment. ``order_cols`` fixes the within-file row order
+    (default matches the events schema; document replays pass their
+    own id column)."""
     import glob
     import os
     import shutil
@@ -80,7 +86,7 @@ def stage_ordered_files(dfs: Sequence[DataFrame], base_dir: str) -> None:
     t0 = time.time() - 3600 - 10 * len(dfs)
     for i, df in enumerate(dfs):
         tmp = f"{base_dir}__part{i}"
-        df.repartition(1).sortWithinPartitions("ts", "event_id").write.mode(
+        df.repartition(1).sortWithinPartitions(*order_cols).write.mode(
             "overwrite"
         ).parquet(tmp)
         src = glob.glob(f"{tmp}/part-*.parquet")[0]

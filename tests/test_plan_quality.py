@@ -164,6 +164,20 @@ def test_near_dup_pair_joins_are_equi_not_cartesian(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, q
 
 
+def test_near_dup_filter_is_band_keyed_no_cartesian(spark, sf_dir):
+    """The ingest near-dup gate (q225's batch oracle form) must decide
+    KEEP/DROP through band-bucket equi-joins only — owner lookup and
+    the id anti-join — never a pair cartesian."""
+    from striot_spark.functions.dedup import near_dup_filter
+    from striot_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = near_dup_filter(docs, "doc_id", "text")
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_broadcast_enrich_single_shuffle_no_join(spark, sf_dir):
     """q47's dict lookup is a literal MapType constant — the plan must
     contain ONE shuffle (the aggregate) and no join at all."""

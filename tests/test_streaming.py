@@ -1617,3 +1617,65 @@ def test_incremental_agg_sink_matches_batch_totals(
     )
     with pytest.raises(Exception, match="no batch id"):
         q4.awaitTermination()
+
+
+def test_near_dup_filter_stream_matches_batch(spark, tmp_path):
+    """The online LSH near-dup ingest filter over an id-ordered 3-batch
+    replay must keep EXACTLY the docs the batch near_dup_filter keeps
+    (first-wins per band bucket == min-id per bucket), including dups
+    that straddle batch boundaries; short docs (no shingles) always
+    pass; and a fresh-checkpoint restart against the same band-owner
+    state must refuse (run-id guard)."""
+    import os
+
+    from striot_spark.functions import dedup as D
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta epsilon"),  # exact dup of 0
+        (2, "totally different words here now"),
+        (3, "x"),  # too short to shingle: always kept
+        (4, "alpha beta gamma delta zeta"),  # near dup of 0 (next batch)
+        (5, "unrelated content about other topics"),
+        (6, "totally different words here now"),  # dup of 2, batch 2
+        (7, "alpha beta gamma delta epsilon"),  # dup of 0, batch 3
+        (8, "brand new final document text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_kept = sorted(
+        r["doc_id"]
+        for r in D.near_dup_filter(docs, "doc_id", "text").collect()
+    )
+    assert 0 in batch_kept and 1 not in batch_kept and 3 in batch_kept
+    assert 7 not in batch_kept  # cross-batch dup must be caught
+
+    src = str(tmp_path / "src")
+    chunks = [
+        docs.filter(F.col("doc_id") < 4),
+        docs.filter((F.col("doc_id") >= 4) & (F.col("doc_id") < 7)),
+        docs.filter(F.col("doc_id") >= 7),
+    ]
+    RT.stage_ordered_files(chunks, src, order_cols=["doc_id"])
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+    out, snap = str(tmp_path / "out"), str(tmp_path / "snap")
+    os.makedirs(snap, exist_ok=True)
+    q = D.near_dup_filter_stream(
+        sdf, out, snap, str(tmp_path / "ck"), "doc_id", "text",
+        ["doc_id"],
+    )
+    q.awaitTermination()
+    stream_kept = sorted(
+        r["doc_id"] for r in D.read_kept(spark, out).collect()
+    )
+    assert stream_kept == batch_kept
+    with open(os.path.join(snap, "_CURRENT")) as f:
+        cur, last, run_id = f.read().strip().split(":")
+    assert cur in ("a", "b") and int(last) >= 2 and len(run_id) == 8
+    # fresh checkpoint against the same owner state must refuse
+    q2 = D.near_dup_filter_stream(
+        sdf, out, snap, str(tmp_path / "ck2"), "doc_id", "text",
+        ["doc_id"],
+    )
+    with pytest.raises(Exception, match="different run"):
+        q2.awaitTermination()
