@@ -214,3 +214,115 @@ def compact_files(
         "overwrite"
     ).parquet(out_dir)
     return spark.read.parquet(out_dir)
+
+
+# Carter-Wegman affine family for the bloom positions — same
+# construction as the minhash family (functions/dedup.py), kept
+# md5-based so any engine reproduces the identical bitmaps.
+BLOOM_AFFINE = [(2, 1), (3, 7), (5, 13)]
+_BLOOM_P = 2_147_483_647
+
+
+def _bloom_positions(key, num_bits: int, num_hashes: int):
+    """The k bit positions of ``key`` (a string Column): affine maps of
+    the md5-derived 60-bit hash, mod the filter width."""
+    from striot_spark.functions.text import md5_hash64
+
+    h = md5_hash64(key) % _BLOOM_P
+    return [
+        ((F.lit(a) * h + F.lit(b)) % _BLOOM_P) % F.lit(num_bits)
+        for a, b in BLOOM_AFFINE[:num_hashes]
+    ]
+
+
+def bloom_file_index(
+    df: DataFrame,
+    file_col: str,
+    key_col: str,
+    num_bits: int = 1024,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Per-file Bloom filter index over a point-lookup column — the
+    data-skipping tier min/max zone maps cannot provide: a
+    high-cardinality key (customer id, doc id, url hash) scattered
+    across time-ordered files makes every file's [min, max] span the
+    whole domain, so ``zone_map`` prunes nothing, while a per-file
+    Bloom filter answers "might this file contain key k?" with no
+    false negatives and a tunable false-positive rate
+    (~(1-e^(-kn/m))^k). This is the same skipping structure Parquet
+    bloom filters / Iceberg puffin files maintain, here as an explicit
+    queryable table.
+
+    Output: (file_id, widx, word) — ``num_bits`` bits per file packed
+    as 32-bit words in BIGINT (32-bit words so no value ever nears the
+    sign bit; both engines shift within [0, 2^32)). One exploded
+    scan + one keyed groupBy whose shuffle carries at most
+    #files x num_bits/32 partial words (map-side bit_or combine);
+    the index is #files x words rows regardless of row count.
+    """
+    pos = _bloom_positions(
+        F.col(key_col).cast("string"), num_bits, num_hashes
+    )
+    exploded = df.select(
+        F.col(file_col).alias("file_id"), F.explode(F.array(*pos)).alias("p")
+    )
+    # variable shift distance: F.shiftleft takes only a literal int,
+    # so the per-row bit goes through the SQL expression form
+    return (
+        exploded.groupBy(
+            "file_id", F.shiftright(F.col("p"), 5).alias("widx")
+        )
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")
+            ).alias("word")
+        )
+    )
+
+
+def bloom_file_lookup(
+    index: DataFrame,
+    probe_keys: list,
+    num_bits: int = 1024,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Files that MIGHT contain each probe key, per the
+    ``bloom_file_index`` bitmaps: (probe_key, file_id) where all k
+    probe bits are set. No false negatives (a file actually holding
+    the key always appears); false positives are the read amplification
+    the filter width buys down.
+
+    The probe side is k rows per key — broadcast against the index,
+    joined on the word index, then a per-(key, file) count of set
+    bits. At scale the index is #files x words rows; the lookup never
+    touches the data files themselves — that is the point: the probe
+    plan reads only the index, then the consumer scans just the
+    surviving files.
+    """
+    spark = index.sparkSession
+    probes = spark.createDataFrame(
+        [(int(k),) for k in probe_keys], "probe_key long"
+    )
+    pos = _bloom_positions(
+        F.col("probe_key").cast("string"), num_bits, num_hashes
+    )
+    ppos = probes.select(
+        "probe_key", F.explode(F.array(*pos)).alias("p")
+    ).select(
+        "probe_key",
+        F.shiftright(F.col("p"), 5).alias("widx"),
+        F.pmod(F.col("p"), F.lit(32)).alias("bit"),
+    )
+    # variable shift distance: F.shiftright takes only a literal int,
+    # so the per-row bit test goes through the SQL expression form
+    tested = index.join(F.broadcast(ppos), "widx").select(
+        "probe_key",
+        "file_id",
+        F.expr("shiftright(word, CAST(bit AS INT)) & 1").alias("hit"),
+    )
+    return (
+        tested.groupBy("probe_key", "file_id")
+        .agg(F.sum("hit").alias("__nbits"))
+        .filter(F.col("__nbits") == num_hashes)
+        .drop("__nbits")
+    )

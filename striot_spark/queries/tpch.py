@@ -654,6 +654,102 @@ def q137_zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.zone_map(files, "file_id", ["ck", "day"])
 
 
+_BLOOM_H = "(('0x' || substr(md5({x}), 1, 15))::BIGINT) % 2147483647"
+
+
+def _q226_oracle() -> str:
+    h = _BLOOM_H.format(x="key::VARCHAR")
+    ph = _BLOOM_H.format(x="probe_key::VARCHAR")
+    return f"""
+    WITH step AS (SELECT max(o_orderkey) // 64 + 1 AS s FROM orders),
+    layout AS (
+        SELECT o_custkey AS key,
+               o_orderkey // (SELECT s FROM step) AS file_id
+        FROM orders),
+    hs AS (SELECT key, file_id, {h} AS h FROM layout),
+    pos AS (SELECT file_id, ((c.a * h + c.b) % 2147483647) % 1024 AS p
+            FROM hs CROSS JOIN (VALUES (2, 1), (3, 7), (5, 13)) c(a, b)),
+    idx AS (SELECT file_id, p // 32 AS widx,
+                   bit_or((CAST(1 AS BIGINT)
+                           << CAST(p % 32 AS INTEGER))) AS word
+            FROM pos GROUP BY file_id, p // 32),
+    probes AS (SELECT unnest([1, 2, 3, 5, 8, 13, 21, 34]) AS probe_key),
+    ppos AS (SELECT probe_key,
+                    ((c.a * ({ph}) + c.b) % 2147483647) % 1024 AS p
+             FROM probes
+             CROSS JOIN (VALUES (2, 1), (3, 7), (5, 13)) c(a, b)),
+    cand AS (SELECT probe_key, file_id,
+                    sum(CASE WHEN (word >> CAST(p % 32 AS INTEGER)) & 1
+                             = 1 THEN 1 ELSE 0 END) AS nbits
+             FROM ppos JOIN idx ON idx.widx = ppos.p // 32
+             GROUP BY probe_key, file_id),
+    truth AS (SELECT DISTINCT key, file_id FROM layout)
+    SELECT c.probe_key, c.file_id,
+           CAST(CASE WHEN t.key IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS present
+    FROM cand c LEFT JOIN truth t
+      ON t.key = c.probe_key AND t.file_id = c.file_id
+    WHERE c.nbits = 3
+    """
+
+
+@register(
+    "q226_bloom_file_skip",
+    _q226_oracle(),
+    doc="per-file BLOOM data-skipping index + point-lookup pruning "
+    "(functions/bucketing.py:bloom_file_index/bloom_file_lookup) — "
+    "the skipping tier zone maps cannot provide: orders laid out in "
+    "64 contiguous-orderkey files (time-correlated, so every file's "
+    "customer [min,max] spans the domain and q137-style min/max "
+    "prunes nothing), a 1024-bit/file Bloom over o_custkey (md5 "
+    "Carter-Wegman positions, 32-bit words in BIGINT — both engines "
+    "shift far from the sign bit), and an 8-key probe whose output "
+    "is every candidate (probe, file) pair with ground truth "
+    "attached: 130 candidates / 90 true / 0 false negatives at "
+    "sf0.01 — the consumer scans 130 of 520 (probe, file) pairs. "
+    "Index build is one exploded scan + one bit_or groupBy "
+    "(#files x 32 words regardless of row count); the lookup "
+    "broadcasts 24 probe rows against the index and never touches "
+    "the data files",
+)
+def q226_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions import bucketing as B
+
+    o = load_table(spark, sf_dir, "orders")
+    hi = int(o.agg(F.max("o_orderkey")).collect()[0][0])
+    step = hi // 64 + 1
+    layout = o.select(
+        F.col("o_custkey").alias("key"),
+        # integer div, not double-divide-then-truncate: exact at any
+        # key magnitude
+        F.expr(f"o_orderkey div {step}").alias("file_id"),
+    )
+    idx = B.bloom_file_index(layout, "file_id", "key")
+    probes = [1, 2, 3, 5, 8, 13, 21, 34]
+    cand = B.bloom_file_lookup(idx, probes)
+    # truth shares lineage with the index (both derive from layout):
+    # rename its columns so the left join is unambiguous
+    truth = (
+        layout.select(
+            F.col("key").alias("t_key"), F.col("file_id").alias("t_fid")
+        )
+        .distinct()
+    )
+    return cand.join(
+        truth,
+        (F.col("t_key") == F.col("probe_key"))
+        & (F.col("t_fid") == F.col("file_id")),
+        "left",
+    ).select(
+        "probe_key",
+        "file_id",
+        F.when(F.col("t_key").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("present"),
+    )
+
+
 @register(
     "q147_quantiles_at_scale",
     """

@@ -1996,3 +1996,32 @@ def test_k_anonymous_rows_edges(spark):
     assert k_anonymous_rows(df, ["qi"], 5).count() == 0
     with pytest.raises(ValueError):
         k_anonymous_rows(df, ["qi"], 0)
+
+
+def test_bloom_file_index_has_no_false_negatives_and_prunes(spark):
+    """The per-file Bloom index must surface EVERY (key, file) pair
+    that actually exists (no false negatives — the property the
+    consumer's correctness rests on) while pruning a meaningful share
+    of the (probe, file) space."""
+    import random
+
+    from striot_spark.functions.bucketing import (
+        bloom_file_index,
+        bloom_file_lookup,
+    )
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(50), fid) for fid in range(16) for _ in range(30)]
+    df = spark.createDataFrame(rows, "key long, file_id long")
+    idx = bloom_file_index(df, "file_id", "key")
+    probes = list(range(0, 50, 3))
+    cand = {
+        (r["probe_key"], r["file_id"])
+        for r in bloom_file_lookup(idx, probes).collect()
+    }
+    truth = {
+        (r["key"], r["file_id"])
+        for r in df.filter(F.col("key").isin(probes)).distinct().collect()
+    }
+    assert truth <= cand  # no false negatives, ever
+    assert len(cand) < len(probes) * 16  # and it actually prunes
