@@ -647,6 +647,73 @@ def novelty_stats(
     )
 
 
+def positional_postings(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """POSITIONAL posting lists (term, doc, pos) — the index shape
+    phrase/proximity queries serve from, extending ``posting_lists``
+    (which keeps only doc membership) with in-document positions. One
+    posexplode projection, zero shuffles at build time; at serving
+    scale this table is written bucketed by term so every phrase
+    join below is co-located."""
+    # filter empties BEFORE positions are assigned (nonempty_tokens),
+    # not after: a post-explode filter would leave gaps in `pos` and
+    # silently break consecutive-position phrase joins on texts with
+    # repeated separators
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(nonempty_tokens(F.col(text_col))).alias(
+            "pos", "term"
+        ),
+    )
+
+
+def phrase_search(
+    postings: DataFrame, phrases, id_col: str = "doc"
+) -> DataFrame:
+    """EXACT phrase search over a positional postings table: for each
+    phrase, the documents containing its tokens at consecutive
+    positions, with the occurrence count — the retrieval primitive
+    bag-of-words scoring (``lexical_search``) cannot express
+    ("customer join" must not match "join customer").
+
+    Lowering: each phrase token i filters the postings to its own
+    occurrences and normalizes position to the would-be phrase START
+    (pos - i); a k-token phrase is then k-1 EQUI-joins on (doc,
+    start) — a start position surviving all joins is one exact
+    occurrence. The join inputs are term-occurrence-sized (the term
+    filter pushes to the index scan), never corpus-sized, and every
+    join is keyed — the standard positional-intersection evaluation
+    of inverted indexes (Manning et al., IR, ch. 2). Output:
+    (phrase_id, doc, n_matches), one row per matching document per
+    phrase.
+    """
+    from functools import reduce as _reduce
+
+    outs = []
+    for pid, phrase in enumerate(phrases):
+        toks = phrase.split() if isinstance(phrase, str) else list(phrase)
+        if not toks:
+            raise ValueError("phrase_search: empty phrase")
+        m = None
+        for i, w in enumerate(toks):
+            p_i = postings.filter(F.col("term") == w).select(
+                F.col(id_col), (F.col("pos") - F.lit(i)).alias("__start")
+            )
+            m = p_i if m is None else m.join(p_i, [id_col, "__start"])
+        cnt = m.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_matches")
+        )
+        outs.append(
+            cnt.select(
+                F.lit(pid).cast("long").alias("phrase_id"),
+                F.col(id_col),
+                F.col("n_matches"),
+            )
+        )
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
 def posting_lists(
     df: DataFrame,
     id_col: str,

@@ -2424,6 +2424,66 @@ def q178_lexical_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHRASES = [
+    ("slow hash batch", 3),
+    ("table hash", 2),
+    ("customer join", 2),
+]
+
+
+def _q227_oracle() -> str:
+    arms = []
+    for pid, (phrase, _) in enumerate(_PHRASES):
+        toks = phrase.split()
+        joins, conds = [], []
+        for i, w in enumerate(toks[1:], start=1):
+            joins.append(
+                f"JOIN pos t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.i = t0.i + {i} AND t{i}.term = '{w}'"
+            )
+        arms.append(
+            f"""
+    SELECT CAST({pid} AS BIGINT) AS phrase_id, t0.doc_id AS doc,
+           count(*) AS n_matches
+    FROM pos t0 {' '.join(joins)}
+    WHERE t0.term = '{toks[0]}' GROUP BY t0.doc_id"""
+        )
+    body = "\n    UNION ALL".join(arms)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents),
+    idx AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+            FROM toks),
+    pos AS (SELECT doc_id, i, tk[i] AS term FROM idx)
+    {body}
+    """
+
+
+@register(
+    "q227_phrase_search",
+    _q227_oracle(),
+    doc="EXACT phrase search over positional posting lists "
+    "(functions/text.py:positional_postings/phrase_search): three "
+    "phrases — a trigram and two bigrams — resolved by the standard "
+    "positional-intersection evaluation (Manning et al., IR ch. 2): "
+    "each phrase token filters the index to its occurrences "
+    "normalized to the phrase START (pos - i), then k-1 equi-joins "
+    "on (doc, start); survivors are exact occurrences, counted per "
+    "doc. Join inputs are term-occurrence-sized (term filter pushes "
+    "to the scan), never corpus-sized — the retrieval primitive "
+    "bag-of-words tf-idf (q178) cannot express, served from the "
+    "positional extension of q170's index (bucket by term at scale "
+    "and the joins co-locate). Order-sensitivity is the gate: "
+    "'customer join' must not match 'join customer'",
+)
+def q227_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    postings = T.positional_postings(docs, "doc_id", "text")
+    return T.phrase_search(postings, [p for p, _ in _PHRASES])
+
+
 @register(
     "q182_rank_normalize",
     """

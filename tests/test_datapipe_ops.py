@@ -2025,3 +2025,26 @@ def test_bloom_file_index_has_no_false_negatives_and_prunes(spark):
     }
     assert truth <= cand  # no false negatives, ever
     assert len(cand) < len(probes) * 16  # and it actually prunes
+
+
+def test_phrase_search_is_order_sensitive_and_counts(spark):
+    """Exact phrase matching: consecutive positions only (reversed
+    word order must NOT match), with per-doc occurrence counts."""
+    from striot_spark.functions.text import (
+        phrase_search,
+        positional_postings,
+    )
+
+    rows = [
+        (0, "big red fox jumps big red fox"),
+        (1, "red big fox"),          # reversed pair: no match
+        (2, "big  red fox"),         # double space must not break pos
+        (3, "big blue fox"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    post = positional_postings(docs, "doc_id", "text")
+    got = {
+        (r["phrase_id"], r["doc"]): r["n_matches"]
+        for r in phrase_search(post, ["big red", "red fox jumps"]).collect()
+    }
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1}
