@@ -202,6 +202,109 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, public methodology) with fully DETERMINISTIC updates:
+    labels start as the node's own id, and each round every node
+    adopts the label most frequent among its NEIGHBORS' labels, ties
+    broken by the smallest label — no RNG, no asynchronous sweep
+    order, so the result is bit-identical under any partitioning and
+    reproducible by an oracle unrolling the same rounds. Distinct
+    from the min-label broadcast of ``dedup_groups`` (which converges
+    to connected components): frequency voting finds DENSE regions —
+    two cliques joined by one bridge edge keep separate labels where
+    CC merges them.
+
+    Pass both edge directions for an undirected graph (same contract
+    as ``pagerank``). Nodes with no in-edges keep their current
+    label. Fixed ``rounds`` (LPA is a fixed-sweep heuristic by
+    construction; each sweep is a data point, not a convergence
+    criterion).
+
+    Plan shape per round: one join of the label table with the
+    persisted edge list on ``src``, one (node, label) count groupBy,
+    one per-node arg-max window (partitioned by node — state bounded
+    by the node's distinct neighbor labels) — keyed shuffles only,
+    edge list shipped once, labels (two columns per node) are the
+    only per-round traffic. Same small-graph width gate and
+    ``localCheckpoint`` lineage cuts as ``pagerank``.
+    """
+    from pyspark.sql import Window as W
+
+    from striot_spark.functions.caching import track_persist
+
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    spark = edges.sparkSession
+    e = track_persist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    try:
+        small_edges = int(
+            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
+        )
+    except ValueError:
+        small_edges = SMALL_GRAPH_DEFAULT
+    n = (
+        spark.sparkContext.defaultParallelism
+        if e.count() <= small_edges
+        else None
+    )
+
+    def part(df: DataFrame, key: str) -> DataFrame:
+        return df.repartition(n, key) if n else df
+
+    nodes = track_persist(
+        part(
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct(),
+            "node",
+        )
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    w = W.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for i in range(rounds):
+        nbr = e.join(
+            part(labels, "node"), e["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "label")
+        votes = (
+            part(nbr, "node")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        picked = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        labels = (
+            nodes.join(
+                picked.select(
+                    F.col("node").alias("__pn"),
+                    F.col("label").alias("__pl"),
+                ),
+                F.col("node") == F.col("__pn"),
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("__pl"), F.col("node")).alias("label"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
 def k_core(
     edges: DataFrame,
     k: int,

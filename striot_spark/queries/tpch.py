@@ -750,6 +750,75 @@ def q226_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle(rounds: int) -> str:
+    """Unroll the deterministic label-propagation rounds as chained
+    CTEs (same technique as ``_pagerank_oracle``)."""
+    sql = """
+    WITH eraw AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (SELECT u AS src, v AS dst FROM eraw
+              UNION ALL SELECT v AS src, u AS dst FROM eraw),
+    nd AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS label FROM nd)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    p{i} AS (
+        SELECT node, label FROM (
+            SELECT e.dst AS node, l.label, count(*) AS c,
+                   row_number() OVER (
+                       PARTITION BY e.dst
+                       ORDER BY count(*) DESC, l.label ASC) AS rn
+            FROM edges e JOIN l{i - 1} l ON l.node = e.src
+            GROUP BY e.dst, l.label) t
+        WHERE rn = 1),
+    l{i} AS (SELECT nd.node, COALESCE(p.label, nd.node) AS label
+             FROM nd LEFT JOIN p{i} p ON p.node = nd.node)"""
+    return sql + f"\n    SELECT node, label FROM l{rounds}"
+
+
+@register(
+    "q228_lpa_communities",
+    _lpa_oracle(rounds=3),
+    doc="community detection by synchronous label propagation "
+    "(functions/graph.py:label_propagation, Raghavan et al. 2007) "
+    "over the part co-purchase graph (q149's distinct same-order "
+    "partkey pairs, both directions): 3 deterministic rounds — adopt "
+    "the most frequent neighbor label, ties to the smallest — so the "
+    "oracle unrolls the identical rounds as chained CTEs. "
+    "Frequency voting finds DENSE regions where the min-label "
+    "broadcast (q74/q129) finds connectivity. Per round: one src-key "
+    "join + one (node, label) groupBy + one per-node arg-max window "
+    "(state bounded by a node's distinct neighbor labels); the edge "
+    "list ships once, labels are the only per-round traffic",
+)
+def q228_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return label_propagation(edges, rounds=3, src="u", dst="v")
+
+
 @register(
     "q147_quantiles_at_scale",
     """

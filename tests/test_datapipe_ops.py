@@ -2048,3 +2048,27 @@ def test_phrase_search_is_order_sensitive_and_counts(spark):
         for r in phrase_search(post, ["big red", "red fox jumps"]).collect()
     }
     assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1}
+
+
+def test_label_propagation_separates_bridged_cliques(spark):
+    """Frequency voting must keep two 4-cliques joined by ONE bridge
+    edge in separate communities (where min-label CC would merge
+    them), with deterministic smallest-label ties."""
+    from itertools import combinations
+
+    from striot_spark.functions.graph import label_propagation
+
+    c1 = list(combinations([0, 1, 2, 3], 2))
+    c2 = list(combinations([10, 11, 12, 13], 2))
+    bridge = [(3, 10)]
+    e = c1 + c2 + bridge
+    edges = spark.createDataFrame(
+        e + [(b, a) for a, b in e], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert len({got[n] for n in (0, 1, 2, 3)}) == 1
+    assert len({got[n] for n in (10, 11, 12, 13)}) == 1
+    assert got[0] != got[10]  # the bridge must NOT merge the cliques
