@@ -953,3 +953,59 @@ def burst_flags(counts: DataFrame, key_col: str, bucket_col: str) -> DataFrame:
         "n",
         "med_prev",
     )
+
+
+def binned_quantile_serve(
+    counts: DataFrame,
+    bin_col: str = "bin",
+    n_col: str = "n_rows",
+    ticks: int = 10,
+) -> DataFrame:
+    """Quantile RECONSTRUCTION from additive bin counts — the serving
+    side of streaming approximate quantiles: exact quantiles are not
+    mergeable, but fixed-width bin counts are (pure addition), so a
+    stream maintains (bin, count) via the incremental delta-merge sink
+    and this derives the q/ticks quantile BINS from that snapshot.
+    Resolution is the bin width; within it the answer is exact rank
+    selection (the same 0-based ``(q * (N-1)) DIV ticks`` target ranks
+    as ``quantiles_at_scale``).
+
+    Scale lowering: the counts table is #bins rows (domain/width —
+    bounded, snapshot-sized, NOT data-sized), so the cumulative window
+    over it is a bounded single-partition pass by construction. Each
+    bin then emits the quantile indices it covers by an IN-ROW integer
+    sequence explode — q is covered by the bin holding rank
+    ``(q*(N-1)) DIV ticks``, i.e. ``ceil(ticks*(cum-n)/(N-1)) <= q <=
+    (ticks*cum - 1) DIV (N-1)`` — zero joins beyond the broadcast of
+    the 1-row total, no inequality join anywhere. Returns (q, bin),
+    one row per covered quantile index. Requires N >= 2 rows total.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col(bin_col).asc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    c = counts.select(
+        F.col(bin_col).alias("bin"), F.col(n_col).alias("n")
+    ).withColumn("cum", F.sum("n").over(w))
+    tot = c.agg(F.sum("n").alias("__nt"))
+    t = ticks
+    bounded = (
+        c.join(F.broadcast(tot))
+        .withColumn(
+            "__qlo",
+            F.expr(f"({t} * (cum - n) + __nt - 2) DIV (__nt - 1)"),
+        )
+        .withColumn(
+            "__qhi",
+            F.expr(
+                f"least(CAST({t} AS BIGINT), "
+                f"({t} * cum - 1) DIV (__nt - 1))"
+            ),
+        )
+        .filter((F.col("__nt") >= 2) & (F.col("__qhi") >= F.col("__qlo")))
+    )
+    return bounded.select(
+        F.explode(F.sequence(F.col("__qlo"), F.col("__qhi"))).alias("q"),
+        "bin",
+    ).select(F.col("q").cast("long"), "bin")

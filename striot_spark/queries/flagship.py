@@ -2538,3 +2538,70 @@ def q225_stream_near_dup_filter(
     )
     q.awaitTermination()
     return D.read_kept(spark, out)
+
+
+@register(
+    "q229_stream_quantile_bins",
+    """
+    WITH b AS (
+        SELECT CAST(round(value * 100.0, 0) AS BIGINT) // 1000 AS bin,
+               count(*) AS n
+        FROM events GROUP BY 1),
+    c AS (SELECT bin, n, sum(n) OVER (ORDER BY bin ASC) AS cum FROM b),
+    nt AS (SELECT sum(n) AS n FROM b),
+    t AS (SELECT unnest(range(0, 11)) AS q)
+    SELECT CAST(t.q AS BIGINT) AS q, c.bin,
+           CAST(c.bin * 1000 AS BIGINT) AS lo_cents
+    FROM t CROSS JOIN nt
+    JOIN c ON (t.q * (nt.n - 1)) // 10 >= c.cum - c.n
+          AND (t.q * (nt.n - 1)) // 10 < c.cum
+    """,
+    doc="approximate quantiles ON the stream via mergeable bin counts "
+    "(functions/analytics.py:binned_quantile_serve): exact quantiles "
+    "are not mergeable, but fixed-width (1000-cent) bin counts are "
+    "pure addition — the adversarial out-of-order replay maintains "
+    "(bin, count) through q138's incremental delta-merge sink "
+    "(A/B pointer + run-id discipline), and serving reconstructs the "
+    "DECILE BINS from the #bins-sized snapshot by exact rank "
+    "selection at bin resolution: each bin emits the covered decile "
+    "indices via an IN-ROW integer sequence explode (zero joins "
+    "beyond the broadcast 1-row total — no inequality join in the "
+    "Spark plan; the oracle uses the equivalent range-join form over "
+    "raw events). Completes the mergeable-sketch family (HLL q139, "
+    "CMS q128) with the quantile axis; same additive law means "
+    "stream == batch independent of batch boundaries and arrival "
+    "order",
+)
+def q229_stream_quantile_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from striot_spark.functions.analytics import (
+        binned_quantile_serve,
+        cents,
+    )
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events_ooo(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+        .filter(F.col("user_id") != BARRIER_USER)
+        .select(cents(F.col("value")).alias("vc"))
+        .select(F.expr("vc DIV 1000").alias("bin"))
+    )
+    path = tempfile.mkdtemp(prefix="striot_q229_mv_")
+    q = RT.incremental_agg_sink(
+        sdf,
+        path,
+        tempfile.mkdtemp(prefix="striot_q229_ck_"),
+        key_cols=["bin"],
+        sum_cols=[],
+    )
+    q.awaitTermination()
+    snap = RT.read_snapshot(spark, path)
+    serve = binned_quantile_serve(snap, "bin", "n_rows", ticks=10)
+    return serve.select(
+        "q", "bin", (F.col("bin") * 1000).cast("long").alias("lo_cents")
+    )

@@ -136,9 +136,9 @@ _SWEEP_FIRST = [
     # ---- 50-cap boundary: entries below get no driver row in r8 ----
     # ROUND-9 HEAD PLAN (keep this arithmetic in sync): canary (1) +
     # q187-q223 (37) + the round-8 additions q225+ (listed right
-    # below q187's cohort; currently 4: q225-q228) = 42, then fill
+    # below q187's cohort; currently 5: q225-q229) = 43, then fill
     # to 50 with the oldest stale rows — _SWEEP_LAST's seven
-    # r04-green queries + q11 from the r03/r04 batch. The r07-swept
+    # r04-green queries. The r07-swept
     # green cohort (q65-q137 head incl. the five ex-red
     # q93/q100/q101/q127/q132 and q98) rotates back in r10.
     "q187_leakage_aware_split",
@@ -146,6 +146,7 @@ _SWEEP_FIRST = [
     "q226_bloom_file_skip",
     "q227_phrase_search",
     "q228_lpa_communities",
+    "q229_stream_quantile_bins",
     "q188_cap_per_cluster",
     "q189_freshness_stream",
     "q190_media_embed",

@@ -2072,3 +2072,21 @@ def test_label_propagation_separates_bridged_cliques(spark):
     assert len({got[n] for n in (0, 1, 2, 3)}) == 1
     assert len({got[n] for n in (10, 11, 12, 13)}) == 1
     assert got[0] != got[10]  # the bridge must NOT merge the cliques
+
+
+def test_binned_quantile_serve_exact_rank_selection(spark):
+    """Decile reconstruction from bin counts must pick exactly the bin
+    holding rank (q*(N-1)) DIV 10 for every decile — verified against
+    a python reference on a small irregular distribution."""
+    from striot_spark.functions.analytics import binned_quantile_serve
+
+    counts = [(0, 3), (2, 5), (3, 1), (7, 11)]  # N=20, gappy bins
+    df = spark.createDataFrame(counts, "bin long, n_rows long")
+    got = sorted(
+        (r["q"], r["bin"])
+        for r in binned_quantile_serve(df, "bin", "n_rows").collect()
+    )
+    # python reference: expand, rank, select
+    vals = [b for b, n in counts for _ in range(n)]
+    expect = sorted((q, vals[(q * (len(vals) - 1)) // 10]) for q in range(11))
+    assert got == expect
