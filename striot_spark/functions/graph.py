@@ -382,3 +382,66 @@ def k_core(
         .agg(F.count(F.lit(1)).alias("deg"))
         .select(F.col("s").alias("node"), "deg")
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    label: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Newman modularity of a node partition, in exact integer ppm —
+    the evaluation metric for a community assignment (the q176-style
+    companion to ``label_propagation``: an approximate structure plus
+    the measurement that justifies it). Over a BOTH-DIRECTIONS edge
+    list of directed size E:
+
+        Q = Σ_c ( E_c/E − (deg_c/E)² )
+        q_ppm = scale * Σ_c (E_c·E − deg_c²) DIV E²
+
+    where E_c counts directed edges with both endpoints in community
+    c and deg_c sums directed out-degrees over c — all-long
+    arithmetic, one global division, so the value is bit-identical on
+    any engine/partitioning. Headroom: Σ_c(E_c·E − deg_c²) is
+    bounded by E², so ``scale · E²`` must stay < 2^63 — exact to
+    E ≈ 3·10⁶ directed edges at scale=1e6; beyond that drop scale or
+    move the two products to decimal(38,0).
+
+    Plan: two label equi-joins to tag edge endpoints, one count per
+    label pair side, one degree groupBy — keyed shuffles only; the
+    per-community table (#labels rows) and the 1-row total are the
+    only small frames. Returns one row
+    (q_ppm, n_communities, e_directed).
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    ls = labels.select(
+        F.col(node).alias("__s"), F.col(label).alias("__sl")
+    )
+    ld = labels.select(
+        F.col(node).alias("__d"), F.col(label).alias("__dl")
+    )
+    tagged = e.join(ls, "__s").join(ld, "__d")
+    deg = tagged.groupBy("__sl").agg(F.count(F.lit(1)).alias("dc"))
+    ein = (
+        tagged.filter(F.col("__sl") == F.col("__dl"))
+        .groupBy("__sl")
+        .agg(F.count(F.lit(1)).alias("ec"))
+    )
+    tot = tagged.agg(F.count(F.lit(1)).alias("__ee"))
+    per = deg.join(ein, "__sl", "left").select(
+        "dc", F.coalesce(F.col("ec"), F.lit(0)).alias("ec")
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .agg(
+            F.expr(
+                f"CAST(sum(ec * __ee - dc * dc) * {scale} "
+                f"DIV (max(__ee) * max(__ee)) AS BIGINT)"
+            ).alias("q_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.max("__ee").cast("long").alias("e_directed"),
+        )
+    )

@@ -136,9 +136,10 @@ _SWEEP_FIRST = [
     # ---- 50-cap boundary: entries below get no driver row in r8 ----
     # ROUND-9 HEAD PLAN (keep this arithmetic in sync): canary (1) +
     # q187-q223 (37) + the round-8 additions q225+ (listed right
-    # below q187's cohort; currently 5: q225-q229) = 43, then fill
-    # to 50 with the oldest stale rows — _SWEEP_LAST's seven
-    # r04-green queries. The r07-swept
+    # below q187's cohort; currently 6: q225-q230) = 44, then fill
+    # to 50 with the oldest stale rows — six of _SWEEP_LAST's seven
+    # r04-green queries (q13/q14/q35/q80/q82/q83; q85 waits one more
+    # round). The r07-swept
     # green cohort (q65-q137 head incl. the five ex-red
     # q93/q100/q101/q127/q132 and q98) rotates back in r10.
     "q187_leakage_aware_split",
@@ -147,6 +148,7 @@ _SWEEP_FIRST = [
     "q227_phrase_search",
     "q228_lpa_communities",
     "q229_stream_quantile_bins",
+    "q230_lpa_modularity",
     "q188_cap_per_cluster",
     "q189_freshness_stream",
     "q190_media_embed",

@@ -750,9 +750,10 @@ def q226_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_oracle(rounds: int) -> str:
-    """Unroll the deterministic label-propagation rounds as chained
-    CTEs (same technique as ``_pagerank_oracle``)."""
+def _lpa_chain(rounds: int) -> str:
+    """The WITH-chain of deterministic label-propagation rounds
+    (shared by the q228 labels oracle and the q230 modularity
+    oracle; same unrolling technique as ``_pagerank_oracle``)."""
     sql = """
     WITH eraw AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -775,7 +776,78 @@ def _lpa_oracle(rounds: int) -> str:
         WHERE rn = 1),
     l{i} AS (SELECT nd.node, COALESCE(p.label, nd.node) AS label
              FROM nd LEFT JOIN p{i} p ON p.node = nd.node)"""
-    return sql + f"\n    SELECT node, label FROM l{rounds}"
+    return sql
+
+
+def _lpa_oracle(rounds: int) -> str:
+    return _lpa_chain(rounds) + f"\n    SELECT node, label FROM l{rounds}"
+
+
+def _modularity_oracle(rounds: int, scale: int = 1_000_000) -> str:
+    """Newman modularity of the round-``rounds`` LPA partition, exact
+    integer ppm — mirrors ``functions/graph.py:modularity``."""
+    return (
+        _lpa_chain(rounds)
+        + f""",
+    e_lab AS (
+        SELECT ls.label AS sl, ld.label AS dl
+        FROM edges e JOIN l{rounds} ls ON ls.node = e.src
+             JOIN l{rounds} ld ON ld.node = e.dst),
+    tot AS (SELECT count(*) AS ee FROM e_lab),
+    ein AS (SELECT sl AS label, count(*) AS ec FROM e_lab
+            WHERE sl = dl GROUP BY sl),
+    deg AS (SELECT sl AS label, count(*) AS dc FROM e_lab GROUP BY sl),
+    terms AS (
+        SELECT d.dc, COALESCE(i.ec, 0) AS ec
+        FROM deg d LEFT JOIN ein i ON i.label = d.label)
+    SELECT CAST(sum(ec * ee - dc * dc) * {scale} // (max(ee) * max(ee))
+                AS BIGINT) AS q_ppm,
+           CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(max(ee) AS BIGINT) AS e_directed
+    FROM terms CROSS JOIN tot
+    """
+    )
+
+
+@register(
+    "q230_lpa_modularity",
+    _modularity_oracle(rounds=3),
+    doc="Newman modularity of the q228 LPA partition in exact integer "
+    "ppm (functions/graph.py:modularity) — the evaluation metric that "
+    "justifies a community assignment, the q176-recall pattern "
+    "applied to graph structure: Q = sum_c(E_c/E - (deg_c/E)^2) "
+    "computed as sum_c(E_c*E - deg_c^2) * 1e6 DIV E^2 over the "
+    "both-directions edge list — all-long arithmetic, one global "
+    "division, bit-identical on any engine (headroom to ~3e6 "
+    "directed edges at scale=1e6, documented). Plan: two label "
+    "equi-joins to tag endpoints + per-label counts; the oracle "
+    "re-runs the identical 3 LPA rounds then the same metric",
+)
+def q230_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.graph import label_propagation, modularity
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = label_propagation(edges, rounds=3, src="u", dst="v")
+    return modularity(edges, labels, src="u", dst="v")
 
 
 @register(

@@ -2090,3 +2090,27 @@ def test_binned_quantile_serve_exact_rank_selection(spark):
     vals = [b for b, n in counts for _ in range(n)]
     expect = sorted((q, vals[(q * (len(vals) - 1)) // 10]) for q in range(11))
     assert got == expect
+
+
+def test_modularity_matches_python_reference(spark):
+    """Integer-ppm Newman modularity against a hand-computed
+    reference: two 3-cliques with one bridge edge, partitioned by
+    clique."""
+    from itertools import combinations
+
+    from striot_spark.functions.graph import modularity
+
+    c1, c2 = [0, 1, 2], [10, 11, 12]
+    und = list(combinations(c1, 2)) + list(combinations(c2, 2)) + [(2, 10)]
+    e = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(n, 0) for n in c1] + [(n, 1) for n in c2], "node long, label long"
+    )
+    got = modularity(edges, labels).collect()[0]
+    # python reference: E=14 directed; per community ec=6, dc=7
+    E = len(e)
+    ec, dc = 6, 7
+    expect = (2 * (ec * E - dc * dc)) * 1_000_000 // (E * E)
+    assert got["q_ppm"] == expect
+    assert got["n_communities"] == 2 and got["e_directed"] == E
