@@ -413,17 +413,22 @@ def modularity(
     Plan: two label equi-joins to tag edge endpoints, one count per
     label pair side, one degree groupBy — keyed shuffles only; the
     per-community table (#labels rows) and the 1-row total are the
-    only small frames. Returns one row
+    only small frames. The label table is persisted (it is consumed
+    by BOTH endpoint joins — without the barrier an iterative
+    producer like ``label_propagation`` would re-run its whole round
+    lineage twice), and the tagged edge list is persisted across its
+    three aggregations. Returns one row
     (q_ppm, n_communities, e_directed).
     """
+    from striot_spark.functions.caching import track_persist
+
+    lab = track_persist(
+        labels.select(F.col(node).alias("__n"), F.col(label).alias("__l"))
+    )
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-    ls = labels.select(
-        F.col(node).alias("__s"), F.col(label).alias("__sl")
-    )
-    ld = labels.select(
-        F.col(node).alias("__d"), F.col(label).alias("__dl")
-    )
-    tagged = e.join(ls, "__s").join(ld, "__d")
+    ls = lab.select(F.col("__n").alias("__s"), F.col("__l").alias("__sl"))
+    ld = lab.select(F.col("__n").alias("__d"), F.col("__l").alias("__dl"))
+    tagged = track_persist(e.join(ls, "__s").join(ld, "__d"))
     deg = tagged.groupBy("__sl").agg(F.count(F.lit(1)).alias("dc"))
     ein = (
         tagged.filter(F.col("__sl") == F.col("__dl"))
