@@ -978,7 +978,9 @@ def binned_quantile_serve(
     ``(q*(N-1)) DIV ticks``, i.e. ``ceil(ticks*(cum-n)/(N-1)) <= q <=
     (ticks*cum - 1) DIV (N-1)`` — zero joins beyond the broadcast of
     the 1-row total, no inequality join anywhere. Returns (q, bin),
-    one row per covered quantile index. Requires N >= 2 rows total.
+    one row per covered quantile index. N=1 is special-cased (every
+    quantile index maps to the single bin — the same limit the
+    oracle's range-join form produces).
     """
     from pyspark.sql import Window as W
 
@@ -990,20 +992,30 @@ def binned_quantile_serve(
     ).withColumn("cum", F.sum("n").over(w))
     tot = c.agg(F.sum("n").alias("__nt"))
     t = ticks
+    # N=1 degenerates (every quantile is the single value, and the
+    # N-1 denominators vanish): special-case it to the full tick
+    # range so the result matches rank selection's limit behavior
+    # instead of silently emitting nothing
     bounded = (
         c.join(F.broadcast(tot))
         .withColumn(
             "__qlo",
-            F.expr(f"({t} * (cum - n) + __nt - 2) DIV (__nt - 1)"),
+            F.when(F.col("__nt") == 1, F.lit(0).cast("long")).otherwise(
+                F.expr(f"({t} * (cum - n) + __nt - 2) DIV (__nt - 1)")
+            ),
         )
         .withColumn(
             "__qhi",
-            F.expr(
-                f"least(CAST({t} AS BIGINT), "
-                f"({t} * cum - 1) DIV (__nt - 1))"
+            F.when(
+                F.col("__nt") == 1, F.lit(t).cast("long")
+            ).otherwise(
+                F.expr(
+                    f"least(CAST({t} AS BIGINT), "
+                    f"({t} * cum - 1) DIV (__nt - 1))"
+                )
             ),
         )
-        .filter((F.col("__nt") >= 2) & (F.col("__qhi") >= F.col("__qlo")))
+        .filter(F.col("__qhi") >= F.col("__qlo"))
     )
     return bounded.select(
         F.explode(F.sequence(F.col("__qlo"), F.col("__qhi"))).alias("q"),

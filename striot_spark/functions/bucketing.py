@@ -300,8 +300,14 @@ def bloom_file_lookup(
     surviving files.
     """
     spark = index.sparkSession
+    # keep the probes' python type and let Spark infer the column —
+    # hashing goes through the same cast-to-string as the index side,
+    # so an int probe 7 matches an index built over longs ("7") and a
+    # string probe "007" matches a string-keyed index ("007"); an
+    # int() coercion here would break the no-false-negatives contract
+    # for string keys (int("007") -> 7 hashes differently)
     probes = spark.createDataFrame(
-        [(int(k),) for k in probe_keys], "probe_key long"
+        [(k,) for k in probe_keys], ["probe_key"]
     )
     pos = _bloom_positions(
         F.col("probe_key").cast("string"), num_bits, num_hashes

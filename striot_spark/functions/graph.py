@@ -17,6 +17,8 @@ digit. A float PageRank drifts with reduce order; this one cannot.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -408,7 +410,10 @@ def modularity(
     any engine/partitioning. Headroom: Σ_c(E_c·E − deg_c²) is
     bounded by E², so ``scale · E²`` must stay < 2^63 — exact to
     E ≈ 3·10⁶ directed edges at scale=1e6; beyond that drop scale or
-    move the two products to decimal(38,0).
+    move the two products to decimal(38,0). The bound is ENFORCED
+    (raise_error when E exceeds it) — a silent 64-bit wrap would
+    produce a garbage q_ppm an oracle computing in wider integers
+    does not reproduce.
 
     Plan: two label equi-joins to tag edge endpoints, one count per
     label pair side, one degree groupBy — keyed shuffles only; the
@@ -439,8 +444,27 @@ def modularity(
     per = deg.join(ein, "__sl", "left").select(
         "dc", F.coalesce(F.col("ec"), F.lit(0)).alias("ec")
     )
+    # enforce the documented headroom: scale * E^2 must stay < 2^63,
+    # else the long products silently wrap to garbage
+    e_limit = math.isqrt((2**63 - 1) // scale)
+    checked = per.join(F.broadcast(tot)).withColumn(
+        "__ee",
+        F.when(
+            F.col("__ee") > e_limit,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"modularity: {e_limit} directed-edge headroom "
+                        f"exceeded at scale={scale} (E = "
+                    ),
+                    F.col("__ee").cast("string"),
+                    F.lit("); lower scale or use a decimal build"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__ee")),
+    )
     return (
-        per.join(F.broadcast(tot))
+        checked
         .agg(
             F.expr(
                 f"CAST(sum(ec * __ee - dc * dc) * {scale} "

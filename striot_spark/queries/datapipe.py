@@ -2424,16 +2424,12 @@ def q178_lexical_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PHRASES = [
-    ("slow hash batch", 3),
-    ("table hash", 2),
-    ("customer join", 2),
-]
+_PHRASES = ["slow hash batch", "table hash", "customer join"]
 
 
 def _q227_oracle() -> str:
     arms = []
-    for pid, (phrase, _) in enumerate(_PHRASES):
+    for pid, phrase in enumerate(_PHRASES):
         toks = phrase.split()
         joins, conds = [], []
         for i, w in enumerate(toks[1:], start=1):
@@ -2481,7 +2477,7 @@ def _q227_oracle() -> str:
 def q227_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     postings = T.positional_postings(docs, "doc_id", "text")
-    return T.phrase_search(postings, [p for p, _ in _PHRASES])
+    return T.phrase_search(postings, _PHRASES)
 
 
 @register(

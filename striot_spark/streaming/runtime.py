@@ -1012,15 +1012,22 @@ def incremental_agg_sink(
                     "use a fresh path"
                 )
             cur, last = parts[0], int(parts[1])
-            if len(parts) >= 3 and parts[2] != run_id:
+            if len(parts) < 3 or parts[2] != run_id:
+                # a 2-part legacy pointer carries no run id, so the
+                # run CANNOT be verified — refusing is the only safe
+                # call (accepting it would reopen the silent-drop
+                # hole for exactly the restarted-with-fresh-checkpoint
+                # case this guard exists for)
+                seen = parts[2] if len(parts) >= 3 else "<none>"
                 raise ValueError(
                     f"incremental_agg_sink: snapshot {path!r} was "
-                    f"built by a different run (pointer run id "
-                    f"{parts[2]}, this checkpoint's {run_id}). Batch "
-                    "ids restart at 0 under a fresh checkpoint dir, "
-                    "so the replay guard would silently drop data. "
-                    "Resume with the original checkpoint dir, or "
-                    "write to a fresh snapshot path"
+                    f"built by a different or unverifiable run "
+                    f"(pointer run id {seen}, this checkpoint's "
+                    f"{run_id}). Batch ids restart at 0 under a "
+                    "fresh checkpoint dir, so the replay guard would "
+                    "silently drop data. Resume with the original "
+                    "checkpoint dir, or write to a fresh snapshot "
+                    "path"
                 )
             if batch_id <= last:
                 return  # replayed batch (same run): already durable

@@ -2114,3 +2114,36 @@ def test_modularity_matches_python_reference(spark):
     expect = (2 * (ec * E - dc * dc)) * 1_000_000 // (E * E)
     assert got["q_ppm"] == expect
     assert got["n_communities"] == 2 and got["e_directed"] == E
+
+
+def test_binned_quantile_serve_single_row_input(spark):
+    """N=1: every quantile index must map to the single bin (the
+    oracle's range-join form emits all 11 rows; an empty result here
+    was a guaranteed hash mismatch)."""
+    from striot_spark.functions.analytics import binned_quantile_serve
+
+    df = spark.createDataFrame([(4, 1)], "bin long, n_rows long")
+    got = sorted(
+        (r["q"], r["bin"])
+        for r in binned_quantile_serve(df, "bin", "n_rows").collect()
+    )
+    assert got == [(q, 4) for q in range(11)]
+
+
+def test_bloom_lookup_string_keys_no_false_negatives(spark):
+    """String-keyed index + string probes: '007' must hash as '007',
+    not int-coerced to 7 — a coercion would prune files that really
+    hold the key (a false negative)."""
+    from striot_spark.functions.bucketing import (
+        bloom_file_index,
+        bloom_file_lookup,
+    )
+
+    rows = [("007", 0), ("7", 1), ("abc", 1)]
+    df = spark.createDataFrame(rows, "key string, file_id long")
+    idx = bloom_file_index(df, "file_id", "key")
+    cand = {
+        (r["probe_key"], r["file_id"])
+        for r in bloom_file_lookup(idx, ["007", "abc"]).collect()
+    }
+    assert ("007", 0) in cand and ("abc", 1) in cand

@@ -1602,7 +1602,7 @@ def test_incremental_agg_sink_matches_batch_totals(
         key_cols=["user_id"],
         sum_cols=["cents"],
     )
-    with pytest.raises(Exception, match="different run"):
+    with pytest.raises(Exception, match="different or unverifiable"):
         q3.awaitTermination()
     # a colon-less pointer (path written by upsert_snapshot_sink) must
     # raise the clear diagnostic, not a bare unpack ValueError
@@ -1617,6 +1617,21 @@ def test_incremental_agg_sink_matches_batch_totals(
     )
     with pytest.raises(Exception, match="no batch id"):
         q4.awaitTermination()
+    # a LEGACY 2-part pointer carries no run id: the run cannot be
+    # verified, so the sink must refuse rather than reopen the
+    # silent-drop hole (batch ids restart at 0 under a fresh
+    # checkpoint and '<= last' would discard every real batch)
+    with open(os.path.join(snap_dir, "_CURRENT"), "w") as f:
+        f.write("a:17")
+    q5 = RT.incremental_agg_sink(
+        sdf,
+        snap_dir,
+        str(tmp_path / "ck4"),
+        key_cols=["user_id"],
+        sum_cols=["cents"],
+    )
+    with pytest.raises(Exception, match="unverifiable"):
+        q5.awaitTermination()
 
 
 def test_near_dup_filter_stream_matches_batch(spark, tmp_path):
