@@ -1021,3 +1021,50 @@ def binned_quantile_serve(
         F.explode(F.sequence(F.col("__qlo"), F.col("__qhi"))).alias("q"),
         "bin",
     ).select(F.col("q").cast("long"), "bin")
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col,
+    tiebreak_col,
+    bins: int = 10,
+) -> DataFrame:
+    """EXACT equi-depth histogram — the sibling of the equi-width form
+    (q183): instead of fixed-width bins with varying counts, each of
+    ``bins`` buckets holds floor/ceil(N/bins) rows exactly, with
+    boundaries wherever the data density puts them — the binning
+    feature stores and selectivity estimators want on skewed columns,
+    where equi-width collapses most rows into one bar.
+
+    Exact and engine-reproducible: bucket = ``global_rank * bins DIV
+    N`` under the (value, tiebreak) total order — a pure integer
+    function of the rank, so ties split deterministically and both
+    engines agree row for row. The rank comes from ``global_index``'s
+    two-pass range-partitioned numbering (no single-partition sort —
+    the q147 scale argument), and the per-bucket reduction is one
+    map-side-combined groupBy over ``bins`` groups. The only
+    driver-side value is the scalar row count. Returns (bucket,
+    n_rows, lo, hi).
+    """
+    from striot_spark.core.scale import global_index
+
+    n = df.count()
+    if n == 0:
+        raise ValueError("equidepth_histogram: empty input")
+    vt = df.select(
+        F.col(value_col).alias("__v") if isinstance(value_col, str)
+        else value_col.alias("__v"),
+        F.col(tiebreak_col).alias("__tb") if isinstance(tiebreak_col, str)
+        else tiebreak_col.alias("__tb"),
+    )
+    idx = global_index(vt, ["__v", "__tb"], "__rank")
+    return (
+        idx.groupBy(
+            F.expr(f"__rank * {bins} DIV {n}").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+        )
+    )

@@ -892,6 +892,49 @@ def q228_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q231_equidepth_histogram",
+    """
+    WITH v AS (
+        SELECT CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS cv,
+               l_orderkey * 100 + l_linenumber AS tb
+        FROM lineitem),
+    r AS (SELECT cv, row_number() OVER (ORDER BY cv ASC, tb ASC) - 1
+                     AS rank
+          FROM v),
+    n AS (SELECT count(*) AS n FROM v)
+    SELECT (r.rank * 10) // n.n AS bucket,
+           count(*) AS n_rows, min(cv) AS lo, max(cv) AS hi
+    FROM r CROSS JOIN n GROUP BY (r.rank * 10) // n.n
+    """,
+    doc="EXACT equi-depth histogram of lineitem price cents "
+    "(functions/analytics.py:equidepth_histogram) — the sibling of "
+    "q183's equi-width form: each of 10 buckets holds exactly "
+    "floor/ceil(N/10) rows with boundaries wherever density puts "
+    "them, the binning skewed feature columns need. bucket = "
+    "global_rank * 10 DIV N under the (value, tiebreak) total order "
+    "— a pure integer function of the rank, so ties split "
+    "deterministically on any engine; the rank comes from "
+    "global_index's two-pass range-partitioned numbering (no "
+    "single-partition sort — q147's scale argument) and the "
+    "reduction is one map-side-combined 10-group groupBy",
+)
+def q231_equidepth_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions.analytics import (
+        cents,
+        equidepth_histogram,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vt = li.select(
+        cents(F.col("l_extendedprice")).alias("cv"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("tb"),
+    )
+    return equidepth_histogram(vt, "cv", "tb", bins=10)
+
+
+@register(
     "q147_quantiles_at_scale",
     """
     WITH v AS (

@@ -2147,3 +2147,30 @@ def test_bloom_lookup_string_keys_no_false_negatives(spark):
         for r in bloom_file_lookup(idx, ["007", "abc"]).collect()
     }
     assert ("007", 0) in cand and ("abc", 1) in cand
+
+
+def test_equidepth_histogram_buckets_are_balanced_and_ordered(spark):
+    """Every bucket holds floor/ceil(N/bins) rows exactly, buckets
+    cover disjoint ascending value ranges, and the forced two-pass
+    rank path (smallInputBytes=0) agrees with the plain path."""
+    from striot_spark.functions.analytics import equidepth_histogram
+
+    rows = [(v * 7 % 101, i) for i, v in enumerate(range(23))]  # N=23
+    df = spark.createDataFrame(rows, "cv long, tb long")
+    for conf in (None, "0"):
+        if conf is not None:
+            spark.conf.set("striot.globalIndex.smallInputBytes", conf)
+        try:
+            got = sorted(
+                (r["bucket"], r["n_rows"], r["lo"], r["hi"])
+                for r in equidepth_histogram(df, "cv", "tb", bins=5)
+                .collect()
+            )
+        finally:
+            spark.conf.unset("striot.globalIndex.smallInputBytes")
+        assert [b for b, *_ in got] == [0, 1, 2, 3, 4]
+        assert {n for _, n, *_ in got} <= {4, 5} and sum(
+            n for _, n, *_ in got
+        ) == 23
+        for (_, _, _, hi_a), (_, _, lo_b, _) in zip(got, got[1:]):
+            assert hi_a <= lo_b  # disjoint ascending ranges
