@@ -559,6 +559,97 @@ def _pagerank_oracle(iterations: int, scale: int, dn: int, dd: int) -> str:
     return sql + f"\n    SELECT node, pr FROM r{iterations}"
 
 
+_PPR_SEEDS = ["c1", "c2", "c5"]
+
+
+def _ppr_oracle(iterations: int, scale: int, dn: int, dd: int) -> str:
+    """Unrolled personalized-PageRank recurrence: teleport mass
+    concentrated on the seed set (mirrors ``pagerank(seeds=...)``)."""
+    seeds = ", ".join(f"'{s}'" for s in _PPR_SEEDS)
+    k = len(_PPR_SEEDS)
+    sql = f"""
+    WITH eraw AS (
+        SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (SELECT a AS src, b AS dst FROM eraw
+              UNION ALL SELECT b AS src, a AS dst FROM eraw),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    v AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM v),
+    r0 AS (SELECT node,
+                  CAST(CASE WHEN node IN ({seeds})
+                       THEN (CAST({scale} AS BIGINT)
+                             * (SELECT n FROM nn)) // {k}
+                       ELSE 0 END AS BIGINT) AS pr
+           FROM v)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+    r{i} AS (
+        SELECT v.node,
+               CAST(CASE WHEN v.node IN ({seeds})
+                    THEN ((CAST({dd - dn} AS BIGINT) * {scale}
+                           * (SELECT n FROM nn))
+                          // ({dd} * {k}))
+                    ELSE 0 END
+                    + ({dn} * COALESCE(s.s, 0)) // {dd}
+                    AS BIGINT) AS pr
+        FROM v LEFT JOIN (
+            SELECT e.dst AS node, sum(r.pr // d.outdeg) AS s
+            FROM edges e JOIN r{i - 1} r ON e.src = r.node
+                 JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) s ON v.node = s.node)"""
+    return sql + f"\n    SELECT node, pr FROM r{iterations} WHERE pr > 0"
+
+
+@register(
+    "q232_personalized_pagerank",
+    _ppr_oracle(iterations=3, scale=10**9, dn=85, dd=100),
+    doc="PERSONALIZED PageRank (random-walk-with-restart) from three "
+    "seed customers over the customer-supplier trade graph "
+    "(functions/graph.py:pagerank(seeds=...)) — the "
+    "neighborhood-expansion / recommendation primitive: the whole "
+    "teleport mass concentrates on the seeds, so rank flows only "
+    "through their trade neighborhoods and far nodes stay at 0 "
+    "(output filtered to pr > 0: reached nodes only, making the "
+    "gate sensitive to exactly which nodes the 3-hop walk touches). "
+    "Same scaled-long arithmetic and per-iteration plan as q133 — "
+    "seed membership is a literal isin predicate folded into the "
+    "rank projection, no extra join or shuffle; total mass conserved "
+    "at ~N*scale so uniform and personalized ranks are directly "
+    "comparable",
+)
+def q232_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "a"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "b"
+            ),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    pr = pagerank(edges, iterations=3, src="a", dst="b", seeds=_PPR_SEEDS)
+    return pr.filter(F.col("rank") > 0).select(
+        "node", F.col("rank").alias("pr")
+    )
+
+
 @register(
     "q133_pagerank_customer_supplier",
     _pagerank_oracle(iterations=3, scale=10**9, dn=85, dd=100),

@@ -2174,3 +2174,26 @@ def test_equidepth_histogram_buckets_are_balanced_and_ordered(spark):
         ) == 23
         for (_, _, _, hi_a), (_, _, lo_b, _) in zip(got, got[1:]):
             assert hi_a <= lo_b  # disjoint ascending ranges
+
+
+def test_personalized_pagerank_concentrates_on_seed_component(spark):
+    """With the teleport mass on a seed in one component, the other
+    component must stay at exactly 0 rank while every node reachable
+    within the iteration horizon is positive; the uniform variant
+    ranks both components."""
+    from striot_spark.functions.graph import pagerank
+
+    und = [(0, 1), (1, 2), (10, 11)]  # two components
+    e = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    ppr = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=3, seeds=[0]).collect()
+    }
+    assert ppr[0] > 0 and ppr[1] > 0 and ppr[2] > 0
+    assert ppr[10] == 0 and ppr[11] == 0
+    uni = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=3).collect()
+    }
+    assert all(v > 0 for v in uni.values())
