@@ -2411,3 +2411,105 @@ def q223_weekly_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_event"),
         F.max(c).alias("top_c"),
     )
+
+
+_HLL_H = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+@register(
+    "q233_hll_set_algebra",
+    f"""
+    WITH t AS (
+        SELECT 'a' AS s, user_id::VARCHAR AS item FROM events
+        WHERE event_type = 'click' AND value >= 300
+        UNION ALL
+        SELECT 'b', user_id::VARCHAR FROM events
+        WHERE event_type = 'purchase' AND value < 200),
+    h AS (SELECT s, {_HLL_H.format(x='item')} AS hv FROM t),
+    r AS (
+        SELECT s, hv % 64 AS bucket,
+               CASE WHEN (hv // 64) = 0 THEN 40
+                    ELSE least(bit_count(((hv // 64) & (-(hv // 64))) - 1)
+                               + 1, 40)
+               END AS rho
+        FROM h),
+    regs AS (SELECT s, bucket, max(rho) AS reg FROM r
+             GROUP BY s, bucket),
+    g AS (SELECT s, count(*) AS n_obs,
+                 sum((1::BIGINT << (40 - reg))) AS s_obs
+          FROM regs GROUP BY s),
+    est AS (SELECT s,
+                   CAST((709 * 64 * 64 * (1::BIGINT << 40)) //
+                        (1000 * (s_obs + (64 - n_obs)
+                                 * (1::BIGINT << 40)))
+                        AS BIGINT) AS e
+            FROM g),
+    ur AS (SELECT bucket, max(reg) AS reg FROM regs GROUP BY bucket),
+    gu AS (SELECT count(*) AS n_obs,
+                  sum((1::BIGINT << (40 - reg))) AS s_obs
+           FROM ur),
+    eu AS (SELECT CAST((709 * 64 * 64 * (1::BIGINT << 40)) //
+                       (1000 * (s_obs + (64 - n_obs)
+                                * (1::BIGINT << 40)))
+                       AS BIGINT) AS e
+           FROM gu)
+    SELECT ea.e AS est_a, eb.e AS est_b, eu.e AS est_union,
+           CAST(ea.e + eb.e - eu.e AS BIGINT) AS est_intersection
+    FROM (SELECT e FROM est WHERE s = 'a') ea
+         CROSS JOIN (SELECT e FROM est WHERE s = 'b') eb
+         CROSS JOIN eu
+    """,
+    doc="HLL SET ALGEBRA over mergeable registers "
+    "(functions/analytics.py:hll_registers/hll_estimate): two user "
+    "cohorts (high-value clickers, low-value purchasers) sketched "
+    "once, the UNION estimated by the register-wise MAX merge — the "
+    "operation sketches are FOR: |A ∪ B| without re-scanning either "
+    "side — and the INTERSECTION by inclusion-exclusion "
+    "(est_a + est_b - est_union), all in the same shifted-long "
+    "arithmetic so the approximate values are bit-reproducible on "
+    "any engine. At 100 TB the register tables (64 longs per cohort) "
+    "are the ONLY state exchanged; cohort sketches built by "
+    "different jobs/days union the same way (q156's rolling merge). "
+    "Output: one row (est_a, est_b, est_union, est_intersection)",
+)
+def q233_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.analytics import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") >= 300)
+    ).select(
+        F.lit("a").alias("s"), F.col("user_id").cast("string").alias("item")
+    )
+    b = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") < 200)
+    ).select(
+        F.lit("b").alias("s"), F.col("user_id").cast("string").alias("item")
+    )
+    regs = hll_registers(a.unionByName(b), ["s"], "item")
+    est = hll_estimate(regs, ["s"])
+    ea = est.filter(F.col("s") == "a").select(
+        F.col("hll_est").alias("est_a")
+    )
+    eb = est.filter(F.col("s") == "b").select(
+        F.col("hll_est").alias("est_b")
+    )
+    u_regs = regs.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    eu = hll_estimate(u_regs, []).select(
+        F.col("hll_est").alias("est_union")
+    )
+    return (
+        ea.join(F.broadcast(eb))
+        .join(F.broadcast(eu))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            .cast("long")
+            .alias("est_intersection"),
+        )
+    )

@@ -2197,3 +2197,29 @@ def test_personalized_pagerank_concentrates_on_seed_component(spark):
         for r in pagerank(edges, iterations=3).collect()
     }
     assert all(v > 0 for v in uni.values())
+
+
+def test_hll_union_and_intersection_bounds(spark):
+    """Register-MAX union must dominate both sides and never exceed
+    their sum; inclusion-exclusion intersection of two overlapping
+    integer sets must land near the true overlap (sketch tolerance at
+    m=64 is ~13% relative)."""
+    from striot_spark.functions.analytics import hll_estimate, hll_registers
+
+    a = [(f"u{i}",) for i in range(0, 120)]
+    b = [(f"u{i}",) for i in range(60, 200)]  # true overlap 60
+    df = spark.createDataFrame(
+        [("a", x) for (x,) in a] + [("b", x) for (x,) in b],
+        "s string, item string",
+    )
+    regs = hll_registers(df, ["s"], "item")
+    est = {
+        r["s"]: r["hll_est"]
+        for r in hll_estimate(regs, ["s"]).collect()
+    }
+    u = hll_estimate(
+        regs.groupBy("bucket").agg(F.max("reg").alias("reg")), []
+    ).collect()[0]["hll_est"]
+    assert u >= max(est["a"], est["b"]) and u <= est["a"] + est["b"]
+    inter = est["a"] + est["b"] - u
+    assert abs(inter - 60) <= 0.5 * 200  # loose sketch bound, m=64
