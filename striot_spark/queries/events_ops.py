@@ -2513,3 +2513,85 @@ def q233_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_intersection"),
         )
     )
+
+
+@register(
+    "q234_association_rules",
+    """
+    WITH baskets AS (
+        SELECT user_id, event_type FROM events
+        GROUP BY user_id, event_type),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    item AS (SELECT event_type, count(*) AS n_t FROM baskets
+             GROUP BY event_type),
+    pair AS (
+        SELECT a.event_type AS ante, b.event_type AS cons,
+               count(*) AS n_ab
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type)
+    SELECT p.ante, p.cons, p.n_ab,
+           (p.n_ab * 1000) // n.n_users AS support_pm,
+           (p.n_ab * 1000) // ia.n_t AS confidence_pm,
+           CAST((p.n_ab * n.n_users * 1000000)
+                // (ia.n_t * ic.n_t) AS BIGINT) AS lift_ppm
+    FROM pair p
+    JOIN item ia ON ia.event_type = p.ante
+    JOIN item ic ON ic.event_type = p.cons
+    CROSS JOIN n
+    """,
+    doc="market-basket association rules over user event baskets: "
+    "per unordered event-type pair, SUPPORT (basket share), "
+    "CONFIDENCE (P(cons|ante)) and LIFT (observed/independent "
+    "co-occurrence) — the classic affinity analysis (Agrawal et al. "
+    "1993 methodology), all in integer permille/ppm so both engines "
+    "agree exactly. Distinct from q157's SEQUENTIAL transitions: "
+    "baskets are order-free sets. Plan: one (user, type) dedup "
+    "groupBy, a within-user self-equi-join bounded by |types| per "
+    "basket (<= 10 pairs per user at 5 types — never a corpus "
+    "cartesian), one |types|^2-cell count, dimension counts "
+    "broadcast back. Headroom: n_ab * n_users * 1e6 < 2^63 holds to "
+    "~3e9 basket-pairs x users product",
+)
+def q234_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    n_users = ev.select("user_id").distinct().count()
+    item = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ante"),
+            F.col("b.event_type").alias("cons"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ia = item.select(
+        F.col("event_type").alias("ante"), F.col("n_t").alias("n_a")
+    )
+    ic = item.select(
+        F.col("event_type").alias("cons"), F.col("n_t").alias("n_c")
+    )
+    return (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .select(
+            "ante",
+            "cons",
+            "n_ab",
+            F.expr(f"n_ab * 1000 DIV {n_users}").alias("support_pm"),
+            F.expr("n_ab * 1000 DIV n_a").alias("confidence_pm"),
+            F.expr(
+                f"CAST(n_ab * {n_users} * 1000000 DIV (n_a * n_c) "
+                "AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )

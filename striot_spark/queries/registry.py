@@ -136,9 +136,9 @@ _SWEEP_FIRST = [
     # ---- 50-cap boundary: entries below get no driver row in r8 ----
     # ROUND-9 HEAD PLAN (keep this arithmetic in sync): canary (1) +
     # q187-q223 (37) + the round-8 additions q225+ (listed right
-    # below q187's cohort; currently 9: q225-q233) = 47, then fill
-    # to 50 with the oldest stale rows — three of _SWEEP_LAST's seven
-    # r04-green queries (q13/q14/q35; q80/q82/q83/q85 wait one more
+    # below q187's cohort; currently 10: q225-q234) = 48, then fill
+    # to 50 with the oldest stale rows — two of _SWEEP_LAST's seven
+    # r04-green queries (q13/q14; the other five wait one more
     # round). The r07-swept
     # green cohort (q65-q137 head incl. the five ex-red
     # q93/q100/q101/q127/q132 and q98) rotates back in r10.
@@ -152,6 +152,7 @@ _SWEEP_FIRST = [
     "q231_equidepth_histogram",
     "q232_personalized_pagerank",
     "q233_hll_set_algebra",
+    "q234_association_rules",
     "q188_cap_per_cluster",
     "q189_freshness_stream",
     "q190_media_embed",

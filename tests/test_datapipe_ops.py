@@ -2223,3 +2223,40 @@ def test_hll_union_and_intersection_bounds(spark):
     assert u >= max(est["a"], est["b"]) and u <= est["a"] + est["b"]
     inter = est["a"] + est["b"] - u
     assert abs(inter - 60) <= 0.5 * 200  # loose sketch bound, m=64
+
+
+def test_association_rules_hand_computed(spark):
+    """Support/confidence/lift in integer permille/ppm against a
+    hand-computed 4-basket example."""
+    import datetime as dt
+
+    rows = []
+    for uid, types in [(1, ["x", "y"]), (2, ["x", "y"]), (3, ["x"]),
+                       (4, ["y", "z"])]:
+        for i, t in enumerate(types):
+            rows.append((uid * 10 + i, uid, t,
+                         dt.datetime(2024, 1, 1), 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    # baskets: x:{1,2,3} y:{1,2,4} z:{4}; xy co-occurs in 2, yz in 1.
+    # support_pm(xy) = 2*1000//4 = 500, conf = 2*1000//3 = 666,
+    # lift_ppm = 2*4*1e6//(3*3) = 888888; yz: 250 / 333 / 1333333
+    pair_ref = {("x", "y"): (2, 500, 666, 888888),
+                ("y", "z"): (1, 250, 333, 1333333)}
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="striot_q234_t_")
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    from striot_spark.queries.registry import REGISTRY, _load
+
+    _load()
+    out = {
+        (r["ante"], r["cons"]): (
+            r["n_ab"], r["support_pm"], r["confidence_pm"], r["lift_ppm"]
+        )
+        for r in REGISTRY["q234_association_rules"].fn(spark, d).collect()
+    }
+    assert out == pair_ref
