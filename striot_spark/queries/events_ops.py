@@ -2595,3 +2595,111 @@ def q234_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
     )
+
+
+@register(
+    "q235_minhash_cohort_similarity",
+    f"""
+    WITH a AS (SELECT DISTINCT user_id::VARCHAR AS item FROM events
+               WHERE event_type = 'click' AND value >= 300),
+    b AS (SELECT DISTINCT user_id::VARCHAR AS item FROM events
+          WHERE event_type = 'purchase' AND value < 200),
+    t AS (SELECT 'a' AS s, item FROM a
+          UNION ALL SELECT 'b', item FROM b),
+    h AS (SELECT s, {_HLL_H.format(x='item')} % 2147483647 AS hv FROM t),
+    sig AS (SELECT s,
+                   min((2 * hv + 1) % 2147483647) AS m0,
+                   min((3 * hv + 7) % 2147483647) AS m1,
+                   min((5 * hv + 13) % 2147483647) AS m2,
+                   min((7 * hv + 31) % 2147483647) AS m3,
+                   min((11 * hv + 61) % 2147483647) AS m4,
+                   min((13 * hv + 127) % 2147483647) AS m5
+            FROM h GROUP BY s),
+    agree AS (
+        SELECT CAST((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END)
+                  + (CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_agree
+        FROM (SELECT * FROM sig WHERE s = 'a') sa
+             CROSS JOIN (SELECT * FROM sig WHERE s = 'b') sb),
+    ex AS (SELECT
+               CAST((SELECT count(*) FROM a JOIN b USING (item))
+                    AS BIGINT) AS n_inter,
+               CAST((SELECT count(*) FROM
+                     (SELECT item FROM a UNION SELECT item FROM b) u)
+                    AS BIGINT) AS n_union)
+    SELECT agree.n_agree, CAST(6 AS BIGINT) AS k,
+           (agree.n_agree * 1000) // 6 AS est_jaccard_pm,
+           (ex.n_inter * 1000) // ex.n_union AS exact_jaccard_pm
+    FROM agree CROSS JOIN ex
+    """,
+    doc="SET-level MinHash similarity between two user cohorts "
+    "(the similarity axis next to q233's HLL union/intersection): "
+    "each cohort folds to a 6-component signature (min of the "
+    "Carter-Wegman affine family over md5 item hashes — the same "
+    "family as the document near-dup tier, functions/dedup.py), "
+    "est Jaccard = agreeing components / k, next to the EXACT "
+    "Jaccard so the gate proves the sketch math against the truth "
+    "(q139's pattern). The signatures are 6 longs per cohort — the "
+    "only exchanged state at scale; cohorts sketched by different "
+    "jobs compare without ever co-scanning, and the same signatures "
+    "feed q29's banding if many cohorts need all-pairs similarity",
+)
+def q235_minhash_cohort_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions.dedup import MERSENNE_P, MINHASH_COEFFS
+    from striot_spark.functions.text import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") >= 300)
+    ).select(F.col("user_id").cast("string").alias("item")).distinct()
+    b = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") < 200)
+    ).select(F.col("user_id").cast("string").alias("item")).distinct()
+    tagged = a.select(F.lit("a").alias("s"), "item").unionByName(
+        b.select(F.lit("b").alias("s"), "item")
+    )
+    h = (md5_hash64(F.col("item")) % MERSENNE_P).alias("hv")
+    sig = (
+        tagged.select("s", h)
+        .groupBy("s")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(ca) * F.col("hv") + F.lit(cb)) % MERSENNE_P
+                ).alias(f"m{i}")
+                for i, (ca, cb) in enumerate(MINHASH_COEFFS)
+            ]
+        )
+    )
+    sa = sig.filter(F.col("s") == "a").select(
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(6)]
+    )
+    sb = sig.filter(F.col("s") == "b").select(
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(6)]
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(6)
+    )
+    n_inter = a.join(b, "item").count()
+    n_union = a.unionByName(b).distinct().count()
+    return (
+        sa.join(F.broadcast(sb))
+        .select(
+            agree.alias("n_agree"),
+            F.lit(6).cast("long").alias("k"),
+        )
+        .select(
+            "n_agree",
+            "k",
+            F.expr("n_agree * 1000 DIV 6").alias("est_jaccard_pm"),
+            F.lit(n_inter * 1000 // n_union)
+            .cast("long")
+            .alias("exact_jaccard_pm"),
+        )
+    )

@@ -136,10 +136,11 @@ _SWEEP_FIRST = [
     # ---- 50-cap boundary: entries below get no driver row in r8 ----
     # ROUND-9 HEAD PLAN (keep this arithmetic in sync): canary (1) +
     # q187-q223 (37) + the round-8 additions q225+ (listed right
-    # below q187's cohort; currently 10: q225-q234) = 48, then fill
-    # to 50 with the oldest stale rows — two of _SWEEP_LAST's seven
-    # r04-green queries (q13/q14; the other five wait one more
-    # round). The r07-swept
+    # below q187's cohort; currently 11: q225-q235) = 49, then fill
+    # to 50 with the single oldest stale row (q13; the other six of
+    # _SWEEP_LAST wait one more round — do NOT register more round-9
+    # queries ahead of q223 or the never-swept tail slips a round).
+    # The r07-swept
     # green cohort (q65-q137 head incl. the five ex-red
     # q93/q100/q101/q127/q132 and q98) rotates back in r10.
     "q187_leakage_aware_split",
@@ -153,6 +154,7 @@ _SWEEP_FIRST = [
     "q232_personalized_pagerank",
     "q233_hll_set_algebra",
     "q234_association_rules",
+    "q235_minhash_cohort_similarity",
     "q188_cap_per_cluster",
     "q189_freshness_stream",
     "q190_media_embed",
