@@ -56,34 +56,83 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # Driver sweep order. The driver's CORRECTNESS sweep caps at the first 50
-# registry entries per round. Entering round 8 the driver-row union is
-# 139 queries swept at least once, 134 green; the 5 r07 reds
-# (q93/q100/q101/q127/q132) were judge-proven to be a DuckDB-HUGEINT
-# hash artifact in the driver's value normalizer (VERDICT r07 "What's
-# wrong" #1: q93d/q100d shadows with DOUBLE emission green, q127/q132
-# values verified exact), NOT wrong answers. Round 8 fixed the root
-# cause registry-wide: every oracle-emitted integer aggregate is now
-# CAST(... AS BIGINT) — zero HUGEINT/DECIMAL output columns across all
-# oracles, enforced forever by tests/test_oracle_types.py. The Spark
-# side of the five is byte-unchanged. Round-8 head, in order:
-#   (1) q224_type_canary FIRST and first in every future head — one
-#       column of every output type the registry uses, so any future
-#       driver-normalizer drift localizes to one row instantly;
-#   (2) the never-swept cohort part 1: q138-q186 (49; q187 moved to
-#       the r9 head to make room for the canary). 14 of these carried
-#       the HUGEINT hazard and are now cast.
-# The 5 r07 reds are NOT re-queued this round: their oracles changed
-# only in the final CAST, the fix is type-level (proven by the shadow
-# pair in the driver's own environment), and burning 5 of 50 head
-# slots would push 5 never-swept queries another round out; they
-# rotate back with the r07 cohort in r10. The q93d/q100d shadows are
-# RETIRED from sweep heads (VERDICT r07 task 5): the experiment was
-# decisive, the originals' fix is landed, and the shadows stay
-# registered only as documentation of the probe.
+# registry entries per round. Entering round 9 the driver-row union is
+# 189 queries swept at least once, 184 green (r8 head: 50/50 green,
+# CORRECTNESS_r08.json); the 5 r07 reds (q93/q100/q101/q127/q132) were
+# a DuckDB-HUGEINT hash artifact in the driver's value normalizer,
+# root-caused and fixed registry-wide in r8 (every oracle integer
+# aggregate CAST AS BIGINT, enforced by tests/test_oracle_types.py),
+# judge-verified green in the r8 verdict. Round-9 head, in order
+# (executes the plan written in r8 and ratified by VERDICT r8 task 1):
+#   (1) q224_type_canary FIRST and first in every future head;
+#   (2) never-swept cohort part 2: q187 + the round-8 additions
+#       q225-q235 (11) + q188-q223 (36) = 48 — clears the never-swept
+#       backlog entirely;
+#   (3) fill to 50 with q13 (oldest stale row, r03). The other six of
+#       _SWEEP_LAST wait for r11.
+# ROUND-10 HEAD PLAN (keep this arithmetic in sync): canary (1) + the
+# five ex-reds q93/q100/q101/q127/q132 (5, formally clearing the r07
+# ledger — VERDICT r8 task 3) + any round-9 additions q236+ (listed
+# right below q13 in this list; currently 3: q236-q238) + the oldest
+# r07-swept cohort from q65 upward (q65-q92, 28) + the remaining six
+# of _SWEEP_LAST (q14/q35/q80/q82/q83/q85) = 43 + new + 6 ≈ 50; trim
+# the q65+ cohort tail to make exactly 50 once r9 registration closes.
 _SWEEP_FIRST = [
     # (1) type canary — keep at head position 1 in every round
     "q224_type_canary",
-    # (2) never-swept cohort part 1 (r8 head = canary + q138-q186)
+    # (2) never-swept cohort part 2 (r9 head)
+    "q187_leakage_aware_split",
+    "q225_stream_near_dup_filter",
+    "q226_bloom_file_skip",
+    "q227_phrase_search",
+    "q228_lpa_communities",
+    "q229_stream_quantile_bins",
+    "q230_lpa_modularity",
+    "q231_equidepth_histogram",
+    "q232_personalized_pagerank",
+    "q233_hll_set_algebra",
+    "q234_association_rules",
+    "q235_minhash_cohort_similarity",
+    "q188_cap_per_cluster",
+    "q189_freshness_stream",
+    "q190_media_embed",
+    "q191_trend_stats",
+    "q192_scd2_enrich",
+    "q193_twap_daily",
+    "q194_pareto_frontier",
+    "q195_debounce_per_user",
+    "q196_burst_detection",
+    "q197_curriculum_interleave",
+    "q198_debounce_stream",
+    "q199_returned_revenue_customers",
+    "q200_sorted_export",
+    "q201_json_schema_profile",
+    "q202_large_order_customers",
+    "q203_nearest_event_align",
+    "q204_int8_quantize",
+    "q205_session_stats",
+    "q206_burst_detection_stream",
+    "q207_timed_funnel",
+    "q208_trigram_patterns",
+    "q209_segment_overlap",
+    "q210_corpus_card",
+    "q211_mixed_language_audit",
+    "q212_disorder_profile",
+    "q213_source_drift",
+    "q214_dup_threshold_curve",
+    "q215_compression_quality",
+    "q216_peak_concurrency",
+    "q217_customer_order_distribution",
+    "q218_top_supplier",
+    "q219_small_quantity_revenue",
+    "q220_stream_exact_dedup",
+    "q221_weekend_split",
+    "q222_stratum_floor_split",
+    "q223_weekly_top_event",
+    # (3) fill to 50: oldest stale driver row (r03)
+    "q13_percentiles",
+    # ---- 50-cap boundary: entries below get no driver row in r9 ----
+    # r8-green cohort (q138-q186), parked until its rotation comes due.
     "q138_incremental_agg_stream",
     "q139_hll_distinct",
     "q140_fuzzy_link_pairs",
@@ -133,70 +182,11 @@ _SWEEP_FIRST = [
     "q184_freshness_audit",
     "q185_oov_audit",
     "q186_dup_cluster_census",
-    # ---- 50-cap boundary: entries below get no driver row in r8 ----
-    # ROUND-9 HEAD PLAN (keep this arithmetic in sync): canary (1) +
-    # q187-q223 (37) + the round-8 additions q225+ (listed right
-    # below q187's cohort; currently 11: q225-q235) = 49, then fill
-    # to 50 with the single oldest stale row (q13; the other six of
-    # _SWEEP_LAST wait one more round — do NOT register more round-9
-    # queries ahead of q223 or the never-swept tail slips a round).
-    # The r07-swept
-    # green cohort (q65-q137 head incl. the five ex-red
-    # q93/q100/q101/q127/q132 and q98) rotates back in r10.
-    "q187_leakage_aware_split",
-    "q225_stream_near_dup_filter",
-    "q226_bloom_file_skip",
-    "q227_phrase_search",
-    "q228_lpa_communities",
-    "q229_stream_quantile_bins",
-    "q230_lpa_modularity",
-    "q231_equidepth_histogram",
-    "q232_personalized_pagerank",
-    "q233_hll_set_algebra",
-    "q234_association_rules",
-    "q235_minhash_cohort_similarity",
-    "q188_cap_per_cluster",
-    "q189_freshness_stream",
-    "q190_media_embed",
-    "q191_trend_stats",
-    "q192_scd2_enrich",
-    "q193_twap_daily",
-    "q194_pareto_frontier",
-    "q195_debounce_per_user",
-    "q196_burst_detection",
-    "q197_curriculum_interleave",
-    "q198_debounce_stream",
-    "q199_returned_revenue_customers",
-    "q200_sorted_export",
-    "q201_json_schema_profile",
-    "q202_large_order_customers",
-    "q203_nearest_event_align",
-    "q204_int8_quantize",
-    "q205_session_stats",
-    "q206_burst_detection_stream",
-    "q207_timed_funnel",
-    "q208_trigram_patterns",
-    "q209_segment_overlap",
-    "q210_corpus_card",
-    "q211_mixed_language_audit",
-    "q212_disorder_profile",
-    "q213_source_drift",
-    "q214_dup_threshold_curve",
-    "q215_compression_quality",
-    "q216_peak_concurrency",
-    "q217_customer_order_distribution",
-    "q218_top_supplier",
-    "q219_small_quantity_revenue",
-    "q220_stream_exact_dedup",
-    "q221_weekend_split",
-    "q222_stratum_floor_split",
-    "q223_weekly_top_event",
 ]
 # Everything below the 50 cap is r04/r05-green untouched batch code;
 # order among them is irrelevant to the driver. _SWEEP_LAST kept for
 # round-8 rotation bookkeeping (oldest stable cohort: r04 rows).
 _SWEEP_LAST: list[str] = [
-    "q13_percentiles",
     "q14_value_histogram",
     "q35_complete_window",
     "q80_unpivot_money_metrics",
