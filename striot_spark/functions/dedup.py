@@ -598,6 +598,26 @@ def minhash_signatures(
     return work.select(F.col(id_col), *sig_cols)
 
 
+def _banding_rows_per_band(num_hashes: int, bands: int) -> int:
+    """Fail-fast banding geometry check (r8 ADVICE): a ``bands`` that
+    does not divide ``num_hashes`` would silently ignore the trailing
+    hashes, and ``bands > num_hashes`` would make every band signature
+    the empty string — ALL documents collide in every bucket, and a
+    first-wins filter then suppresses the entire corpus but the min-id
+    doc with no error. Both are configuration bugs, not tunings."""
+    if num_hashes < 1 or bands < 1:
+        raise ValueError(
+            f"num_hashes and bands must be >= 1, got "
+            f"num_hashes={num_hashes}, bands={bands}"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): "
+            "trailing hashes would be silently ignored"
+        )
+    return num_hashes // bands
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -618,7 +638,7 @@ def lsh_candidate_pairs(
     most FPs with pure column comparisons on longs, long before the
     expensive shingle-set intersection runs.
     """
-    rows_per_band = num_hashes // bands
+    rows_per_band = _banding_rows_per_band(num_hashes, bands)
     # Signatures are tiny (id + k longs) but expensive to derive (md5
     # per shingle); a self-join recomputes its lineage on BOTH sides, so
     # materialize once. At 100 TB the signature table would be written
@@ -678,7 +698,7 @@ def lsh_bands(
     signature scan (zero-shuffle projection, md5 base persisted once
     inside ``minhash_signatures``) + an in-row band explode; docs too
     short to shingle emit no rows."""
-    rows_per_band = num_hashes // bands
+    rows_per_band = _banding_rows_per_band(num_hashes, bands)
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     band_cols = []
     for b in range(bands):
@@ -756,6 +776,7 @@ def near_dup_filter_stream(
     bands: int = 2,
     shingle_n: int = 2,
     available_now: bool = True,
+    state_parts: int = 16,
 ):
     """ONLINE near-dup ingest filter: the streaming form of
     ``near_dup_filter`` — suppress each arriving document that shares
@@ -789,19 +810,93 @@ def near_dup_filter_stream(
     Scale: state is #distinct band buckets (compact), not #documents;
     each batch costs one signature scan of the batch + two keyed
     shuffles (batch-band groupBy, snapshot merge) + one equi-join
-    against the snapshot. For band spaces beyond a single rewrite,
-    partition the snapshot by a band-hash prefix and rewrite only
-    touched partitions (same documented extension as
-    ``upsert_snapshot_sink``). Read the kept corpus back with
+    against the snapshot. With ``state_parts`` > 0 (default 16) the
+    owner snapshot is hash-prefix partitioned on (band, sig)
+    (``streaming.runtime._PartitionedState``): the ownership lookup is
+    an equi-join, so each batch READS only the partitions its bands
+    hash into and REWRITES only those — per-batch cost
+    O(batch + touched-state) rather than O(all band buckets), which is
+    what keeps the gate viable when the bucket table itself outgrows a
+    per-batch rewrite. ``state_parts=0`` keeps the legacy
+    whole-snapshot A/B writer. Read the kept corpus back with
     ``read_kept`` below; the owner snapshot with
-    ``streaming.runtime.read_snapshot``.
+    ``streaming.runtime.read_snapshot`` (auto-detects both layouts).
     """
     import hashlib as _hashlib
     import os as _os
 
+    from striot_spark.streaming.runtime import (
+        _PART_COL,
+        _PartitionedState,
+    )
+
+    # validate at stream-construction time, not first-batch time: a
+    # bad banding geometry must fail before any state is written
+    _banding_rows_per_band(num_hashes, bands)
     run_id = _hashlib.sha1(
         _os.path.abspath(checkpoint_dir).encode()
     ).hexdigest()[:8]
+
+    def _batch_bands(batch_df: DataFrame):
+        b = lsh_bands(
+            batch_df, id_col, text_col, num_hashes, bands, shingle_n
+        )
+        batch_own = b.groupBy("band", "sig").agg(
+            F.min(id_col).alias("__bown")
+        )
+        return b, batch_own
+
+    def _filter_and_keep(
+        batch_df: DataFrame, b, batch_own, prev, batch_id: int
+    ):
+        hit = b.join(batch_own, ["band", "sig"])
+        if prev is not None:
+            hit = hit.join(prev, ["band", "sig"], "left")
+            is_dup = F.col("owner").isNotNull() | (
+                F.col("__bown") < F.col(id_col)
+            )
+        else:
+            is_dup = F.col("__bown") < F.col(id_col)
+        dup_ids = hit.filter(is_dup).select(id_col).distinct()
+        kept = batch_df.join(dup_ids, id_col, "left_anti")
+        kept.select(*keep_cols).write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"b{batch_id:05d}")
+        )
+
+    def _write_partitioned(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        st = _PartitionedState(
+            snap_dir, ["band", "sig"], state_parts, run_id
+        )
+        man, skip = st.load(batch_id)
+        if skip:
+            return  # replayed batch (same run): already durable
+        b, batch_own = _batch_bands(batch_df)
+        batch_own = batch_own.withColumn(_PART_COL, st.part_expr())
+        batch_own.persist()
+        try:
+            touched = st.touched(batch_own)
+            # the ownership lookup is equi on (band, sig): partitions
+            # the batch doesn't hash into cannot own any of its bands
+            prev = st.read_parts(spark, man, touched)
+            _filter_and_keep(
+                batch_df, b, batch_own.drop(_PART_COL), prev, batch_id
+            )
+            new_own = batch_own.select(
+                "band", "sig", F.col("__bown").alias("owner")
+            )
+            if prev is not None:
+                new_own = (
+                    prev.unionByName(new_own)
+                    .groupBy("band", "sig")
+                    .agg(F.min("owner").alias("owner"))
+                )
+            st.commit(
+                new_own.withColumn(_PART_COL, st.part_expr()),
+                man, touched, batch_id,
+            )
+        finally:
+            batch_own.unpersist()
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -822,25 +917,8 @@ def near_dup_filter_stream(
             if batch_id <= last:
                 return  # replayed batch (same run): already durable
             prev = spark.read.parquet(_os.path.join(snap_dir, cur))
-        b = lsh_bands(
-            batch_df, id_col, text_col, num_hashes, bands, shingle_n
-        )
-        batch_own = b.groupBy("band", "sig").agg(
-            F.min(id_col).alias("__bown")
-        )
-        hit = b.join(batch_own, ["band", "sig"])
-        if prev is not None:
-            hit = hit.join(prev, ["band", "sig"], "left")
-            is_dup = F.col("owner").isNotNull() | (
-                F.col("__bown") < F.col(id_col)
-            )
-        else:
-            is_dup = F.col("__bown") < F.col(id_col)
-        dup_ids = hit.filter(is_dup).select(id_col).distinct()
-        kept = batch_df.join(dup_ids, id_col, "left_anti")
-        kept.select(*keep_cols).write.mode("overwrite").parquet(
-            _os.path.join(out_dir, f"b{batch_id:05d}")
-        )
+        b, batch_own = _batch_bands(batch_df)
+        _filter_and_keep(batch_df, b, batch_own, prev, batch_id)
         new_own = batch_own.select(
             "band", "sig", F.col("__bown").alias("owner")
         )
@@ -860,7 +938,9 @@ def near_dup_filter_stream(
         _os.replace(tmp, ptr)  # atomic flip commits state AND batch id
 
     w = (
-        sdf.writeStream.foreachBatch(_write)
+        sdf.writeStream.foreachBatch(
+            _write_partitioned if state_parts else _write
+        )
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
@@ -1223,7 +1303,7 @@ def lsh_near_dup_pairs(
     (id, shingle set) — never the bodies.
     """
     coeffs = MINHASH_COEFFS[:num_hashes]
-    rows_per_band = num_hashes // bands
+    rows_per_band = _banding_rows_per_band(num_hashes, bands)
     sh = shingles(F.col(text_col), shingle_n)
     # one pass: shingle expr evaluates twice per row (cheap zip_with)
     # but the dominant md5 transform runs exactly once; persist is the
@@ -1335,7 +1415,7 @@ def cross_corpus_near_dup_pairs(
     Returns (train_id, eval_id, jaccard) with jaccard >= ``threshold``.
     """
     coeffs = MINHASH_COEFFS[:num_hashes]
-    rows_per_band = num_hashes // bands
+    rows_per_band = _banding_rows_per_band(num_hashes, bands)
     mh_names = [f"mh{i}" for i in range(num_hashes)]
 
     def work_table(df: DataFrame) -> DataFrame:

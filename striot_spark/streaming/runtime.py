@@ -854,6 +854,197 @@ def to_idempotent_parquet(
     return w.start()
 
 
+# ---------------------------------------------------------------------------
+# Hash-prefix-partitioned snapshot state — shared by the snapshot-sink
+# family (upsert_snapshot_sink / incremental_agg_sink /
+# functions.dedup.near_dup_filter_stream). The legacy whole-snapshot A/B
+# writer rewrites O(total state) per micro-batch; this writer rewrites
+# only the partitions a batch TOUCHES, making the per-batch cost
+# O(batch + touched-state) — the property a 100 TB ingest needs once the
+# key space outgrows a per-batch full rewrite.
+#
+# Layout:  path/_MANIFEST                    atomic JSON commit point
+#          path/g<batch_id>/__state_part=K/  parquet, one dir per touched
+#                                            partition per committing batch
+# The manifest maps partition -> generation dir, carries parts/run_id/
+# last_batch. Commit = write touched partitions into a fresh generation
+# dir (idempotent overwrite on crash-replay), then atomically replace the
+# manifest, then best-effort GC the superseded partition dirs. A crash
+# anywhere before the manifest replace leaves the previous state fully
+# intact; Structured Streaming replays the one uncommitted batch, which
+# rewrites the same generation dir. Readers resolve the manifest then the
+# parquet dirs; immediate GC is safe single-writer/local — a shared lake
+# would add a grace period before deleting superseded dirs (noted, not
+# needed at this deployment's single-driver sinks).
+# ---------------------------------------------------------------------------
+
+_MANIFEST_NAME = "_MANIFEST"
+_PART_COL = "__state_part"
+
+
+def _load_manifest(path: str) -> dict | None:
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(path, _MANIFEST_NAME)
+    if not _os.path.exists(p):
+        return None
+    with open(p) as f:
+        return _json.load(f)
+
+
+class _PartitionedState:
+    """Per-batch lifecycle: ``load`` (guards + manifest) → attach
+    ``part_expr()`` to the batch delta → ``touched`` (distinct partition
+    ids; persist the delta first — this triggers a job) →
+    ``read_parts`` (previous state, touched partitions ONLY — the merge
+    and any state lookup join are equi on the key, so untouched
+    partitions cannot participate) → sink-specific merge →
+    ``commit``. Every touched partition is guaranteed non-empty after
+    merge for all three sinks (additive totals, latest-wins, and
+    min-owner merges never drop a key), so the manifest never points at
+    a missing dir."""
+
+    def __init__(
+        self, path: str, key_cols: Sequence[str], parts: int, run_id: str
+    ):
+        if parts < 1:
+            raise ValueError(f"state_parts must be >= 1, got {parts}")
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.parts = parts
+        self.run_id = run_id
+
+    def part_expr(self):
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.key_cols]),
+            F.lit(self.parts),
+        ).cast("int")
+
+    def load(self, batch_id: int) -> tuple[dict | None, bool]:
+        """Returns (manifest, skip). Raises on run-id mismatch, on a
+        partition-count mismatch (keys would re-hash to different
+        partitions), and on a path holding legacy whole-snapshot state."""
+        import os as _os
+
+        man = _load_manifest(self.path)
+        if man is None:
+            if _os.path.exists(_os.path.join(self.path, "_CURRENT")):
+                raise ValueError(
+                    f"partitioned snapshot sink: {self.path!r} holds a "
+                    "legacy whole-snapshot (_CURRENT pointer) state — "
+                    "pass state_parts=0 to keep appending to it, or use "
+                    "a fresh path"
+                )
+            return None, False
+        if man.get("run_id") != self.run_id:
+            raise ValueError(
+                f"partitioned snapshot sink: state {self.path!r} belongs "
+                f"to a different run (manifest run id {man.get('run_id')}, "
+                f"this checkpoint's {self.run_id}). Batch ids restart at 0 "
+                "under a fresh checkpoint dir, so the replay guard would "
+                "silently drop data. Resume with the original checkpoint "
+                "dir, or write to a fresh state path"
+            )
+        if man.get("parts") != self.parts:
+            raise ValueError(
+                f"partitioned snapshot sink: state {self.path!r} was "
+                f"built with state_parts={man.get('parts')}, got "
+                f"{self.parts} — key-to-partition placement would change"
+            )
+        return man, batch_id <= man["last_batch"]
+
+    def touched(self, delta: DataFrame) -> list[int]:
+        return sorted(
+            r[0]
+            for r in delta.select(_PART_COL).distinct().collect()
+        )
+
+    def read_parts(
+        self, spark: SparkSession, man: dict | None, touched: list[int]
+    ) -> DataFrame | None:
+        """Previous state restricted to ``touched`` partitions. The
+        ``__state_part`` column is directory-level and therefore absent
+        from the result — recompute it via ``part_expr()`` on the merge
+        output."""
+        import os as _os
+
+        if man is None:
+            return None
+        paths = [
+            _os.path.join(
+                self.path, man["map"][str(k)], f"{_PART_COL}={k}"
+            )
+            for k in touched
+            if str(k) in man["map"]
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def commit(
+        self,
+        merged: DataFrame,
+        man: dict | None,
+        touched: list[int],
+        batch_id: int,
+    ) -> None:
+        """``merged`` must carry ``__state_part`` and cover exactly the
+        touched partitions."""
+        import json as _json
+        import os as _os
+        import shutil as _shutil
+
+        gen = f"g{batch_id:09d}"
+        (
+            merged.repartition(max(len(touched), 1), _PART_COL)
+            .write.partitionBy(_PART_COL)
+            .mode("overwrite")
+            .parquet(_os.path.join(self.path, gen))
+        )
+        newmap = dict(man["map"]) if man else {}
+        superseded = [
+            (k, newmap[str(k)])
+            for k in touched
+            if str(k) in newmap and newmap[str(k)] != gen
+        ]
+        for k in touched:
+            newmap[str(k)] = gen
+        tmp = _os.path.join(self.path, _MANIFEST_NAME + ".tmp")
+        with open(tmp, "w") as f:
+            _json.dump(
+                {
+                    "version": 1,
+                    "parts": self.parts,
+                    "run_id": self.run_id,
+                    "last_batch": batch_id,
+                    "map": newmap,
+                },
+                f,
+            )
+        _os.replace(
+            tmp, _os.path.join(self.path, _MANIFEST_NAME)
+        )  # atomic manifest flip commits state AND batch id
+        live_gens = set(newmap.values())
+        for k, old_gen in superseded:  # best-effort GC, post-commit
+            _shutil.rmtree(
+                _os.path.join(self.path, old_gen, f"{_PART_COL}={k}"),
+                ignore_errors=True,
+            )
+            if old_gen not in live_gens:
+                try:  # rmdir only succeeds once the gen dir is empty
+                    for leftover in (
+                        _os.listdir(_os.path.join(self.path, old_gen))
+                    ):
+                        if leftover.startswith(("_", ".")):
+                            _os.remove(
+                                _os.path.join(self.path, old_gen, leftover)
+                            )
+                    _os.rmdir(_os.path.join(self.path, old_gen))
+                except OSError:
+                    pass
+
+
 def upsert_snapshot_sink(
     sdf: DataFrame,
     path: str,
@@ -862,6 +1053,7 @@ def upsert_snapshot_sink(
     order_cols: Sequence[str],
     payload_cols: Sequence[str],
     available_now: bool = True,
+    state_parts: int = 16,
 ):
     """Streaming latest-wins UPSERT sink: maintain a parquet snapshot
     with one row per key, continuously compacted as change events
@@ -880,27 +1072,63 @@ def upsert_snapshot_sink(
     is then independent of micro-batch boundaries AND of cross-batch
     arrival order, with no watermark needed.
 
-    Scale: the snapshot is key-cardinality-sized (not history-sized);
-    each batch costs one batch-side partial compaction + one
-    snapshot-sized merge groupBy. For key spaces too big to rewrite
-    per batch, partition ``path`` by a key hash and rewrite only the
-    partitions the batch touches (documented extension; this sink
-    rewrites the whole snapshot, correct at any size, optimal for
-    snapshots that fit a rewrite budget).
+    Scale: the snapshot is key-cardinality-sized (not history-sized).
+    With ``state_parts`` > 0 (default 16) the snapshot is hash-prefix
+    partitioned (see ``_PartitionedState``): each batch reads and
+    rewrites ONLY the partitions its keys hash into, so the per-batch
+    cost is O(batch + touched-state) instead of O(total state) — size
+    ``state_parts`` so one partition fits a per-batch rewrite budget
+    (e.g. 4096 partitions keeps a 1 TB snapshot's touched rewrites in
+    the hundreds of MB). ``state_parts=0`` keeps the legacy
+    whole-snapshot A/B writer (optimal for small snapshots: one write,
+    no manifest). The partitioned writer adds the run-id + batch-id
+    replay guard (belt and braces here — max_by merge is already
+    replay-idempotent — but it makes fresh-checkpoint restarts against
+    old state an error instead of a silent anomaly, matching
+    ``incremental_agg_sink``).
 
-    Read the current snapshot with ``read_snapshot(spark, path)``.
+    Read the current snapshot with ``read_snapshot(spark, path)`` —
+    it auto-detects both layouts.
     """
+    import hashlib as _hashlib
     import os as _os
 
     from striot_spark.functions.analytics import latest_snapshot
 
     cols = list(dict.fromkeys([*key_cols, *order_cols, *payload_cols]))
+    val_cols = [*order_cols, *payload_cols]
+    run_id = _hashlib.sha1(
+        _os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
+
+    def _write_partitioned(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        st = _PartitionedState(path, list(key_cols), state_parts, run_id)
+        man, skip = st.load(batch_id)
+        if skip:
+            return  # replayed batch (same run): already durable
+        compact = latest_snapshot(
+            batch_df.select(*cols), key_cols, order_cols, val_cols
+        ).withColumn(_PART_COL, st.part_expr())
+        compact.persist()
+        try:
+            touched = st.touched(compact)
+            prev = st.read_parts(spark, man, touched)
+            if prev is not None:
+                merged = latest_snapshot(
+                    prev.unionByName(compact.drop(_PART_COL)),
+                    key_cols, order_cols, val_cols,
+                ).withColumn(_PART_COL, st.part_expr())
+            else:
+                merged = compact
+            st.commit(merged, man, touched, batch_id)
+        finally:
+            compact.unpersist()
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         compact = latest_snapshot(
-            batch_df.select(*cols), key_cols, order_cols,
-            [*order_cols, *payload_cols],
+            batch_df.select(*cols), key_cols, order_cols, val_cols
         )
         ptr = _os.path.join(path, "_CURRENT")
         if _os.path.exists(ptr):
@@ -908,8 +1136,7 @@ def upsert_snapshot_sink(
                 cur = f.read().strip()
             prev = spark.read.parquet(_os.path.join(path, cur))
             merged = latest_snapshot(
-                prev.unionByName(compact), key_cols, order_cols,
-                [*order_cols, *payload_cols],
+                prev.unionByName(compact), key_cols, order_cols, val_cols
             )
             nxt = "b" if cur == "a" else "a"
         else:
@@ -921,7 +1148,9 @@ def upsert_snapshot_sink(
         _os.replace(tmp, ptr)  # atomic pointer flip commits the batch
 
     w = (
-        sdf.writeStream.foreachBatch(_write)
+        sdf.writeStream.foreachBatch(
+            _write_partitioned if state_parts else _write
+        )
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
@@ -930,11 +1159,25 @@ def upsert_snapshot_sink(
 
 
 def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
-    """Read the current snapshot written by ``upsert_snapshot_sink`` or
-    ``incremental_agg_sink`` (whose pointer also carries the last
-    applied batch id after a colon)."""
+    """Read the current snapshot written by the snapshot-sink family.
+    Auto-detects the layout: a ``_MANIFEST`` (hash-prefix-partitioned
+    state, default) resolves to the union of every partition's current
+    generation dir; otherwise the legacy ``_CURRENT`` A/B pointer
+    (whose incremental_agg variant also carries the last applied batch
+    id after a colon)."""
     import os as _os
 
+    man = _load_manifest(path)
+    if man is not None:
+        paths = [
+            _os.path.join(path, gen, f"{_PART_COL}={k}")
+            for k, gen in sorted(man["map"].items(), key=lambda kv: int(kv[0]))
+        ]
+        if not paths:
+            raise FileNotFoundError(
+                f"snapshot {path!r} committed no partitions yet"
+            )
+        return spark.read.parquet(*paths)
     with open(_os.path.join(path, "_CURRENT")) as f:
         cur = f.read().strip().split(":")[0]
     return spark.read.parquet(_os.path.join(path, cur))
@@ -947,6 +1190,7 @@ def incremental_agg_sink(
     key_cols: Sequence[str],
     sum_cols: Sequence[str],
     available_now: bool = True,
+    state_parts: int = 16,
 ):
     """Streaming incremental MATERIALIZED VIEW for additive aggregates:
     maintain per-key ``count``/``sum`` totals continuously, merging only
@@ -978,6 +1222,13 @@ def incremental_agg_sink(
     discipline as ``upsert_snapshot_sink``; snapshots are #keys-sized.
     Read back with ``read_snapshot``.
 
+    Scale: with ``state_parts`` > 0 (default 16) the totals table is
+    hash-prefix partitioned (``_PartitionedState``): each batch merges
+    its delta into ONLY the partitions holding its keys — per-batch
+    cost O(batch + touched-state), not O(#keys) — with the same replay
+    guard carried in the atomic JSON manifest. ``state_parts=0`` keeps
+    the legacy whole-snapshot A/B writer.
+
     Non-additive aggregates decompose the standard way before this
     sink: avg = sum/count at read time; distinct counts via an exact
     pre-dedup (``dedup_exact_stream``) or a mergeable sketch (q128's
@@ -996,6 +1247,36 @@ def incremental_agg_sink(
             F.count(F.lit(1)).alias("n_rows"),
             *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
         )
+
+    def _write_partitioned(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        st = _PartitionedState(path, list(key_cols), state_parts, run_id)
+        man, skip = st.load(batch_id)
+        if skip:
+            return  # replayed batch (same run): already durable
+        delta = _partial(batch_df).withColumn(_PART_COL, st.part_expr())
+        delta.persist()
+        try:
+            touched = st.touched(delta)
+            prev = st.read_parts(spark, man, touched)
+            if prev is not None:
+                merged = (
+                    prev.unionByName(delta.drop(_PART_COL))
+                    .groupBy(*key_cols)
+                    .agg(
+                        F.sum("n_rows").alias("n_rows"),
+                        *[
+                            F.sum(f"sum_{c}").alias(f"sum_{c}")
+                            for c in sum_cols
+                        ],
+                    )
+                    .withColumn(_PART_COL, st.part_expr())
+                )
+            else:
+                merged = delta
+            st.commit(merged, man, touched, batch_id)
+        finally:
+            delta.unpersist()
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1051,7 +1332,9 @@ def incremental_agg_sink(
         _os.replace(tmp, ptr)  # atomic flip commits dir AND batch id
 
     w = (
-        sdf.writeStream.foreachBatch(_write)
+        sdf.writeStream.foreachBatch(
+            _write_partitioned if state_parts else _write
+        )
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

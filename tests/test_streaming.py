@@ -4,6 +4,7 @@ oracle, SURVEY.md §7.3 hard-point 1)."""
 
 from __future__ import annotations
 
+import json
 import shutil
 
 import pytest
@@ -1575,10 +1576,10 @@ def test_incremental_agg_sink_matches_batch_totals(
         .collect()
     )
     assert got == expect and len(got) > 0
-    with open(os.path.join(snap_dir, "_CURRENT")) as f:
-        cur, last, run_id = f.read().strip().split(":")
-    assert cur in ("a", "b") and int(last) >= 2  # multi-batch replay ran
-    assert len(run_id) == 8
+    man = json.load(open(os.path.join(snap_dir, "_MANIFEST")))
+    assert man["last_batch"] >= 2  # multi-batch replay ran
+    assert len(man["run_id"]) == 8 and man["parts"] == 16
+    assert all(0 <= int(k) < 16 for k in man["map"])
     # resuming with the SAME checkpoint dir is the supported replay
     # path: the engine re-offers nothing new, any replayed batch id is
     # <= last under the SAME run id, and totals stay identical
@@ -1602,8 +1603,108 @@ def test_incremental_agg_sink_matches_batch_totals(
         key_cols=["user_id"],
         sum_cols=["cents"],
     )
-    with pytest.raises(Exception, match="different or unverifiable"):
+    with pytest.raises(Exception, match="different run"):
         q3.awaitTermination()
+
+
+def test_partitioned_state_guards(tmp_path):
+    """Unit-level guards of the shared partitioned snapshot state: a
+    replayed batch id skips, a run-id mismatch refuses, a
+    partition-count change refuses (keys would re-hash to different
+    partitions), and a path holding legacy whole-snapshot state
+    refuses rather than being shadowed by a manifest. Tested directly
+    because a restarted stream with a drained checkpoint runs no
+    micro-batch at all, so these guards can't be provoked through
+    foreachBatch without new data."""
+    import os
+
+    from striot_spark.streaming.runtime import _PartitionedState
+
+    path = str(tmp_path / "st")
+    os.makedirs(path)
+    with open(os.path.join(path, "_MANIFEST"), "w") as f:
+        json.dump(
+            {
+                "version": 1,
+                "parts": 16,
+                "run_id": "aaaaaaaa",
+                "last_batch": 3,
+                "map": {},
+            },
+            f,
+        )
+    st = _PartitionedState(path, ["k"], 16, "aaaaaaaa")
+    _, skip = st.load(3)
+    assert skip  # replayed batch (<= last): already durable
+    _, skip = st.load(4)
+    assert not skip
+    with pytest.raises(ValueError, match="different run"):
+        _PartitionedState(path, ["k"], 16, "bbbbbbbb").load(4)
+    with pytest.raises(ValueError, match="state_parts"):
+        _PartitionedState(path, ["k"], 8, "aaaaaaaa").load(4)
+    with pytest.raises(ValueError, match="state_parts"):
+        _PartitionedState(path, ["k"], 0, "aaaaaaaa")
+    legacy = str(tmp_path / "leg")
+    os.makedirs(legacy)
+    with open(os.path.join(legacy, "_CURRENT"), "w") as f:
+        f.write("a")
+    with pytest.raises(ValueError, match="legacy whole-snapshot"):
+        _PartitionedState(legacy, ["k"], 16, "aaaaaaaa").load(0)
+
+
+def test_incremental_agg_sink_legacy_whole_snapshot_mode(
+    spark, ooo_staged, ckpt, tmp_path
+):
+    """state_parts=0 keeps the legacy whole-snapshot A/B writer: same
+    converged totals, pointer carries batch id + run id, and the
+    pointer-format diagnostics (colon-less upsert pointer, 2-part
+    legacy pointer with no run id) raise their clear errors. A
+    partitioned sink pointed at this legacy path must also refuse
+    rather than shadow it with a manifest."""
+    import os
+
+    src, ev, _delay = ooo_staged
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+    snap_dir = str(tmp_path / "mv")
+    q = RT.incremental_agg_sink(
+        sdf, snap_dir, ckpt, key_cols=["user_id"], sum_cols=["cents"],
+        state_parts=0,
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["n_rows"], r["sum_cents"])
+        for r in RT.read_snapshot(spark, snap_dir).collect()
+        if r["user_id"] != -1
+    )
+    expect = sorted(
+        (r["user_id"], r["n_rows"], r["sum_cents"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .collect()
+    )
+    assert got == expect and len(got) > 0
+    with open(os.path.join(snap_dir, "_CURRENT")) as f:
+        cur, last, run_id = f.read().strip().split(":")
+    assert cur in ("a", "b") and int(last) >= 2  # multi-batch replay ran
+    assert len(run_id) == 8
+    # fresh checkpoint against the legacy snapshot must refuse
+    q2 = RT.incremental_agg_sink(
+        sdf,
+        snap_dir,
+        str(tmp_path / "ck2"),
+        key_cols=["user_id"],
+        sum_cols=["cents"],
+        state_parts=0,
+    )
+    with pytest.raises(Exception, match="different or unverifiable"):
+        q2.awaitTermination()
+    # (the partitioned sink refusing this legacy path is unit-tested in
+    # test_partitioned_state_guards — a drained checkpoint runs no
+    # micro-batch, so it can't be provoked through the stream here)
     # a colon-less pointer (path written by upsert_snapshot_sink) must
     # raise the clear diagnostic, not a bare unpack ValueError
     with open(os.path.join(snap_dir, "_CURRENT"), "w") as f:
@@ -1614,6 +1715,7 @@ def test_incremental_agg_sink_matches_batch_totals(
         str(tmp_path / "ck3"),
         key_cols=["user_id"],
         sum_cols=["cents"],
+        state_parts=0,
     )
     with pytest.raises(Exception, match="no batch id"):
         q4.awaitTermination()
@@ -1629,9 +1731,73 @@ def test_incremental_agg_sink_matches_batch_totals(
         str(tmp_path / "ck4"),
         key_cols=["user_id"],
         sum_cols=["cents"],
+        state_parts=0,
     )
     with pytest.raises(Exception, match="unverifiable"):
         q5.awaitTermination()
+
+
+def test_partitioned_snapshot_rewrites_only_touched_partitions(
+    spark, tmp_path
+):
+    """The VERDICT r8 scale bar for the snapshot-sink family: a batch
+    touching 1 of N hash partitions must rewrite exactly 1 — per-batch
+    cost O(batch + touched-state), not O(total state). Also pins the
+    GC invariant (each partition lives in exactly one generation dir;
+    superseded copies are deleted) and that the manifest read equals
+    the batch totals."""
+    import os
+
+    parts = 8
+    wide = [(k, 10) for k in range(40)]  # batch 0: keys across all parts
+    one = [(7, 5), (7, 6)]  # batch 1: a single key -> a single partition
+    df = spark.createDataFrame(wide, "user_id long, cents long")
+    df2 = spark.createDataFrame(one, "user_id long, cents long")
+    src = str(tmp_path / "src")
+    RT.stage_ordered_files([df, df2], src, order_cols=["user_id"])
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+    snap_dir = str(tmp_path / "mv")
+    q = RT.incremental_agg_sink(
+        sdf, snap_dir, str(tmp_path / "ck"),
+        key_cols=["user_id"], sum_cols=["cents"], state_parts=parts,
+    )
+    q.awaitTermination()
+    man = json.load(open(os.path.join(snap_dir, "_MANIFEST")))
+    last_gen = f"g{man['last_batch']:09d}"
+    # the single-key batch rewrote exactly ONE partition
+    rewritten = [k for k, g in man["map"].items() if g == last_gen]
+    assert len(rewritten) == 1
+    # ... and the other partitions still live in their original gen
+    assert len(man["map"]) > 1
+    # GC invariant: every partition exists in exactly one gen dir
+    on_disk = {}
+    for gen in os.listdir(snap_dir):
+        if not gen.startswith("g"):
+            continue
+        for d in os.listdir(os.path.join(snap_dir, gen)):
+            if d.startswith("__state_part="):
+                on_disk.setdefault(d, []).append(gen)
+    assert all(len(g) == 1 for g in on_disk.values())
+    assert len(on_disk) == len(man["map"])
+    # the manifest read equals the batch totals
+    got = sorted(
+        (r["user_id"], r["n_rows"], r["sum_cents"])
+        for r in RT.read_snapshot(spark, snap_dir).collect()
+    )
+    all_rows = spark.createDataFrame(
+        wide + one, "user_id long, cents long"
+    )
+    expect = sorted(
+        (r["user_id"], r["n_rows"], r["sum_cents"])
+        for r in all_rows.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .collect()
+    )
+    assert got == expect and len(got) == 40
 
 
 def test_near_dup_filter_stream_matches_batch(spark, tmp_path):
@@ -1684,9 +1850,9 @@ def test_near_dup_filter_stream_matches_batch(spark, tmp_path):
         r["doc_id"] for r in D.read_kept(spark, out).collect()
     )
     assert stream_kept == batch_kept
-    with open(os.path.join(snap, "_CURRENT")) as f:
-        cur, last, run_id = f.read().strip().split(":")
-    assert cur in ("a", "b") and int(last) >= 2 and len(run_id) == 8
+    man = json.load(open(os.path.join(snap, "_MANIFEST")))
+    assert man["last_batch"] >= 2 and len(man["run_id"]) == 8
+    assert man["parts"] == 16
     # fresh checkpoint against the same owner state must refuse
     q2 = D.near_dup_filter_stream(
         sdf, out, snap, str(tmp_path / "ck2"), "doc_id", "text",
