@@ -38,12 +38,44 @@ def pagerank(
     scale: int = 10**9,
     checkpoint_every: int = 8,
     seeds: list | None = None,
+    dangling: str = "ignore",
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
-    Vertices are the distinct ``src`` values (callers wanting sink
-    nodes ranked should add reverse or self edges; an undirected graph
-    passed as both directions has no dangling nodes by construction).
+    ``weight`` names an integer edge-multiplicity column for WEIGHTED
+    PageRank: out-degree becomes out-strength ``Σw`` and each edge
+    carries ``(rank * w) DIV strength`` — still exact long arithmetic
+    (weights are multiplicities, the parallel-edge view of a weighted
+    graph), reducing to the unweighted recurrence at w=1. Extra
+    headroom: ``rank * w`` must stay < 2^63, i.e. max weight under
+    ~2^63 / (N*scale) in seeded mode (N*scale is the rank ceiling).
+
+    ``dangling`` picks the policy for nodes with no out-edges:
+
+    - ``"ignore"`` (default, the historical behavior): vertices are
+      the distinct ``src`` values only, and rank mass flowing into
+      dst-only sinks leaves the system — an undirected graph passed as
+      both directions has no dangling nodes by construction, so the
+      symmetric-graph queries (q133/q232) are byte-identical under
+      this default.
+    - ``"self"``: vertices are src ∪ dst, and every dangling node gets
+      a synthetic self-loop at setup — its mass cycles back to itself
+      (the "sink keeps its rank" convention). Zero per-round cost: the
+      loop body is unchanged, only the degree-annotated edge list
+      grows by #dangling rows.
+    - ``"redistribute"``: vertices are src ∪ dst; after each round the
+      residual mass ``N*scale − Σranks`` (what leaked into sinks plus
+      DIV truncation dust) is redistributed ``DIV N`` to every node —
+      the classical dangling-node correction, still exact integer
+      arithmetic. With ``seeds``, the residual goes ``DIV |S|`` to the
+      seeds instead (random-walk-with-restart sends dangling mass back
+      to the restart distribution). Costs one scalar aggregate +
+      broadcast cross-join per round, and the rank plan references
+      itself twice per round, so lineage is cut at
+      ``min(checkpoint_every, 4)`` to keep the analyzed plan bounded
+      (~2^4 nodes between cuts; cf. ``k_core``'s 3-reference note).
+
     Initial rank is ``scale`` per node; each round
 
         next(v) = teleport + (damp_num * Σ_{u→v} rank(u) DIV outdeg(u))
@@ -84,9 +116,21 @@ def pagerank(
 
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
+    if dangling not in ("ignore", "self", "redistribute"):
+        raise ValueError(
+            f"dangling must be 'ignore' | 'self' | 'redistribute', "
+            f"got {dangling!r}"
+        )
     spark = edges.sparkSession
+    w_expr = (
+        F.col(weight).cast("long") if weight is not None else F.lit(1)
+    )
     e = track_persist(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            w_expr.cast("long").alias("w"),
+        )
     )
     # small-graph gate: per-iteration exchanges at the session's
     # shuffle width (200 on a plain session) are pure scheduling
@@ -112,10 +156,41 @@ def pagerank(
     def part(df: DataFrame, key: str) -> DataFrame:
         return df.repartition(n, key) if n else df
 
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if dangling == "ignore":
+        nodes = track_persist(
+            part(e.select(F.col("src").alias("node")).distinct(), "node")
+        )
+    else:
+        nodes = track_persist(
+            part(
+                e.select(F.col("src").alias("node"))
+                .unionByName(e.select(F.col("dst").alias("node")))
+                .distinct(),
+                "node",
+            )
+        )
+        if dangling == "self":
+            dang = nodes.join(
+                e.select(F.col("src").alias("node")).distinct(),
+                "node",
+                "left_anti",
+            )
+            e = track_persist(
+                e.unionByName(
+                    dang.select(
+                        F.col("node").alias("src"),
+                        F.col("node").alias("dst"),
+                        F.lit(1).cast("long").alias("w"),
+                    )
+                )
+            )
+    # out-strength: Σw per src (== out-degree when unweighted, w=1)
+    deg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     e_deg = track_persist(part(e.join(deg, "src"), "src"))
-    nodes = track_persist(
-        part(e.select(F.col("src").alias("node")).distinct(), "node")
+    n_nodes = (
+        nodes.count()
+        if (seeds is not None or dangling == "redistribute")
+        else None
     )
     if seeds is None:
         teleport_col = F.lit((damp_den - damp_num) * scale // damp_den)
@@ -123,7 +198,18 @@ def pagerank(
     else:
         if not seeds:
             raise ValueError("pagerank: seeds must be non-empty")
-        n_nodes = nodes.count()
+        # duplicates would shrink per-seed mass; an absent seed would
+        # silently lose its share of teleport mass (r8 ADVICE) — dedup
+        # and hard-verify membership against the node table
+        seeds = sorted(set(seeds))
+        hits = nodes.filter(F.col("node").isin(seeds)).count()
+        if hits != len(seeds):
+            raise ValueError(
+                f"pagerank: {len(seeds) - hits} seed(s) absent from "
+                f"the node set ({len(seeds)} requested after dedup) — "
+                "absent seeds would silently drop their share of "
+                "teleport mass"
+            )
         per_seed_init = scale * n_nodes // len(seeds)
         per_seed_tel = (
             (damp_den - damp_num) * scale * n_nodes
@@ -143,7 +229,7 @@ def pagerank(
             e_deg.join(part(ranks, "node"), e_deg["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
-                F.expr("rank DIV outdeg").alias("c"),
+                F.expr("(rank * w) DIV outdeg").alias("c"),
             )
         )
         contribs = (
@@ -158,7 +244,42 @@ def pagerank(
                 + F.expr(f"({damp_num} * coalesce(s, 0L)) DIV {damp_den}")
             ).cast("long").alias("rank"),
         )
-        if (i + 1) % checkpoint_every == 0:
+        if dangling == "redistribute":
+            # residual = N*scale − Σranks: the mass sinks swallowed
+            # plus DIV dust, ≥ 0 since every term rounds down. One
+            # scalar agg, broadcast back — no extra keyed shuffle.
+            tot = ranks.agg(F.sum("rank").alias("__tot"))
+            target = scale * n_nodes
+            if seeds is None:
+                ranks = ranks.crossJoin(F.broadcast(tot)).select(
+                    "node",
+                    (
+                        F.col("rank")
+                        + F.expr(f"({target} - __tot) DIV {n_nodes}")
+                    ).cast("long").alias("rank"),
+                )
+            else:
+                ranks = ranks.crossJoin(F.broadcast(tot)).select(
+                    "node",
+                    F.when(
+                        F.col("node").isin(list(seeds)),
+                        F.col("rank")
+                        + F.expr(
+                            f"({target} - __tot) DIV {len(seeds)}"
+                        ),
+                    )
+                    .otherwise(F.col("rank"))
+                    .cast("long")
+                    .alias("rank"),
+                )
+        # redistribute references ranks twice per round (scalar agg +
+        # correction), doubling the plan between cuts — tighten there
+        cut = (
+            checkpoint_every
+            if dangling != "redistribute"
+            else min(checkpoint_every, 4)
+        )
+        if (i + 1) % cut == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
@@ -348,6 +469,7 @@ def k_core(
     rounds: int,
     src: str = "a",
     dst: str = "b",
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Fixed-round k-core peeling over a SYMMETRIC edge list (pass both
     directions; degree is then the src-side count): each round removes
@@ -369,10 +491,17 @@ def k_core(
     (shuffle carries #nodes partials) + two survivor semi-joins on the
     endpoint keys — all key equi-joins, nothing buffers a node's
     neighborhood. The surviving edge set is persisted per round (the
-    next round reads the cache, not the lineage); peels deep enough
-    for plan growth to matter should add a localCheckpoint cadence as
-    ``pagerank`` does. Small graphs pin exchanges to
-    defaultParallelism via the same gate as pagerank.
+    next round reads the cache, not the lineage), and lineage is
+    truncated with ``localCheckpoint`` every ``checkpoint_every``
+    rounds — the same mechanism as ``pagerank`` but a much TIGHTER
+    default (2, not 8): each k-core round references the previous
+    edge set THREE times (degree groupBy + two semi-joins), so the
+    analyzed plan grows ~3^rounds between cuts — exponential, unlike
+    pagerank's once-per-round (linear) self-reference — and a cadence
+    of 8 would hand Catalyst a ~3^8-node tree per cut (driver OOM in
+    plan-string generation well before rounds=16; measured, not
+    hypothetical). Every 2 rounds caps the factor at 9×. Small graphs
+    pin exchanges to defaultParallelism via the same gate as pagerank.
     """
     from striot_spark.functions.caching import track_persist
 
@@ -413,6 +542,8 @@ def k_core(
             .select(F.col("_s").alias("s"), F.col("s").alias("d"))
         )
         e = track_persist(e)
+        if (r + 1) % checkpoint_every == 0:
+            e = e.localCheckpoint(eager=True)
     return (
         part(e, "s")
         .groupBy("s")
@@ -429,8 +560,15 @@ def modularity(
     node: str = "node",
     label: str = "label",
     scale: int = 1_000_000,
+    weight: str | None = None,
 ) -> DataFrame:
     """Newman modularity of a node partition, in exact integer ppm —
+
+    ``weight`` names an integer edge-multiplicity column for the
+    WEIGHTED form (Newman 2004): E_c, deg_c and E become weight SUMS
+    instead of counts — identical formula, identical headroom bound
+    with total directed weight W in place of E, reducing to the
+    unweighted metric at w=1. ``e_directed`` then reports W.
     the evaluation metric for a community assignment (the q176-style
     companion to ``label_propagation``: an approximate structure plus
     the measurement that justifies it). Over a BOTH-DIRECTIONS edge
@@ -465,17 +603,24 @@ def modularity(
     lab = track_persist(
         labels.select(F.col(node).alias("__n"), F.col(label).alias("__l"))
     )
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    w_expr = (
+        F.col(weight).cast("long") if weight is not None else F.lit(1)
+    )
+    e = edges.select(
+        F.col(src).alias("__s"),
+        F.col(dst).alias("__d"),
+        w_expr.cast("long").alias("__w"),
+    )
     ls = lab.select(F.col("__n").alias("__s"), F.col("__l").alias("__sl"))
     ld = lab.select(F.col("__n").alias("__d"), F.col("__l").alias("__dl"))
     tagged = track_persist(e.join(ls, "__s").join(ld, "__d"))
-    deg = tagged.groupBy("__sl").agg(F.count(F.lit(1)).alias("dc"))
+    deg = tagged.groupBy("__sl").agg(F.sum("__w").alias("dc"))
     ein = (
         tagged.filter(F.col("__sl") == F.col("__dl"))
         .groupBy("__sl")
-        .agg(F.count(F.lit(1)).alias("ec"))
+        .agg(F.sum("__w").alias("ec"))
     )
-    tot = tagged.agg(F.count(F.lit(1)).alias("__ee"))
+    tot = tagged.agg(F.sum("__w").alias("__ee"))
     per = deg.join(ein, "__sl", "left").select(
         "dc", F.coalesce(F.col("ec"), F.lit(0)).alias("ec")
     )

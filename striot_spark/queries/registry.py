@@ -132,6 +132,10 @@ _SWEEP_FIRST = [
     # (3) fill to 50: oldest stale driver row (r03)
     "q13_percentiles",
     # ---- 50-cap boundary: entries below get no driver row in r9 ----
+    # round-9 additions, queued first for the r10 head:
+    "q236_pagerank_dangling",
+    "q237_weighted_pagerank",
+    "q238_weighted_modularity",
     # r8-green cohort (q138-q186), parked until its rotation comes due.
     "q138_incremental_agg_stream",
     "q139_hll_distinct",

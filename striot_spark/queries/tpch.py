@@ -693,10 +693,267 @@ def q133_pagerank_customer_supplier(
     return pr.select("node", F.col("rank").alias("pr"))
 
 
+def _dangling_pr_oracle(iterations: int, scale: int, dn: int, dd: int) -> str:
+    """Unrolled PageRank with the classical dangling-node correction
+    (mirrors ``pagerank(dangling='redistribute')``): vertices are
+    src ∪ dst of the DIRECTED customer→supplier graph (suppliers have
+    no out-edges — genuinely dangling), and each round the residual
+    mass N*scale − Σranks is returned DIV N to every node."""
+    teleport = (dd - dn) * scale // dd
+    sql = f"""
+    WITH eraw AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    deg AS (SELECT src, count(*) AS outdeg FROM eraw GROUP BY src),
+    v AS (SELECT src AS node FROM eraw
+          UNION SELECT dst AS node FROM eraw),
+    nn AS (SELECT count(*) AS n FROM v),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr FROM v)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+    p{i} AS (
+        SELECT v.node,
+               CAST({teleport} + ({dn} * COALESCE(s.s, 0)) // {dd}
+                    AS BIGINT) AS pr
+        FROM v LEFT JOIN (
+            SELECT e.dst AS node, sum(r.pr // d.outdeg) AS s
+            FROM eraw e JOIN r{i - 1} r ON e.src = r.node
+                 JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) s ON v.node = s.node),
+    r{i} AS (
+        SELECT node,
+               CAST(pr + ((SELECT n FROM nn) * {scale}
+                          - (SELECT sum(pr) FROM p{i}))
+                         // (SELECT n FROM nn)
+                    AS BIGINT) AS pr
+        FROM p{i})"""
+    return sql + f"\n    SELECT node, pr FROM r{iterations}"
+
+
+@register(
+    "q236_pagerank_dangling",
+    _dangling_pr_oracle(iterations=2, scale=10**9, dn=85, dd=100),
+    doc="PageRank with the classical dangling-node correction "
+    "(functions/graph.py:pagerank(dangling='redistribute'), VERDICT "
+    "r8 task 5) over the DIRECTED customer->supplier purchase graph "
+    "— suppliers never link out, so without the correction their "
+    "inflow mass leaves the system every round. Vertices are "
+    "src UNION dst; after each damped round the residual "
+    "N*scale - sum(ranks) (sink leakage + DIV dust, provably >= 0) "
+    "is redistributed DIV N to every node — total mass conserved at "
+    "~N*scale in exact long arithmetic, one scalar aggregate + "
+    "broadcast cross-join per round (no extra keyed shuffle). The "
+    "oracle unrolls the identical corrected recurrence as chained "
+    "CTEs",
+)
+def q236_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "a"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "b"
+            ),
+        )
+        .distinct()
+    )
+    pr = pagerank(
+        edges, iterations=2, src="a", dst="b", dangling="redistribute"
+    )
+    return pr.select("node", F.col("rank").alias("pr"))
+
+
+def _weighted_pr_oracle(iterations: int, scale: int, dn: int, dd: int) -> str:
+    """Unrolled WEIGHTED PageRank (mirrors ``pagerank(weight=...)``):
+    edge weight = lineitem multiplicity of each customer-supplier
+    pair, out-strength Σw, per-edge contribution (pr * w) // Σw."""
+    teleport = (dd - dn) * scale // dd
+    sql = f"""
+    WITH eraw AS (
+        SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b,
+               CAST(count(*) AS BIGINT) AS w
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2),
+    edges AS (SELECT a AS src, b AS dst, w FROM eraw
+              UNION ALL SELECT b AS src, a AS dst, w FROM eraw),
+    deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src),
+    v AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr FROM v)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+    r{i} AS (
+        SELECT v.node,
+               CAST({teleport} + ({dn} * COALESCE(s.s, 0)) // {dd}
+                    AS BIGINT) AS pr
+        FROM v LEFT JOIN (
+            SELECT e.dst AS node, sum((r.pr * e.w) // d.outdeg) AS s
+            FROM edges e JOIN r{i - 1} r ON e.src = r.node
+                 JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) s ON v.node = s.node)"""
+    return sql + f"\n    SELECT node, pr FROM r{iterations}"
+
+
+@register(
+    "q237_weighted_pagerank",
+    _weighted_pr_oracle(iterations=3, scale=10**9, dn=85, dd=100),
+    doc="WEIGHTED PageRank (functions/graph.py:pagerank(weight=...)) "
+    "over the customer-supplier trade graph with edge weight = "
+    "lineitem multiplicity of the pair (how often they actually "
+    "traded, the parallel-edge view of a weighted graph): out-degree "
+    "becomes out-strength sum(w) and each edge carries "
+    "(rank * w) DIV strength — exact long arithmetic reducing to "
+    "q133 at w=1, so heavily-traded relationships pull "
+    "proportionally more rank. Same two-shuffle-per-iteration plan "
+    "as q133 (weights ride the persisted degree-annotated edge "
+    "list); the oracle unrolls the identical weighted recurrence",
+)
+def q237_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "a"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "b"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+        )
+    )
+    pr = pagerank(edges, iterations=3, src="a", dst="b", weight="w")
+    return pr.select("node", F.col("rank").alias("pr"))
+
+
+_Q238_SCALE = 1_000_000
+
+
+def _q238_oracle() -> str:
+    return f"""
+    WITH eraw AS (
+        SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b,
+               CAST(count(*) AS BIGINT) AS w
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2),
+    edges AS (SELECT a AS src, b AS dst, w FROM eraw
+              UNION ALL SELECT b AS src, a AS dst, w FROM eraw),
+    lab AS (SELECT 'c' || c_custkey AS n, c_nationkey AS l FROM customer
+            UNION ALL
+            SELECT 's' || s_suppkey AS n, s_nationkey AS l FROM supplier),
+    tagged AS (
+        SELECT e.w, ls.l AS sl, ld.l AS dl
+        FROM edges e JOIN lab ls ON e.src = ls.n
+             JOIN lab ld ON e.dst = ld.n),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS ee FROM tagged),
+    per AS (
+        SELECT sl, CAST(sum(w) AS BIGINT) AS dc,
+               CAST(sum(CASE WHEN sl = dl THEN w ELSE 0 END)
+                    AS BIGINT) AS ec
+        FROM tagged GROUP BY sl)
+    SELECT CAST(sum(ec * (SELECT ee FROM tot) - dc * dc)
+                * {_Q238_SCALE}
+                // ((SELECT ee FROM tot) * (SELECT ee FROM tot))
+           AS BIGINT) AS q_ppm,
+           CAST(count(*) AS BIGINT) AS n_communities,
+           (SELECT ee FROM tot) AS w_directed
+    FROM per
+    """
+
+
+@register(
+    "q238_weighted_modularity",
+    _q238_oracle(),
+    doc="WEIGHTED Newman modularity (functions/graph.py:modularity("
+    "weight=...), Newman 2004) of the nation partition of the trade "
+    "graph: every customer/supplier is labeled with its nation and "
+    "the metric asks how much intra-nation trade WEIGHT (lineitem "
+    "multiplicities) exceeds the random-mixing expectation — exact "
+    "integer ppm, one global division, weight sums replacing edge "
+    "counts with the identical enforced W^2 headroom. Plan: two "
+    "label equi-joins on the persisted tagged edge list + one "
+    "groupBy per side, all keyed shuffles; labels come straight "
+    "from customer/supplier dims (no iterative producer)",
+)
+def q238_weighted_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.graph import modularity
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "a"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "b"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+            "node"
+        ),
+        F.col("c_nationkey").alias("label"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+            "node"
+        ),
+        F.col("s_nationkey").alias("label"),
+    )
+    m = modularity(
+        edges,
+        cust.unionByName(supp),
+        src="a",
+        dst="b",
+        weight="w",
+        scale=_Q238_SCALE,
+    )
+    return m.select(
+        "q_ppm",
+        "n_communities",
+        F.col("e_directed").alias("w_directed"),
+    )
+
+
 def _q137_oracle() -> str:
     from striot_spark.functions.bucketing import zorder_key_sql
 
-    z = zorder_key_sql(["ck", "day"], bits=18)
+    z = zorder_key_sql(["ck", "day"], bits=24)
     return f"""
     WITH d AS (
         SELECT o_custkey AS ck,
@@ -726,7 +983,11 @@ def _q137_oracle() -> str:
     "meets zorder_key's non-negative precondition — a later origin "
     "would sign-extend negative days and silently destroy the "
     "file-rectangle locality (r07 ADVICE); assert_range=True proves "
-    "the bias per-row",
+    "the bias per-row. bits=24 per dimension (48-bit zkey, well under "
+    "the long): o_custkey stays < 2^24 (16.7M) to sf~110 and the day "
+    "span forever — the previous bits=18 capped o_custkey at 262k, "
+    "i.e. raise_error at sf≳2 (r8 ADVICE); past sf~110 raise bits "
+    "(up to 31 per dim fits the long) rather than widening the shift",
 )
 def q137_zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     from striot_spark.functions import bucketing as B
@@ -739,7 +1000,7 @@ def q137_zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("day"),
     )
     z = d.withColumn(
-        "zkey", B.zorder_key(["ck", "day"], bits=18, assert_range=True)
+        "zkey", B.zorder_key(["ck", "day"], bits=24, assert_range=True)
     )
     files = z.withColumn("file_id", F.shiftright(F.col("zkey"), 20))
     return B.zone_map(files, "file_id", ["ck", "day"])

@@ -1857,6 +1857,37 @@ def test_k_core_converges_to_true_core(spark):
     assert {n for n, _ in got} == {1, 2, 3, 4}
 
 
+def test_k_core_deep_peel_crosses_checkpoint_cadence(spark):
+    """A 18-node chain hanging off a 3-clique peels ONE node per round
+    under k=2, so rounds=18 crosses the localCheckpoint lineage cut
+    (default checkpoint_every=2) nine times — the deep-peel regression
+    for the cadence added per VERDICT r8 task 4. Each round references
+    the previous edge set 3 times, so the plan grows ~3^rounds between
+    cuts: without the cadence this peel OOMs the driver in plan-string
+    generation; with it the result must equal the true 2-core (the
+    clique), at any cadence."""
+    from striot_spark.functions.graph import k_core
+
+    clique = [(1, 2), (1, 3), (2, 3)]
+    chain = [(3 + i, 4 + i) for i in range(18)]  # 3-4-...-21
+    und = clique + chain
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "u long, v long")
+    got = {
+        (r["node"], r["deg"])
+        for r in k_core(df, k=2, rounds=18, src="u", dst="v").collect()
+    }
+    assert got == {(1, 2), (2, 2), (3, 2)}
+    # a different cadence must not change the result, only the lineage
+    got2 = {
+        (r["node"], r["deg"])
+        for r in k_core(
+            df, k=2, rounds=18, src="u", dst="v", checkpoint_every=3
+        ).collect()
+    }
+    assert got2 == got
+
+
 def test_sorted_export_files_cover_disjoint_key_ranges(spark):
     """q200's layout claim: after repartitionByRange +
     sortWithinPartitions, parquet files cover pairwise-disjoint
@@ -2197,6 +2228,149 @@ def test_personalized_pagerank_concentrates_on_seed_component(spark):
         for r in pagerank(edges, iterations=3).collect()
     }
     assert all(v > 0 for v in uni.values())
+
+
+def test_pagerank_dangling_policies_match_integer_reference(spark):
+    """On a genuinely directed graph with a sink (a->b, b->c, a->c; c
+    has no out-edges), each dangling policy must match an exact
+    integer hand-roll: 'ignore' ranks src-only nodes and leaks sink
+    mass (historical default), 'self' gives the sink a self-loop,
+    'redistribute' returns the residual N*scale - sum(ranks) DIV N to
+    every node, conserving total mass to < N dust."""
+    from striot_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    scale, dn, dd, iters = 10**9, 85, 100, 3
+    tp = (dd - dn) * scale // dd
+
+    def ref(policy):
+        adj = {"a": ["b", "c"], "b": ["c"]}
+        nodes = ["a", "b"] if policy == "ignore" else ["a", "b", "c"]
+        if policy == "self":
+            adj = {**adj, "c": ["c"]}
+        ranks = {v: scale for v in nodes}
+        for _ in range(iters):
+            contrib = {
+                u: ranks[u] // len(adj[u]) for u in adj if u in ranks
+            }
+            nxt = {
+                v: tp
+                + dn
+                * sum(c for u, c in contrib.items() if v in adj[u])
+                // dd
+                for v in nodes
+            }
+            if policy == "redistribute":
+                resid = len(nodes) * scale - sum(nxt.values())
+                assert resid >= 0
+                add = resid // len(nodes)
+                nxt = {v: r + add for v, r in nxt.items()}
+            ranks = nxt
+        return ranks
+
+    for policy in ("ignore", "self", "redistribute"):
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(edges, iters, dangling=policy).collect()
+        }
+        assert got == ref(policy), policy
+    # redistribute conserves mass up to DIV dust (< N per round is
+    # re-collected next round; after the final correction < N total)
+    total = sum(ref("redistribute").values())
+    assert 0 <= 3 * scale - total < 3
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(edges, 1, dangling="bogus")
+
+
+def test_pagerank_seed_validation(spark):
+    """Duplicate seeds are deduped (per-seed mass unchanged); a seed
+    absent from the node table raises instead of silently dropping
+    its share of teleport mass (r8 ADVICE)."""
+    from striot_spark.functions.graph import pagerank
+
+    und = [(0, 1), (1, 2)]
+    e = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    once = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, 2, seeds=[0]).collect()
+    }
+    duped = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, 2, seeds=[0, 0, 0]).collect()
+    }
+    assert duped == once
+    with pytest.raises(ValueError, match="absent"):
+        pagerank(edges, 1, seeds=[0, 99]).collect()
+
+
+def test_weighted_pagerank_matches_integer_reference(spark):
+    """Weighted PageRank on a 3-node directed cycle-with-chord: edge
+    multiplicities steer the mass exactly as the integer hand-roll
+    (per-edge contribution (rank*w) DIV strength); w=1 everywhere must
+    reproduce the unweighted ranks bit-for-bit."""
+    from striot_spark.functions.graph import pagerank
+
+    wedges = [("a", "b", 3), ("a", "c", 1), ("b", "a", 2), ("c", "a", 2)]
+    df = spark.createDataFrame(wedges, "src string, dst string, w long")
+    scale, dn, dd, iters = 10**9, 85, 100, 3
+    tp = (dd - dn) * scale // dd
+    strength = {"a": 4, "b": 2, "c": 2}
+    ranks = {v: scale for v in "abc"}
+    for _ in range(iters):
+        inc = {v: 0 for v in "abc"}
+        for s, d, w in wedges:
+            inc[d] += ranks[s] * w // strength[s]
+        ranks = {v: tp + dn * inc[v] // dd for v in "abc"}
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters, weight="w").collect()
+    }
+    assert got == ranks
+    ones = df.withColumn("w", F.lit(1))
+    plain = {
+        r["node"]: r["rank"] for r in pagerank(ones, iters).collect()
+    }
+    weighted_ones = {
+        r["node"]: r["rank"]
+        for r in pagerank(ones, iters, weight="w").collect()
+    }
+    assert weighted_ones == plain
+
+
+def test_weighted_modularity_matches_hand_computed(spark):
+    """Weighted modularity (Newman 2004) against an exact integer
+    hand-roll: two 2-node communities joined by a light bridge, heavy
+    intra-community weights; w=1 must equal the unweighted metric."""
+    from striot_spark.functions.graph import modularity
+
+    und = [(1, 2, 5), (3, 4, 5), (2, 3, 1)]
+    sym = und + [(b, a, w) for a, b, w in und]
+    e = spark.createDataFrame(sym, "src long, dst long, w long")
+    labels = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "y")], "node long, label string"
+    )
+    scale = 1_000_000
+    W = sum(w for _, _, w in sym)  # 22
+    dc = {"x": 5 + 5 + 1, "y": 5 + 5 + 1}  # out-strength per community
+    ec = {"x": 10, "y": 10}  # intra-community directed weight
+    expect = (
+        sum(ec[c] * W - dc[c] ** 2 for c in ("x", "y")) * scale // (W * W)
+    )
+    row = modularity(e, labels, weight="w", scale=scale).collect()[0]
+    assert row["q_ppm"] == expect
+    assert row["n_communities"] == 2 and row["e_directed"] == W
+    ones = e.withColumn("w", F.lit(1))
+    plain = modularity(ones, labels, scale=scale).collect()[0]
+    weighted_ones = modularity(
+        ones, labels, weight="w", scale=scale
+    ).collect()[0]
+    assert (
+        weighted_ones["q_ppm"],
+        weighted_ones["e_directed"],
+    ) == (plain["q_ppm"], plain["e_directed"])
 
 
 def test_hll_union_and_intersection_bounds(spark):
