@@ -1612,8 +1612,9 @@ def q123_zip_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="STREAMING latest-wins upsert sink under the same oracle as "
     "batch q107, driven through the ADVERSARIAL 4-batch out-of-order "
     "replay on purpose: upsert_snapshot_sink's foreachBatch merge "
-    "(batch-side partial compaction + snapshot merge, A/B dirs + "
-    "atomic pointer flip) is max_by over a per-key total order, so "
+    "(batch-side partial compaction + merge of ONLY the hash-prefix "
+    "partitions the batch touches, committed by an atomic manifest "
+    "flip) is max_by over a per-key total order, so "
     "the final snapshot is provably independent of micro-batch "
     "boundaries AND cross-batch arrival order — no watermark needed. "
     "The drained snapshot is read back with read_snapshot and gated",
@@ -1769,7 +1770,9 @@ def q130_cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ADVERSARIAL 4-batch out-of-order replay on purpose: addition is "
     "associative+commutative so totals are provably independent of "
     "batch boundaries and arrival order; replay idempotence comes "
-    "from the last-applied batch id in the atomic A/B pointer. Same "
+    "from the last-applied batch id in the atomic state manifest; "
+    "the totals table is hash-prefix partitioned so each batch "
+    "rewrites only the partitions holding its keys. Same "
     "oracle as the plain batch groupBy",
 )
 def q138_incremental_agg_stream(
@@ -2202,8 +2205,8 @@ def q174_rollup_serve_stream(
     "from serving) until a newer upsert resurrects it, across ANY "
     "micro-batch boundaries. Driven through the adversarial "
     "out-of-order replay: max_by latest-wins is batching- and "
-    "arrival-order-insensitive, replay-idempotent via the A/B "
-    "pointer; oracle is the batch semantics minus the log-depth "
+    "arrival-order-insensitive, replay-idempotent via the state "
+    "manifest; oracle is the batch semantics minus the log-depth "
     "count (per-key counts belong to the additive sink, q138)",
 )
 def q179_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2490,8 +2493,9 @@ _NEAR_DUP_SQL = """
     "batch via the batch-internal min) is dropped before it ever "
     "lands — the dedup gate a 100 TB training ingest runs at the "
     "pipe instead of re-clustering after the fact. State is "
-    "#band-buckets (not #docs), merged per batch with the A/B "
-    "pointer + run-id crash discipline; kept rows append as "
+    "#band-buckets (not #docs), hash-prefix partitioned: each batch "
+    "probes and rewrites only the partitions its bands touch, under "
+    "the manifest + run-id crash discipline; kept rows append as "
     "per-batch overwrites so crash-replay cannot double-admit. With "
     "id-ordered arrival, first-wins per bucket == min-id per bucket, "
     "so the oracle is the BATCH near_dup_filter semantics in SQL — "
@@ -2561,7 +2565,7 @@ def q225_stream_near_dup_filter(
     "are not mergeable, but fixed-width (1000-cent) bin counts are "
     "pure addition — the adversarial out-of-order replay maintains "
     "(bin, count) through q138's incremental delta-merge sink "
-    "(A/B pointer + run-id discipline), and serving reconstructs the "
+    "(partitioned manifest + run-id discipline), and serving reconstructs the "
     "DECILE BINS from the #bins-sized snapshot by exact rank "
     "selection at bin resolution: each bin emits the covered decile "
     "indices via an IN-ROW integer sequence explode (zero joins "
