@@ -366,6 +366,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 8,
+    weight: str | None = None,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007, public methodology) with fully DETERMINISTIC updates:
@@ -385,6 +386,15 @@ def label_propagation(
     construction; each sweep is a data point, not a convergence
     criterion).
 
+    ``weight`` names an integer edge-multiplicity column: votes become
+    weight SUMS instead of neighbor counts (the parallel-edge view —
+    an edge observed w times votes w times), same smallest-label
+    tie-break, reducing to the unweighted vote at w=1. This is the
+    serve-side consumer of a streamed weighted graph: an additive
+    ingest sink (``incremental_agg_sink`` keyed on the edge) maintains
+    multiplicities incrementally, and LPA reads the compact
+    #edges-sized snapshot.
+
     Plan shape per round: one join of the label table with the
     persisted edge list on ``src``, one (node, label) count groupBy,
     one per-node arg-max window (partitioned by node — state bounded
@@ -400,8 +410,15 @@ def label_propagation(
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
     spark = edges.sparkSession
+    w_expr = (
+        F.col(weight).cast("long") if weight is not None else F.lit(1)
+    )
     e = track_persist(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            w_expr.cast("long").alias("w"),
+        )
     )
     try:
         small_edges = int(
@@ -433,11 +450,11 @@ def label_propagation(
     for i in range(rounds):
         nbr = e.join(
             part(labels, "node"), e["src"] == labels["node"]
-        ).select(F.col("dst").alias("node"), "label")
+        ).select(F.col("dst").alias("node"), "label", "w")
         votes = (
             part(nbr, "node")
             .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum("w").alias("c"))
         )
         picked = (
             votes.withColumn("rn", F.row_number().over(w))

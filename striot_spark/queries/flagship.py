@@ -2609,3 +2609,137 @@ def q229_stream_quantile_bins(
     return serve.select(
         "q", "bin", (F.col("bin") * 1000).cast("long").alias("lo_cents")
     )
+
+
+def _stage_pair_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the co-purchase pair OBSERVATIONS (one row per same-order
+    partkey pair occurrence, NO pre-aggregation) as three mtime-ordered
+    files. Ordered by (u, v), a pair's duplicate observations are
+    contiguous, so the third-splits deliberately cut THROUGH pairs —
+    the same edge's multiplicity accumulates across micro-batch
+    boundaries, which is exactly what the additive ingest sink must
+    get right."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from striot_spark.streaming.runtime import stage_ordered_files
+
+    ck = (sf_dir, "pair_events")
+    path = _STAGED.get(ck)
+    if path is not None:
+        return path
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+    )
+    n = pe.count()
+    r = pe.withColumn(
+        "rn", F.row_number().over(Window.orderBy("u", "v"))
+    )
+    third = n // 3
+    chunks = [
+        r.filter(F.col("rn") <= third).drop("rn"),
+        r.filter(
+            (F.col("rn") > third) & (F.col("rn") <= 2 * third)
+        ).drop("rn"),
+        r.filter(F.col("rn") > 2 * third).drop("rn"),
+    ]
+    out = tempfile.mkdtemp(prefix="striot_fr_stream_pairs_") + "/data"
+    stage_ordered_files(chunks, out, order_cols=["u", "v"])
+    _STAGED[ck] = out
+    return out
+
+
+def _q239_oracle(rounds: int) -> str:
+    """Unrolled WEIGHTED label propagation over the multiplicity
+    co-purchase graph (mirrors ``label_propagation(weight=...)``
+    consuming the streamed additive edge snapshot)."""
+    sql = """
+    WITH pe AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+    edges AS (SELECT u AS src, v AS dst, w FROM pe
+              UNION ALL SELECT v AS src, u AS dst, w FROM pe),
+    nd AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS label FROM nd)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    p{i} AS (
+        SELECT node, label FROM (
+            SELECT e.dst AS node, l.label, sum(e.w) AS c,
+                   row_number() OVER (
+                       PARTITION BY e.dst
+                       ORDER BY sum(e.w) DESC, l.label ASC) AS rn
+            FROM edges e JOIN l{i - 1} l ON l.node = e.src
+            GROUP BY e.dst, l.label) t
+        WHERE rn = 1),
+    l{i} AS (SELECT nd.node, COALESCE(p.label, nd.node) AS label
+             FROM nd LEFT JOIN p{i} p ON p.node = nd.node)"""
+    return sql + f"\n    SELECT node, label FROM l{rounds}"
+
+
+@register(
+    "q239_lpa_stream_weighted",
+    _q239_oracle(rounds=3),
+    doc="STREAMING weighted community detection — the streaming "
+    "sibling of the q228 LPA family (VERDICT r8 task 8): co-purchase "
+    "pair OBSERVATIONS replay as three micro-batches whose splits "
+    "deliberately cut through pairs, the additive ingest sink "
+    "(incremental_agg_sink keyed on the edge, hash-prefix-partitioned "
+    "state) accumulates each edge's MULTIPLICITY across batch "
+    "boundaries into a compact #edges-sized snapshot, and serving "
+    "runs label_propagation(weight=...) over it — votes are weight "
+    "sums (an edge observed w times votes w times, smallest-label "
+    "ties), so heavily co-purchased parts pull communities harder "
+    "than one-off baskets. Addition is batching/arrival-order "
+    "independent and the vote rounds are deterministic, so the "
+    "oracle is the batch multiplicity graph + the identical "
+    "unrolled weighted rounds",
+)
+def q239_lpa_stream_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from striot_spark.functions.graph import label_propagation
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_pair_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+    path = tempfile.mkdtemp(prefix="striot_q239_mv_")
+    q = RT.incremental_agg_sink(
+        sdf,
+        path,
+        tempfile.mkdtemp(prefix="striot_q239_ck_"),
+        key_cols=["u", "v"],
+        sum_cols=[],
+    )
+    q.awaitTermination()
+    snap = RT.read_snapshot(spark, path).select(
+        "u", "v", F.col("n_rows").alias("w")
+    )
+    edges = snap.unionByName(
+        snap.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+        )
+    )
+    return label_propagation(
+        edges, rounds=3, src="u", dst="v", weight="w"
+    )

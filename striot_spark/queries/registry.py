@@ -72,11 +72,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #       _SWEEP_LAST wait for r11.
 # ROUND-10 HEAD PLAN (keep this arithmetic in sync): canary (1) + the
 # five ex-reds q93/q100/q101/q127/q132 (5, formally clearing the r07
-# ledger — VERDICT r8 task 3) + any round-9 additions q236+ (listed
-# right below q13 in this list; currently 3: q236-q238) + the oldest
-# r07-swept cohort from q65 upward (q65-q92, 28) + the remaining six
-# of _SWEEP_LAST (q14/q35/q80/q82/q83/q85) = 43 + new + 6 ≈ 50; trim
-# the q65+ cohort tail to make exactly 50 once r9 registration closes.
+# ledger — VERDICT r8 task 3) + the round-9 additions (listed right
+# below q13 in this list; final count 4: q236-q239) + the oldest
+# r07-swept cohort from q65 upward + the remaining six of _SWEEP_LAST
+# (q14/q35/q80/q82/q83/q85) = 1 + 5 + 4 + 6 = 16 fixed slots, so take
+# q65-q98 (34 names as registered) to make exactly 50.
 _SWEEP_FIRST = [
     # (1) type canary — keep at head position 1 in every round
     "q224_type_canary",
@@ -136,6 +136,7 @@ _SWEEP_FIRST = [
     "q236_pagerank_dangling",
     "q237_weighted_pagerank",
     "q238_weighted_modularity",
+    "q239_lpa_stream_weighted",
     # r8-green cohort (q138-q186), parked until its rotation comes due.
     "q138_incremental_agg_stream",
     "q139_hll_distinct",

@@ -2340,6 +2340,46 @@ def test_weighted_pagerank_matches_integer_reference(spark):
     assert weighted_ones == plain
 
 
+def test_weighted_label_propagation_votes_by_multiplicity(spark):
+    """An edge observed w times votes w times: node 0's neighbors are
+    1 (w=1) and 2 (w=3) — the weighted vote picks label 2 where the
+    unweighted count ties and falls back to the smallest label 1.
+    w=1 everywhere must equal the unweighted rounds exactly."""
+    from striot_spark.functions.graph import label_propagation
+
+    und = [(0, 1, 1), (0, 2, 3)]
+    sym = und + [(b, a, w) for a, b, w in und]
+    e = spark.createDataFrame(sym, "u long, v long, w long")
+    weighted = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            e, rounds=1, src="u", dst="v", weight="w"
+        ).collect()
+    }
+    unweighted = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            e, rounds=1, src="u", dst="v"
+        ).collect()
+    }
+    assert weighted[0] == 2 and unweighted[0] == 1
+    ones = e.withColumn("w", F.lit(1))
+    for rounds in (1, 3):
+        a = sorted(
+            (r["node"], r["label"])
+            for r in label_propagation(
+                ones, rounds=rounds, src="u", dst="v", weight="w"
+            ).collect()
+        )
+        b = sorted(
+            (r["node"], r["label"])
+            for r in label_propagation(
+                ones, rounds=rounds, src="u", dst="v"
+            ).collect()
+        )
+        assert a == b
+
+
 def test_weighted_modularity_matches_hand_computed(spark):
     """Weighted modularity (Newman 2004) against an exact integer
     hand-roll: two 2-node communities joined by a light bridge, heavy
