@@ -793,8 +793,8 @@ def near_dup_filter_stream(
     documents with any owned band, append the kept rows, then merge
     the batch's bands into the owner snapshot (min per bucket —
     monotone, so cross-batch order only matters through arrival
-    itself) with the same A/B-pointer + run-id crash discipline as
-    ``incremental_agg_sink``: a replayed batch id (same run) is
+    itself) with the same manifest-committed + run-id crash discipline
+    as ``incremental_agg_sink``: a replayed batch id (same run) is
     skipped whole, and the kept-rows append is a per-batch
     subdirectory OVERWRITE, so the crash-replay of an uncommitted
     batch rewrites the same files instead of double-appending.

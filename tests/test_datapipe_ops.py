@@ -89,6 +89,35 @@ def test_scatter_noop_on_well_partitioned_input(spark):
     assert scatter(narrow).rdd.getNumPartitions() == target
 
 
+def test_banding_geometry_fails_fast(spark):
+    """r8 ADVICE: bands not dividing num_hashes silently ignored the
+    trailing hashes, and bands > num_hashes made every band signature
+    the empty string (all docs collide in every bucket — a first-wins
+    filter would suppress the corpus down to the min-id doc with no
+    error). Every banding entry point must refuse both geometries
+    before touching any data."""
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    for fn in (
+        lambda **kw: D.lsh_bands(df, "doc_id", "text", **kw),
+        lambda **kw: D.lsh_candidate_pairs(df, "doc_id", "text", **kw),
+        lambda **kw: D.near_dup_filter(df, "doc_id", "text", **kw),
+        lambda **kw: D.lsh_near_dup_pairs(df, "doc_id", "text", **kw),
+    ):
+        with pytest.raises(ValueError, match="divide"):
+            fn(num_hashes=4, bands=3)
+        with pytest.raises(ValueError, match="divide|>= 1"):
+            fn(num_hashes=2, bands=4)
+        with pytest.raises(ValueError, match=">= 1"):
+            fn(num_hashes=4, bands=0)
+    # the streaming form validates at CONSTRUCTION time, before any
+    # state directory or checkpoint is created
+    with pytest.raises(ValueError, match="divide"):
+        D.near_dup_filter_stream(
+            df, "/tmp/x", "/tmp/y", "/tmp/z", "doc_id", "text",
+            ["doc_id"], num_hashes=4, bands=3,
+        )
+
+
 def test_lsh_candidate_pairs_find_exact_dups(spark):
     df = spark.createDataFrame(
         [
