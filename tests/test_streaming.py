@@ -1737,6 +1737,71 @@ def test_incremental_agg_sink_legacy_whole_snapshot_mode(
         q5.awaitTermination()
 
 
+def test_partitioned_state_crash_replay_recovery(spark, tmp_path):
+    """The crash discipline, driven through the state primitive
+    directly: a batch that dies AFTER writing its generation dir but
+    BEFORE the manifest flip leaves the previous state fully visible
+    (readers resolve the manifest, so the orphan dir is dead bytes),
+    and the replayed batch idempotently overwrites that same dir and
+    commits — totals identical to a crash-free run."""
+    import os
+
+    from striot_spark.streaming.runtime import (
+        _PART_COL,
+        _PartitionedState,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "st")
+    st = _PartitionedState(path, ["k"], 4, "deadbeef")
+
+    def delta(rows):
+        df = spark.createDataFrame(rows, "k long, total long")
+        return df.withColumn(_PART_COL, st.part_expr())
+
+    # batch 0 commits cleanly
+    man, skip = st.load(0)
+    assert man is None and not skip
+    d0 = delta([(1, 10), (2, 20)])
+    st.commit(d0, man, st.touched(d0), 0)
+    before = sorted(
+        (r["k"], r["total"]) for r in read_snapshot(spark, path).collect()
+    )
+    assert before == [(1, 10), (2, 20)]
+    # batch 1 writes its generation dir, then "crashes" pre-flip
+    d1 = delta([(1, 99)])
+    (
+        d1.repartition(1, _PART_COL)
+        .write.partitionBy(_PART_COL)
+        .mode("overwrite")
+        .parquet(os.path.join(path, "g000000001"))
+    )
+    # the orphan is invisible: reads still resolve batch 0's state
+    assert sorted(
+        (r["k"], r["total"]) for r in read_snapshot(spark, path).collect()
+    ) == before
+    # replay of batch 1: not a skip (manifest never advanced), and the
+    # commit overwrites the orphan dir rather than duplicating it
+    man, skip = st.load(1)
+    assert man is not None and not skip and man["last_batch"] == 0
+    touched = st.touched(d1)
+    prev = st.read_parts(spark, man, touched)
+    merged = (
+        prev.unionByName(d1.drop(_PART_COL))
+        .groupBy("k")
+        .agg(F.sum("total").alias("total"))
+        .withColumn(_PART_COL, st.part_expr())
+    )
+    st.commit(merged, man, touched, 1)
+    after = sorted(
+        (r["k"], r["total"]) for r in read_snapshot(spark, path).collect()
+    )
+    assert after == [(1, 109), (2, 20)]
+    # and a second replay of the SAME batch id is now a skip
+    _, skip = st.load(1)
+    assert skip
+
+
 def test_partitioned_snapshot_rewrites_only_touched_partitions(
     spark, tmp_path
 ):
