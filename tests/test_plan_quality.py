@@ -863,3 +863,66 @@ def test_promo_share_broadcasts_part_single_pass(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") == 2
+
+
+def test_dangling_redistribute_correction_is_one_row_broadcast(
+    spark, sf_dir
+):
+    """q236: the per-round residual correction must be the broadcast of
+    a 1-ROW scalar aggregate (BroadcastNestedLoopJoin is the intended
+    physical form of crossJoin(broadcast(1-row)) — exactly one per
+    iteration), never a CartesianProduct; the rank-update joins stay
+    keyed equi-joins. The occurrence COUNT in the plan string is
+    2^iters - 1, not iters: each round's tree embeds the previous
+    round twice (ranks branch + the scalar-agg branch) — the very
+    self-reference fan-out the min(cadence,4) lineage cut bounds."""
+    plan = _executed(spark, "q236_pagerank_dangling", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 3  # 2^2 - 1 at iters=2
+
+
+def test_weighted_graph_queries_have_no_cartesian(spark, sf_dir):
+    """q237/q238: weights ride the persisted edge list as one long
+    column — no plan shape may degrade to a cartesian or an unkeyed
+    nested loop beyond q238's single 1-row total broadcast."""
+    plan = _executed(spark, "q237_weighted_pagerank", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan = _executed(spark, "q238_weighted_modularity", sf_dir)
+    assert "CartesianProduct" not in plan
+    # modularity broadcasts its 1-row directed-weight total once
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_weighted_lpa_rounds_are_keyed_joins_only(spark, sf_dir):
+    """The q239 serve path (weighted LPA over the multiplicity graph):
+    every round is a src-key join + (node,label) weight-sum groupBy +
+    per-node window — never a cartesian."""
+    from striot_spark.functions.graph import label_propagation
+    from striot_spark.sources.batch import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+        )
+    )
+    out = label_propagation(edges, rounds=2, src="u", dst="v", weight="w")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
