@@ -96,6 +96,7 @@ def main() -> None:
         "q225_stream_near_dup_filter",
         "q229_stream_quantile_bins",
         "q239_lpa_stream_weighted",
+        "q240_incremental_extents_stream",
     }
     # best-of-3 (was 2): PERF.md r4 measured 10-23% CV across identical
     # back-to-back runs on this shared box; a third repeat materially

@@ -2743,3 +2743,60 @@ def q239_lpa_stream_weighted(
     return label_propagation(
         edges, rounds=3, src="u", dst="v", weight="w"
     )
+
+
+@register(
+    "q240_incremental_extents_stream",
+    f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round((value)*100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_seen,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
+    FROM events GROUP BY user_id
+    """,
+    doc="streaming incremental MATERIALIZED VIEW with per-key EXTENTS: "
+    "incremental_agg_sink(min_cols/max_cols) maintains first/last-seen "
+    "timestamps alongside count+sum through the ADVERSARIAL 4-batch "
+    "out-of-order replay — min/max are associative, commutative AND "
+    "idempotent (a replayed batch cannot move an extent even without "
+    "the batch-id guard), so the converged snapshot equals the batch "
+    "groupBy regardless of batching and arrival order. Timestamps "
+    "emitted canonically (micro precision) per the registry contract; "
+    "the freshness/recency column every serving table wants next to "
+    "its totals",
+)
+def q240_incremental_extents_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from striot_spark.functions.analytics import cents, ts_str
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events_ooo(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(
+        spark, src, schema, max_files_per_trigger=1
+    ).withColumn("value_c", cents(F.col("value")))
+    path = tempfile.mkdtemp(prefix="striot_q240_mv_")
+    q = RT.incremental_agg_sink(
+        sdf,
+        path,
+        tempfile.mkdtemp(prefix="striot_q240_ck_"),
+        key_cols=["user_id"],
+        sum_cols=["value_c"],
+        min_cols=["ts"],
+        max_cols=["ts"],
+    )
+    q.awaitTermination()
+    snap = RT.read_snapshot(spark, path).filter(
+        F.col("user_id") != BARRIER_USER
+    )
+    return snap.select(
+        "user_id",
+        "n_rows",
+        F.col("sum_value_c").alias("sum_cents"),
+        ts_str(F.col("min_ts")).alias("first_seen"),
+        ts_str(F.col("max_ts")).alias("last_seen"),
+    )

@@ -1191,6 +1191,8 @@ def incremental_agg_sink(
     sum_cols: Sequence[str],
     available_now: bool = True,
     state_parts: int = 16,
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
 ):
     """Streaming incremental MATERIALIZED VIEW for additive aggregates:
     maintain per-key ``count``/``sum`` totals continuously, merging only
@@ -1232,7 +1234,12 @@ def incremental_agg_sink(
     Non-additive aggregates decompose the standard way before this
     sink: avg = sum/count at read time; distinct counts via an exact
     pre-dedup (``dedup_exact_stream``) or a mergeable sketch (q128's
-    count-min / HLL), both additive.
+    count-min / HLL), both additive. ``min_cols``/``max_cols``
+    maintain per-key extents alongside the totals — min/max are
+    associative, commutative AND idempotent (a replayed batch cannot
+    move an extent even without the batch-id guard), so they ride the
+    same merge; any orderable column works (timestamps give per-key
+    first/last-seen).
     """
     import hashlib as _hashlib
     import os as _os
@@ -1240,13 +1247,25 @@ def incremental_agg_sink(
     run_id = _hashlib.sha1(
         _os.path.abspath(checkpoint_dir).encode()
     ).hexdigest()[:8]
-    cols = list(dict.fromkeys([*key_cols, *sum_cols]))
+    cols = list(
+        dict.fromkeys([*key_cols, *sum_cols, *min_cols, *max_cols])
+    )
 
     def _partial(df: DataFrame) -> DataFrame:
         return df.select(*cols).groupBy(*key_cols).agg(
             F.count(F.lit(1)).alias("n_rows"),
             *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+            *[F.min(c).alias(f"min_{c}") for c in min_cols],
+            *[F.max(c).alias(f"max_{c}") for c in max_cols],
         )
+
+    def _merge_aggs():
+        return [
+            F.sum("n_rows").alias("n_rows"),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+            *[F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols],
+            *[F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols],
+        ]
 
     def _write_partitioned(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1263,13 +1282,7 @@ def incremental_agg_sink(
                 merged = (
                     prev.unionByName(delta.drop(_PART_COL))
                     .groupBy(*key_cols)
-                    .agg(
-                        F.sum("n_rows").alias("n_rows"),
-                        *[
-                            F.sum(f"sum_{c}").alias(f"sum_{c}")
-                            for c in sum_cols
-                        ],
-                    )
+                    .agg(*_merge_aggs())
                     .withColumn(_PART_COL, st.part_expr())
                 )
             else:
@@ -1316,11 +1329,7 @@ def incremental_agg_sink(
         delta = _partial(batch_df)
         if prev is not None:
             merged = prev.unionByName(delta).groupBy(*key_cols).agg(
-                F.sum("n_rows").alias("n_rows"),
-                *[
-                    F.sum(f"sum_{c}").alias(f"sum_{c}")
-                    for c in sum_cols
-                ],
+                *_merge_aggs()
             )
             nxt = "b" if cur == "a" else "a"
         else:
