@@ -671,3 +671,134 @@ def modularity(
             F.max("__ee").cast("long").alias("e_directed"),
         )
     )
+
+
+def khop_reach(
+    edges: DataFrame,
+    hops: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact k-hop reach counts per node — ``reach_k`` = #distinct
+    nodes within ≤ k hops, self excluded — the neighborhood-size
+    feature family (influence/centrality proxies, sampling weights,
+    audience estimates) computed exactly. Pass both edge directions
+    for an undirected graph (same contract as ``pagerank``).
+
+    Plan: level k materializes the cumulative (node, reached) set by
+    joining the previous level's frontier with the edge list on the
+    reached endpoint — one keyed equi-join + one distinct per level,
+    each persisted (consumed by both the next level and its own
+    count). Honest scale note: the k=2 expansion is wedge-bounded
+    (Σ deg² rows before the distinct) and reach sets themselves can
+    approach #nodes per node on dense graphs — this is inherent to
+    EXACT reach (the output is that big); production pipelines cap
+    the probe by degree or switch to HLL-sketched reach per node
+    (``hll_registers`` over the same expansion) once |reach| stops
+    fitting. Returns (node, reach_1, ..., reach_{hops}).
+    """
+    from striot_spark.functions.caching import track_persist
+
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+    e = track_persist(
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        ).distinct()
+    )
+    reach = track_persist(
+        e.select(F.col("src").alias("node"), F.col("dst").alias("r"))
+        .filter(F.col("r") != F.col("node"))
+        .distinct()
+    )
+    out = reach.groupBy("node").agg(
+        F.count(F.lit(1)).alias("reach_1")
+    )
+    for h in range(2, hops + 1):
+        nxt = reach.join(
+            e, reach["r"] == e["src"]
+        ).select("node", F.col("dst").alias("r"))
+        reach = track_persist(
+            reach.unionByName(nxt)
+            .filter(F.col("r") != F.col("node"))
+            .distinct()
+        )
+        cnt = reach.groupBy("node").agg(
+            F.count(F.lit(1)).alias(f"reach_{h}")
+        )
+        out = out.join(cnt, "node")
+    return out
+
+
+def edge_neighborhood_jaccard(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Neighborhood Jaccard per edge — the classic link-strength /
+    link-prediction feature (Liben-Nowell & Kleinberg 2003): for each
+    undirected edge (u, v) given as canonical ``a < b`` pairs,
+
+        common = |N(u) ∩ N(v)|      (third vertices only: no
+                                     self-loops ⇒ u, v never appear)
+        union  = deg(u) + deg(v) − common
+        j_ppm  = common * scale DIV union
+
+    — all exact longs, one global convention (union counts u and v
+    themselves, being neighbors of each other). A high-Jaccard edge
+    is embedded in a dense neighborhood (intra-community); a low one
+    is a bridge — the same signal modularity aggregates globally,
+    available per edge.
+
+    Plan: degrees are one groupBy; common neighbors come from joining
+    the pair list with the adjacency on u and semi-matching the
+    (v, x) side — every join keyed, wedge-bounded like
+    ``triangle_count``'s unoriented base (Σ deg(u) over edges =
+    Σ deg² worst case; hub-skewed graphs cap the probe by degree
+    upstream). Returns (a, b, common_nbrs, union_nbrs, j_ppm).
+    """
+    from striot_spark.functions.caching import track_persist
+
+    p = track_persist(
+        pairs.select(F.col(a).alias("a"), F.col(b).alias("b")).distinct()
+    )
+    e = track_persist(
+        p.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            p.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    wedge = p.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("x")), "a"
+    )
+    common = (
+        wedge.join(
+            e.select(F.col("src").alias("b"), F.col("dst").alias("x")),
+            ["b", "x"],
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("src").alias("b"), F.col("d").alias("db"))
+    return (
+        p.join(da, "a")
+        .join(db, "b")
+        .join(common, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("c"), F.lit(0))
+            .cast("long")
+            .alias("common_nbrs"),
+            (
+                F.col("da") + F.col("db") - F.coalesce(F.col("c"), F.lit(0))
+            ).cast("long").alias("union_nbrs"),
+            F.expr(
+                f"CAST(coalesce(c, 0L) * {scale} DIV "
+                "(da + db - coalesce(c, 0L)) AS BIGINT)"
+            ).alias("j_ppm"),
+        )
+    )

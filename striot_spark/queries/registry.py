@@ -73,10 +73,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # ROUND-10 HEAD PLAN (keep this arithmetic in sync): canary (1) + the
 # five ex-reds q93/q100/q101/q127/q132 (5, formally clearing the r07
 # ledger — VERDICT r8 task 3) + the round-9 additions (listed right
-# below q13 in this list; final count 5: q236-q240) + the oldest
+# below q13 in this list; final count 7: q236-q242) + the oldest
 # r07-swept cohort from q65 upward + the remaining six of _SWEEP_LAST
-# (q14/q35/q80/q82/q83/q85) = 1 + 5 + 5 + 6 = 17 fixed slots, so take
-# q65-q97 (33 names as registered) to make exactly 50.
+# (q14/q35/q80/q82/q83/q85) = 1 + 5 + 7 + 6 = 19 fixed slots, so take
+# q65-q96 (31 names as registered) to make exactly 50.
 _SWEEP_FIRST = [
     # (1) type canary — keep at head position 1 in every round
     "q224_type_canary",
@@ -138,6 +138,8 @@ _SWEEP_FIRST = [
     "q238_weighted_modularity",
     "q239_lpa_stream_weighted",
     "q240_incremental_extents_stream",
+    "q241_khop_reach",
+    "q242_edge_neighborhood_jaccard",
     # r8-green cohort (q138-q186), parked until its rotation comes due.
     "q138_incremental_agg_stream",
     "q139_hll_distinct",

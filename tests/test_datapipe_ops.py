@@ -2409,7 +2409,53 @@ def test_weighted_label_propagation_votes_by_multiplicity(spark):
         assert a == b
 
 
-def test_weighted_modularity_matches_hand_computed(spark):
+def test_khop_reach_hand_computed(spark):
+    """Path graph 1-2-3-4 plus a triangle 4-5-6(-4): reach_1 is the
+    degree, reach_2 adds the two-hop frontier, self always excluded
+    even through cycles (node 5's 2-hop walk returns to 5 via 4/6)."""
+    from striot_spark.functions.graph import khop_reach
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    sym = und + [(b, a) for a, b in und]
+    e = spark.createDataFrame(sym, "u long, v long")
+    got = {
+        r["node"]: (r["reach_1"], r["reach_2"])
+        for r in khop_reach(e, hops=2, src="u", dst="v").collect()
+    }
+    # exact reference computed independently
+    import itertools
+
+    adj: dict = {}
+    for a_, b_ in sym:
+        adj.setdefault(a_, set()).add(b_)
+    ref = {}
+    for n in adj:
+        r1 = adj[n] - {n}
+        r2 = set(
+            itertools.chain.from_iterable(adj[x] for x in r1)
+        ) | r1
+        ref[n] = (len(r1), len(r2 - {n}))
+    assert got == ref
+
+
+def test_edge_neighborhood_jaccard_hand_computed(spark):
+    """Triangle 1-2-3 plus pendant 3-4: the triangle edges share one
+    common neighbor (j = 1/3); the bridge 3-4 shares none (j = 0);
+    w=integer ppm with one global DIV."""
+    from striot_spark.functions.graph import edge_neighborhood_jaccard
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): (r["common_nbrs"], r["union_nbrs"], r["j_ppm"])
+        for r in edge_neighborhood_jaccard(pairs).collect()
+    }
+    # deg: 1->2, 2->2, 3->3, 4->1
+    assert got[(1, 2)] == (1, 3, 1_000_000 // 3)  # common {3}
+    assert got[(1, 3)] == (1, 4, 250_000)  # common {2}, union 2+3-1
+    assert got[(2, 3)] == (1, 4, 250_000)
+    assert got[(3, 4)] == (0, 4, 0)  # bridge: no common neighbor
     """Weighted modularity (Newman 2004) against an exact integer
     hand-roll: two 2-node communities joined by a light bridge, heavy
     intra-community weights; w=1 must equal the unweighted metric."""
