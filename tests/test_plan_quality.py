@@ -926,3 +926,17 @@ def test_weighted_lpa_rounds_are_keyed_joins_only(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quarter_window_graph_features_push_date_to_scan(spark, sf_dir):
+    """q241/q242: the one-quarter interaction window must reach the
+    lineitem parquet scan as pushed date predicates (that window IS
+    the scale story — without pushdown the full table feeds the
+    wedge expansion), and the feature joins stay keyed."""
+    for q in ("q241_khop_reach", "q242_edge_neighborhood_jaccard"):
+        fmt = _formatted(spark, q, sf_dir)
+        assert "GreaterThanOrEqual(l_shipdate," in fmt, q
+        assert "LessThan(l_shipdate," in fmt, q
+        plan = _executed(spark, q, sf_dir)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q

@@ -171,3 +171,86 @@ def test_weighted_label_propagation_matches_reference(spark):
     """Synchronous weighted voting with smallest-label ties against a
     python reference, over random directed weighted multigraphs."""
     _lpa_prop(spark)
+
+
+def _ref_khop2(edges):
+    adj: dict = {}
+    for u, v, _ in edges:
+        adj.setdefault(u, set()).add(v)
+    nodes = set(adj)
+    out = {}
+    for n in nodes:
+        r1 = adj.get(n, set()) - {n}
+        r2 = set()
+        for x in r1:
+            r2 |= adj.get(x, set())
+        out[n] = (len(r1), len((r1 | r2) - {n}))
+    return {n: v for n, v in out.items() if v[0] > 0}
+
+
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(edges=_edges)
+def _khop_prop(spark, edges):
+    from striot_spark.functions.graph import khop_reach
+
+    df = spark.createDataFrame(
+        [(u, v) for u, v, _ in edges], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["reach_1"], r["reach_2"])
+        for r in khop_reach(df, hops=2).collect()
+    }
+    assert got == _ref_khop2(edges)
+
+
+def test_khop_reach_matches_reference(spark):
+    """Exact ≤2-hop reach on random directed multigraphs (self-loops
+    and parallel edges legal — both collapse in the distinct) against
+    an independent python set-expansion reference. Nodes with no
+    non-self out-edge emit no row (reach over OUT-edges, directed)."""
+    _khop_prop(spark)
+
+
+def _ref_edge_jaccard(pairs):
+    ps = sorted({(a, b) for a, b in pairs if a != b})
+    adj: dict = {}
+    for a, b in ps:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for a, b in ps:
+        common = len(adj[a] & adj[b])
+        union = len(adj[a]) + len(adj[b]) - common
+        out[(a, b)] = (common, union, common * 1_000_000 // union)
+    return out
+
+
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(6, 11)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def _jaccard_prop(spark, pairs):
+    from striot_spark.functions.graph import edge_neighborhood_jaccard
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r["a"], r["b"]): (r["common_nbrs"], r["union_nbrs"], r["j_ppm"])
+        for r in edge_neighborhood_jaccard(df).collect()
+    }
+    assert got == _ref_edge_jaccard(pairs)
+
+
+def test_edge_neighborhood_jaccard_matches_reference(spark):
+    """Per-edge common/union/Jaccard-ppm on random bipartite-shaped
+    canonical pairs (a < b guaranteed by the disjoint ranges; duplicate
+    pairs legal — the function dedups) against a python set
+    reference."""
+    _jaccard_prop(spark)
