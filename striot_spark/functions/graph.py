@@ -86,7 +86,11 @@ def pagerank(
     ~N*scale. Headroom: ``damp_num * N * scale`` must stay < 2^63, so
     at scale=1e9 the exact path holds to ~10^8 vertices; beyond that
     lower ``scale`` (ranks are relative) or move the accumulator to
-    decimal(38,0) as ``dedup_groups`` does for its label keys.
+    decimal(38,0) as ``dedup_groups`` does for its label keys. The
+    bound is ENFORCED at setup (ValueError, same policy as
+    ``modularity``'s in-plan raise_error): a wrap would be silent
+    garbage, and the weighted form additionally checks
+    ``N * scale * max_w`` (the ``rank * w`` product's ceiling).
 
     ``seeds`` switches to PERSONALIZED PageRank (random-walk-with-
     restart, the neighborhood-expansion / recommendation primitive):
@@ -187,11 +191,32 @@ def pagerank(
     # out-strength: Σw per src (== out-degree when unweighted, w=1)
     deg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     e_deg = track_persist(part(e.join(deg, "src"), "src"))
-    n_nodes = (
-        nodes.count()
-        if (seeds is not None or dangling == "redistribute")
-        else None
-    )
+    # the documented headroom is ENFORCED (modularity precedent —
+    # PERF.md §32's 10× probe proved a silent 2^63 wrap is a real
+    # failure mode, not a doc footnote): total rank mass is ~N*scale
+    # and a single rank is bounded by it, so the damped update's
+    # damp_num * Σcontribs and the weighted contribution rank * w
+    # must both stay under 2^63. One count on the PERSISTED node
+    # table (+ one max on the persisted edge list when weighted) —
+    # cheap next to the per-iteration joins this guard protects.
+    n_nodes = nodes.count()
+    limit = 2**63 - 1
+    if damp_num * n_nodes * scale > limit:
+        raise ValueError(
+            f"pagerank: damp_num * N * scale = "
+            f"{damp_num} * {n_nodes} * {scale} exceeds 2^63-1 — the "
+            "exact long accumulator would silently wrap; lower scale "
+            "(ranks are relative) or move to a decimal build"
+        )
+    if weight is not None:
+        max_w = e.agg(F.max("w")).collect()[0][0] or 0
+        if n_nodes * scale * max_w > limit:
+            raise ValueError(
+                f"pagerank: rank ceiling N * scale * max_weight = "
+                f"{n_nodes} * {scale} * {max_w} exceeds 2^63-1 — the "
+                "weighted contribution rank * w would silently wrap; "
+                "lower scale or rescale the weight column"
+            )
     if seeds is None:
         teleport_col = F.lit((damp_den - damp_num) * scale // damp_den)
         init_col = F.lit(scale).cast("long")
@@ -685,16 +710,23 @@ def khop_reach(
     audience estimates) computed exactly. Pass both edge directions
     for an undirected graph (same contract as ``pagerank``).
 
-    Plan: level k materializes the cumulative (node, reached) set by
-    joining the previous level's frontier with the edge list on the
-    reached endpoint — one keyed equi-join + one distinct per level,
-    each persisted (consumed by both the next level and its own
-    count). Honest scale note: the k=2 expansion is wedge-bounded
-    (Σ deg² rows before the distinct) and reach sets themselves can
-    approach #nodes per node on dense graphs — this is inherent to
-    EXACT reach (the output is that big); production pipelines cap
-    the probe by degree or switch to HLL-sketched reach per node
-    (``hll_registers`` over the same expansion) once |reach| stops
+    Plan: level k expands ONLY the previous level's frontier (the
+    rows first reached at level k−1) against the edge list — one
+    keyed equi-join, one distinct, one anti-join against the
+    cumulative set per level, each persisted (consumed by both the
+    next level and its own count). Expanding the frontier instead of
+    the whole cumulative set (the naive form) keeps level-k join
+    input at |frontier_{k-1}| rows — the cumulative variant re-walks
+    every prior level's expansion each round, multiplying the
+    wedge-bounded join cost by the level number. The cumulative set
+    is a union of DISJOINT per-level sets, so no distinct is needed
+    on the union itself. Honest scale note: the k=2 expansion is
+    wedge-bounded (Σ deg² rows before the distinct) and reach sets
+    themselves can approach #nodes per node on dense graphs — this
+    is inherent to EXACT reach (the output is that big); production
+    pipelines cap the probe by degree or switch to HLL-sketched
+    reach per node (``khop_reach_hll`` below, same frontier
+    expansion with fixed-width register state) once |reach| stops
     fitting. Returns (node, reach_1, ..., reach_{hops}).
     """
     from striot_spark.functions.caching import track_persist
@@ -711,22 +743,115 @@ def khop_reach(
         .filter(F.col("r") != F.col("node"))
         .distinct()
     )
+    frontier = reach
     out = reach.groupBy("node").agg(
         F.count(F.lit(1)).alias("reach_1")
     )
     for h in range(2, hops + 1):
-        nxt = reach.join(
-            e, reach["r"] == e["src"]
+        nxt = frontier.join(
+            e, frontier["r"] == e["src"]
         ).select("node", F.col("dst").alias("r"))
-        reach = track_persist(
-            reach.unionByName(nxt)
-            .filter(F.col("r") != F.col("node"))
+        # new rows only: distinct within the level, then drop
+        # anything already reached at an earlier level (keyed
+        # anti-join) — the union below is therefore disjoint
+        frontier = track_persist(
+            nxt.filter(F.col("r") != F.col("node"))
             .distinct()
+            .join(reach, ["node", "r"], "left_anti")
         )
+        reach = track_persist(reach.unionByName(frontier))
         cnt = reach.groupBy("node").agg(
             F.count(F.lit(1)).alias(f"reach_{h}")
         )
         out = out.join(cnt, "node")
+    return out
+
+
+def khop_reach_hll(
+    edges: DataFrame,
+    hops: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    m: int = 64,
+    max_rho: int = 40,
+) -> DataFrame:
+    """HLL-sketched k-hop reach per node — the documented scale path
+    for ``khop_reach`` once exact reach sets stop fitting: instead of
+    materializing (node, reached) rows (which approach #nodes per
+    node on dense graphs), every node carries a fixed-width register
+    sketch of its reach set and levels propagate SKETCHES along edges
+    (the HyperANF idea, Boldi/Rosa/Vigna WWW'11, public methodology):
+
+        regs_1(v) = registers over N(v)
+        regs_k(v) = max-merge(regs_1(v), ⋃_{v→u} regs_{k-1}(u))
+
+    Register max-merge is exactly set union at the sketch level, so
+    regs_k(v) sketches ⋃ reach up to k hops. All arithmetic is the
+    engine-exact shifted-long form of ``hll_registers`` /
+    ``hll_estimate`` (md5-derived bucket/rho, integer harmonic mean)
+    — an external engine unrolling the same recursion reproduces
+    every estimate digit for digit, like q139/q233.
+
+    Exactness caveat, documented: for k ≥ 2 the propagated sketch
+    covers ``reach_k(v) ∪ {v}`` on graphs with cycles (a neighbor's
+    neighborhood contains v itself and a sketch cannot exclude one
+    element) — off by at most one element from the self-excluded
+    exact definition, far inside the ~1.04/sqrt(m) sketch error. The
+    raw (bias-uncorrected) estimate form is accurate in the
+    mid-cardinality regime; see ``hll_distinct``.
+
+    Plan per level: one keyed equi-join of the edge list with the
+    previous level's register table (≤ m rows per node — join input
+    is Σdeg·m rows however dense the reach gets) + one
+    groupBy(node, bucket) max. State per level is ≤ N·m rows, FIXED
+    in the reach size — this is what makes k ≥ 3 neighborhood sizing
+    feasible at 100 TB where exact reach is output-bound.
+    Returns (node, est_1, ..., est_{hops}).
+
+    Node ids are hashed via their canonical string form so the
+    DuckDB oracle (md5(CAST(x AS VARCHAR))) agrees for integer keys.
+    """
+    from striot_spark.functions.analytics import hll_estimate, hll_registers
+    from striot_spark.functions.caching import track_persist
+
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+    e = track_persist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    base = track_persist(
+        hll_registers(
+            e.select(
+                F.col("src").alias("node"),
+                F.col("dst").cast("string").alias("r"),
+            ),
+            ["node"],
+            "r",
+            m,
+            max_rho,
+        )
+    )
+    regs = base
+    out = hll_estimate(regs, ["node"], m, max_rho).withColumnRenamed(
+        "hll_est", "est_1"
+    )
+    for h in range(2, hops + 1):
+        prop = e.join(regs, regs["node"] == e["dst"]).select(
+            e["src"].alias("node"), "bucket", "reg"
+        )
+        regs = track_persist(
+            prop.unionByName(base)
+            .groupBy("node", "bucket")
+            .agg(F.max("reg").alias("reg"))
+        )
+        out = out.join(
+            hll_estimate(regs, ["node"], m, max_rho).withColumnRenamed(
+                "hll_est", f"est_{h}"
+            ),
+            "node",
+        )
     return out
 
 

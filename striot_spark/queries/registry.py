@@ -70,17 +70,78 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #       backlog entirely;
 #   (3) fill to 50 with q13 (oldest stale row, r03). The other six of
 #       _SWEEP_LAST wait for r11.
-# ROUND-10 HEAD PLAN (keep this arithmetic in sync): canary (1) + the
-# five ex-reds q93/q100/q101/q127/q132 (5, formally clearing the r07
-# ledger — VERDICT r8 task 3) + the round-9 additions (listed right
-# below q13 in this list; final count 7: q236-q242) + the oldest
-# r07-swept cohort from q65 upward + the remaining six of _SWEEP_LAST
-# (q14/q35/q80/q82/q83/q85) = 1 + 5 + 7 + 6 = 19 fixed slots, so take
-# q65-q96 (31 names as registered) to make exactly 50.
+# ROUND-10 HEAD (executes the plan ratified by VERDICT r9 task 1):
+#   (1) q224_type_canary FIRST, as in every round;
+#   (2) the five r07 ex-reds q93/q100/q101/q127/q132 — the HUGEINT
+#       hash artifact was fixed registry-wide in r8 and judge-verified
+#       fresh-process in r8 AND r9; this formally clears the ledger;
+#   (3) the round-9 additions q236-q242 (judge-verified green in r9,
+#       never driver-swept);
+#   (4) the _SWEEP_LAST six (q14/q35/q80/q82/q83/q85 — oldest r03/r04
+#       rows, completing the rotation begun in r8);
+#   (5) fill to 50 with the oldest r05/r07-swept cohort in registered
+#       order: the q65-q96 block (28 after removing the ex-red q93 and
+#       the four already in (4)) + q97/q98/q99.
+# 1 + 5 + 7 + 6 + 31 = 50 exactly. After this sweep EVERY registry
+# entry has at least one green driver row (assuming 50/50 green).
 _SWEEP_FIRST = [
     # (1) type canary — keep at head position 1 in every round
     "q224_type_canary",
-    # (2) never-swept cohort part 2 (r9 head)
+    # (2) r07 ex-reds: formally clear the stale ledger rows
+    "q93_joinw_stream_non_nesting",
+    "q100_chop_count_stream",
+    "q101_sliding_stream_ooo_replay",
+    "q127_market_share",
+    "q132_bucketed_colocated_join",
+    # (3) round-9 additions, never swept
+    "q236_pagerank_dangling",
+    "q237_weighted_pagerank",
+    "q238_weighted_modularity",
+    "q239_lpa_stream_weighted",
+    "q240_incremental_extents_stream",
+    "q241_khop_reach",
+    "q242_edge_neighborhood_jaccard",
+    # (4) oldest stale rows (r03/r04), ex-_SWEEP_LAST rotation
+    "q14_value_histogram",
+    "q35_complete_window",
+    "q80_unpivot_money_metrics",
+    "q82_cube_counts",
+    "q83_set_ops_users",
+    "q85_length_quartiles",
+    # (5) oldest r05/r07 cohort, registered order (31 names)
+    "q87_joinw_stream",
+    "q93d_joinw_stream_money_double",
+    "q79_pivot_event_counts",
+    "q74_dedup_groups",
+    "q75_vocab_encode",
+    "q76_split_assign",
+    "q77_random_projection",
+    "q68_prefix_jaccard_pairs",
+    "q69_contamination_check",
+    "q94_cross_corpus_near_dups",
+    "q95_contamination_scores",
+    "q70_repetition_stats",
+    "q71_corpus_mix",
+    "q96_semantic_near_dups",
+    "q84_incremental_ingest_dedup",
+    "q66_null_passthrough_chain",
+    "q67_joine_positional_untimed",
+    "q65_frequent_routes_stream",
+    "q78_window_agg_stream",
+    "q86_sessionize_stream",
+    "q88_taxi_csv_dead_letter",
+    "q89_scan_stream",
+    "q90_filteracc_stream",
+    "q91_sliding_count_stream",
+    "q92_scan_stream_global",
+    "q72_priority_semi_join",
+    "q73_inactive_customers_anti_join",
+    "q81_sole_returned_supplier",
+    "q97_filteracc_stream_global",
+    "q98_docs_jsonl_dead_letter",
+    "q99_corpus_pipeline",
+    # ---- 50-cap boundary: entries below get no driver row in r10 ----
+    # r9 head (all 50/50 green in CORRECTNESS_r09.json), parked:
     "q187_leakage_aware_split",
     "q225_stream_near_dup_filter",
     "q226_bloom_file_skip",
@@ -129,17 +190,7 @@ _SWEEP_FIRST = [
     "q221_weekend_split",
     "q222_stratum_floor_split",
     "q223_weekly_top_event",
-    # (3) fill to 50: oldest stale driver row (r03)
     "q13_percentiles",
-    # ---- 50-cap boundary: entries below get no driver row in r9 ----
-    # round-9 additions, queued first for the r10 head:
-    "q236_pagerank_dangling",
-    "q237_weighted_pagerank",
-    "q238_weighted_modularity",
-    "q239_lpa_stream_weighted",
-    "q240_incremental_extents_stream",
-    "q241_khop_reach",
-    "q242_edge_neighborhood_jaccard",
     # r8-green cohort (q138-q186), parked until its rotation comes due.
     "q138_incremental_agg_stream",
     "q139_hll_distinct",
@@ -191,17 +242,10 @@ _SWEEP_FIRST = [
     "q185_oov_audit",
     "q186_dup_cluster_census",
 ]
-# Everything below the 50 cap is r04/r05-green untouched batch code;
-# order among them is irrelevant to the driver. _SWEEP_LAST kept for
-# round-8 rotation bookkeeping (oldest stable cohort: r04 rows).
-_SWEEP_LAST: list[str] = [
-    "q14_value_histogram",
-    "q35_complete_window",
-    "q80_unpivot_money_metrics",
-    "q82_cube_counts",
-    "q83_set_ops_users",
-    "q85_length_quartiles",
-]
+# Everything below the 50 cap is driver-green untouched code; order
+# among them is irrelevant to the driver. _SWEEP_LAST is now empty:
+# the r03/r04 rotation cohort moved into the r10 head (slot group 4).
+_SWEEP_LAST: list[str] = []
 
 
 def _ordered_names() -> list[str]:

@@ -1986,3 +1986,64 @@ def q242_edge_neighborhood_jaccard(
         F.col("u").alias("a"), F.col("v").alias("b")
     )
     return edge_neighborhood_jaccard(pairs)
+
+
+@register(
+    "q243_khop_reach_hll",
+    _COPURCHASE_Q_CTE
+    + """,
+    e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+    h1 AS (SELECT src AS node,
+                  ('0x' || substr(md5(CAST(dst AS VARCHAR)), 1, 15))::BIGINT
+                      AS hv
+           FROM e),
+    b1 AS (SELECT node, hv % 64 AS bucket,
+                  CASE WHEN (hv // 64) = 0 THEN 40
+                       ELSE least(bit_count(((hv // 64) & (-(hv // 64))) - 1)
+                                  + 1, 40)
+                  END AS rho
+           FROM h1),
+    r1 AS (SELECT node, bucket, max(rho) AS reg
+           FROM b1 GROUP BY node, bucket),
+    p2 AS (SELECT e.src AS node, r.bucket, r.reg
+           FROM e JOIN r1 r ON r.node = e.dst
+           UNION ALL SELECT node, bucket, reg FROM r1),
+    r2 AS (SELECT node, bucket, max(reg) AS reg
+           FROM p2 GROUP BY node, bucket),
+    g1 AS (SELECT node, count(*) AS n_obs,
+                  sum((1::BIGINT << (40 - reg))) AS s_obs
+           FROM r1 GROUP BY node),
+    g2 AS (SELECT node, count(*) AS n_obs,
+                  sum((1::BIGINT << (40 - reg))) AS s_obs
+           FROM r2 GROUP BY node)
+    SELECT g1.node,
+           CAST((709 * 64 * 64 * (1::BIGINT << 40)) //
+                (1000 * (g1.s_obs + (64 - g1.n_obs) * (1::BIGINT << 40)))
+                AS BIGINT) AS est_1,
+           CAST((709 * 64 * 64 * (1::BIGINT << 40)) //
+                (1000 * (g2.s_obs + (64 - g2.n_obs) * (1::BIGINT << 40)))
+                AS BIGINT) AS est_2
+    FROM g1 JOIN g2 ON g1.node = g2.node
+    """,
+    doc="HLL-sketched k-hop reach (functions/graph.py:khop_reach_hll, "
+    "the HyperANF register-propagation idea, Boldi/Rosa/Vigna WWW'11) "
+    "over the same one-quarter co-purchase graph as q241 — the scale "
+    "path exact khop_reach documents: each node carries a fixed "
+    "64-register sketch of its reach set, levels max-merge sketches "
+    "along edges (register max IS set union), so per-level state is "
+    "N*m rows and the level join is deg*m-bounded NO MATTER how "
+    "dense the reach gets — where exact reach is output-bound, the "
+    "sketch is state-bound. Same engine-exact shifted-long HLL "
+    "arithmetic as q139/q233 (md5 bucket/rho, integer harmonic "
+    "mean), so the APPROXIMATE estimates are bit-reproducible and "
+    "fully hash-gated; accuracy vs the exact q241 answer is pinned "
+    "separately by a property test",
+)
+def q243_khop_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.graph import khop_reach_hll
+
+    pairs = _copurchase_quarter_pairs(spark, sf_dir)
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return khop_reach_hll(edges, hops=2, src="u", dst="v")

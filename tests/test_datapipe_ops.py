@@ -2335,6 +2335,74 @@ def test_pagerank_seed_validation(spark):
         pagerank(edges, 1, seeds=[0, 99]).collect()
 
 
+def test_pagerank_headroom_guard_trips(spark):
+    """The documented 2^63 bound is ENFORCED (VERDICT r9 task 2,
+    modularity's 10x-probe precedent): damp_num * N * scale past the
+    long range raises at setup instead of silently wrapping, and the
+    weighted form additionally guards the rank-ceiling * max_weight
+    product. Normal parameters are untouched."""
+    from striot_spark.functions.graph import pagerank
+
+    und = [(0, 1), (1, 2)]
+    e = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    # N=3, damp_num=85: 85 * 3 * 2^61 >> 2^63-1
+    with pytest.raises(ValueError, match="damp_num"):
+        pagerank(edges, 1, scale=2**61)
+    # weighted: N * scale * max_w = 3 * 1e9 * 2^40 >> 2^63-1
+    w = spark.createDataFrame(
+        [(0, 1, 2**40), (1, 2, 2**40), (1, 0, 2**40), (2, 1, 2**40)],
+        "src long, dst long, w long",
+    )
+    with pytest.raises(ValueError, match="max_weight"):
+        pagerank(w, 1, weight="w")
+    # sane parameters still run (and the guard did not change results:
+    # the hand-rolled fixed-point tests above pin the values)
+    assert pagerank(edges, 1).count() == 3
+
+
+def test_khop_reach_hll_tracks_exact_and_is_monotone(spark):
+    """khop_reach_hll vs exact khop_reach on a seeded G(n, p) graph
+    large enough for the raw (bias-uncorrected) estimate's accurate
+    regime (reach_2 ~ n=400 >> 2.5m=160): per-node relative error of
+    est_2 within the documented ~1.04/sqrt(64) sketch tolerance (3x
+    headroom — errors across nodes are correlated, sharing one hash
+    function), and register max-merge only grows sketches, so
+    est_2 >= est_1 for every node."""
+    import random
+
+    from striot_spark.functions.graph import khop_reach, khop_reach_hll
+
+    rng = random.Random(421)
+    n = 400
+    und = [
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if rng.random() < 0.06
+    ]
+    sym = und + [(b, a) for a, b in und]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    exact = {
+        r["node"]: (r["reach_1"], r["reach_2"])
+        for r in khop_reach(e, hops=2).collect()
+    }
+    est = {
+        r["node"]: (r["est_1"], r["est_2"])
+        for r in khop_reach_hll(e, hops=2).collect()
+    }
+    assert set(est) == set(exact)
+    rel = []
+    for node, (e1, e2) in est.items():
+        assert e2 >= e1  # register dominance => estimate monotone
+        x2 = exact[node][1]
+        # sketch may include the node itself at k>=2 (documented)
+        rel.append(abs(e2 - x2) / max(x2, 1))
+    rel.sort()
+    assert rel[len(rel) // 2] <= 0.2  # median inside ~1.5 sigma
+    assert rel[-1] <= 0.4  # worst node inside 3 sigma
+
+
 def test_weighted_pagerank_matches_integer_reference(spark):
     """Weighted PageRank on a 3-node directed cycle-with-chord: edge
     multiplicities steer the mass exactly as the integer hand-roll
@@ -2456,6 +2524,9 @@ def test_edge_neighborhood_jaccard_hand_computed(spark):
     assert got[(1, 3)] == (1, 4, 250_000)  # common {2}, union 2+3-1
     assert got[(2, 3)] == (1, 4, 250_000)
     assert got[(3, 4)] == (0, 4, 0)  # bridge: no common neighbor
+
+
+def test_weighted_modularity_matches_hand_roll(spark):
     """Weighted modularity (Newman 2004) against an exact integer
     hand-roll: two 2-node communities joined by a light bridge, heavy
     intra-community weights; w=1 must equal the unweighted metric."""

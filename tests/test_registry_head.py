@@ -38,26 +38,29 @@ def test_ordering_is_a_permutation_of_the_registry():
     assert set(oracles) <= set(names)
 
 
-def test_head_50_composition_round9():
-    """The r9 head the driver sweeps (VERDICT r8 task 1): canary, then
-    the rest of the never-swept backlog — q187, the round-8 additions
-    q225-q235, q188-q223 — then q13 (oldest stale row) filling slot 50.
-    Update alongside the registry's rotation comment when the head is
-    rebuilt for a new round."""
+def test_head_50_composition_round10():
+    """The r10 head the driver sweeps (VERDICT r9 task 1): canary, the
+    five r07 ex-reds, the round-9 additions q236-q242, the r03/r04
+    rotation six, then the oldest r05/r07 cohort (q65-q99 block) to
+    exactly 50. Update alongside the registry's rotation comment when
+    the head is rebuilt for a new round."""
     names = list(all_queries())[:50]
     assert names[0] == "q224_type_canary"
-    assert names[1] == "q187_leakage_aware_split"
-    assert names[2] == "q225_stream_near_dup_filter"
-    assert names[13] == "q188_cap_per_cluster"
-    assert names[48] == "q223_weekly_top_event"
-    assert names[49] == "q13_percentiles"
-    # every never-swept query (no driver row through r8) is inside the head
-    never_swept = (
-        ["q187_leakage_aware_split"]
-        + [f"q{i}" for i in range(188, 224)]
-        + [f"q{i}" for i in range(225, 236)]
-    )
-    head_prefixes = {n.split("_")[0] for n in names}
-    missing = [q for q in never_swept if q.split("_")[0] not in head_prefixes]
-    assert missing == []
+    # the five stale-red ledger rows, formally cleared this round
+    ex_reds = [
+        "q93_joinw_stream_non_nesting",
+        "q100_chop_count_stream",
+        "q101_sliding_stream_ooo_replay",
+        "q127_market_share",
+        "q132_bucketed_colocated_join",
+    ]
+    assert names[1:6] == ex_reds
+    # the never-swept round-9 additions
+    assert names[6:13] == [f"q{i}" for i in range(236, 243)] or [
+        n.split("_")[0] for n in names[6:13]
+    ] == [f"q{i}" for i in range(236, 243)]
+    # rotation six (oldest r03/r04 rows)
+    rotation_prefixes = {"q14", "q35", "q80", "q82", "q83", "q85"}
+    assert {n.split("_")[0] for n in names[13:19]} == rotation_prefixes
+    assert names[49] == "q99_corpus_pipeline"
     assert all(n in REGISTRY for n in names)
