@@ -777,6 +777,7 @@ def near_dup_filter_stream(
     shingle_n: int = 2,
     available_now: bool = True,
     state_parts: int = 16,
+    gc_grace_batches: int = 0,
 ):
     """ONLINE near-dup ingest filter: the streaming form of
     ``near_dup_filter`` — suppress each arriving document that shares
@@ -866,7 +867,8 @@ def near_dup_filter_stream(
     def _write_partitioned(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         st = _PartitionedState(
-            snap_dir, ["band", "sig"], state_parts, run_id
+            snap_dir, ["band", "sig"], state_parts, run_id,
+            gc_grace_batches=gc_grace_batches,
         )
         man, skip = st.load(batch_id)
         if skip:

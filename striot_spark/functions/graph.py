@@ -385,6 +385,161 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def _edge_triangle_support(p: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a CANONICAL undirected pair set
+    (``u < v``, distinct, no self-loops): for every triangle, each of
+    its three edges gains one support. Enumeration uses the same
+    degree-orientation trick as ``triangle_count`` (Suri &
+    Vassilvitskii WWW'11) so the wedge join stays Σ outdeg² ≤ m^1.5
+    bounded on hub-skewed graphs; each triangle is found exactly once
+    and then unpacked into its three canonical edges, so the support
+    VALUES are orientation-independent (an oracle enumerating by
+    ``a < b < c`` reproduces them exactly). Returns (u, v, sup) for
+    edges with sup ≥ 1 only."""
+    from striot_spark.functions.text import md5_hash64
+
+    both = p.unionByName(
+        p.select(F.col("u").alias("v"), F.col("v").alias("u"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ann = (
+        p.join(
+            deg.select(F.col("u").alias("__n"), F.col("d").alias("du")),
+            F.col("u") == F.col("__n"),
+        )
+        .drop("__n")
+        .join(
+            deg.select(F.col("u").alias("__n"), F.col("d").alias("dv")),
+            F.col("v") == F.col("__n"),
+        )
+        .drop("__n")
+        .withColumn("hu", md5_hash64(F.col("u").cast("string")))
+        .withColumn("hv", md5_hash64(F.col("v").cast("string")))
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("hu") < F.col("hv"))
+    )
+    from striot_spark.functions.caching import track_persist
+
+    # consumed three times (both wedge sides + the closing-edge probe):
+    # without the barrier the degree-annotation chain recomputes 3x
+    oriented = track_persist(
+        ann.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+            F.when(u_first, F.col("hv")).otherwise(F.col("hu")).alias("dh"),
+        )
+    )
+    w1 = oriented.select(
+        F.col("src").alias("p"),
+        F.col("dst").alias("x"),
+        F.col("dd").alias("dx"),
+        F.col("dh").alias("hx"),
+    )
+    w2 = oriented.select(
+        F.col("src").alias("p"),
+        F.col("dst").alias("y"),
+        F.col("dd").alias("dy"),
+        F.col("dh").alias("hy"),
+    )
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("hx") < F.col("hy"))
+    )
+    wedges = w1.join(w2, "p").filter(x_first).select("p", "x", "y")
+    closing = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"])  # (p, x, y): one row/triangle
+    edges3 = (
+        tri.select(
+            F.least("p", "x").alias("u"), F.greatest("p", "x").alias("v")
+        )
+        .unionByName(
+            tri.select(
+                F.least("p", "y").alias("u"),
+                F.greatest("p", "y").alias("v"),
+            )
+        )
+        .unionByName(
+            tri.select(
+                F.least("x", "y").alias("u"),
+                F.greatest("x", "y").alias("v"),
+            )
+        )
+    )
+    return edges3.groupBy("u", "v").agg(F.count(F.lit(1)).alias("sup"))
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Fixed-round k-truss peeling — the EDGE analogue of ``k_core``
+    (Cohen 2008, public methodology): each round removes every edge
+    supported by fewer than ``k − 2`` triangles among the surviving
+    edges. Where k-core keeps well-connected NODES, k-truss keeps
+    edges embedded in dense triangle neighborhoods — the stronger
+    community-nucleus signal (a star hub survives k-core but has zero
+    triangles).
+
+    Same fixed-round contract as ``k_core``: both engines peel exactly
+    ``rounds`` times, so the result is well-defined and
+    oracle-reproducible as chained CTEs whether or not a fixed point
+    was reached; it equals the true k-truss exactly when a round
+    removes nothing. Input is an undirected edge list as pairs (either
+    orientation, self-loops dropped); output is the surviving edge set
+    with its FINAL support — (a, b, support), support recomputed after
+    the last peel so returned values are consistent with the returned
+    edge set.
+
+    Plan shape per round: one support computation (degree-annotated
+    orientation + wedge equi-join, Σ outdeg² ≤ m^1.5 bounded — see
+    ``_edge_triangle_support``) + one threshold filter; the surviving
+    pair set is persisted AND lineage-cut EVERY round
+    (``localCheckpoint``): a support round references the edge set
+    ~5× (degree, two annotations, two wedge sides), so the k_core
+    cadence rule (cut cadence must match per-round self-reference
+    fan-out; PERF.md §30) demands the tightest cadence here.
+    """
+    from striot_spark.functions.caching import track_persist
+
+    if k < 2:
+        raise ValueError("k must be >= 2 (k-2 is the support threshold)")
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    p = track_persist(
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    thresh = k - 2
+    for _ in range(rounds):
+        if thresh <= 0:
+            break  # every edge trivially meets support >= 0
+        sup = _edge_triangle_support(p)
+        p = track_persist(
+            sup.filter(F.col("sup") >= thresh).select("u", "v")
+        ).localCheckpoint(eager=True)
+    final = _edge_triangle_support(p)
+    return (
+        p.join(final, ["u", "v"], "left")
+        .select(
+            F.col("u").alias(a),
+            F.col("v").alias(b),
+            F.coalesce(F.col("sup"), F.lit(0))
+            .cast("long")
+            .alias("support"),
+        )
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 3,
@@ -714,7 +869,9 @@ def khop_reach(
     rows first reached at level k−1) against the edge list — one
     keyed equi-join, one distinct, one anti-join against the
     cumulative set per level, each persisted (consumed by both the
-    next level and its own count). Expanding the frontier instead of
+    next level and its own count); the FINAL level skips the
+    anti-join (nothing expands after it), so at hops=2 the plan is
+    exactly the naive form with no added join. Expanding the frontier instead of
     the whole cumulative set (the naive form) keeps level-k join
     input at |frontier_{k-1}| rows — the cumulative variant re-walks
     every prior level's expansion each round, multiplying the
@@ -750,16 +907,22 @@ def khop_reach(
     for h in range(2, hops + 1):
         nxt = frontier.join(
             e, frontier["r"] == e["src"]
-        ).select("node", F.col("dst").alias("r"))
-        # new rows only: distinct within the level, then drop
-        # anything already reached at an earlier level (keyed
-        # anti-join) — the union below is therefore disjoint
-        frontier = track_persist(
-            nxt.filter(F.col("r") != F.col("node"))
-            .distinct()
-            .join(reach, ["node", "r"], "left_anti")
+        ).select("node", F.col("dst").alias("r")).filter(
+            F.col("r") != F.col("node")
         )
-        reach = track_persist(reach.unionByName(frontier))
+        if h < hops:
+            # new rows only: distinct within the level, then drop
+            # anything already reached at an earlier level (keyed
+            # anti-join) — the union below is therefore disjoint,
+            # and the NEXT level expands just these new rows
+            frontier = track_persist(
+                nxt.distinct().join(reach, ["node", "r"], "left_anti")
+            )
+            reach = track_persist(reach.unionByName(frontier))
+        else:
+            # final level: no further expansion needs the frontier,
+            # so skip the anti-join and dedup the union directly
+            reach = track_persist(reach.unionByName(nxt).distinct())
         cnt = reach.groupBy("node").agg(
             F.count(F.lit(1)).alias(f"reach_{h}")
         )

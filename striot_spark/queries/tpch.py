@@ -1988,10 +1988,7 @@ def q242_edge_neighborhood_jaccard(
     return edge_neighborhood_jaccard(pairs)
 
 
-@register(
-    "q243_khop_reach_hll",
-    _COPURCHASE_Q_CTE
-    + """,
+_KHOP_HLL_TAIL = """,
     e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
     h1 AS (SELECT src AS node,
                   ('0x' || substr(md5(CAST(dst AS VARCHAR)), 1, 15))::BIGINT
@@ -2024,7 +2021,12 @@ def q242_edge_neighborhood_jaccard(
                 (1000 * (g2.s_obs + (64 - g2.n_obs) * (1::BIGINT << 40)))
                 AS BIGINT) AS est_2
     FROM g1 JOIN g2 ON g1.node = g2.node
-    """,
+    """
+
+
+@register(
+    "q243_khop_reach_hll",
+    _COPURCHASE_Q_CTE + _KHOP_HLL_TAIL,
     doc="HLL-sketched k-hop reach (functions/graph.py:khop_reach_hll, "
     "the HyperANF register-propagation idea, Boldi/Rosa/Vigna WWW'11) "
     "over the same one-quarter co-purchase graph as q241 — the scale "
@@ -2047,3 +2049,195 @@ def q243_khop_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     return khop_reach_hll(edges, hops=2, src="u", dst="v")
+
+
+_STAGED_QPAIRS: dict = {}
+
+
+def _stage_quarter_pair_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the QUARTER-window co-purchase pair observations (one row
+    per same-order partkey pair occurrence, duplicates kept) as three
+    mtime-ordered files, ordered by (u, v) so the third-splits cut
+    through pairs — same adversarial discipline as q239's stager, on
+    q241/q243's one-quarter graph."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from striot_spark.streaming.runtime import stage_ordered_files
+
+    ck = (sf_dir, "quarter_pair_events")
+    path = _STAGED_QPAIRS.get(ck)
+    if path is not None:
+        return path
+    import datetime as dt
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(dt.datetime(1995, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(dt.datetime(1995, 4, 1)))
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pe = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("u"),
+        F.col("b.l_partkey").alias("v"),
+    )
+    n = pe.count()
+    r = pe.withColumn(
+        "rn", F.row_number().over(Window.orderBy("u", "v"))
+    )
+    third = n // 3
+    chunks = [
+        r.filter(F.col("rn") <= third).drop("rn"),
+        r.filter(
+            (F.col("rn") > third) & (F.col("rn") <= 2 * third)
+        ).drop("rn"),
+        r.filter(F.col("rn") > 2 * third).drop("rn"),
+    ]
+    out = tempfile.mkdtemp(prefix="striot_q245_pairs_") + "/data"
+    stage_ordered_files(chunks, out, order_cols=["u", "v"])
+    _STAGED_QPAIRS[ck] = out
+    return out
+
+
+@register(
+    "q245_khop_hll_stream_serve",
+    _COPURCHASE_Q_CTE + _KHOP_HLL_TAIL,
+    doc="STREAMED graph-feature serve (the q239 pattern on q243's "
+    "feature): quarter co-purchase pair observations replay as three "
+    "micro-batches cut THROUGH pairs, the additive ingest sink "
+    "(incremental_agg_sink keyed on the edge, hash-prefix-partitioned "
+    "state, and gc_grace_batches=1 — superseded partition dirs "
+    "outlive the commit that replaces them by one batch, the "
+    "shared-lake reader guarantee exercised on a real stream) "
+    "accumulates the edge set into a #edges-sized snapshot, and "
+    "serving runs khop_reach_hll off it. The sketch uses DISTINCT "
+    "edges, and set-union ingest is batching/arrival-order "
+    "independent, so the oracle is exactly q243's: the batch "
+    "quarter-graph unrolled through the same register recursion",
+)
+def q245_khop_hll_stream_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from striot_spark.functions.graph import khop_reach_hll
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_quarter_pair_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+    path = tempfile.mkdtemp(prefix="striot_q245_mv_")
+    q = RT.incremental_agg_sink(
+        sdf,
+        path,
+        tempfile.mkdtemp(prefix="striot_q245_ck_"),
+        key_cols=["u", "v"],
+        sum_cols=[],
+        gc_grace_batches=1,
+    )
+    q.awaitTermination()
+    snap = RT.read_snapshot(spark, path).select("u", "v")
+    edges = snap.unionByName(
+        snap.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return khop_reach_hll(edges, hops=2, src="u", dst="v")
+
+
+_KTRUSS_ROUND = """,
+    tr{n} AS (SELECT p1.u AS a, p1.v AS b, p2.v AS c
+            FROM t{m} p1
+            JOIN t{m} p2 ON p2.u = p1.u AND p2.v > p1.v
+            JOIN t{m} p3 ON p3.u = p1.v AND p3.v = p2.v),
+    s{n} AS (SELECT u, v, count(*) AS sup FROM (
+             SELECT a AS u, b AS v FROM tr{n}
+             UNION ALL SELECT a AS u, c AS v FROM tr{n}
+             UNION ALL SELECT b AS u, c AS v FROM tr{n}) GROUP BY u, v)"""
+
+
+# k-truss needs a denser window than q241/q243's one quarter: at
+# sf0.01 the quarter graph has ZERO edges with 2-triangle support, so
+# a 4-truss query on it would be vacuously green (the r7 trap) — the
+# FULL-1995 window carries a real peeling sequence at every tested sf
+_COPURCHASE_Y_CTE = """
+    WITH li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate < DATE '1996-01-01'),
+    eraw AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+
+
+def _copurchase_year_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(dt.datetime(1995, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(dt.datetime(1996, 1, 1)))
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+
+
+@register(
+    "q244_ktruss_edges",
+    _COPURCHASE_Y_CTE
+    + """,
+    t0 AS (SELECT u, v FROM eraw)"""
+    + _KTRUSS_ROUND.format(n=1, m=0)
+    + """,
+    t1 AS (SELECT u, v FROM s1 WHERE sup >= 2)"""
+    + _KTRUSS_ROUND.format(n=2, m=1)
+    + """,
+    t2 AS (SELECT u, v FROM s2 WHERE sup >= 2)"""
+    + _KTRUSS_ROUND.format(n=3, m=2)
+    + """
+    SELECT t2.u AS a, t2.v AS b,
+           CAST(COALESCE(s3.sup, 0) AS BIGINT) AS support
+    FROM t2 LEFT JOIN s3 ON s3.u = t2.u AND s3.v = t2.v
+    """,
+    doc="fixed-round 4-truss peeling (functions/graph.py:k_truss, "
+    "Cohen 2008) over the FULL-1995 co-purchase graph (the quarter "
+    "window's 4-truss is empty at sf0.01 — a vacuous gate; the year "
+    "window peels non-trivially at every tested sf) — the EDGE "
+    "analogue of q172's k-core: two synchronous rounds each drop "
+    "every edge in fewer than 2 surviving triangles, output is the "
+    "surviving edges with FINAL recomputed support. Spark enumerates "
+    "triangles degree-oriented (sum outdeg^2 <= m^1.5, q149's "
+    "machinery) and unpacks each into its three canonical edges, so "
+    "support values are orientation-independent and the DuckDB "
+    "oracle's a<b<c enumeration reproduces them exactly; the pair "
+    "set is persisted AND lineage-cut EVERY round (a support round "
+    "references it ~5x — the k_core cadence rule at its tightest)",
+)
+def q244_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.graph import k_truss
+
+    pairs = _copurchase_year_pairs(spark, sf_dir)
+    return k_truss(pairs, k=4, rounds=2, a="u", b="v").select(
+        F.col("u").alias("a"), F.col("v").alias("b"), "support"
+    )

@@ -873,9 +873,12 @@ def to_idempotent_parquet(
 # anywhere before the manifest replace leaves the previous state fully
 # intact; Structured Streaming replays the one uncommitted batch, which
 # rewrites the same generation dir. Readers resolve the manifest then the
-# parquet dirs; immediate GC is safe single-writer/local — a shared lake
-# would add a grace period before deleting superseded dirs (noted, not
-# needed at this deployment's single-driver sinks).
+# parquet dirs; immediate GC (the default) is safe single-writer/local.
+# On a shared lake a reader that resolved the PREVIOUS manifest can be
+# mid-read when the superseding commit deletes its dirs — pass
+# ``gc_grace_batches=N`` to defer superseded-dir deletion N further
+# commits (recorded in the manifest's pending_gc ledger, so deferred
+# deletions survive restarts), or gc_grace_batches=-1 to never GC.
 # ---------------------------------------------------------------------------
 
 _MANIFEST_NAME = "_MANIFEST"
@@ -906,14 +909,25 @@ class _PartitionedState:
     a missing dir."""
 
     def __init__(
-        self, path: str, key_cols: Sequence[str], parts: int, run_id: str
+        self,
+        path: str,
+        key_cols: Sequence[str],
+        parts: int,
+        run_id: str,
+        gc_grace_batches: int = 0,
     ):
         if parts < 1:
             raise ValueError(f"state_parts must be >= 1, got {parts}")
+        if gc_grace_batches < -1:
+            raise ValueError(
+                "gc_grace_batches must be >= 0, or -1 to never GC, "
+                f"got {gc_grace_batches}"
+            )
         self.path = path
         self.key_cols = list(key_cols)
         self.parts = parts
         self.run_id = run_id
+        self.gc_grace = gc_grace_batches
 
     def part_expr(self):
         return F.pmod(
@@ -990,18 +1004,23 @@ class _PartitionedState:
         batch_id: int,
     ) -> None:
         """``merged`` must carry ``__state_part`` and cover exactly the
-        touched partitions."""
+        touched partitions. An EMPTY batch (touched == []) writes no
+        generation dir — the manifest is still flipped to advance
+        last_batch (the replay guard) and record the data schema, so a
+        stream whose FIRST batches are empty serves an empty snapshot
+        instead of an unreadable one."""
         import json as _json
         import os as _os
         import shutil as _shutil
 
         gen = f"g{batch_id:09d}"
-        (
-            merged.repartition(max(len(touched), 1), _PART_COL)
-            .write.partitionBy(_PART_COL)
-            .mode("overwrite")
-            .parquet(_os.path.join(self.path, gen))
-        )
+        if touched:
+            (
+                merged.repartition(len(touched), _PART_COL)
+                .write.partitionBy(_PART_COL)
+                .mode("overwrite")
+                .parquet(_os.path.join(self.path, gen))
+            )
         newmap = dict(man["map"]) if man else {}
         superseded = [
             (k, newmap[str(k)])
@@ -1010,6 +1029,27 @@ class _PartitionedState:
         ]
         for k in touched:
             newmap[str(k)] = gen
+        # deferred-GC ledger: [superseded_batch, gen, part] rows; an
+        # entry becomes deletable once batch_id - superseded_batch >=
+        # gc_grace (so grace=1 deletes at the NEXT commit). Persisted
+        # in the manifest so deferral survives restarts.
+        pending = list(man.get("pending_gc", [])) if man else []
+        if self.gc_grace != 0:
+            pending += [[batch_id, g, k] for k, g in superseded]
+            superseded = []
+        if self.gc_grace >= 0:
+            due = [e for e in pending if batch_id - e[0] >= self.gc_grace]
+            pending = [e for e in pending if batch_id - e[0] < self.gc_grace]
+            superseded += [(k, g) for _, g, k in due]
+        # data schema without the partition column — lets read_snapshot
+        # serve an empty frame before the first non-empty commit
+        schema = _json.loads(merged.schema.json())
+        schema["fields"] = [
+            f for f in schema["fields"] if f["name"] != _PART_COL
+        ]
+        # an all-empty-batches stream writes no parquet, so the state
+        # dir may not exist yet when the first manifest lands
+        _os.makedirs(self.path, exist_ok=True)
         tmp = _os.path.join(self.path, _MANIFEST_NAME + ".tmp")
         with open(tmp, "w") as f:
             _json.dump(
@@ -1019,6 +1059,8 @@ class _PartitionedState:
                     "run_id": self.run_id,
                     "last_batch": batch_id,
                     "map": newmap,
+                    "schema": schema,
+                    "pending_gc": pending,
                 },
                 f,
             )
@@ -1054,6 +1096,7 @@ def upsert_snapshot_sink(
     payload_cols: Sequence[str],
     available_now: bool = True,
     state_parts: int = 16,
+    gc_grace_batches: int = 0,
 ):
     """Streaming latest-wins UPSERT sink: maintain a parquet snapshot
     with one row per key, continuously compacted as change events
@@ -1103,7 +1146,10 @@ def upsert_snapshot_sink(
 
     def _write_partitioned(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        st = _PartitionedState(path, list(key_cols), state_parts, run_id)
+        st = _PartitionedState(
+            path, list(key_cols), state_parts, run_id,
+            gc_grace_batches=gc_grace_batches,
+        )
         man, skip = st.load(batch_id)
         if skip:
             return  # replayed batch (same run): already durable
@@ -1164,7 +1210,15 @@ def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
     state, default) resolves to the union of every partition's current
     generation dir; otherwise the legacy ``_CURRENT`` A/B pointer
     (whose incremental_agg variant also carries the last applied batch
-    id after a colon)."""
+    id after a colon).
+
+    Reading concurrently with an ACTIVE stream on a shared filesystem
+    requires the sink to run with ``gc_grace_batches >= 1``: under
+    immediate GC (the default) a manifest resolved just before a
+    commit can point at partition dirs that commit deletes mid-read.
+    The grace ledger keeps superseded dirs until N further commits
+    have passed, bounding reader staleness exposure by the batch
+    cadence."""
     import os as _os
 
     man = _load_manifest(path)
@@ -1174,6 +1228,15 @@ def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
             for k, gen in sorted(man["map"].items(), key=lambda kv: int(kv[0]))
         ]
         if not paths:
+            # every commit records the data schema, so a stream whose
+            # batches so far were all empty serves an EMPTY snapshot
+            # (legacy-writer parity) instead of raising
+            if "schema" in man:
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame(
+                    [], StructType.fromJson(man["schema"])
+                )
             raise FileNotFoundError(
                 f"snapshot {path!r} committed no partitions yet"
             )
@@ -1193,6 +1256,7 @@ def incremental_agg_sink(
     state_parts: int = 16,
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
+    gc_grace_batches: int = 0,
 ):
     """Streaming incremental MATERIALIZED VIEW for additive aggregates:
     maintain per-key ``count``/``sum`` totals continuously, merging only
@@ -1269,7 +1333,10 @@ def incremental_agg_sink(
 
     def _write_partitioned(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        st = _PartitionedState(path, list(key_cols), state_parts, run_id)
+        st = _PartitionedState(
+            path, list(key_cols), state_parts, run_id,
+            gc_grace_batches=gc_grace_batches,
+        )
         man, skip = st.load(batch_id)
         if skip:
             return  # replayed batch (same run): already durable

@@ -2403,6 +2403,85 @@ def test_khop_reach_hll_tracks_exact_and_is_monotone(spark):
     assert rel[-1] <= 0.4  # worst node inside 3 sigma
 
 
+def _naive_ktruss(und, k, rounds):
+    """Brute-force reference: peel edges with < k-2 triangle support
+    for exactly `rounds` synchronous rounds, then return survivors
+    with final support."""
+
+    def support(es):
+        s = {}
+        adj = {}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        for u, v in es:
+            s[(u, v)] = len(adj[u] & adj[v])
+        return s
+
+    es = {(min(a, b), max(a, b)) for a, b in und if a != b}
+    for _ in range(rounds):
+        if k - 2 <= 0:
+            break
+        s = support(es)
+        es = {e for e in es if s[e] >= k - 2}
+    s = support(es)
+    return sorted((u, v, s[(u, v)]) for u, v in es)
+
+
+def test_ktruss_hand_computed(spark):
+    """K4 {1..4} + pendant triangle {4,5,6} + bridge (6,7): the
+    4-truss is exactly the K4 (every edge in 2 triangles); at k=3 the
+    pendant triangle survives too (support 1) and only the
+    triangle-free bridge dies."""
+    from striot_spark.functions.graph import k_truss
+
+    und = (
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]  # K4
+        + [(4, 5), (5, 6), (4, 6)]  # pendant triangle
+        + [(6, 7)]  # bridge
+    )
+    e = spark.createDataFrame(und, "a long, b long")
+    got4 = sorted(
+        (r["a"], r["b"], r["support"])
+        for r in k_truss(e, k=4, rounds=2).collect()
+    )
+    assert got4 == [
+        (1, 2, 2), (1, 3, 2), (1, 4, 2), (2, 3, 2), (2, 4, 2), (3, 4, 2)
+    ]
+    got3 = sorted(
+        (r["a"], r["b"], r["support"])
+        for r in k_truss(e, k=3, rounds=2).collect()
+    )
+    assert got3 == _naive_ktruss(und, 3, 2)
+    with pytest.raises(ValueError, match="k must be"):
+        k_truss(e, k=1, rounds=1)
+
+
+def test_ktruss_matches_naive_on_random_graph(spark):
+    """Fixed-round peeling equals the brute-force reference on a
+    seeded G(n, p) graph for k=3 and k=4 — including the recomputed
+    final supports and the convergence case (a round that removes
+    nothing leaves the set unchanged)."""
+    import random
+
+    from striot_spark.functions.graph import k_truss
+
+    rng = random.Random(77)
+    und = [
+        (a, b)
+        for a in range(30)
+        for b in range(a + 1, 30)
+        if rng.random() < 0.2
+    ]
+    e = spark.createDataFrame(und, "a long, b long")
+    for k, rounds in ((3, 2), (4, 3)):
+        got = sorted(
+            (r["a"], r["b"], r["support"])
+            for r in k_truss(e, k=k, rounds=rounds).collect()
+        )
+        assert got == _naive_ktruss(und, k, rounds), (k, rounds)
+
+
 def test_weighted_pagerank_matches_integer_reference(spark):
     """Weighted PageRank on a 3-node directed cycle-with-chord: edge
     multiplicities steer the mass exactly as the integer hand-roll

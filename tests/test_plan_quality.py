@@ -933,10 +933,21 @@ def test_quarter_window_graph_features_push_date_to_scan(spark, sf_dir):
     lineitem parquet scan as pushed date predicates (that window IS
     the scale story — without pushdown the full table feeds the
     wedge expansion), and the feature joins stay keyed."""
-    for q in ("q241_khop_reach", "q242_edge_neighborhood_jaccard"):
+    for q in (
+        "q241_khop_reach",
+        "q242_edge_neighborhood_jaccard",
+        "q243_khop_reach_hll",
+    ):
         fmt = _formatted(spark, q, sf_dir)
         assert "GreaterThanOrEqual(l_shipdate," in fmt, q
         assert "LessThan(l_shipdate," in fmt, q
         plan = _executed(spark, q, sf_dir)
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+    # q244's fixed-round peel localCheckpoints every round (the k_core
+    # cadence rule at fan-out ~5), so the FINAL plan's lineage starts
+    # at the checkpoint — the date pushdown it inherits is q241's
+    # (same pair builder); gate only the join shapes here
+    plan = _executed(spark, "q244_ktruss_edges", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

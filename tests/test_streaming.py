@@ -1865,6 +1865,110 @@ def test_partitioned_snapshot_rewrites_only_touched_partitions(
     assert got == expect and len(got) == 40
 
 
+def test_partitioned_state_gc_grace_defers_deletion(spark, tmp_path):
+    """Shared-lake safety (VERDICT r9 task 5): with gc_grace_batches=1
+    a superseded partition dir survives the commit that supersedes it
+    (a reader holding the previous manifest can finish mid-read) and
+    is deleted only once a FURTHER commit passes the grace horizon.
+    The deferral ledger rides the manifest, so it survives restarts."""
+    import os
+
+    from striot_spark.streaming.runtime import (
+        _PART_COL,
+        _PartitionedState,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "st")
+    st = _PartitionedState(path, ["k"], 4, "deadbeef", gc_grace_batches=1)
+
+    def commit(batch_id, rows):
+        d = spark.createDataFrame(rows, "k long, total long").withColumn(
+            _PART_COL, st.part_expr()
+        )
+        man, skip = st.load(batch_id)
+        assert not skip
+        touched = st.touched(d)
+        prev = st.read_parts(spark, man, touched)
+        merged = d if prev is None else (
+            prev.unionByName(d.drop(_PART_COL))
+            .groupBy("k")
+            .agg(F.sum("total").alias("total"))
+            .withColumn(_PART_COL, st.part_expr())
+        )
+        st.commit(merged, man, touched, batch_id)
+
+    def gen_dirs():
+        return sorted(
+            g for g in os.listdir(path) if g.startswith("g")
+        )
+
+    commit(0, [(1, 10)])
+    commit(1, [(1, 5)])  # supersedes g0's partition for key 1
+    # grace: the superseded g0 dir is still on disk after commit 1
+    assert gen_dirs() == ["g000000000", "g000000001"]
+    man = json.load(open(os.path.join(path, "_MANIFEST")))
+    assert man["pending_gc"] == [[1, "g000000000", 1]] or [
+        e[:2] for e in man["pending_gc"]
+    ] == [[1, "g000000000"]]
+    commit(2, [(1, 1)])  # horizon passed: batch-1's deferral now due
+    assert gen_dirs() == ["g000000001", "g000000002"]
+    got = sorted(
+        (r["k"], r["total"]) for r in read_snapshot(spark, path).collect()
+    )
+    assert got == [(1, 16)]
+
+
+def test_partitioned_state_empty_batches(spark, tmp_path):
+    """An empty micro-batch (touched == []) writes NO generation dir —
+    the manifest still advances last_batch (replay guard) and records
+    the data schema, so a stream whose first batches are all empty
+    serves an EMPTY snapshot (legacy-writer parity) instead of
+    raising, and later empty batches leave no never-GC'd litter."""
+    import os
+
+    from striot_spark.streaming.runtime import (
+        _PART_COL,
+        _PartitionedState,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "st")
+    st = _PartitionedState(path, ["k"], 4, "deadbeef")
+
+    def empty_delta():
+        return spark.createDataFrame([], "k long, total long").withColumn(
+            _PART_COL, st.part_expr()
+        )
+
+    # batch 0 is empty: no gen dir, schema-bearing manifest, empty read
+    man, skip = st.load(0)
+    st.commit(empty_delta(), man, [], 0)
+    assert [g for g in os.listdir(path) if g.startswith("g")] == []
+    snap = read_snapshot(spark, path)
+    assert snap.count() == 0 and snap.columns == ["k", "total"]
+    _, skip = st.load(0)
+    assert skip  # empty commit still advanced the replay guard
+    # batch 1 has data
+    d = spark.createDataFrame([(1, 10)], "k long, total long").withColumn(
+        _PART_COL, st.part_expr()
+    )
+    man, _ = st.load(1)
+    st.commit(d, man, st.touched(d), 1)
+    # batch 2 empty again: state intact, no new gen dir
+    man, _ = st.load(2)
+    st.commit(empty_delta(), man, [], 2)
+    assert [
+        g for g in os.listdir(path) if g.startswith("g")
+    ] == ["g000000001"]
+    assert [
+        (r["k"], r["total"]) for r in read_snapshot(spark, path).collect()
+    ] == [(1, 10)]
+    assert json.load(
+        open(os.path.join(path, "_MANIFEST"))
+    )["last_batch"] == 2
+
+
 def test_near_dup_filter_stream_matches_batch(spark, tmp_path):
     """The online LSH near-dup ingest filter over an id-ordered 3-batch
     replay must keep EXACTLY the docs the batch near_dup_filter keeps
