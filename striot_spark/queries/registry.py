@@ -84,6 +84,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #       the four already in (4)) + q97/q98/q99.
 # 1 + 5 + 7 + 6 + 31 = 50 exactly. After this sweep EVERY registry
 # entry has at least one green driver row (assuming 50/50 green).
+# ROUND-11 HEAD PLAN (keep this arithmetic in sync): canary (1) + the
+# round-10 additions q243/q244/q245 (3, never swept) + the stalest
+# remaining cohort — the r03/r04/r05-row block q01..q64 in registered
+# order (skipping any name already refreshed in r9/r10) — filling to
+# exactly 50. Everything else rotates in r12+ by oldest-row-first.
 _SWEEP_FIRST = [
     # (1) type canary — keep at head position 1 in every round
     "q224_type_canary",
