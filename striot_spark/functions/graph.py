@@ -151,9 +151,10 @@ def pagerank(
         )
     except ValueError:
         small_edges = SMALL_GRAPH_DEFAULT
+    edge_rows = e.count()
     n = (
         spark.sparkContext.defaultParallelism
-        if e.count() <= small_edges
+        if edge_rows <= small_edges
         else None
     )
 
@@ -196,27 +197,45 @@ def pagerank(
     # failure mode, not a doc footnote): total rank mass is ~N*scale
     # and a single rank is bounded by it, so the damped update's
     # damp_num * Σcontribs and the weighted contribution rank * w
-    # must both stay under 2^63. One count on the PERSISTED node
-    # table (+ one max on the persisted edge list when weighted) —
-    # cheap next to the per-iteration joins this guard protects.
-    n_nodes = nodes.count()
+    # must both stay under 2^63. The check is FREE on the common
+    # path: every vertex touches an edge, so N ≤ 2·|E| (|E| already
+    # counted for the small-graph gate) — the exact node count runs
+    # only when that conservative bound is inconclusive, or when
+    # seeds/redistribute need it anyway. The weighted form adds one
+    # max over the persisted edge list.
     limit = 2**63 - 1
-    if damp_num * n_nodes * scale > limit:
-        raise ValueError(
-            f"pagerank: damp_num * N * scale = "
-            f"{damp_num} * {n_nodes} * {scale} exceeds 2^63-1 — the "
-            "exact long accumulator would silently wrap; lower scale "
-            "(ranks are relative) or move to a decimal build"
-        )
+    n_nodes = (
+        nodes.count()
+        if (seeds is not None or dangling == "redistribute")
+        else None
+    )
+
+    def _n_exact() -> int:
+        nonlocal n_nodes
+        if n_nodes is None:
+            n_nodes = nodes.count()
+        return n_nodes
+
+    n_bound = n_nodes if n_nodes is not None else 2 * edge_rows
+    if damp_num * n_bound * scale > limit:
+        if damp_num * _n_exact() * scale > limit:
+            raise ValueError(
+                f"pagerank: damp_num * N * scale = "
+                f"{damp_num} * {n_nodes} * {scale} exceeds 2^63-1 — "
+                "the exact long accumulator would silently wrap; lower "
+                "scale (ranks are relative) or move to a decimal build"
+            )
     if weight is not None:
         max_w = e.agg(F.max("w")).collect()[0][0] or 0
-        if n_nodes * scale * max_w > limit:
-            raise ValueError(
-                f"pagerank: rank ceiling N * scale * max_weight = "
-                f"{n_nodes} * {scale} * {max_w} exceeds 2^63-1 — the "
-                "weighted contribution rank * w would silently wrap; "
-                "lower scale or rescale the weight column"
-            )
+        n_bound = n_nodes if n_nodes is not None else 2 * edge_rows
+        if n_bound * scale * max_w > limit:
+            if _n_exact() * scale * max_w > limit:
+                raise ValueError(
+                    f"pagerank: rank ceiling N * scale * max_weight = "
+                    f"{n_nodes} * {scale} * {max_w} exceeds 2^63-1 — "
+                    "the weighted contribution rank * w would silently "
+                    "wrap; lower scale or rescale the weight column"
+                )
     if seeds is None:
         teleport_col = F.lit((damp_den - damp_num) * scale // damp_den)
         init_col = F.lit(scale).cast("long")
