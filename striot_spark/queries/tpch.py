@@ -2152,6 +2152,91 @@ def q245_khop_hll_stream_serve(
     return khop_reach_hll(edges, hops=2, src="u", dst="v")
 
 
+@register(
+    "q246_neighborhood_function",
+    _COPURCHASE_Q_CTE
+    + """,
+    e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+    h1 AS (SELECT src AS node,
+                  ('0x' || substr(md5(CAST(dst AS VARCHAR)), 1, 15))::BIGINT
+                      AS hv
+           FROM e),
+    b1 AS (SELECT node, hv % 64 AS bucket,
+                  CASE WHEN (hv // 64) = 0 THEN 40
+                       ELSE least(bit_count(((hv // 64) & (-(hv // 64))) - 1)
+                                  + 1, 40)
+                  END AS rho
+           FROM h1),
+    r1 AS (SELECT node, bucket, max(rho) AS reg
+           FROM b1 GROUP BY node, bucket),
+    p2 AS (SELECT e.src AS node, r.bucket, r.reg
+           FROM e JOIN r1 r ON r.node = e.dst
+           UNION ALL SELECT node, bucket, reg FROM r1),
+    r2 AS (SELECT node, bucket, max(reg) AS reg
+           FROM p2 GROUP BY node, bucket),
+    p3 AS (SELECT e.src AS node, r.bucket, r.reg
+           FROM e JOIN r2 r ON r.node = e.dst
+           UNION ALL SELECT node, bucket, reg FROM r1),
+    r3 AS (SELECT node, bucket, max(reg) AS reg
+           FROM p3 GROUP BY node, bucket),
+    est1 AS (SELECT node,
+             CAST((709 * 64 * 64 * (1::BIGINT << 40)) //
+                  (1000 * (sum((1::BIGINT << (40 - reg)))
+                           + (64 - count(*)) * (1::BIGINT << 40)))
+                  AS BIGINT) AS est
+             FROM r1 GROUP BY node),
+    est2 AS (SELECT node,
+             CAST((709 * 64 * 64 * (1::BIGINT << 40)) //
+                  (1000 * (sum((1::BIGINT << (40 - reg)))
+                           + (64 - count(*)) * (1::BIGINT << 40)))
+                  AS BIGINT) AS est
+             FROM r2 GROUP BY node),
+    est3 AS (SELECT node,
+             CAST((709 * 64 * 64 * (1::BIGINT << 40)) //
+                  (1000 * (sum((1::BIGINT << (40 - reg)))
+                           + (64 - count(*)) * (1::BIGINT << 40)))
+                  AS BIGINT) AS est
+             FROM r3 GROUP BY node),
+    n1 AS (SELECT CAST(sum(est) AS BIGINT) AS nf FROM est1),
+    n2 AS (SELECT CAST(sum(est) AS BIGINT) AS nf FROM est2),
+    n3 AS (SELECT CAST(sum(est) AS BIGINT) AS nf FROM est3)
+    SELECT CAST(1 AS INTEGER) AS hop, n1.nf AS nf_est,
+           CAST(n1.nf * 1000000 // n3.nf AS BIGINT) AS ppm_of_max
+    FROM n1, n3
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), n2.nf,
+           CAST(n2.nf * 1000000 // n3.nf AS BIGINT)
+    FROM n2, n3
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), n3.nf,
+           CAST(n3.nf * 1000000 // n3.nf AS BIGINT)
+    FROM n3
+    """,
+    doc="global neighborhood function N(h) with effective-diameter "
+    "read-out (functions/graph.py:neighborhood_function — the "
+    "HyperANF headline statistic, Boldi/Rosa/Vigna WWW'11) over the "
+    "quarter co-purchase graph, hops=3: per-hop estimated "
+    "reachable-pair counts as the exact integer SUM of the per-node "
+    "khop_reach_hll estimates, plus ppm_of_max (the smallest hop "
+    "crossing 900000 ppm is the 90%-effective diameter). Fixed-width "
+    "register state per node — never a pair table, which is |V|^2 at "
+    "saturation; the whole curve is 3 keyed joins + 3 keyed "
+    "aggregations deep. Fully hash-gated: the oracle unrolls the "
+    "identical register recursion (base union propagate, max-merge) "
+    "three levels in DuckDB",
+)
+def q246_neighborhood_function(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions.graph import neighborhood_function
+
+    pairs = _copurchase_quarter_pairs(spark, sf_dir)
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return neighborhood_function(edges, hops=3, src="u", dst="v")
+
+
 _KTRUSS_ROUND = """,
     tr{n} AS (SELECT p1.u AS a, p1.v AS b, p2.v AS c
             FROM t{m} p1

@@ -2403,6 +2403,42 @@ def test_khop_reach_hll_tracks_exact_and_is_monotone(spark):
     assert rel[-1] <= 0.4  # worst node inside 3 sigma
 
 
+def test_neighborhood_function_consistency(spark):
+    """N(h) is the exact integer sum of the per-node khop_reach_hll
+    estimates (same seeded graph → bit-equal), monotone non-decreasing
+    in h (register dominance), and ppm_of_max ends at exactly 1e6 on
+    the deepest hop."""
+    import random
+
+    from striot_spark.functions.graph import (
+        khop_reach_hll,
+        neighborhood_function,
+    )
+
+    rng = random.Random(99)
+    und = [
+        (a, b)
+        for a in range(60)
+        for b in range(a + 1, 60)
+        if rng.random() < 0.08
+    ]
+    sym = und + [(b, a) for a, b in und]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    per = khop_reach_hll(e, hops=3).agg(
+        *[F.sum(f"est_{h}").alias(f"s{h}") for h in (1, 2, 3)]
+    ).collect()[0]
+    nf = {
+        r["hop"]: (r["nf_est"], r["ppm_of_max"])
+        for r in neighborhood_function(e, hops=3).collect()
+    }
+    assert set(nf) == {1, 2, 3}
+    for h in (1, 2, 3):
+        assert nf[h][0] == per[f"s{h}"]
+        assert nf[h][1] <= 1_000_000
+    assert nf[1][0] <= nf[2][0] <= nf[3][0]
+    assert nf[3][1] == 1_000_000
+
+
 def _naive_ktruss(und, k, rounds):
     """Brute-force reference: peel edges with < k-2 triangle support
     for exactly `rounds` synchronous rounds, then return survivors
