@@ -1086,6 +1086,43 @@ def neighborhood_function(
     )
 
 
+def harmonic_centrality_hll(
+    edges: DataFrame,
+    hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    m: int = 64,
+    max_rho: int = 40,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-node harmonic centrality, sketch-estimated — the HyperBall
+    centrality (Boldi & Vigna 2013, public methodology): truncated at
+    ``hops``,
+
+        hc(v) ≈ Σ_{h=1..H} |ball_h(v) − ball_{h-1}(v)| · scale DIV h
+
+    — each newly reached node contributes 1/h for its distance h, from
+    the SAME fixed-width register propagation as ``khop_reach_hll``
+    (the per-level estimate deltas are the shell sizes). This is the
+    centrality you can actually compute at 100 TB: exact
+    closeness/harmonic needs all-pairs distances; the sketch needs H
+    keyed joins over N·m register rows. All integer arithmetic
+    (monotone estimates ⇒ non-negative deltas; per-term
+    ``delta * scale DIV h`` then an exact sum), so an oracle unrolling
+    the same recursion reproduces every value. Returns
+    (node, hc_est) — higher = closer to more of the graph sooner.
+    """
+    per = khop_reach_hll(edges, hops, src, dst, m, max_rho)
+    hc = None
+    for h in range(1, hops + 1):
+        prev = f"est_{h - 1}" if h > 1 else "0L"
+        term = F.expr(
+            f"CAST((est_{h} - {prev}) * {scale} DIV {h} AS BIGINT)"
+        )
+        hc = term if hc is None else hc + term
+    return per.select("node", hc.cast("long").alias("hc_est"))
+
+
 def edge_neighborhood_jaccard(
     pairs: DataFrame,
     a: str = "a",

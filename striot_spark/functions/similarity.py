@@ -629,3 +629,58 @@ def pq_encode(
         F.col(id_col), F.col("pq.sub"), F.col("pq.code"),
         F.col("pq.dist"),
     )
+
+
+def rrf_fuse(
+    ranked: "list[DataFrame]",
+    id_col: str = "doc_id",
+    rank_cols: "list[str] | None" = None,
+    k: int = 10,
+    c: int = 60,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (Cormack,
+    Clarke & Büttcher SIGIR'09, public methodology) — THE standard
+    hybrid-retrieval combiner (lexical BM25-ish + embedding ANN):
+
+        rrf(d) = Σ_lists scale DIV (c + rank_list(d))
+
+    with a document absent from a list contributing 0. Kept in exact
+    integers (scale DIV ...) so the fused scores and the final
+    (rrf DESC, id ASC) top-k are engine-exact — float RRF reorders
+    under summation error; this cannot.
+
+    Each input frame carries (id_col, rank) where rank is 1-based
+    within that list (e.g. ``brute_force_topk``'s ``rnk``, or a
+    row_number over a lexical score). Inputs are top-K candidate
+    lists — a few hundred rows each — so the N-way full outer join
+    and the final TakeOrdered are driver-trivial at any corpus size;
+    the heavy lifting (scoring/ranking the corpus) stays in the
+    per-list producers. Returns (id, rrf, rank_1..rank_N) with 0 for
+    "absent from that list".
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    names = rank_cols or [f"rank_{i + 1}" for i in range(len(ranked))]
+    if len(names) != len(ranked):
+        raise ValueError("rrf_fuse: rank_cols must match ranked lists")
+    out = None
+    for df, name in zip(ranked, names):
+        cur = df.select(F.col(id_col), F.col("rank").alias(name))
+        out = cur if out is None else out.join(cur, id_col, "full_outer")
+    rrf = None
+    for name in names:
+        term = F.when(
+            F.col(name).isNotNull(),
+            F.expr(f"CAST({scale} DIV ({c} + {name}) AS BIGINT)"),
+        ).otherwise(F.lit(0).cast("long"))
+        rrf = term if rrf is None else rrf + term
+    out = out.select(
+        F.col(id_col),
+        rrf.cast("long").alias("rrf"),
+        *[
+            F.coalesce(F.col(n), F.lit(0)).cast("long").alias(n)
+            for n in names
+        ],
+    )
+    return out.orderBy(F.col("rrf").desc(), F.col(id_col).asc()).limit(k)

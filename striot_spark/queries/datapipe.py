@@ -3260,3 +3260,106 @@ def q222_stratum_floor_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+@register(
+    "q247_hybrid_rrf",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    dfs AS (
+        SELECT
+            sum(CASE WHEN list_contains(t, 'vector') THEN 1 ELSE 0 END)
+                AS df0,
+            sum(CASE WHEN list_contains(t, 'stream') THEN 1 ELSE 0 END)
+                AS df1,
+            sum(CASE WHEN list_contains(t, 'window') THEN 1 ELSE 0 END)
+                AS df2
+        FROM toks),
+    scored AS (
+        SELECT doc_id,
+               len(list_filter(t, x -> x = 'vector'))
+                   * (CASE WHEN df0 > 0 THEN n_docs // df0 ELSE 0 END)
+             + len(list_filter(t, x -> x = 'stream'))
+                   * (CASE WHEN df1 > 0 THEN n_docs // df1 ELSE 0 END)
+             + len(list_filter(t, x -> x = 'window'))
+                   * (CASE WHEN df2 > 0 THEN n_docs // df2 ELSE 0 END)
+                   AS score
+        FROM toks, nd, dfs),
+    lex AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS r
+            FROM scored WHERE score > 0),
+    lex50 AS (SELECT doc_id, r FROM lex WHERE r <= 50),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    vec AS (SELECT e.vec_id AS doc_id,
+                   row_number() OVER (
+                       ORDER BY round(list_dot_product(e.v, qv)
+                                / (sqrt(list_dot_product(e.v, e.v))
+                                   * sqrt(list_dot_product(qv, qv))), 6)
+                                DESC,
+                                e.vec_id ASC) AS r
+            FROM e, q WHERE e.vec_id <> 0),
+    vec50 AS (SELECT doc_id, r FROM vec WHERE r <= 50),
+    fused AS (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               CAST(CASE WHEN l.r IS NOT NULL
+                         THEN 1000000 // (60 + l.r) ELSE 0 END
+                  + CASE WHEN v.r IS NOT NULL
+                         THEN 1000000 // (60 + v.r) ELSE 0 END
+                    AS BIGINT) AS rrf,
+               CAST(COALESCE(l.r, 0) AS BIGINT) AS lex_rank,
+               CAST(COALESCE(v.r, 0) AS BIGINT) AS vec_rank
+        FROM lex50 l FULL OUTER JOIN vec50 v ON l.doc_id = v.doc_id)
+    SELECT doc_id, rrf, lex_rank, vec_rank
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """,
+    doc="HYBRID retrieval via reciprocal-rank fusion "
+    "(functions/similarity.py:rrf_fuse, Cormack/Clarke/Buttcher "
+    "SIGIR'09): the lexical arm is q178's integer tf-idf top-50 "
+    "(corpus never joined — scores are a pure projection), the vector "
+    "arm is q27's brute-force cosine top-50 against the vec_id=0 "
+    "query (broadcast query, JVM fold dot product, rounded-cos "
+    "deterministic rank), and fusion is rrf = sum of "
+    "1e6 DIV (60 + rank) over the arms a doc appears in — exact "
+    "integers, so the fused top-10 is engine-exact where float RRF "
+    "reorders under summation error. The N-way fuse touches only the "
+    "top-K candidate frames (<=50 rows each); corpus-scale work stays "
+    "in the per-arm producers. Documents and embeddings share the id "
+    "space (vec_id i embeds doc i) per TESTDATA",
+)
+def q247_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from striot_spark.functions.similarity import brute_force_topk, rrf_fuse
+    from striot_spark.functions.text import lexical_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = lexical_search(
+        docs, "doc_id", "text", ["vector", "stream", "window"], k=50
+    )
+    # 1-based rank within the already-k-row lexical frame — the window
+    # is over <=50 rows, driver-trivial by construction
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("query_id"), "embedding"
+    )
+    vec = brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), qv, k=50
+    ).select(F.col("vec_id").alias("doc_id"), F.col("rnk").alias("rank"))
+    return rrf_fuse(
+        [lexr, vec],
+        id_col="doc_id",
+        rank_cols=["lex_rank", "vec_rank"],
+        k=10,
+    )

@@ -2326,3 +2326,80 @@ def q244_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(pairs, k=4, rounds=2, a="u", b="v").select(
         F.col("u").alias("a"), F.col("v").alias("b"), "support"
     )
+
+
+@register(
+    "q248_harmonic_centrality",
+    _COPURCHASE_Q_CTE
+    + """,
+    e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+    h1 AS (SELECT src AS node,
+                  ('0x' || substr(md5(CAST(dst AS VARCHAR)), 1, 15))::BIGINT
+                      AS hv
+           FROM e),
+    b1 AS (SELECT node, hv % 64 AS bucket,
+                  CASE WHEN (hv // 64) = 0 THEN 40
+                       ELSE least(bit_count(((hv // 64) & (-(hv // 64))) - 1)
+                                  + 1, 40)
+                  END AS rho
+           FROM h1),
+    r1 AS (SELECT node, bucket, max(rho) AS reg
+           FROM b1 GROUP BY node, bucket),
+    p2 AS (SELECT e.src AS node, r.bucket, r.reg
+           FROM e JOIN r1 r ON r.node = e.dst
+           UNION ALL SELECT node, bucket, reg FROM r1),
+    r2 AS (SELECT node, bucket, max(reg) AS reg
+           FROM p2 GROUP BY node, bucket),
+    p3 AS (SELECT e.src AS node, r.bucket, r.reg
+           FROM e JOIN r2 r ON r.node = e.dst
+           UNION ALL SELECT node, bucket, reg FROM r1),
+    r3 AS (SELECT node, bucket, max(reg) AS reg
+           FROM p3 GROUP BY node, bucket),
+    est1 AS (SELECT node,
+             CAST((709 * 64 * 64 * (1::BIGINT << 40)) //
+                  (1000 * (sum((1::BIGINT << (40 - reg)))
+                           + (64 - count(*)) * (1::BIGINT << 40)))
+                  AS BIGINT) AS est
+             FROM r1 GROUP BY node),
+    est2 AS (SELECT node,
+             CAST((709 * 64 * 64 * (1::BIGINT << 40)) //
+                  (1000 * (sum((1::BIGINT << (40 - reg)))
+                           + (64 - count(*)) * (1::BIGINT << 40)))
+                  AS BIGINT) AS est
+             FROM r2 GROUP BY node),
+    est3 AS (SELECT node,
+             CAST((709 * 64 * 64 * (1::BIGINT << 40)) //
+                  (1000 * (sum((1::BIGINT << (40 - reg)))
+                           + (64 - count(*)) * (1::BIGINT << 40)))
+                  AS BIGINT) AS est
+             FROM r3 GROUP BY node)
+    SELECT e1.node,
+           CAST(e1.est * 1000000 // 1
+              + (e2.est - e1.est) * 1000000 // 2
+              + (e3.est - e2.est) * 1000000 // 3 AS BIGINT) AS hc_est
+    FROM est1 e1
+    JOIN est2 e2 ON e2.node = e1.node
+    JOIN est3 e3 ON e3.node = e1.node
+    """,
+    doc="per-node harmonic centrality, sketch-estimated "
+    "(functions/graph.py:harmonic_centrality_hll — the HyperBall "
+    "centrality, Boldi & Vigna 2013) over the quarter co-purchase "
+    "graph, truncated at 3 hops: each newly reached node contributes "
+    "scale DIV h for its distance h, with shell sizes read off the "
+    "per-level khop_reach_hll estimate deltas (monotone, so deltas "
+    ">= 0). THE centrality computable at 100 TB — exact "
+    "closeness/harmonic needs all-pairs distances, this needs H "
+    "keyed joins over N*m register rows. Exact integer terms "
+    "(delta * 1e6 DIV h summed), oracle unrolls the identical "
+    "recursion — hash-gated like q243/q246",
+)
+def q248_harmonic_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions.graph import harmonic_centrality_hll
+
+    pairs = _copurchase_quarter_pairs(spark, sf_dir)
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return harmonic_centrality_hll(edges, hops=3, src="u", dst="v")

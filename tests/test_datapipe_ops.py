@@ -2439,6 +2439,57 @@ def test_neighborhood_function_consistency(spark):
     assert nf[3][1] == 1_000_000
 
 
+def test_rrf_fuse_hand_computed(spark):
+    """Two 2-item ranked lists: rrf = sum of 1e6 DIV (60 + rank) over
+    the lists a doc appears in, absent arm contributes 0, final order
+    (rrf desc, id asc), absent ranks emitted as 0."""
+    from striot_spark.functions.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank long")
+    got = [
+        (r["doc_id"], r["rrf"], r["la"], r["lb"])
+        for r in rrf_fuse(
+            [a, b], id_col="doc_id", rank_cols=["la", "lb"], k=10
+        ).collect()
+    ]
+    r1, r2 = 1_000_000 // 61, 1_000_000 // 62
+    assert got == [
+        (2, r2 + r1, 2, 1),  # in both lists
+        (1, r1, 1, 0),
+        (3, r2, 0, 2),
+    ]
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([], id_col="doc_id")
+
+
+def test_harmonic_centrality_hll_star_and_consistency(spark):
+    """hc is the exact integer fold of the khop_reach_hll estimate
+    deltas (same graph → bit-equal recomputation), and on a star graph
+    the hub — adjacent to everything — dominates every leaf."""
+    from striot_spark.functions.graph import (
+        harmonic_centrality_hll,
+        khop_reach_hll,
+    )
+
+    n = 300
+    und = [(0, i) for i in range(1, n)]
+    sym = und + [(b, a) for a, b in und]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    hc = {
+        r["node"]: r["hc_est"]
+        for r in harmonic_centrality_hll(e, hops=2).collect()
+    }
+    per = {
+        r["node"]: (r["est_1"], r["est_2"])
+        for r in khop_reach_hll(e, hops=2).collect()
+    }
+    for node, (e1, e2) in per.items():
+        assert hc[node] == e1 * 1_000_000 + (e2 - e1) * 1_000_000 // 2
+        assert hc[node] > 0
+    assert all(hc[0] > hc[leaf] for leaf in range(1, n))
+
+
 def _naive_ktruss(und, k, rounds):
     """Brute-force reference: peel edges with < k-2 triangle support
     for exactly `rounds` synchronous rounds, then return survivors
