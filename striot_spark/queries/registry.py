@@ -85,11 +85,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # 1 + 5 + 7 + 6 + 31 = 50 exactly. After this sweep EVERY registry
 # entry has at least one green driver row (assuming 50/50 green).
 # ROUND-11 HEAD PLAN (keep this arithmetic in sync): canary (1) + the
-# round-10 additions q243/q244/q245/q246 (4, never driver-swept; all
-# four sim-green fresh-process in r10) + 45 of the stalest remaining
+# round-10 additions q243..q248 (6, never driver-swept; all six
+# sim-green fresh-process in r10) + 43 of the stalest remaining
 # cohort — the r03/r04/r05-row block q01..q64 in registered order,
 # skipping q13/q14/q35 (refreshed r9/r10); that block holds 61 names,
-# so the last 16 + everything r7/r8-rowed rotates in r12+ by
+# so the last 18 + everything r7/r8-rowed rotates in r12+ by
 # oldest-row-first.
 _SWEEP_FIRST = [
     # (1) type canary — keep at head position 1 in every round
