@@ -150,6 +150,25 @@ def main() -> None:
     except OSError:
         pass  # stdout line below is still the contract surface
     print(json.dumps(payload))
+    # the driver's tail capture keeps only the last ~2000 chars of
+    # stdout, so the full payload line (209 per-query keys) has had its
+    # '{"metric"' prefix truncated away in every round r01-r10
+    # ("parsed": null in each BENCH_r*.json). Emit a compact summary
+    # line LAST — no per-query map, well under the capture window — so
+    # the driver always sees one complete parseable record. The full
+    # table still lands in bench_full_latest.json above.
+    print(
+        json.dumps(
+            {
+                "metric": payload["metric"],
+                "value": payload["value"],
+                "unit": payload["unit"],
+                "sf": payload["sf"],
+                "calib_sec": payload["calib_sec"],
+                "n_queries": len(timings),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -1080,9 +1080,19 @@ def neighborhood_function(
     ).select(
         F.col("hop").cast("int").alias("hop"),
         F.col("nf_est").cast("long").alias("nf_est"),
-        F.expr(f"CAST(nf_est * {scale} DIV __nf_max AS BIGINT)").alias(
-            "ppm_of_max"
-        ),
+        # nf_est approaches N² at saturation, so nf_est * scale would
+        # silently pass 2^63 for graphs beyond ~3M nodes at the default
+        # scale — the exact failure mode the pagerank/modularity guards
+        # enforce against (ADVICE r10). Route the product through
+        # decimal(38,0): exact to 10^38 (nf_est ≤ 2^63 · scale ≈ 10^25
+        # worst case), and the DIV result is ≤ scale (estimates are
+        # monotone in h, so nf_est ≤ nf_max), so the BIGINT cast is
+        # always safe. DuckDB oracles do the same product in HUGEINT —
+        # both engines exact ⇒ bit-identical.
+        F.expr(
+            f"CAST(CAST(nf_est AS DECIMAL(38,0)) * {scale} "
+            "DIV __nf_max AS BIGINT)"
+        ).alias("ppm_of_max"),
     )
 
 

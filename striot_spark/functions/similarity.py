@@ -670,9 +670,13 @@ def rrf_fuse(
         out = cur if out is None else out.join(cur, id_col, "full_outer")
     rrf = None
     for name in names:
+        # backtick-quote the interpolated identifier: a caller-supplied
+        # rank_col with spaces/hyphens/reserved words would otherwise
+        # fail to parse or resolve to the wrong expression (ADVICE r10)
+        quoted = "`" + name.replace("`", "``") + "`"
         term = F.when(
             F.col(name).isNotNull(),
-            F.expr(f"CAST({scale} DIV ({c} + {name}) AS BIGINT)"),
+            F.expr(f"CAST({scale} DIV ({c} + {quoted}) AS BIGINT)"),
         ).otherwise(F.lit(0).cast("long"))
         rrf = term if rrf is None else rrf + term
     out = out.select(

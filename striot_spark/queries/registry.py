@@ -84,23 +84,85 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #       the four already in (4)) + q97/q98/q99.
 # 1 + 5 + 7 + 6 + 31 = 50 exactly. After this sweep EVERY registry
 # entry has at least one green driver row (assuming 50/50 green).
-# ROUND-11 HEAD PLAN (keep this arithmetic in sync): canary (1) + the
-# round-10 additions q243..q248 (6, never driver-swept; all six
-# sim-green fresh-process in r10) + 43 of the stalest remaining
-# cohort — the r03/r04/r05-row block q01..q64 in registered order,
-# skipping q13/q14/q35 (refreshed r9/r10); that block holds 61 names,
-# so the last 18 + everything r7/r8-rowed rotates in r12+ by
-# oldest-row-first.
+# ROUND-11 HEAD (executes the plan ratified by VERDICT r10 task 1):
+#   (1) q224_type_canary FIRST, as in every round;
+#   (2) the round-10 additions q243..q248 (6, never driver-swept; all
+#       six judge-verified green fresh-process in the r10 verdict);
+#   (3) 43 of the stalest remaining cohort — the r03/r04/r05-row block
+#       q01..q64 in registered order, skipping q13/q14/q35 (refreshed
+#       r9/r10). That block holds 61 names, so its last 18 rotate in
+#       the r12 head, followed by the r7/r8-rowed cohorts
+#       oldest-row-first.
+# 1 + 6 + 43 = 50 exactly. After this sweep every registry entry has a
+# driver row and the oldest remaining row is r05.
+# ROUND-12 HEAD PLAN (keep in sync): canary + any round-11 additions
+# (never-swept first) + the 18-name q05..q30/q17-q20 tail of the
+# q01..q64 block + fill to 50 from the r7-rowed streaming cohort
+# (q100..q137) oldest-row-first.
 _SWEEP_FIRST = [
     # (1) type canary — keep at head position 1 in every round
     "q224_type_canary",
-    # (2) r07 ex-reds: formally clear the stale ledger rows
+    # (2) round-10 additions, never driver-swept (all six judge-
+    #     verified green fresh-process in the r10 verdict)
+    "q247_hybrid_rrf",
+    "q243_khop_reach_hll",
+    "q245_khop_hll_stream_serve",
+    "q246_neighborhood_function",
+    "q244_ktruss_edges",
+    "q248_harmonic_centrality",
+    # (3) 43 stalest rows: the r03/r04/r05 q01..q64 block in
+    #     registered order, skipping q13/q14/q35 (refreshed r9/r10).
+    #     The remaining 18 of that block rotate in the r12 head.
+    "q31_joinw_revenue_per_click",
+    "q32_joine_window_theta",
+    "q33_sliding_time_window",
+    "q34_filteracc_above_running_avg",
+    "q39_sliding_time_forward",
+    "q40_empty_windows",
+    "q41_merge_timestamp_order",
+    "q46_profitability_cells",
+    "q36_window_expand_roundtrip",
+    "q53_asof_enrich",
+    "q54_time_rollup",
+    "q55_json_props",
+    "q56_daily_distinct_users",
+    "q59_interval_join",
+    "q60_salted_skew_join",
+    "q61_approx_aggregates",
+    "q21_text_stats",
+    "q22_lang_id",
+    "q23_dedup_exact",
+    "q24_doc_fingerprint",
+    "q25_minhash_signatures",
+    "q26_simhash",
+    "q27_ann_cosine",
+    "q28_multimodal_meta",
+    "q37_ann_ivf",
+    "q38_quality_class",
+    "q42_embedding_near_dups",
+    "q43_rolling_fingerprint",
+    "q44_bpe_token_stats",
+    "q45_simhash_near_dups",
+    "q29_lsh_near_dups",
+    "q48_ann_lsh",
+    "q51_stratified_sample",
+    "q52_reservoir_per_lang",
+    "q57_chunk_documents",
+    "q58_corpus_build",
+    "q62_sequence_pack",
+    "q63_nearest_centroid",
+    "q64_kmeans_clusters",
+    "q01_filter_map",
+    "q02_expand_tokens",
+    "q03_merge",
+    "q04_chop_count_window",
+    # ---- 50-cap boundary: entries below get no driver row in r11 ----
+    # Displaced r10 head + parked cohorts, oldest-row-first for r12+:
     "q93_joinw_stream_non_nesting",
     "q100_chop_count_stream",
     "q101_sliding_stream_ooo_replay",
     "q127_market_share",
     "q132_bucketed_colocated_join",
-    # (3) round-9 additions, never swept
     "q236_pagerank_dangling",
     "q237_weighted_pagerank",
     "q238_weighted_modularity",
@@ -108,14 +170,12 @@ _SWEEP_FIRST = [
     "q240_incremental_extents_stream",
     "q241_khop_reach",
     "q242_edge_neighborhood_jaccard",
-    # (4) oldest stale rows (r03/r04), ex-_SWEEP_LAST rotation
     "q14_value_histogram",
     "q35_complete_window",
     "q80_unpivot_money_metrics",
     "q82_cube_counts",
     "q83_set_ops_users",
     "q85_length_quartiles",
-    # (5) oldest r05/r07 cohort, registered order (31 names)
     "q87_joinw_stream",
     "q93d_joinw_stream_money_double",
     "q79_pivot_event_counts",
@@ -147,8 +207,6 @@ _SWEEP_FIRST = [
     "q97_filteracc_stream_global",
     "q98_docs_jsonl_dead_letter",
     "q99_corpus_pipeline",
-    # ---- 50-cap boundary: entries below get no driver row in r10 ----
-    # r9 head (all 50/50 green in CORRECTNESS_r09.json), parked:
     "q187_leakage_aware_split",
     "q225_stream_near_dup_filter",
     "q226_bloom_file_skip",
@@ -198,7 +256,6 @@ _SWEEP_FIRST = [
     "q222_stratum_floor_split",
     "q223_weekly_top_event",
     "q13_percentiles",
-    # r8-green cohort (q138-q186), parked until its rotation comes due.
     "q138_incremental_agg_stream",
     "q139_hll_distinct",
     "q140_fuzzy_link_pairs",

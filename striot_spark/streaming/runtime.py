@@ -1032,15 +1032,27 @@ class _PartitionedState:
         # deferred-GC ledger: [superseded_batch, gen, part] rows; an
         # entry becomes deletable once batch_id - superseded_batch >=
         # gc_grace (so grace=1 deletes at the NEXT commit). Persisted
-        # in the manifest so deferral survives restarts.
+        # in the manifest so deferral survives restarts. Due entries
+        # RIDE THROUGH the flip that first makes them due and leave the
+        # ledger only at a later commit, once their dir is verifiably
+        # gone — deletion happens post-flip, so a crash between the
+        # flip and the rmtree would otherwise orphan the dir forever;
+        # keeping the entry makes the (idempotent) rmtree retry at the
+        # next commit (ADVICE r10).
         pending = list(man.get("pending_gc", [])) if man else []
-        if self.gc_grace != 0:
-            pending += [[batch_id, g, k] for k, g in superseded]
-            superseded = []
+        pending += [[batch_id, g, k] for k, g in superseded]
+        superseded = []
         if self.gc_grace >= 0:
             due = [e for e in pending if batch_id - e[0] >= self.gc_grace]
             pending = [e for e in pending if batch_id - e[0] < self.gc_grace]
-            superseded += [(k, g) for _, g, k in due]
+            pending += [
+                e
+                for e in due
+                if _os.path.exists(
+                    _os.path.join(self.path, e[1], f"{_PART_COL}={e[2]}")
+                )
+            ]
+            superseded = [(k, g) for _, g, k in due]
         # data schema without the partition column — lets read_snapshot
         # serve an empty frame before the first non-empty commit
         schema = _json.loads(merged.schema.json())

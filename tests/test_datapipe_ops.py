@@ -2463,6 +2463,27 @@ def test_rrf_fuse_hand_computed(spark):
         rrf_fuse([], id_col="doc_id")
 
 
+def test_rrf_fuse_non_identifier_rank_cols(spark):
+    """Caller-supplied rank_cols that are not bare SQL identifiers
+    (spaces, hyphens, reserved words) must still parse — the fused
+    term backtick-quotes the interpolated name (ADVICE r10)."""
+    from striot_spark.functions.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank long")
+    got = [
+        (r["doc_id"], r["rrf"])
+        for r in rrf_fuse(
+            [a, b],
+            id_col="doc_id",
+            rank_cols=["bm25 rank", "select"],  # space + reserved word
+            k=10,
+        ).collect()
+    ]
+    r1, r2 = 1_000_000 // 61, 1_000_000 // 62
+    assert got == [(2, r2 + r1), (1, r1), (3, r2)]
+
+
 def test_harmonic_centrality_hll_star_and_consistency(spark):
     """hc is the exact integer fold of the khop_reach_hll estimate
     deltas (same graph → bit-equal recomputation), and on a star graph

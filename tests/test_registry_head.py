@@ -38,29 +38,25 @@ def test_ordering_is_a_permutation_of_the_registry():
     assert set(oracles) <= set(names)
 
 
-def test_head_50_composition_round10():
-    """The r10 head the driver sweeps (VERDICT r9 task 1): canary, the
-    five r07 ex-reds, the round-9 additions q236-q242, the r03/r04
-    rotation six, then the oldest r05/r07 cohort (q65-q99 block) to
-    exactly 50. Update alongside the registry's rotation comment when
-    the head is rebuilt for a new round."""
+def test_head_50_composition_round11():
+    """The r11 head the driver sweeps (VERDICT r10 task 1): canary, the
+    round-10 additions q243-q248 (never driver-swept), then 43 of the
+    stalest q01-q64 block in registered order (skipping q13/q14/q35,
+    refreshed r9/r10). Update alongside the registry's rotation comment
+    when the head is rebuilt for a new round."""
     names = list(all_queries())[:50]
     assert names[0] == "q224_type_canary"
-    # the five stale-red ledger rows, formally cleared this round
-    ex_reds = [
-        "q93_joinw_stream_non_nesting",
-        "q100_chop_count_stream",
-        "q101_sliding_stream_ooo_replay",
-        "q127_market_share",
-        "q132_bucketed_colocated_join",
-    ]
-    assert names[1:6] == ex_reds
-    # the never-swept round-9 additions
-    assert names[6:13] == [f"q{i}" for i in range(236, 243)] or [
-        n.split("_")[0] for n in names[6:13]
-    ] == [f"q{i}" for i in range(236, 243)]
-    # rotation six (oldest r03/r04 rows)
-    rotation_prefixes = {"q14", "q35", "q80", "q82", "q83", "q85"}
-    assert {n.split("_")[0] for n in names[13:19]} == rotation_prefixes
-    assert names[49] == "q99_corpus_pipeline"
+    # the never-swept round-10 additions fill slots 1-6
+    assert {n.split("_")[0] for n in names[1:7]} == {
+        f"q{i}" for i in range(243, 249)
+    }
+    # the 43-slot stale block is drawn only from q01-q64, never from
+    # the q13/q14/q35 refreshed rows
+    stale_prefixes = {n.split("_")[0] for n in names[7:50]}
+    assert len(names[7:50]) == 43
+    assert all(
+        1 <= int(p[1:]) <= 64 and p not in {"q13", "q14", "q35"}
+        for p in stale_prefixes
+    )
+    assert names[49] == "q04_chop_count_window"
     assert all(n in REGISTRY for n in names)

@@ -1908,15 +1908,28 @@ def test_partitioned_state_gc_grace_defers_deletion(spark, tmp_path):
     # grace: the superseded g0 dir is still on disk after commit 1
     assert gen_dirs() == ["g000000000", "g000000001"]
     man = json.load(open(os.path.join(path, "_MANIFEST")))
-    assert man["pending_gc"] == [[1, "g000000000", 1]] or [
-        e[:2] for e in man["pending_gc"]
-    ] == [[1, "g000000000"]]
+    assert man["pending_gc"] == [[1, "g000000000", 2]]
     commit(2, [(1, 1)])  # horizon passed: batch-1's deferral now due
     assert gen_dirs() == ["g000000001", "g000000002"]
+    # crash-safety (ADVICE r10): the due g0 entry rides through commit
+    # 2's manifest flip (deletion is post-flip — a crash in between
+    # retries next commit) alongside commit 2's fresh deferral, and
+    # leaves the ledger only once its dir is verifiably gone
+    man = json.load(open(os.path.join(path, "_MANIFEST")))
+    assert sorted(e[1] for e in man["pending_gc"]) == [
+        "g000000000",
+        "g000000001",
+    ]
+    commit(3, [(1, 2)])  # g0 dir verified gone -> entry leaves ledger
+    man = json.load(open(os.path.join(path, "_MANIFEST")))
+    assert sorted(e[1] for e in man["pending_gc"]) == [
+        "g000000001",
+        "g000000002",
+    ]
     got = sorted(
         (r["k"], r["total"]) for r in read_snapshot(spark, path).collect()
     )
-    assert got == [(1, 16)]
+    assert got == [(1, 18)]
 
 
 def test_partitioned_state_empty_batches(spark, tmp_path):
