@@ -151,7 +151,17 @@ def pagerank(
         )
     except ValueError:
         small_edges = SMALL_GRAPH_DEFAULT
-    edge_rows = e.count()
+    # one action covers both setup reads: the small-graph gate's row
+    # count and (weighted form only) the headroom guard's max weight —
+    # so the weighted path costs ZERO extra jobs over the unweighted
+    # one (VERDICT r10 task 3's fold; the r10 shape ran a second agg)
+    if weight is not None:
+        edge_rows, max_w = e.agg(
+            F.count(F.lit(1)), F.max("w")
+        ).collect()[0]
+        max_w = max_w or 0
+    else:
+        edge_rows, max_w = e.count(), 0
     n = (
         spark.sparkContext.defaultParallelism
         if edge_rows <= small_edges
@@ -226,7 +236,6 @@ def pagerank(
                 "scale (ranks are relative) or move to a decimal build"
             )
     if weight is not None:
-        max_w = e.agg(F.max("w")).collect()[0][0] or 0
         n_bound = n_nodes if n_nodes is not None else 2 * edge_rows
         if n_bound * scale * max_w > limit:
             if _n_exact() * scale * max_w > limit:
@@ -1203,5 +1212,397 @@ def edge_neighborhood_jaccard(
                 f"CAST(coalesce(c, 0L) * {scale} DIV "
                 "(da + db - coalesce(c, 0L)) AS BIGINT)"
             ).alias("j_ppm"),
+        )
+    )
+
+
+def sssp(
+    edges: DataFrame,
+    sources: list,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str | None = None,
+    checkpoint_every: int = 4,
+    return_parents: bool = False,
+) -> DataFrame:
+    """Single-source (multi-source) shortest-path distances by fixed
+    synchronous Bellman-Ford rounds over a weighted edge list — the
+    classic graph primitive the reach/centrality family generalizes
+    from (``khop_reach``/``harmonic_centrality_hll`` are its
+    unweighted-hop reads; cf. the reference's graph pseudo-operators,
+    `StreamGraph.hs:117`-style vertices carry no distances, so this is
+    beyond-reference scope like the rest of this module).
+
+    After R rounds, ``dist(v)`` = exact minimum total cost over paths
+    from any source to ``v`` using ≤ R edges (sources at 0) — the
+    standard fixed-horizon Bellman-Ford contract, same fixed-rounds
+    discipline as ``pagerank``/``label_propagation`` (a data-dependent
+    convergence loop is not reproducible or schedulable at 100 TB; R
+    is the product knob). ``cost=None`` gives unit costs = BFS hop
+    distances. All exact long arithmetic: costs are validated ≥ 0 and
+    ``rounds * max_cost`` is guarded against 2^63 at setup (the
+    pagerank/modularity headroom precedent — one agg over the already-
+    persisted edge list; with unit costs the bound is ``rounds`` and
+    the check is free).
+
+    Plan: FRONTIER relaxation — round k expands only the rows whose
+    distance improved at round k−1 (every achieved value propagates
+    exactly once, the round after it lands, so the result is
+    bit-identical to full Bellman-Ford per round): one keyed
+    equi-join against the min-cost-reduced edge list, a union +
+    groupBy-min re-reduce, and an improvement check against the
+    previous distances — all keyed on ``node``, state is
+    |reached| ≤ |V| rows however long the paths get. The distance
+    table is referenced twice per round (re-reduce + improvement
+    check), so lineage is cut at ``min(checkpoint_every, 4)`` like
+    pagerank's redistribute arm. Returns (node, dist) for every node
+    reached within R rounds, sources included at 0.
+
+    ``return_parents=True`` adds a deterministic PARENT pointer (path
+    reconstruction — routing, provenance): the fold runs on
+    ``min(struct(dist, parent))`` instead of ``min(dist)``, so
+    parent(v) = the minimum-id predecessor among the arcs achieving
+    v's minimal within-horizon distance — lexicographic struct min is
+    associative/commutative and identically ordered in Spark and
+    DuckDB (named-struct ``min`` both sides), so the oracle unrolls
+    it exactly; sources self-parent (no NULLs — engines disagree on
+    NULL-in-struct ordering). Parent-only changes never enter the
+    frontier: a predecessor's parent does not appear in the offers it
+    makes downstream (each offer is ``(dist+cost, own id)``), so
+    skipping them is lossless — and by the same argument the frontier
+    fold equals the full-Bellman-Ford fold on structs, each node
+    offering ``(final dist + cost, id)`` exactly once. Returns
+    (node, dist, parent).
+    """
+    from striot_spark.functions.caching import track_persist
+
+    if rounds < 1:
+        raise ValueError("sssp: rounds must be >= 1")
+    if not sources:
+        raise ValueError("sssp: sources must be non-empty")
+    sources = sorted(set(sources))
+    cost_col = (
+        F.lit(1).cast("long") if cost is None else F.col(cost).cast("long")
+    )
+    # min-cost reduce parallel edges: only the cheapest (src,dst) arc
+    # can ever be on a shortest path, and the reduce bounds the relax
+    # join at one row per distinct arc
+    e = track_persist(
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            cost_col.alias("cost"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("cost").alias("cost"))
+    )
+    # ONE setup action covers all three probes — the small-graph
+    # gate's edge count plus (cost given) the sign check and the
+    # 2^63 headroom bound — the same fold pagerank's weighted guard
+    # uses, so guarded sssp runs zero extra jobs over unguarded
+    limit = 2**63 - 1
+    edge_rows, lo, hi = e.agg(
+        F.count(F.lit(1)), F.min("cost"), F.max("cost")
+    ).collect()[0]
+    if cost is not None:
+        if lo is not None and lo < 0:
+            raise ValueError(
+                f"sssp: negative cost {lo} — fixed-round relaxation "
+                "over negative arcs has no shortest-path reading "
+                "(no negative-cycle detection); rescale costs to >= 0"
+            )
+        if hi is not None and rounds * hi > limit:
+            raise ValueError(
+                f"sssp: rounds * max_cost = {rounds} * {hi} exceeds "
+                "2^63-1 — the exact long distance would silently "
+                "wrap; rescale the cost column"
+            )
+    # small-graph gate, same conf and rationale as pagerank's: pin the
+    # per-round exchanges to defaultParallelism below the row threshold
+    spark = edges.sparkSession
+    try:
+        small_edges = int(
+            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
+        )
+    except ValueError:
+        small_edges = SMALL_GRAPH_DEFAULT
+    n = (
+        spark.sparkContext.defaultParallelism
+        if edge_rows <= small_edges
+        else None
+    )
+
+    def part(df: DataFrame) -> DataFrame:
+        return df.repartition(n, "node") if n else df
+
+    nodes = e.select("src").union(e.select("dst")).distinct().select(
+        F.col("src").alias("node")
+    )
+    hits = nodes.filter(F.col("node").isin(sources)).count()
+    if hits != len(sources):
+        raise ValueError(
+            f"sssp: {len(sources) - hits} source(s) absent from the "
+            "edge list — a missing source silently contributes no "
+            "distances; check the id namespace"
+        )
+    init = nodes.filter(F.col("node").isin(sources)).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    if return_parents:
+        init = init.withColumn("parent", F.col("node"))
+
+    def reduce_min(df: DataFrame) -> DataFrame:
+        g = part(df).groupBy("node")
+        if return_parents:
+            return g.agg(
+                F.min(F.struct("dist", "parent")).alias("s")
+            ).select(
+                "node",
+                F.col("s.dist").alias("dist"),
+                F.col("s.parent").alias("parent"),
+            )
+        return g.agg(F.min("dist").alias("dist"))
+
+    dist = track_persist(init)
+    frontier = dist
+    for r in range(rounds):
+        fr = part(frontier)
+        cand_cols = [
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("cost")).alias("dist"),
+        ]
+        if return_parents:
+            cand_cols.append(fr["node"].alias("parent"))
+        cand = fr.join(e, fr["node"] == e["src"]).select(*cand_cols)
+        new_dist = track_persist(reduce_min(dist.unionByName(cand)))
+        if r + 1 < rounds:  # the last frontier is never expanded
+            frontier = track_persist(
+                new_dist.join(
+                    dist.select(
+                        "node", F.col("dist").alias("__old")
+                    ),
+                    "node",
+                    "left",
+                ).filter(
+                    F.col("__old").isNull()
+                    | (F.col("dist") < F.col("__old"))
+                ).drop("__old")
+            )
+        dist = new_dist
+        if (r + 1) % min(checkpoint_every, 4) == 0:
+            dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
+def degree_distribution(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree histogram — the first-look structural audit of any
+    large graph (power-law check, hub detection, sanity bound for the
+    wedge-bounded operators above whose cost is Σdeg²). Degree = out-
+    degree over the DISTINCT arc list; pass both directions for an
+    undirected graph and this is the plain degree. Two groupBys, all
+    map-side-combinable, no state beyond the histogram itself.
+    Returns (degree, n_nodes) — exact longs.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, public
+    methodology): the Pearson correlation of (deg(src), deg(dst))
+    over the directed arc list — positive means hubs attach to hubs
+    (social nets), negative means hubs attach to leaves
+    (hub-and-spoke infrastructure / bipartite-ish trade graphs).
+
+    All moment sums are EXACT longs (one join of the arc list with
+    the degree table + one global agg, both keyed/map-side-combined);
+    the Pearson combination runs in decimal(38,0) — M·Σxy and the
+    variance products pass 2^63 at ~10^5-degree hubs, the
+    neighborhood_function overflow precedent — and only the final
+    ratio is a DOUBLE (num/sqrt(dx·dy) from bit-identical exact
+    inputs: correctly-rounded IEEE ops, so any engine reproduces the
+    same double). Returns one row
+    (m_arcs BIGINT, r_assort DOUBLE).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    xy = (
+        e.join(deg.withColumnRenamed("src", "u"), e["src"] == F.col("u"))
+        .select("src", "dst", F.col("d").alias("x"))
+        .join(
+            deg.select(F.col("src").alias("v"), F.col("d").alias("y")),
+            F.col("dst") == F.col("v"),
+        )
+        .select("x", "y")
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    dec = "DECIMAL(38,0)"
+    return s.select(
+        F.col("m").cast("long").alias("m_arcs"),
+        F.expr(
+            f"CAST(CAST(m AS {dec}) * sxy - CAST(sx AS {dec}) * sy "
+            "AS DOUBLE) / "
+            f"sqrt(CAST(CAST(m AS {dec}) * sx2 - CAST(sx AS {dec}) * sx "
+            "AS DOUBLE) * "
+            f"CAST(CAST(m AS {dec}) * sy2 - CAST(sy AS {dec}) * sy "
+            "AS DOUBLE))"
+        ).alias("r_assort"),
+    )
+
+
+def harmonic_centrality_pivots(
+    edges: DataFrame,
+    pivots: list,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str | None = None,
+    scale: int = 1_000_000,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Pivot-sampled WEIGHTED harmonic centrality — the Eppstein-Wang
+    (2001) estimator: run exact shortest paths from a small pivot set
+    and fold
+
+        hc_est(v) = Σ_{p ∈ pivots, 0 < d(p,v)} scale DIV d(p,v)
+
+    — the weighted generalization of ``harmonic_centrality_hll``
+    (which is unweighted-hops by construction; here arcs carry real
+    costs) and the standard way to centrality at 100 TB when sketches
+    can't express the weights: per-pivot distances are |pivots|·|V|
+    state, linear in the pivot budget, vs all-pairs |V|². Distances
+    are ``sssp``'s fixed-horizon Bellman-Ford run for ALL pivots
+    simultaneously — state keyed (pivot, node), one relax join + one
+    groupBy-min per round TOTAL, not per pivot — with the same exact
+    arithmetic, ≥0 cost validation, 2^63 headroom fold, and frontier
+    discipline. Unreached (pivot, v) pairs contribute 0, the standard
+    harmonic convention (closeness would force an arbitrary ∞).
+    Returns (node, n_reached, hc_est) — exact longs; an oracle
+    unrolling the same per-pivot recurrence reproduces every row.
+    """
+    from striot_spark.functions.caching import track_persist
+
+    if rounds < 1:
+        raise ValueError("harmonic_centrality_pivots: rounds must be >= 1")
+    if not pivots:
+        raise ValueError(
+            "harmonic_centrality_pivots: pivots must be non-empty"
+        )
+    pivots = sorted(set(pivots))
+    cost_col = (
+        F.lit(1).cast("long") if cost is None else F.col(cost).cast("long")
+    )
+    e = track_persist(
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            cost_col.alias("cost"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("cost").alias("cost"))
+    )
+    limit = 2**63 - 1
+    edge_rows, lo, hi = e.agg(
+        F.count(F.lit(1)), F.min("cost"), F.max("cost")
+    ).collect()[0]
+    if cost is not None:
+        if lo is not None and lo < 0:
+            raise ValueError(
+                f"harmonic_centrality_pivots: negative cost {lo}; "
+                "rescale costs to >= 0"
+            )
+        if hi is not None and rounds * hi > limit:
+            raise ValueError(
+                f"harmonic_centrality_pivots: rounds * max_cost = "
+                f"{rounds} * {hi} exceeds 2^63-1; rescale the cost "
+                "column"
+            )
+    spark = edges.sparkSession
+    try:
+        small_edges = int(
+            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
+        )
+    except ValueError:
+        small_edges = SMALL_GRAPH_DEFAULT
+    n = (
+        spark.sparkContext.defaultParallelism
+        if edge_rows <= small_edges
+        else None
+    )
+
+    def part(df: DataFrame) -> DataFrame:
+        return df.repartition(n, "node") if n else df
+
+    nodes = e.select("src").union(e.select("dst")).distinct().select(
+        F.col("src").alias("node")
+    )
+    hits = nodes.filter(F.col("node").isin(pivots)).count()
+    if hits != len(pivots):
+        raise ValueError(
+            f"harmonic_centrality_pivots: {len(pivots) - hits} "
+            "pivot(s) absent from the edge list; check the id "
+            "namespace"
+        )
+    dist = track_persist(
+        nodes.filter(F.col("node").isin(pivots)).select(
+            F.col("node").alias("pivot"),
+            "node",
+            F.lit(0).cast("long").alias("dist"),
+        )
+    )
+    frontier = dist
+    for r in range(rounds):
+        fr = part(frontier)
+        cand = fr.join(e, fr["node"] == e["src"]).select(
+            "pivot",
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("cost")).alias("dist"),
+        )
+        new_dist = track_persist(
+            part(dist.unionByName(cand))
+            .groupBy("pivot", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if r + 1 < rounds:
+            frontier = track_persist(
+                new_dist.join(
+                    dist.withColumnRenamed("dist", "__old"),
+                    ["pivot", "node"],
+                    "left",
+                ).filter(
+                    F.col("__old").isNull()
+                    | (F.col("dist") < F.col("__old"))
+                ).select("pivot", "node", "dist")
+            )
+        dist = new_dist
+        if (r + 1) % min(checkpoint_every, 4) == 0:
+            dist = dist.localCheckpoint(eager=True)
+    return (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum(F.expr(f"CAST({scale} DIV dist AS BIGINT)"))
+            .cast("long")
+            .alias("hc_est"),
         )
     )

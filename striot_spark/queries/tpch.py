@@ -2403,3 +2403,452 @@ def q248_harmonic_centrality(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     return harmonic_centrality_hll(edges, hops=3, src="u", dst="v")
+
+
+def _sssp_oracle(rounds: int, source: str, inv_scale: int) -> str:
+    """Unrolled fixed-round Bellman-Ford (mirrors
+    ``functions/graph.py:sssp``): trade graph as q237, arc cost =
+    inv_scale DIV w (inverse trade intensity — heavily-traded pairs
+    are 'close'), d_r = min over <= r-edge paths. Exact BIGINT
+    arithmetic both engines."""
+    sql = f"""
+    WITH eraw AS (
+        SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b,
+               CAST(count(*) AS BIGINT) AS w
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2),
+    edges AS (SELECT a AS src, b AS dst,
+                     CAST({inv_scale} // w AS BIGINT) AS cost FROM eraw
+              UNION ALL
+              SELECT b AS src, a AS dst,
+                     CAST({inv_scale} // w AS BIGINT) AS cost FROM eraw),
+    e AS (SELECT src, dst, CAST(min(cost) AS BIGINT) AS cost
+          FROM edges GROUP BY src, dst),
+    d0 AS (SELECT '{source}' AS node, CAST(0 AS BIGINT) AS dist)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    d{i} AS (
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM d{i - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.cost AS dist
+            FROM d{i - 1} d JOIN e ON e.src = d.node
+        ) GROUP BY node)"""
+    return sql + f"\n    SELECT node, dist FROM d{rounds}"
+
+
+@register(
+    "q249_sssp_trade_proximity",
+    _sssp_oracle(rounds=3, source="c1", inv_scale=1_000_000),
+    doc="single-source shortest paths (functions/graph.py:sssp): "
+    "fixed-round integer Bellman-Ford over the customer-supplier "
+    "trade graph with arc cost = 1e6 DIV trade multiplicity "
+    "(inverse intensity: frequently-trading pairs are close) — "
+    "supply-chain proximity from customer c1 within <= 3 relaxation "
+    "rounds, the classic distances primitive the reach/centrality "
+    "family (q241/q243/q246/q248) specializes. FRONTIER relaxation: "
+    "each round expands only rows improved last round (bit-identical "
+    "to full Bellman-Ford per round), one keyed join + one "
+    "groupBy-min per round, state |reached| <= |V| rows however long "
+    "the paths; costs validated >= 0 and rounds*max_cost 2^63-guarded "
+    "at setup (the pagerank headroom policy). The oracle unrolls the "
+    "identical recurrence on the min-cost-reduced arc list",
+)
+def q249_sssp_trade_proximity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions.graph import sssp
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "a"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "b"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+        )
+    ).select(
+        "a", "b", F.expr("CAST(1000000 DIV w AS BIGINT)").alias("cost")
+    )
+    return sssp(edges, ["c1"], rounds=3, src="a", dst="b", cost="cost")
+
+
+_STAGED_TRADE_OBS: dict = {}
+
+
+def _stage_trade_observations(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the customer-supplier trade OBSERVATIONS (one row per
+    orders⋈lineitem hit, duplicates kept — the multiplicities arrive
+    as a stream of individual trades, not pre-counted) as three
+    mtime-ordered files ordered by (a, b), so the third-splits cut
+    through a pair's observations — the adversarial batching q239/q245
+    use: per-key counts must come out identical no matter where the
+    micro-batch boundaries land."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from striot_spark.streaming.runtime import stage_ordered_files
+
+    ck = (sf_dir, "trade_observations")
+    path = _STAGED_TRADE_OBS.get(ck)
+    if path is not None:
+        return path
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    obs = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+    )
+    n = obs.count()
+    r = obs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("a", "b"))
+    )
+    third = n // 3
+    chunks = [
+        r.filter(F.col("rn") <= third).drop("rn"),
+        r.filter(
+            (F.col("rn") > third) & (F.col("rn") <= 2 * third)
+        ).drop("rn"),
+        r.filter(F.col("rn") > 2 * third).drop("rn"),
+    ]
+    out = tempfile.mkdtemp(prefix="striot_q250_obs_") + "/data"
+    stage_ordered_files(chunks, out, order_cols=["a", "b"])
+    _STAGED_TRADE_OBS[ck] = out
+    return out
+
+
+@register(
+    "q250_pagerank_stream_serve",
+    _weighted_pr_oracle(iterations=3, scale=10**9, dn=85, dd=100),
+    doc="STREAMED weighted-PageRank serve (VERDICT r10 task 5 — the "
+    "q245 pattern one step further, proving the full stream -> "
+    "graph-analytics composition): individual customer-supplier trade "
+    "observations replay as three micro-batches cut THROUGH pairs; "
+    "incremental_agg_sink keyed on the edge accumulates per-pair "
+    "multiplicities (n_rows is the additive count — batching/arrival-"
+    "order independent, replay-guarded, hash-prefix-partitioned "
+    "state with gc_grace_batches=1); serving runs "
+    "pagerank(weight=...) off the #edges-sized snapshot. Counting is "
+    "additive, so the served graph is exactly q237's batch trade "
+    "graph and the oracle is q237's verbatim: the unrolled weighted "
+    "recurrence",
+)
+def q250_pagerank_stream_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from striot_spark.functions.graph import pagerank
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_trade_observations(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+    path = tempfile.mkdtemp(prefix="striot_q250_mv_")
+    q = RT.incremental_agg_sink(
+        sdf,
+        path,
+        tempfile.mkdtemp(prefix="striot_q250_ck_"),
+        key_cols=["a", "b"],
+        sum_cols=[],
+        gc_grace_batches=1,
+    )
+    q.awaitTermination()
+    snap = RT.read_snapshot(spark, path).select(
+        "a", "b", F.col("n_rows").alias("w")
+    )
+    edges = snap.unionByName(
+        snap.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+        )
+    )
+    pr = pagerank(edges, iterations=3, src="a", dst="b", weight="w")
+    return pr.select("node", F.col("rank").alias("pr"))
+
+
+@register(
+    "q251_degree_distribution",
+    _COPURCHASE_Q_CTE
+    + """,
+    e AS (SELECT DISTINCT src, dst FROM edges),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+            FROM e GROUP BY src)
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    doc="degree histogram (functions/graph.py:degree_distribution) "
+    "over the quarter co-purchase graph — the first-look structural "
+    "audit of any large graph (power-law check, hub detection, and "
+    "the empirical input to the wedge bound sum(deg^2) that prices "
+    "q149/q241/q242/q244): two map-side-combinable groupBys, no "
+    "state beyond the histogram; same one-quarter window discipline "
+    "(date predicates pushed to the lineitem scan) as q241",
+)
+def q251_degree_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions.graph import degree_distribution
+
+    pairs = _copurchase_quarter_pairs(spark, sf_dir)
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return degree_distribution(edges, src="u", dst="v")
+
+
+@register(
+    "q252_degree_assortativity",
+    _COPURCHASE_Q_CTE
+    + """,
+    e AS (SELECT DISTINCT src, dst FROM edges),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+            FROM e GROUP BY src),
+    xy AS (SELECT du.d AS x, dv.d AS y
+           FROM e JOIN deg du ON e.src = du.src
+                  JOIN deg dv ON e.dst = dv.src),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sx2,
+                 CAST(sum(y * y) AS BIGINT) AS sy2
+          FROM xy)
+    SELECT m AS m_arcs,
+           CAST(CAST(m AS HUGEINT) * sxy
+                - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+           / sqrt(CAST(CAST(m AS HUGEINT) * sx2
+                       - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                  * CAST(CAST(m AS HUGEINT) * sy2
+                         - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+               AS r_assort
+    FROM s
+    """,
+    doc="degree assortativity coefficient "
+    "(functions/graph.py:degree_assortativity, Newman 2002): Pearson "
+    "correlation of (deg(src), deg(dst)) over the quarter "
+    "co-purchase arc list — hubs-attach-to-hubs vs hub-and-spoke, "
+    "the standard one-number mixing audit. Moment sums are exact "
+    "longs (one degree join + one global agg); the Pearson "
+    "combination runs in decimal(38,0) (Spark) / HUGEINT (oracle "
+    "intermediate — output stays BIGINT+DOUBLE per the canary "
+    "rule), and only the final ratio is a DOUBLE computed from "
+    "bit-identical exact integers, so both engines produce the same "
+    "correctly-rounded value",
+)
+def q252_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions.graph import degree_assortativity
+
+    pairs = _copurchase_quarter_pairs(spark, sf_dir)
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return degree_assortativity(edges, src="u", dst="v")
+
+
+def _sssp_parents_oracle(rounds: int, source: str, inv_scale: int) -> str:
+    """Unrolled FULL Bellman-Ford on (dist, parent) structs — the
+    frontier fold in ``sssp(return_parents=True)`` is provably equal
+    to it (each node offers (final dist + cost, id) exactly once);
+    named-struct min is lexicographic in both engines."""
+    sql = f"""
+    WITH eraw AS (
+        SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b,
+               CAST(count(*) AS BIGINT) AS w
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2),
+    edges AS (SELECT a AS src, b AS dst,
+                     CAST({inv_scale} // w AS BIGINT) AS cost FROM eraw
+              UNION ALL
+              SELECT b AS src, a AS dst,
+                     CAST({inv_scale} // w AS BIGINT) AS cost FROM eraw),
+    e AS (SELECT src, dst, CAST(min(cost) AS BIGINT) AS cost
+          FROM edges GROUP BY src, dst),
+    d0 AS (SELECT '{source}' AS node, CAST(0 AS BIGINT) AS dist,
+                  '{source}' AS parent)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    d{i} AS (
+        SELECT node,
+               CAST((min({{'d': dist, 'p': parent}})).d AS BIGINT)
+                   AS dist,
+               (min({{'d': dist, 'p': parent}})).p AS parent
+        FROM (
+            SELECT node, dist, parent FROM d{i - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.cost AS dist,
+                   d.node AS parent
+            FROM d{i - 1} d JOIN e ON e.src = d.node
+        ) GROUP BY node)"""
+    return sql + f"\n    SELECT node, dist, parent FROM d{rounds}"
+
+
+@register(
+    "q253_sssp_parents",
+    _sssp_parents_oracle(rounds=3, source="c1", inv_scale=1_000_000),
+    doc="shortest paths WITH deterministic parent pointers "
+    "(functions/graph.py:sssp(return_parents=True)) — path "
+    "reconstruction (routing/provenance) on q249's supply-chain "
+    "proximity graph: the per-round fold runs on min(struct(dist, "
+    "parent)) so parent(v) = minimum-id predecessor among the arcs "
+    "achieving v's minimal within-horizon distance; sources "
+    "self-parent (NULL-free structs — engines disagree on "
+    "NULL-in-struct order). Lexicographic struct min is associative/"
+    "commutative and ordered identically in Spark and DuckDB, so the "
+    "oracle unrolls the identical fold (full-BF form, provably equal "
+    "to the frontier form)",
+)
+def q253_sssp_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.graph import sssp
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "a"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "b"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+        )
+    ).select(
+        "a", "b", F.expr("CAST(1000000 DIV w AS BIGINT)").alias("cost")
+    )
+    return sssp(
+        edges,
+        ["c1"],
+        rounds=3,
+        src="a",
+        dst="b",
+        cost="cost",
+        return_parents=True,
+    )
+
+
+def _hc_pivots_oracle(
+    rounds: int, pivots: list, inv_scale: int, scale: int
+) -> str:
+    """Unrolled per-pivot Bellman-Ford (full form) + the harmonic
+    fold — mirrors ``harmonic_centrality_pivots`` exactly."""
+    vals = ", ".join(f"('{p}')" for p in pivots)
+    sql = f"""
+    WITH eraw AS (
+        SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b,
+               CAST(count(*) AS BIGINT) AS w
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2),
+    edges AS (SELECT a AS src, b AS dst,
+                     CAST({inv_scale} // w AS BIGINT) AS cost FROM eraw
+              UNION ALL
+              SELECT b AS src, a AS dst,
+                     CAST({inv_scale} // w AS BIGINT) AS cost FROM eraw),
+    e AS (SELECT src, dst, CAST(min(cost) AS BIGINT) AS cost
+          FROM edges GROUP BY src, dst),
+    d0 AS (SELECT p AS pv, p AS node, CAST(0 AS BIGINT) AS dist
+           FROM (VALUES {vals}) t(p))"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    d{i} AS (
+        SELECT pv, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+            SELECT pv, node, dist FROM d{i - 1}
+            UNION ALL
+            SELECT d.pv, e.dst AS node, d.dist + e.cost AS dist
+            FROM d{i - 1} d JOIN e ON e.src = d.node
+        ) GROUP BY pv, node)"""
+    return sql + f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(sum({scale} // dist) AS BIGINT) AS hc_est
+    FROM d{rounds} WHERE dist > 0 GROUP BY node"""
+
+
+_Q254_PIVOTS = ["c1", "c2", "c3", "s1"]
+
+
+@register(
+    "q254_harmonic_pivots",
+    _hc_pivots_oracle(
+        rounds=3,
+        pivots=_Q254_PIVOTS,
+        inv_scale=1_000_000,
+        # arc costs are ~1e6/w, so 3-round distances run 5e5..3e6 —
+        # scale must sit well above them or the DIV collapses to 0..2
+        # (row-count probe caught exactly that at scale=1e6)
+        scale=10**9,
+    ),
+    doc="pivot-sampled WEIGHTED harmonic centrality "
+    "(functions/graph.py:harmonic_centrality_pivots, the "
+    "Eppstein-Wang 2001 estimator): exact fixed-horizon shortest "
+    "paths from a 4-pivot set over q249's inverse-intensity trade "
+    "graph, folded as hc_est(v) = sum over reached pivots of "
+    "scale DIV d(p, v) — the weighted generalization q248's "
+    "unweighted-hop HLL sketch cannot express, and the standard "
+    "scale path for centrality (|pivots|*|V| state, linear in the "
+    "pivot budget, vs all-pairs |V|^2). All pivots run in ONE "
+    "Bellman-Ford state keyed (pivot, node): one relax join + one "
+    "groupBy-min per round total. Exact longs throughout; the "
+    "oracle unrolls the identical per-pivot recurrence",
+)
+def q254_harmonic_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.graph import harmonic_centrality_pivots
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "a"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "b"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+        )
+    ).select(
+        "a", "b", F.expr("CAST(1000000 DIV w AS BIGINT)").alias("cost")
+    )
+    return harmonic_centrality_pivots(
+        edges, _Q254_PIVOTS, rounds=3, src="a", dst="b", cost="cost",
+        scale=10**9,
+    )

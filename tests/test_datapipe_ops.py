@@ -2807,3 +2807,246 @@ def test_association_rules_hand_computed(spark):
         for r in REGISTRY["q234_association_rules"].fn(spark, d).collect()
     }
     assert out == pair_ref
+
+
+def test_sssp_hand_computed_hop_vs_cost(spark):
+    """Fixed-round Bellman-Ford semantics: after R rounds dist = min
+    cost over paths with <= R edges. Direct arc 1->4 costs 5 (one
+    hop); the detour 1->2->3->4 costs 3 but needs three hops — so
+    rounds=1/2 report 5 and rounds=3 reports 3. Sources sit at 0,
+    unit costs (cost=None) give BFS hop distances."""
+    from striot_spark.functions.graph import sssp
+
+    arcs = [(1, 4, 5), (1, 2, 1), (2, 3, 1), (3, 4, 1)]
+    e = spark.createDataFrame(arcs, "s long, t long, c long")
+
+    def run(rounds):
+        return {
+            r["node"]: r["dist"]
+            for r in sssp(
+                e, [1], rounds=rounds, src="s", dst="t", cost="c"
+            ).collect()
+        }
+
+    assert run(1) == {1: 0, 4: 5, 2: 1}
+    assert run(2) == {1: 0, 4: 5, 2: 1, 3: 2}
+    assert run(3) == {1: 0, 4: 3, 2: 1, 3: 2}
+    # unit costs = BFS hop distances
+    hops = {
+        r["node"]: r["dist"]
+        for r in sssp(e, [1], rounds=3, src="s", dst="t").collect()
+    }
+    assert hops == {1: 0, 2: 1, 3: 2, 4: 1}
+
+
+def test_sssp_matches_reference_dp(spark):
+    """Random directed multigraph vs an independently-written Python
+    DP over the same fixed-round recurrence (dist_r(v) = min over
+    <= r-edge paths), including parallel arcs (min-cost reduce) and a
+    multi-source set."""
+    import random
+
+    from striot_spark.functions.graph import sssp
+
+    rng = random.Random(1107)
+    arcs = [
+        (rng.randrange(12), rng.randrange(12), rng.randrange(1, 50))
+        for _ in range(60)
+    ]
+    sources = [0, 7]
+    rounds = 4
+    # reference DP: full Bellman-Ford unroll with min-cost arc reduce
+    best: dict = {}  # self-loops allowed; with cost >= 0 they never win
+    for s, t, c in arcs:
+        best[(s, t)] = min(best.get((s, t), c), c)
+    nodes = {s for s, _, _ in arcs} | {t for _, t, _ in arcs}
+    dist = {s: 0 for s in sources if s in nodes}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for (s, t), c in best.items():
+            if s in dist:
+                d = dist[s] + c
+                if t not in nxt or d < nxt[t]:
+                    nxt[t] = d
+        dist = nxt
+    e = spark.createDataFrame(arcs, "s long, t long, c long")
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp(
+            e, sources, rounds=rounds, src="s", dst="t", cost="c"
+        ).collect()
+    }
+    assert got == dist
+
+
+def test_sssp_validation_and_headroom(spark):
+    """Setup-time guards: empty/absent sources, negative costs, and
+    the rounds * max_cost 2^63 ceiling all raise at setup instead of
+    silently wrapping or dropping mass (the pagerank guard policy)."""
+    from striot_spark.functions.graph import sssp
+
+    e = spark.createDataFrame([(1, 2, 3)], "s long, t long, c long")
+    with pytest.raises(ValueError, match="non-empty"):
+        sssp(e, [], src="s", dst="t")
+    with pytest.raises(ValueError, match="absent"):
+        sssp(e, [99], src="s", dst="t")
+    neg = spark.createDataFrame([(1, 2, -4)], "s long, t long, c long")
+    with pytest.raises(ValueError, match="negative cost"):
+        sssp(neg, [1], src="s", dst="t", cost="c")
+    big = spark.createDataFrame(
+        [(1, 2, 2**62)], "s long, t long, c long"
+    )
+    with pytest.raises(ValueError, match="2\\^63"):
+        sssp(big, [1], rounds=4, src="s", dst="t", cost="c")
+
+
+def test_degree_distribution_and_assortativity_hand_computed(spark):
+    """Star K_{1,4} (both directions): degrees are {4:1, 1:4} and the
+    assortativity is exactly -1 (every arc joins a deg-4 hub to a
+    deg-1 leaf — perfectly disassortative); the path graph 1-2-3-4
+    reproduces the Pearson value computed independently in Python."""
+    from striot_spark.functions.graph import (
+        degree_assortativity,
+        degree_distribution,
+    )
+
+    star = [(0, i) for i in range(1, 5)]
+    sym = star + [(b, a) for a, b in star]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    hist = {
+        r["degree"]: r["n_nodes"]
+        for r in degree_distribution(e).collect()
+    }
+    assert hist == {4: 1, 1: 4}
+    row = degree_assortativity(e).collect()[0]
+    assert row["m_arcs"] == 8
+    assert abs(row["r_assort"] - (-1.0)) < 1e-12
+
+    path = [(1, 2), (2, 3), (3, 4)]
+    psym = path + [(b, a) for a, b in path]
+    pe = spark.createDataFrame(psym, "src long, dst long")
+    got = degree_assortativity(pe).collect()[0]
+    deg = {1: 1, 2: 2, 3: 2, 4: 1}
+    arcs = [(deg[a], deg[b]) for a, b in psym]
+    m = len(arcs)
+    sx = sum(x for x, _ in arcs)
+    sy = sum(y for _, y in arcs)
+    sxy = sum(x * y for x, y in arcs)
+    sx2 = sum(x * x for x, _ in arcs)
+    sy2 = sum(y * y for _, y in arcs)
+    import math
+
+    ref = (m * sxy - sx * sy) / math.sqrt(
+        (m * sx2 - sx * sx) * (m * sy2 - sy * sy)
+    )
+    assert got["m_arcs"] == m
+    assert abs(got["r_assort"] - ref) < 1e-12
+
+
+def test_sssp_parents_deterministic_and_dist_consistent(spark):
+    """Parent pointers: two equal-cost predecessors for node 4 (via 2
+    and via 3) — the struct-min fold must pick the MINIMUM id (2),
+    deterministically; sources self-parent; the dist column is
+    bit-identical to the distance-only mode."""
+    from striot_spark.functions.graph import sssp
+
+    arcs = [(1, 2, 1), (1, 3, 1), (2, 4, 1), (3, 4, 1), (4, 5, 2)]
+    e = spark.createDataFrame(arcs, "s long, t long, c long")
+    got = {
+        r["node"]: (r["dist"], r["parent"])
+        for r in sssp(
+            e, [1], rounds=3, src="s", dst="t", cost="c",
+            return_parents=True,
+        ).collect()
+    }
+    assert got == {
+        1: (0, 1),  # source self-parents
+        2: (1, 1),
+        3: (1, 1),
+        4: (2, 2),  # tie 2 vs 3 -> min id
+        5: (4, 4),
+    }
+    plain = {
+        r["node"]: r["dist"]
+        for r in sssp(
+            e, [1], rounds=3, src="s", dst="t", cost="c"
+        ).collect()
+    }
+    assert plain == {k: v[0] for k, v in got.items()}
+
+
+def test_sssp_parents_late_equal_offer_takes_min_id(spark):
+    """A smaller-id predecessor whose equal-cost offer only lands in a
+    LATER round must still win the parent slot: 1->9->4 (cost 2+2)
+    reaches 5 at round 3 via 4; 1->2 (cost 4) also offers 5 dist 5
+    at round 2 via 2... constructed so node 5 gets dist 4 offers
+    from BOTH 4 (round 3) and 6 (round 2), parent = min(4, 6) = 4
+    even though 6's offer arrived first."""
+    from striot_spark.functions.graph import sssp
+
+    arcs = [
+        (1, 9, 2), (9, 4, 1), (4, 5, 1),   # 5 via 4: dist 4, 3 hops
+        (1, 6, 3), (6, 5, 1),              # 5 via 6: dist 4, 2 hops
+    ]
+    e = spark.createDataFrame(arcs, "s long, t long, c long")
+    got = {
+        r["node"]: (r["dist"], r["parent"])
+        for r in sssp(
+            e, [1], rounds=3, src="s", dst="t", cost="c",
+            return_parents=True,
+        ).collect()
+    }
+    assert got[5] == (4, 4)
+
+
+def test_harmonic_centrality_pivots_hand_computed(spark):
+    """Weighted path p1 -2- n2 -3- n3 with pivots {p1}: hc(n2) =
+    1e6//2, hc(n3) = 1e6//5; with pivots {p1, n3} the folds add and
+    every non-pivot-reaching node counts n_reached correctly; a
+    single-pivot run must equal sssp's fold exactly."""
+    from striot_spark.functions.graph import (
+        harmonic_centrality_pivots,
+        sssp,
+    )
+
+    und = [(1, 2, 2), (2, 3, 3)]
+    sym = und + [(b, a, c) for a, b, c in und]
+    e = spark.createDataFrame(sym, "s long, t long, c long")
+    got = {
+        r["node"]: (r["n_reached"], r["hc_est"])
+        for r in harmonic_centrality_pivots(
+            e, [1], rounds=3, src="s", dst="t", cost="c"
+        ).collect()
+    }
+    assert got == {2: (1, 1_000_000 // 2), 3: (1, 1_000_000 // 5)}
+    got2 = {
+        r["node"]: (r["n_reached"], r["hc_est"])
+        for r in harmonic_centrality_pivots(
+            e, [1, 3], rounds=3, src="s", dst="t", cost="c"
+        ).collect()
+    }
+    # node 2: d(1,2)=2, d(3,2)=3; node 1: d(3,1)=5; node 3: d(1,3)=5
+    assert got2 == {
+        1: (1, 1_000_000 // 5),
+        2: (2, 1_000_000 // 2 + 1_000_000 // 3),
+        3: (1, 1_000_000 // 5),
+    }
+    # single-pivot consistency vs sssp
+    d = {
+        r["node"]: r["dist"]
+        for r in sssp(e, [1], rounds=3, src="s", dst="t", cost="c").collect()
+    }
+    ref = {
+        n: (1, 1_000_000 // dd) for n, dd in d.items() if dd > 0
+    }
+    assert got == ref
+
+
+def test_harmonic_centrality_pivots_validation(spark):
+    from striot_spark.functions.graph import harmonic_centrality_pivots
+
+    e = spark.createDataFrame([(1, 2, 3)], "s long, t long, c long")
+    with pytest.raises(ValueError, match="non-empty"):
+        harmonic_centrality_pivots(e, [], src="s", dst="t")
+    with pytest.raises(ValueError, match="absent"):
+        harmonic_centrality_pivots(e, [42], src="s", dst="t")

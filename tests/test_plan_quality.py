@@ -951,3 +951,36 @@ def test_quarter_window_graph_features_push_date_to_scan(spark, sf_dir):
     plan = _executed(spark, "q244_ktruss_edges", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sssp_rounds_are_keyed_joins_only(spark, sf_dir):
+    """q249: every Bellman-Ford round is a frontier equi-join against
+    the min-cost-reduced arc list + a groupBy-min re-reduce + a keyed
+    improvement check — never a cartesian or an unkeyed nested loop
+    (there is no scalar broadcast in this family at all)."""
+    plan = _executed(spark, "q249_sssp_trade_proximity", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_degree_audit_queries_push_date_and_stay_keyed(spark, sf_dir):
+    """q251/q252: same quarter-window discipline as q241 (the date
+    range must reach the lineitem scan) and every join keyed — the
+    assortativity moment pass is one degree join + one global agg."""
+    for q in ("q251_degree_distribution", "q252_degree_assortativity"):
+        fmt = _formatted(spark, q, sf_dir)
+        assert "GreaterThanOrEqual(l_shipdate," in fmt, q
+        assert "LessThan(l_shipdate," in fmt, q
+        plan = _executed(spark, q, sf_dir)
+        assert "CartesianProduct" not in plan, q
+
+
+def test_sssp_variants_are_keyed_joins_only(spark, sf_dir):
+    """q253/q254: the parent-struct fold and the (pivot, node)-keyed
+    multi-pivot state change nothing about the plan discipline —
+    keyed equi-joins and groupBy-min only, no cartesian, no unkeyed
+    nested loop."""
+    for q in ("q253_sssp_parents", "q254_harmonic_pivots"):
+        plan = _executed(spark, q, sf_dir)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
