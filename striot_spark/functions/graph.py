@@ -1606,3 +1606,176 @@ def harmonic_centrality_pivots(
             .alias("hc_est"),
         )
     )
+
+
+def local_clustering(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz 1998):
+
+        lcc(v) = 2 · tri(v) · scale DIV (deg(v) · (deg(v) − 1))
+
+    — the per-node version of the global signal ``triangle_count``
+    aggregates, the standard ego-density feature (community cores
+    score high, bridges/hubs-of-stars score 0). Triangles are
+    enumerated ONCE with the same degree-orientation discipline as
+    ``triangle_count`` (Suri & Vassilvitskii WWW'11 — wedge join
+    bounded Σ outdeg² ≤ m^1.5 on hub-skewed graphs), keeping the
+    wedge pivot so each triangle unpacks into its three corners; the
+    per-node count is one explode + groupBy. The lcc product runs in
+    decimal(38,0) (2·tri·scale approaches d²·scale — past 2^63 at
+    ~3M-degree hubs, the neighborhood_function precedent) and the
+    ppm result is ≤ scale, so the BIGINT cast is always safe.
+    Returns (node, degree, n_tri, lcc_ppm) for every node, degree-1
+    nodes at lcc 0.
+    """
+    from striot_spark.functions.caching import track_persist
+    from striot_spark.functions.text import md5_hash64
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    p = track_persist(
+        e.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    both = p.unionByName(
+        p.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = track_persist(
+        both.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+    )
+    ann = (
+        p.join(
+            deg.select(F.col("node").alias("__n"), F.col("degree").alias("du")),
+            F.col("u") == F.col("__n"),
+        )
+        .drop("__n")
+        .join(
+            deg.select(F.col("node").alias("__n"), F.col("degree").alias("dv")),
+            F.col("v") == F.col("__n"),
+        )
+        .drop("__n")
+        .withColumn("hu", md5_hash64(F.col("u").cast("string")))
+        .withColumn("hv", md5_hash64(F.col("v").cast("string")))
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("hu") < F.col("hv"))
+    )
+    oriented = track_persist(
+        ann.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+            F.when(u_first, F.col("hv")).otherwise(F.col("hu")).alias("dh"),
+        )
+    )
+    w1 = oriented.select(
+        F.col("src").alias("p"),
+        F.col("dst").alias("x"),
+        F.col("dd").alias("dx"),
+        F.col("dh").alias("hx"),
+    )
+    w2 = oriented.select(
+        F.col("src").alias("p"),
+        F.col("dst").alias("y"),
+        F.col("dd").alias("dy"),
+        F.col("dh").alias("hy"),
+    )
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("hx") < F.col("hy"))
+    )
+    wedges = w1.join(w2, "p").filter(x_first).select("p", "x", "y")
+    closing = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )
+    corners = (
+        wedges.join(closing, ["x", "y"])
+        .select(
+            F.explode(F.array("p", "x", "y")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    dec = "DECIMAL(38,0)"
+    return deg.join(corners, "node", "left").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+        F.expr(
+            f"CASE WHEN degree < 2 THEN 0L ELSE "
+            f"CAST(CAST(2 AS {dec}) * coalesce(n_tri, 0L) * {scale} "
+            "DIV (degree * (degree - 1)) AS BIGINT) END"
+        ).alias("lcc_ppm"),
+    )
+
+
+def link_prediction_ra(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lü & Zhang 2009,
+    public methodology): for every NON-adjacent pair at distance 2,
+
+        ra(u, v) = Σ_{z ∈ N(u) ∩ N(v)} scale DIV deg(z)
+
+    — the integer-exact member of the common-neighbor index family
+    (Adamic-Adar's 1/log deg is float; RA's 1/deg is a DIV), and the
+    strongest simple baseline in the Zhou et al. benchmarks. High-RA
+    non-edges are the "missing links" — in a co-purchase graph,
+    products that share low-degree (= discriminative) neighbors but
+    were never bought together.
+
+    Plan: wedges centered on z (one self-join of the symmetric
+    adjacency, Σ deg² rows — the same wedge budget as
+    ``triangle_count``; cap by degree upstream on hub-skewed graphs),
+    canonicalized u < v, anti-joined against the existing edge set,
+    then one (u, v) groupBy summing pre-computed per-z DIV terms.
+    Returns (u, v, common_nbrs, ra_ppm) for every distance-2
+    non-edge.
+    """
+    from striot_spark.functions.caching import track_persist
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    p = track_persist(
+        e.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    both = p.unionByName(
+        p.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy(F.col("u").alias("z")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    # per-z term computed once, before the wedge fan-out
+    adj = track_persist(
+        both.select(F.col("u").alias("z"), F.col("v").alias("n")).join(
+            deg, "z"
+        ).withColumn(
+            "term", F.expr(f"CAST({scale} DIV d AS BIGINT)")
+        )
+    )
+    w1 = adj.select("z", F.col("n").alias("u"), "term")
+    w2 = adj.select("z", F.col("n").alias("v"))
+    cand = (
+        w1.join(w2, "z")
+        .filter(F.col("u") < F.col("v"))
+        .join(p, ["u", "v"], "left_anti")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_nbrs"),
+            F.sum("term").cast("long").alias("ra_ppm"),
+        )
+    )
+    return cand

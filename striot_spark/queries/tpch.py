@@ -2852,3 +2852,85 @@ def q254_harmonic_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, _Q254_PIVOTS, rounds=3, src="a", dst="b", cost="cost",
         scale=10**9,
     )
+
+
+@register(
+    "q255_local_clustering",
+    _COPURCHASE_Q_CTE
+    + """,
+    p AS (SELECT DISTINCT u, v FROM eraw),
+    bd AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM bd GROUP BY u),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM p e1 JOIN p e2 ON e2.u = e1.v
+                 JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v),
+    corners AS (SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri),
+    nt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+           FROM corners GROUP BY node)
+    SELECT d.node, d.degree,
+           CAST(COALESCE(nt.n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN d.degree < 2 THEN CAST(0 AS BIGINT)
+                ELSE CAST(CAST(2 AS HUGEINT) * COALESCE(nt.n_tri, 0)
+                          * 1000000 // (d.degree * (d.degree - 1))
+                          AS BIGINT) END AS lcc_ppm
+    FROM deg d LEFT JOIN nt ON nt.node = d.node
+    """,
+    doc="per-node local clustering coefficient "
+    "(functions/graph.py:local_clustering, Watts & Strogatz 1998): "
+    "lcc = 2·tri(v)·1e6 DIV (deg·(deg−1)) — the ego-density feature "
+    "(community cores high, bridges 0), the per-node version of "
+    "q149's global count. Triangles enumerated once under the "
+    "degree-orientation wedge bound (Σoutdeg² ≤ m^1.5) keeping the "
+    "pivot, so each triangle unpacks into its three corners; the "
+    "product runs in decimal(38,0)/HUGEINT (2·tri·scale approaches "
+    "deg²·scale — the 2^63 precedent) and the ppm output is ≤ scale. "
+    "Quarter co-purchase window as q241 (dates pushed to the scan)",
+)
+def q255_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.graph import local_clustering
+
+    pairs = _copurchase_quarter_pairs(spark, sf_dir)
+    return local_clustering(pairs, src="u", dst="v")
+
+
+@register(
+    "q256_link_prediction_ra",
+    _COPURCHASE_Q_CTE
+    + """,
+    p AS (SELECT DISTINCT u, v FROM eraw),
+    bd AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM bd GROUP BY u),
+    wed AS (SELECT b1.u AS z, b1.v AS x, b2.v AS y
+            FROM bd b1 JOIN bd b2 ON b1.u = b2.u AND b1.v < b2.v),
+    cand AS (SELECT w.x AS u, w.y AS v, w.z
+             FROM wed w LEFT JOIN p ON p.u = w.x AND p.v = w.y
+             WHERE p.u IS NULL)
+    SELECT cand.u, cand.v,
+           CAST(count(*) AS BIGINT) AS common_nbrs,
+           CAST(sum(1000000 // d.degree) AS BIGINT) AS ra_ppm
+    FROM cand JOIN deg d ON d.node = cand.z
+    GROUP BY cand.u, cand.v
+    """,
+    doc="resource-allocation link prediction "
+    "(functions/graph.py:link_prediction_ra, Zhou/Lü/Zhang 2009): "
+    "for every distance-2 NON-edge, ra = Σ over common neighbors z "
+    "of 1e6 DIV deg(z) — the integer-exact member of the "
+    "common-neighbor index family (Adamic-Adar's 1/log deg is "
+    "float) and the strongest simple baseline in the original "
+    "benchmarks; in a co-purchase graph these are the products that "
+    "share discriminative neighbors but were never bought together. "
+    "One symmetric-adjacency self-join (the q149 wedge budget), "
+    "per-z DIV terms computed BEFORE the fan-out, canonical u<v, "
+    "anti-join against existing edges, one (u,v) groupBy",
+)
+def q256_link_prediction_ra(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions.graph import link_prediction_ra
+
+    pairs = _copurchase_quarter_pairs(spark, sf_dir)
+    return link_prediction_ra(pairs, src="u", dst="v")

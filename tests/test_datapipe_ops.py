@@ -3050,3 +3050,46 @@ def test_harmonic_centrality_pivots_validation(spark):
         harmonic_centrality_pivots(e, [], src="s", dst="t")
     with pytest.raises(ValueError, match="absent"):
         harmonic_centrality_pivots(e, [42], src="s", dst="t")
+
+
+def test_local_clustering_hand_computed(spark):
+    """Triangle 1-2-3 with pendant 3-4: nodes 1,2 have lcc=1 (their
+    whole neighborhood is closed), node 3 has deg 3 and one triangle
+    (lcc = 2·1e6 DIV 6), node 4 deg 1 -> lcc 0; input direction and
+    duplicates must not matter (canonical dedup inside)."""
+    from striot_spark.functions.graph import local_clustering
+
+    arcs = [(1, 2), (2, 3), (3, 1), (3, 4), (2, 1), (4, 3)]  # dups+revs
+    e = spark.createDataFrame(arcs, "src long, dst long")
+    got = {
+        r["node"]: (r["degree"], r["n_tri"], r["lcc_ppm"])
+        for r in local_clustering(e).collect()
+    }
+    assert got == {
+        1: (2, 1, 1_000_000),
+        2: (2, 1, 1_000_000),
+        3: (3, 1, 2_000_000 // 6),
+        4: (1, 0, 0),
+    }
+
+
+def test_link_prediction_ra_hand_computed(spark):
+    """Path 1-2-3 plus 3-4: the distance-2 non-edges are (1,3) via 2,
+    (2,4) via 3, (1,4)? no — d(1,4)=3. ra uses deg of the middle:
+    ra(1,3) = 1e6 DIV deg(2) = 500000, ra(2,4) = 1e6 DIV deg(3) =
+    500000. Existing edges are excluded even when they close wedges
+    (star 5-6,5-7,6-7: (6,7) is an edge, not a candidate)."""
+    from striot_spark.functions.graph import link_prediction_ra
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (5, 7), (6, 7)],
+        "src long, dst long",
+    )
+    got = {
+        (r["u"], r["v"]): (r["common_nbrs"], r["ra_ppm"])
+        for r in link_prediction_ra(e).collect()
+    }
+    assert got == {
+        (1, 3): (1, 1_000_000 // 2),
+        (2, 4): (1, 1_000_000 // 2),
+    }

@@ -984,3 +984,16 @@ def test_sssp_variants_are_keyed_joins_only(spark, sf_dir):
         plan = _executed(spark, q, sf_dir)
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_wedge_feature_queries_push_date_and_stay_keyed(spark, sf_dir):
+    """q255/q256: the triangle-corner and RA wedge enumerations keep
+    the q149 discipline — quarter-window dates pushed to the lineitem
+    scan, all joins keyed equi-joins."""
+    for q in ("q255_local_clustering", "q256_link_prediction_ra"):
+        fmt = _formatted(spark, q, sf_dir)
+        assert "GreaterThanOrEqual(l_shipdate," in fmt, q
+        assert "LessThan(l_shipdate," in fmt, q
+        plan = _executed(spark, q, sf_dir)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
