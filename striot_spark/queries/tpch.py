@@ -2934,3 +2934,391 @@ def q256_link_prediction_ra(
 
     pairs = _copurchase_quarter_pairs(spark, sf_dir)
     return link_prediction_ra(pairs, src="u", dst="v")
+
+
+# ---- TPC-H shape completion (round 11): the seven query shapes the
+# fixture schema previously lacked counterparts for, adapted to the
+# available tables (no partsupp / l_shipmode / l_commitdate in the
+# driver fixtures — cost and availability signals derive from
+# lineitem history instead, which preserves each query's PLAN shape:
+# correlated min, scalar-threshold having, conditional agg, NOT-IN
+# exclusion, OR-of-ANDs pushdown, semi-join chain). With these, all
+# 22 classic TPC-H query shapes have a registered, oracle-gated
+# counterpart.
+
+
+@register(
+    "q257_min_cost_supplier",
+    f"""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               min({_cents('l_extendedprice')} * 1000
+                   // CAST(l_quantity AS BIGINT)) AS cost_mc
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eligible AS (
+        SELECT c.l_partkey, c.l_suppkey, c.cost_mc
+        FROM cost c
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'),
+    best AS (
+        SELECT l_partkey, min(cost_mc) AS best_mc
+        FROM eligible GROUP BY l_partkey)
+    SELECT p.p_partkey, min(e.l_suppkey) AS s_suppkey,
+           CAST(b.best_mc AS BIGINT) AS cost_mc
+    FROM part p
+    JOIN best b ON b.l_partkey = p.p_partkey
+    JOIN eligible e ON e.l_partkey = p.p_partkey
+                   AND e.cost_mc = b.best_mc
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+    GROUP BY p.p_partkey, b.best_mc
+    """,
+    doc="TPC-H Q2 shape (minimum-cost supplier): for each STANDARD "
+    "size-15 part, the EUROPE supplier with the lowest observed unit "
+    "price — the correlated-min-subquery shape, lowered as groupBy-"
+    "min + equality join back (Catalyst's standard decorrelation); "
+    "unit price in exact milli-cents (cents * 1000 DIV quantity — "
+    "integral-double quantities, engine-exact), supplier ties broken "
+    "by min suppkey. No partsupp in the fixtures: the offer table "
+    "derives from observed lineitem history, same plan shape",
+)
+def q257_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.expr(
+                "CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)"
+                " * 1000 DIV CAST(l_quantity AS BIGINT)"
+            )
+        ).alias("cost_mc")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    eligible = (
+        cost.join(s, cost["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("l_partkey", "l_suppkey", "cost_mc")
+    )
+    best = eligible.groupBy("l_partkey").agg(
+        F.min("cost_mc").alias("best_mc")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        p.join(best, p["p_partkey"] == best["l_partkey"])
+        .join(
+            eligible.withColumnRenamed("l_partkey", "__pk"),
+            (F.col("__pk") == F.col("p_partkey"))
+            & (F.col("cost_mc") == F.col("best_mc")),
+        )
+        .groupBy("p_partkey", "best_mc")
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            F.col("best_mc").cast("long").alias("cost_mc"),
+        )
+    )
+
+
+@register(
+    "q258_product_profit",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum({_cents(DISC_PRICE)}
+                    - CAST(l_quantity AS BIGINT)
+                      * ({_cents('p_retailprice')} * 80 // 100))
+                AS BIGINT) AS sum_profit_c
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE 'red%'
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape (product-type profit by nation and year): "
+    "profit = discounted revenue minus quantity times a cost proxy "
+    "(80% of retail, exact integer cents — no ps_supplycost in the "
+    "fixtures), for 'red%' parts, grouped by supplier nation x order "
+    "year — the classic 5-table star join with an expression-derived "
+    "group key; all money in exact cents",
+)
+def q258_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = money(disc_price_col()) - F.col("l_quantity").cast(
+        "long"
+    ) * F.expr(
+        "CAST(round(p_retailprice * 100.0, 0) AS BIGINT) * 80 DIV 100"
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("long").alias("sum_profit_c"))
+    )
+
+
+@register(
+    "q259_important_parts",
+    f"""
+    WITH pv AS (
+        SELECT l.l_partkey,
+               CAST(sum({_cents('l_extendedprice')}) AS BIGINT)
+                   AS value_c
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_7'
+        GROUP BY l.l_partkey)
+    SELECT l_partkey, value_c FROM pv
+    WHERE value_c > (SELECT CAST(sum(value_c) // 1000 AS BIGINT)
+                     FROM pv)
+    """,
+    doc="TPC-H Q11 shape (important stock): per-part traded value "
+    "from NATION_7 suppliers, keeping parts above 1/1000 of the "
+    "nation's total — the HAVING-over-global-scalar shape: the "
+    "threshold is a 1-row aggregate broadcast against the per-part "
+    "sums (never a re-scan); exact integer cents both sides. Stock "
+    "value derives from lineitem history (no partsupp), same plan",
+)
+def q259_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    pv = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(money(F.col("l_extendedprice")))
+            .cast("long")
+            .alias("value_c")
+        )
+    )
+    from striot_spark.functions.caching import track_persist
+
+    pv = track_persist(pv)
+    thr = pv.agg(
+        F.expr("CAST(sum(value_c) DIV 1000 AS BIGINT)").alias("__thr")
+    )
+    return (
+        pv.crossJoin(F.broadcast(thr))
+        .filter(F.col("value_c") > F.col("__thr"))
+        .select("l_partkey", "value_c")
+    )
+
+
+@register(
+    "q260_priority_line_counts",
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+    doc="TPC-H Q12 shape (priority line counts): one fact-to-fact "
+    "equi-join + CONDITIONAL aggregation (CASE inside sum — one pass, "
+    "no per-branch scans), lines shipped in 1996 bucketed by return "
+    "flag x order priority class. No l_shipmode/l_commitdate in the "
+    "fixtures; the conditional-agg plan shape is the point",
+)
+def q260_priority_line_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime as dt
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(dt.datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(dt.datetime(1997, 1, 1)))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q261_supplier_counts_by_part_attr",
+    """
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#11'
+      AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (supplier counts per part attribute): "
+    "distinct suppliers observed per (brand, type, size) over an "
+    "attribute filter, EXCLUDING a blacklist via NOT IN (suppliers "
+    "in arrears, s_acctbal < 0 — the fixtures have no s_comment; 6 "
+    "such suppliers at sf0.01, so the exclusion is non-vacuous) — "
+    "the anti-join + count-distinct shape; supplier-part pairs from "
+    "lineitem history (no partsupp)",
+)
+def q261_supplier_counts_by_part_attr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "MEDIUM")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(bad),
+            li["l_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            "p_brand", "p_type", F.col("p_size").cast("long").alias("p_size")
+        )
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+        )
+    )
+
+
+@register(
+    "q262_or_block_revenue",
+    f"""
+    SELECT CAST(sum({_cents(DISC_PRICE)}) AS BIGINT) AS revenue_c,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (OR-of-ANDs discounted revenue): one "
+    "lineitem-part join under three disjunctive brand/size/quantity "
+    "blocks — the predicate-pushdown stress shape (each conjunct "
+    "splits across both tables; Catalyst pushes the common-column "
+    "residuals to each scan and keeps ONE join); exact-cents revenue "
+    "plus the matched line count",
+)
+def q262_or_block_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    blk = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(blk).agg(
+        F.sum(money(disc_price_col())).cast("long").alias("revenue_c"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+@register(
+    "q263_excess_volume_suppliers",
+    """
+    WITH red_parts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    vol AS (
+        SELECT l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM red_parts)
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, v.qty
+    FROM supplier s
+    JOIN vol v ON v.l_suppkey = s.s_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3' AND v.qty > 50
+    """,
+    doc="TPC-H Q20 shape (excess-volume suppliers of a part class): "
+    "NATION_3 suppliers who shipped more than 50 units of 'red%' "
+    "parts during 1995 — the nested-IN / semi-join-chain shape "
+    "(parts semi-join into lineitem, aggregate, threshold, then the "
+    "supplier dim); quantity sums are integral doubles cast to exact "
+    "longs, date range pushed to the scan. Availability derives "
+    "from shipped history (no partsupp availqty in the fixtures)",
+)
+def q263_excess_volume_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime as dt
+
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(dt.datetime(1995, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(dt.datetime(1996, 1, 1)))
+    )
+    vol = (
+        li.join(
+            F.broadcast(red),
+            li["l_partkey"] == red["p_partkey"],
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    return (
+        s.join(vol, s["s_suppkey"] == vol["l_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", "s_name", "qty")
+    )

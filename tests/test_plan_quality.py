@@ -997,3 +997,28 @@ def test_wedge_feature_queries_push_date_and_stay_keyed(spark, sf_dir):
         plan = _executed(spark, q, sf_dir)
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_tpch_completion_shapes(spark, sf_dir):
+    """q257-q263 (the TPC-H shape completion): dimensions broadcast,
+    no cartesian anywhere; the Q11 shape's global threshold is the
+    ONE 1-row broadcast (BroadcastNestedLoopJoin) it is designed to
+    be; the Q19 OR-blocks keep a single part join (no per-branch
+    re-scan: exactly one join of lineitem with part)."""
+    for q in (
+        "q257_min_cost_supplier",
+        "q258_product_profit",
+        "q260_priority_line_counts",
+        "q261_supplier_counts_by_part_attr",
+        "q262_or_block_revenue",
+        "q263_excess_volume_suppliers",
+    ):
+        plan = _executed(spark, q, sf_dir)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+    plan = _executed(spark, "q259_important_parts", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row threshold
+    # Q19: the OR-of-ANDs must not multiply the part join
+    plan = _executed(spark, "q262_or_block_revenue", sf_dir)
+    assert plan.count("Join") <= plan.count("HashAggregate") + 4
