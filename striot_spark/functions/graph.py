@@ -695,6 +695,7 @@ def k_core(
     src: str = "a",
     dst: str = "b",
     checkpoint_every: int = 2,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-round k-core peeling over a SYMMETRIC edge list (pass both
     directions; degree is then the src-side count): each round removes
@@ -711,6 +712,14 @@ def k_core(
     see the unit test). Degeneracy-ordering peeling is inherently
     sequential; the round-synchronous form trades iterations for full
     per-round parallelism (the standard distributed formulation).
+
+    ``weight`` names an integer edge-weight column and switches the
+    peel to the STRENGTH core (s-core, Eidsaa & Almaas 2013, public
+    methodology): a node survives while its out-STRENGTH Σw ≥ k —
+    the weighted degeneracy structure (a node with many trivial
+    contacts peels early; one with few heavy ones survives). w=1
+    reduces to the plain k-core bit-for-bit (unit-tested); the loop
+    body is unchanged except the degree agg sums weights.
 
     Plan shape per round: one degree groupBy with map-side partials
     (shuffle carries #nodes partials) + two survivor semi-joins on the
@@ -735,8 +744,16 @@ def k_core(
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
     spark = edges.sparkSession
+    w_expr = (
+        F.lit(1).cast("long")
+        if weight is None
+        else F.col(weight).cast("long")
+    )
     e = track_persist(
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d"),
+            w_expr.alias("w"),
+        )
     )
     try:
         small_edges = int(
@@ -755,7 +772,7 @@ def k_core(
 
     for r in range(rounds):
         deg = part(e, "s").groupBy("s").agg(
-            F.count(F.lit(1)).alias("deg")
+            F.sum("w").alias("deg")
         )
         ok = deg.filter(F.col("deg") >= k).select("s")
         e = (
@@ -764,7 +781,9 @@ def k_core(
             .withColumnRenamed("s", "_s")
             .withColumnRenamed("d", "s")
             .join(part(ok, "s"), "s", "left_semi")
-            .select(F.col("_s").alias("s"), F.col("s").alias("d"))
+            .select(
+                F.col("_s").alias("s"), F.col("s").alias("d"), "w"
+            )
         )
         e = track_persist(e)
         if (r + 1) % checkpoint_every == 0:
@@ -772,7 +791,7 @@ def k_core(
     return (
         part(e, "s")
         .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.sum("w").cast("long").alias("deg"))
         .select(F.col("s").alias("node"), "deg")
     )
 

@@ -336,3 +336,44 @@ def importance_weights(
         F.size(toks).cast("long").alias("n_tokens"),
         score.alias("raw_score"),
     )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic seeded shuffle + shard assignment — the training-
+    data export step (every epoch-0 data loader wants the corpus in a
+    pseudo-random order, split into shards, and REPRODUCIBLE across
+    reruns and engines): shard = 60-bit md5(seed || id) mod n_shards,
+    position = dense rank of that hash within the shard (id tiebreak
+    — md5 collisions need ~2^30 docs at 60 bits, but determinism must
+    not hinge on their absence). Changing ``seed`` reshuffles
+    globally; the same (seed, corpus) always produces the identical
+    layout, unlike Spark's ``rand(seed)`` whose values depend on
+    partitioning.
+
+    Scale: the hash is a pure projection; the per-shard rank is a
+    window sort PARTITIONED BY shard — Spark's window sort spills, so
+    shard size (corpus / n_shards) is bounded by executor disk, and
+    the shard count is the parallelism knob (1024 shards over 100 TB
+    ≈ 100 GB sorted per shard — size n_shards so this fits; never
+    rank over an unpartitioned window). Returns
+    (id, shard, pos) with pos 1-based within shard.
+    """
+    if n_shards < 1:
+        raise ValueError("shuffle_shard: n_shards must be >= 1")
+    h = md5_hash64(
+        F.concat(F.lit(seed), F.col(id_col).cast("string"))
+    )
+    out = df.select(F.col(id_col), h.alias("__h")).withColumn(
+        "shard", (F.col("__h") % n_shards).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return out.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

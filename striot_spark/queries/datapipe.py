@@ -3363,3 +3363,33 @@ def q247_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_cols=["lex_rank", "vec_rank"],
         k=10,
     )
+
+
+@register(
+    "q265_shuffle_shard",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('ep0' || CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT AS hv
+        FROM documents)
+    SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 8
+                                   ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+    doc="deterministic seeded shuffle + shard assignment "
+    "(functions/sampling.py:shuffle_shard) — the epoch-0 training "
+    "export: shard = 60-bit md5(seed || id) mod 8, position = rank "
+    "of the hash within the shard (id tiebreak: determinism must "
+    "not hinge on hash-collision absence). Same (seed, corpus) "
+    "always yields the identical layout in ANY engine — unlike "
+    "Spark's rand(seed), whose draw depends on partitioning. The "
+    "hash is a pure projection; the per-shard rank is a window sort "
+    "PARTITIONED BY shard (spills; shard count is the knob that "
+    "bounds per-shard sort size at 100 TB — never rank over an "
+    "unpartitioned window)",
+)
+def q265_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return SAMP.shuffle_shard(docs, "doc_id", n_shards=8, seed="ep0")

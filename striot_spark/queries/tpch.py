@@ -3322,3 +3322,75 @@ def q263_excess_volume_suppliers(
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select("s_suppkey", "s_name", "qty")
     )
+
+
+def _score_oracle(k: int, rounds: int) -> str:
+    """Chained-CTE unroll of ``rounds`` STRENGTH-core peels over the
+    weighted trade graph (q237's edge multiplicities)."""
+    sql = """
+    WITH eraw AS (
+        SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b,
+               CAST(count(*) AS BIGINT) AS w
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2),
+    e0 AS (SELECT a AS s, b AS d, w FROM eraw
+           UNION ALL SELECT b, a, w FROM eraw)"""
+    cur = "e0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+    d{r} AS (SELECT s, CAST(sum(w) AS BIGINT) AS st
+             FROM {cur} GROUP BY s),
+    ok{r} AS (SELECT s FROM d{r} WHERE st >= {k}),
+    e{r} AS (
+        SELECT e.s, e.d, e.w FROM {cur} e
+        JOIN ok{r} a ON e.s = a.s JOIN ok{r} b ON e.d = b.s)"""
+        cur = f"e{r}"
+    sql += f"""
+    SELECT s AS node, CAST(sum(w) AS BIGINT) AS deg
+    FROM {cur} GROUP BY s"""
+    return sql
+
+
+@register(
+    "q264_strength_core",
+    _score_oracle(k=60, rounds=3),
+    doc="fixed-round STRENGTH-core peeling "
+    "(functions/graph.py:k_core(weight=...), the s-core of Eidsaa & "
+    "Almaas 2013): each round drops nodes whose total trade "
+    "multiplicity Σw < 60 and their edges — the weighted degeneracy "
+    "structure (a customer with many one-off suppliers peels early; "
+    "one with few heavy relationships survives), which the "
+    "unweighted q172 k-core cannot see. w=1 reduces to k_core "
+    "bit-for-bit (unit-tested); same per-round plan (one "
+    "map-side-combined strength groupBy + two survivor semi-joins, "
+    "weights riding the persisted edge list) and the same tight "
+    "lineage cadence (3 self-references per round). The oracle "
+    "unrolls the identical weighted peels as chained CTEs",
+)
+def q264_strength_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.graph import k_core
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "a"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "b"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+        )
+    )
+    return k_core(edges, k=60, rounds=3, src="a", dst="b", weight="w")

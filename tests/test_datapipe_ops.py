@@ -3093,3 +3093,66 @@ def test_link_prediction_ra_hand_computed(spark):
         (1, 3): (1, 1_000_000 // 2),
         (2, 4): (1, 1_000_000 // 2),
     }
+
+
+def test_strength_core_weighted_and_unit_equivalence(spark):
+    """s-core (k_core(weight=...)): a hub with many light edges peels
+    where a pair with one heavy edge survives; w=1 must reproduce the
+    unweighted k_core bit-for-bit on the same graph."""
+    from striot_spark.functions.graph import k_core
+
+    # hub 0 with 3 weight-1 edges (strength 3); pair (8,9) weight 5
+    und = [(0, 1, 1), (0, 2, 1), (0, 3, 1), (8, 9, 5)]
+    sym = und + [(b, a, w) for a, b, w in und]
+    e = spark.createDataFrame(sym, "a long, b long, w long")
+    got = {
+        r["node"]: r["deg"]
+        for r in k_core(e, k=4, rounds=3, weight="w").collect()
+    }
+    assert got == {8: 5, 9: 5}  # hub + leaves peeled, heavy pair stays
+    # w=1 equivalence against the unweighted form
+    ones = e.withColumn("w", F.lit(1))
+    a = sorted(
+        (r["node"], r["deg"])
+        for r in k_core(ones, k=2, rounds=2, weight="w").collect()
+    )
+    b = sorted(
+        (r["node"], r["deg"])
+        for r in k_core(e.drop("w"), k=2, rounds=2).collect()
+    )
+    assert a == b
+
+
+def test_shuffle_shard_deterministic_and_balanced(spark):
+    """Same (seed, corpus) -> identical layout across invocations;
+    different seed -> different permutation; every shard's positions
+    are 1..len(shard) dense; n_shards=1 is a global shuffle."""
+    from striot_spark.functions.sampling import shuffle_shard
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shard(df, "doc_id", 4, seed="s1").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shard(df, "doc_id", 4, seed="s1").collect()
+    )
+    assert a == b
+    c = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shard(df, "doc_id", 4, seed="s2").collect()
+    )
+    assert a != c
+    import collections
+
+    by_shard = collections.defaultdict(list)
+    for _, sh, pos in a:
+        by_shard[sh].append(pos)
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    one = shuffle_shard(df, "doc_id", 1, seed="x").collect()
+    assert sorted(r["pos"] for r in one) == list(range(1, 201))
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffle_shard(df, "doc_id", 0)
