@@ -1493,16 +1493,20 @@ def degree_assortativity(
         F.sum(F.col("x") * F.col("x")).alias("sx2"),
         F.sum(F.col("y") * F.col("y")).alias("sy2"),
     )
+    # zero-variance degree sequences (every endpoint the same degree —
+    # regular graphs, tiny windows) have no mixing signal; define
+    # r = 0.0 there instead of dividing by sqrt(0) (Spark ANSI throws,
+    # DuckDB yields NaN — neither is a comparable value)
     dec = "DECIMAL(38,0)"
+    dx = f"(CAST(m AS {dec}) * sx2 - CAST(sx AS {dec}) * sx)"
+    dy = f"(CAST(m AS {dec}) * sy2 - CAST(sy AS {dec}) * sy)"
     return s.select(
         F.col("m").cast("long").alias("m_arcs"),
         F.expr(
-            f"CAST(CAST(m AS {dec}) * sxy - CAST(sx AS {dec}) * sy "
+            f"CASE WHEN {dx} = 0 OR {dy} = 0 THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE CAST(CAST(m AS {dec}) * sxy - CAST(sx AS {dec}) * sy "
             "AS DOUBLE) / "
-            f"sqrt(CAST(CAST(m AS {dec}) * sx2 - CAST(sx AS {dec}) * sx "
-            "AS DOUBLE) * "
-            f"CAST(CAST(m AS {dec}) * sy2 - CAST(sy AS {dec}) * sy "
-            "AS DOUBLE))"
+            f"sqrt(CAST({dx} AS DOUBLE) * CAST({dy} AS DOUBLE)) END"
         ).alias("r_assort"),
     )
 

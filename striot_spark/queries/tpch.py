@@ -2633,13 +2633,18 @@ def q251_degree_distribution(
                  CAST(sum(y * y) AS BIGINT) AS sy2
           FROM xy)
     SELECT m AS m_arcs,
-           CAST(CAST(m AS HUGEINT) * sxy
-                - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-           / sqrt(CAST(CAST(m AS HUGEINT) * sx2
-                       - CAST(sx AS HUGEINT) * sx AS DOUBLE)
-                  * CAST(CAST(m AS HUGEINT) * sy2
-                         - CAST(sy AS HUGEINT) * sy AS DOUBLE))
-               AS r_assort
+           CASE WHEN (CAST(m AS HUGEINT) * sx2
+                      - CAST(sx AS HUGEINT) * sx) = 0
+                  OR (CAST(m AS HUGEINT) * sy2
+                      - CAST(sy AS HUGEINT) * sy) = 0
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(CAST(m AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / sqrt(CAST(CAST(m AS HUGEINT) * sx2
+                                 - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                            * CAST(CAST(m AS HUGEINT) * sy2
+                                   - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+           END AS r_assort
     FROM s
     """,
     doc="degree assortativity coefficient "

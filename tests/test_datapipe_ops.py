@@ -3156,3 +3156,19 @@ def test_shuffle_shard_deterministic_and_balanced(spark):
     assert sorted(r["pos"] for r in one) == list(range(1, 201))
     with pytest.raises(ValueError, match="n_shards"):
         shuffle_shard(df, "doc_id", 0)
+
+
+def test_degree_assortativity_zero_variance_is_zero(spark):
+    """Regular graphs (every endpoint the same degree) have no mixing
+    signal: r is DEFINED as 0.0 instead of 0/sqrt(0) — Spark ANSI
+    would throw and DuckDB would yield NaN, neither comparable (the
+    sf0.001 quarter window hit exactly this)."""
+    from striot_spark.functions.graph import degree_assortativity
+
+    # 4-cycle: every node degree 2, zero variance
+    und = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    sym = und + [(b, a) for a, b in und]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    row = degree_assortativity(e).collect()[0]
+    assert row["m_arcs"] == 8
+    assert row["r_assort"] == 0.0
