@@ -1821,3 +1821,81 @@ def link_prediction_ra(
         )
     )
     return cand
+
+
+def coreness(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Per-node CORENESS (core number) by the h-index iteration (Lü,
+    Chen, Ren, Zhang, Zhou & Stanley 2016, public methodology): start
+    from the degree and repeatedly replace each node's value with the
+    H-index of its neighbors' values — the sequence is monotone
+    non-increasing and converges to the exact core number, giving the
+    WHOLE degeneracy profile in one run where ``k_core`` answers a
+    single k (q172). Fixed synchronous ``rounds``, the contract of
+    every iterative op here: both engines compute the identical
+    intermediate, converged or not.
+
+    H(x_1..x_d) = max_i min(i, x_(i)) over the values sorted
+    descending — ties may be ordered arbitrarily (the result depends
+    only on the multiset), so row_number needs no tiebreak. Plan per
+    round: one keyed join (neighbor values onto edges), one window
+    rank PARTITIONED BY node, one groupBy-max — Σdeg rows per round;
+    the per-node window sort spills, so hub degree bounds the sort
+    (degree-cap upstream on hub-skewed graphs, same advice as the
+    wedge family). All exact integers. Returns (node, coreness).
+    """
+    from pyspark.sql import Window
+
+    from striot_spark.functions.caching import track_persist
+
+    if rounds < 0:
+        raise ValueError("coreness: rounds must be >= 0")
+    e = track_persist(
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d")
+        ).distinct()
+    )
+    spark = edges.sparkSession
+    try:
+        small_edges = int(
+            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
+        )
+    except ValueError:
+        small_edges = SMALL_GRAPH_DEFAULT
+    n = (
+        spark.sparkContext.defaultParallelism
+        if e.count() <= small_edges
+        else None
+    )
+
+    def part(df: DataFrame, key: str) -> DataFrame:
+        return df.repartition(n, key) if n else df
+
+    c = track_persist(
+        part(e, "s")
+        .groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cn"))
+    for r in range(rounds):
+        x = e.join(c, e["d"] == c["node"]).select(
+            F.col("s").alias("node"), F.col("c").alias("cn")
+        )
+        c = track_persist(
+            part(x, "node")
+            .withColumn("rk", F.row_number().over(w))
+            .groupBy("node")
+            .agg(
+                F.max(F.least(F.col("rk").cast("long"), F.col("cn")))
+                .cast("long")
+                .alias("c")
+            )
+        )
+        if (r + 1) % checkpoint_every == 0:
+            c = c.localCheckpoint(eager=True)
+    return c.select("node", F.col("c").alias("coreness"))

@@ -3399,3 +3399,71 @@ def q264_strength_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return k_core(edges, k=60, rounds=3, src="a", dst="b", weight="w")
+
+
+def _coreness_oracle(rounds: int) -> str:
+    """Chained-CTE unroll of the h-index coreness iteration over the
+    quarter co-purchase graph."""
+    sql = """
+    WITH p AS (
+        SELECT DISTINCT a.l_partkey AS ia, b.l_partkey AS ib
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e AS (SELECT ia AS s, ib AS d FROM p UNION ALL SELECT ib, ia FROM p),
+    c0 AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS c
+           FROM e GROUP BY s)"""
+    cur = "c0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+    x{r} AS (SELECT e.s AS node, c.c AS cn,
+                    row_number() OVER (PARTITION BY e.s
+                                       ORDER BY c.c DESC) AS rk
+             FROM e JOIN {cur} c ON c.node = e.d),
+    c{r} AS (SELECT node, CAST(max(least(rk, cn)) AS BIGINT) AS c
+             FROM x{r} GROUP BY node)"""
+        cur = f"c{r}"
+    return sql + f"""
+    SELECT node, c AS coreness FROM {cur}"""
+
+
+@register(
+    "q266_coreness",
+    _coreness_oracle(rounds=3),
+    doc="per-node CORENESS via the h-index iteration "
+    "(functions/graph.py:coreness, Lü et al. 2016): start from the "
+    "degree, repeatedly replace each node's value with the H-index "
+    "of its neighbors' values — monotone non-increasing, converges "
+    "to the exact core number, so one run yields the WHOLE "
+    "degeneracy profile where q172's k_core answers a single k. "
+    "Fixed 3 synchronous rounds (engine-identical whether or not "
+    "converged); per round one keyed join + one per-node window "
+    "rank + one groupBy-max, sum(deg) rows, window sort spills and "
+    "hub degree bounds it. H-index tie order is irrelevant (depends "
+    "only on the value multiset), so row_number needs no tiebreak; "
+    "the oracle unrolls the identical rounds. Runs on q172's FULL "
+    "part co-purchase graph (the quarter window's coreness tops out "
+    "at 2 — vacuous-gate discipline: probe the value spread, not "
+    "just the row count)",
+)
+def q266_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.graph import coreness
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return coreness(edges, rounds=3, src="u", dst="v")

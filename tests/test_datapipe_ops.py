@@ -3172,3 +3172,35 @@ def test_degree_assortativity_zero_variance_is_zero(spark):
     row = degree_assortativity(e).collect()[0]
     assert row["m_arcs"] == 8
     assert row["r_assort"] == 0.0
+
+
+def test_coreness_converges_to_true_core_numbers(spark):
+    """Triangle 1-2-3 with pendant chain 3-4-5: core numbers are
+    {1:2, 2:2, 3:2, 4:1, 5:1}; the h-index iteration from degrees
+    (3's degree is 3) must reach them within a few rounds, and the
+    sequence is monotone non-increasing round over round."""
+    from striot_spark.functions.graph import coreness
+
+    und = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    sym = und + [(b, a) for a, b in und]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    truth = {1: 2, 2: 2, 3: 2, 4: 1, 5: 1}
+    got = {
+        r["node"]: r["coreness"]
+        for r in coreness(e, rounds=4).collect()
+    }
+    assert got == truth
+    # round-0 is the degree; each round is <= the previous
+    prev = {
+        r["node"]: r["coreness"]
+        for r in coreness(e, rounds=0).collect()
+    }
+    assert prev == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}  # degrees
+    for k in (1, 2, 3):
+        cur = {
+            r["node"]: r["coreness"]
+            for r in coreness(e, rounds=k).collect()
+        }
+        assert all(cur[n] <= prev[n] for n in cur)
+        prev = cur
+    assert prev == truth

@@ -1022,3 +1022,12 @@ def test_tpch_completion_shapes(spark, sf_dir):
     # Q19: the OR-of-ANDs must not multiply the part join
     plan = _executed(spark, "q262_or_block_revenue", sf_dir)
     assert plan.count("Join") <= plan.count("HashAggregate") + 4
+
+
+def test_coreness_rounds_are_keyed_and_windowed_only(spark, sf_dir):
+    """q266: each h-index round is one keyed join + one per-node
+    window rank + one groupBy-max — never a cartesian or an unkeyed
+    nested loop."""
+    plan = _executed(spark, "q266_coreness", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
