@@ -1022,6 +1022,13 @@ def test_tpch_completion_shapes(spark, sf_dir):
     # Q19: the OR-of-ANDs must not multiply the part join
     plan = _executed(spark, "q262_or_block_revenue", sf_dir)
     assert plan.count("Join") <= plan.count("HashAggregate") + 4
+    # ...and the per-table OR residuals must reach BOTH parquet scans
+    # (Catalyst derives `(qty-range OR qty-range OR ...)` for lineitem
+    # and the brand/size disjunction for part — that pushdown IS the
+    # Q19 shape's point)
+    fmt = _formatted(spark, "q262_or_block_revenue", sf_dir)
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity," in fmt
+    assert fmt.count("EqualTo(p_brand,") >= 3
 
 
 def test_coreness_rounds_are_keyed_and_windowed_only(spark, sf_dir):
