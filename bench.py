@@ -99,6 +99,7 @@ def main() -> None:
         "q240_incremental_extents_stream",
         "q245_khop_hll_stream_serve",
         "q250_pagerank_stream_serve",
+        "q267_sssp_stream_serve",
     }
     # best-of-3 (was 2): PERF.md r4 measured 10-23% CV across identical
     # back-to-back runs on this shared box; a third repeat materially

@@ -96,12 +96,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # 1 + 6 + 43 = 50 exactly. After this sweep every registry entry has a
 # driver row and the oldest remaining row is r05.
 # ROUND-12 HEAD PLAN (keep in sync): canary (1) + the round-11
-# additions q249..q266 (18, never driver-swept; every one sim-green
+# additions q249..q267 (19, never driver-swept; every one sim-green
 # fresh-process in r11 — see ROUND11.md §10) + the 18-name tail of
 # the q01..q64 block (q05/q06/q07/q08/q09/q10/q11/q12/q15/q16/q47/
-# q49/q50/q30/q17/q18/q19/q20, r03-r05 rows) + fill the remaining 13
+# q49/q50/q30/q17/q18/q19/q20, r03-r05 rows) + fill the remaining 12
 # slots from the r07-rowed streaming cohort (q100d..q137 block)
-# oldest-row-first. 1 + 18 + 18 + 13 = 50 exactly.
+# oldest-row-first. 1 + 19 + 18 + 12 = 50 exactly.
 _SWEEP_FIRST = [
     # (1) type canary — keep at head position 1 in every round
     "q224_type_canary",

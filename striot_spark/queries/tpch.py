@@ -3467,3 +3467,49 @@ def q266_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     return coreness(edges, rounds=3, src="u", dst="v")
+
+
+@register(
+    "q267_sssp_stream_serve",
+    _sssp_oracle(rounds=3, source="c1", inv_scale=1_000_000),
+    doc="STREAMED shortest-path serve — the third leg of the "
+    "stream->graph-analytics family (q245 reach sketch, q250 "
+    "weighted PageRank, now distances): individual trade "
+    "observations replay as three micro-batches cut THROUGH pairs, "
+    "incremental_agg_sink accumulates per-pair multiplicities "
+    "(additive n_rows, replay-guarded partitioned state), and "
+    "serving runs sssp from c1 at cost 1e6 DIV multiplicity off the "
+    "#edges-sized snapshot. Counting is additive, so the served "
+    "graph is exactly q249's batch trade graph and the oracle is "
+    "q249's verbatim — proximity features stay correct no matter "
+    "where the micro-batch boundaries land",
+)
+def q267_sssp_stream_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from striot_spark.functions.graph import sssp
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_trade_observations(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+    path = tempfile.mkdtemp(prefix="striot_q267_mv_")
+    q = RT.incremental_agg_sink(
+        sdf,
+        path,
+        tempfile.mkdtemp(prefix="striot_q267_ck_"),
+        key_cols=["a", "b"],
+        sum_cols=[],
+    )
+    q.awaitTermination()
+    snap = RT.read_snapshot(spark, path).select(
+        "a", "b", F.col("n_rows").alias("w")
+    )
+    edges = snap.unionByName(
+        snap.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+        )
+    ).select(
+        "a", "b", F.expr("CAST(1000000 DIV w AS BIGINT)").alias("cost")
+    )
+    return sssp(edges, ["c1"], rounds=3, src="a", dst="b", cost="cost")
