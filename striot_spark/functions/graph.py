@@ -27,6 +27,60 @@ from pyspark.sql import functions as F
 SMALL_GRAPH_CONF = "striot.graph.smallEdgeRows"
 SMALL_GRAPH_DEFAULT = 5_000_000
 
+#: hub-degree guard for the wedge/sort operator family
+#: (link_prediction_ra / local_clustering / coreness): operators whose
+#: per-node cost is super-linear in degree PROBE max(degree) on their
+#: already-persisted degree frame and raise past this threshold unless
+#: the caller opted into an explicit ``max_degree`` cap. On a 100 TB
+#: power-law graph an un-oriented wedge join through one 10^6-degree
+#: hub is 10^12 rows from a single node — the guard turns that silent
+#: cluster-killer into a setup-time error with the fix in the message.
+HUB_DEGREE_CONF = "striot.graph.maxHubDegree"
+HUB_DEGREE_DEFAULT = 200_000
+
+
+def _hub_degree_threshold(spark) -> int:
+    try:
+        return int(spark.conf.get(HUB_DEGREE_CONF, str(HUB_DEGREE_DEFAULT)))
+    except ValueError:
+        return HUB_DEGREE_DEFAULT
+
+
+def _check_hub_degree(op: str, max_deg: int, threshold: int) -> None:
+    if max_deg > threshold:
+        raise ValueError(
+            f"{op}: max node degree {max_deg} exceeds the hub-degree "
+            f"threshold {threshold} ({HUB_DEGREE_CONF}) — on a "
+            "hub-skewed graph this operator's per-node cost is "
+            "super-linear in degree. Pass max_degree= to cap (the "
+            "capped estimator's delta is documented in the docstring), "
+            "pre-cap/orient the edge list upstream, or raise the conf "
+            "deliberately."
+        )
+
+
+def _require_integral(df: DataFrame, col_name: str, op: str) -> None:
+    """Strict-guard policy: a cost/weight column is accepted only if it
+    is already an integral Spark type. ``cast('long')`` on a DOUBLE or
+    DECIMAL silently truncates toward zero BEFORE the sign/headroom
+    validation runs — a cost of -0.5 truncates to 0 and slips past the
+    negative-cost guard, and fractional costs silently floor, diverging
+    from any oracle computing on the native type. Rescale fractional
+    costs to integers upstream (e.g. cents, ppm) and pass those.
+    """
+    from pyspark.sql import types as T
+
+    dt = df.schema[col_name].dataType
+    if not isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"{op}: column {col_name!r} has non-integral type "
+            f"{dt.simpleString()} — cast('long') would truncate "
+            "silently before validation. Rescale to an exact integer "
+            "column (cents / ppm) upstream and pass that."
+        )
+
 
 def pagerank(
     edges: DataFrame,
@@ -744,16 +798,21 @@ def k_core(
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
     spark = edges.sparkSession
+    if weight is not None:
+        _require_integral(edges, weight, "k_core")
     w_expr = (
         F.lit(1).cast("long")
         if weight is None
         else F.col(weight).cast("long")
     )
+    # self-loops are dropped: a self-loop would make a node its own
+    # neighbor, inflating its degree/strength relative to the standard
+    # core definition (an s-d loop contributes w to its own survival)
     e = track_persist(
         edges.select(
             F.col(src).alias("s"), F.col(dst).alias("d"),
             w_expr.alias("w"),
-        )
+        ).filter(F.col("s") != F.col("d"))
     )
     try:
         small_edges = int(
@@ -1301,6 +1360,8 @@ def sssp(
     if not sources:
         raise ValueError("sssp: sources must be non-empty")
     sources = sorted(set(sources))
+    if cost is not None:
+        _require_integral(edges, cost, "sssp")
     cost_col = (
         F.lit(1).cast("long") if cost is None else F.col(cost).cast("long")
     )
@@ -1462,11 +1523,15 @@ def degree_assortativity(
     (social nets), negative means hubs attach to leaves
     (hub-and-spoke infrastructure / bipartite-ish trade graphs).
 
-    All moment sums are EXACT longs (one join of the arc list with
-    the degree table + one global agg, both keyed/map-side-combined);
-    the Pearson combination runs in decimal(38,0) — M·Σxy and the
-    variance products pass 2^63 at ~10^5-degree hubs, the
-    neighborhood_function overflow precedent — and only the final
+    All moments are EXACT (one join of the arc list with the degree
+    table + one global agg, both keyed/map-side-combined). The moment
+    SUMS themselves accumulate in decimal(38,0) over decimal-cast
+    per-arc terms — a plain BIGINT sum of deg·deg terms passes 2^63 on
+    hub-skewed graphs well below 100 TB (deg ~1e5 over m ~1e9 arcs),
+    and Spark (non-ANSI) would wrap silently while a HUGEINT oracle
+    does not: exactly the divergence the pagerank/modularity/
+    neighborhood_function headroom guards exist to prevent. The
+    Pearson combination stays in decimal(38,0) and only the final
     ratio is a DOUBLE (num/sqrt(dx·dy) from bit-identical exact
     inputs: correctly-rounded IEEE ops, so any engine reproduces the
     same double). Returns one row
@@ -1485,13 +1550,17 @@ def degree_assortativity(
         )
         .select("x", "y")
     )
+    # decimal(38,0) accumulation end-to-end: the per-arc product is
+    # computed with a decimal operand (long*long would already wrap at
+    # ~2^31.5-degree endpoints) and the sums carry 38 digits
+    dec_term = "DECIMAL(20,0)"
     s = xy.agg(
         F.count(F.lit(1)).alias("m"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sx2"),
-        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+        F.sum(F.expr(f"CAST(x AS {dec_term})")).alias("sx"),
+        F.sum(F.expr(f"CAST(y AS {dec_term})")).alias("sy"),
+        F.sum(F.expr(f"CAST(x AS {dec_term}) * y")).alias("sxy"),
+        F.sum(F.expr(f"CAST(x AS {dec_term}) * x")).alias("sx2"),
+        F.sum(F.expr(f"CAST(y AS {dec_term}) * y")).alias("sy2"),
     )
     # zero-variance degree sequences (every endpoint the same degree —
     # regular graphs, tiny windows) have no mixing signal; define
@@ -1550,6 +1619,8 @@ def harmonic_centrality_pivots(
             "harmonic_centrality_pivots: pivots must be non-empty"
         )
     pivots = sorted(set(pivots))
+    if cost is not None:
+        _require_integral(edges, cost, "harmonic_centrality_pivots")
     cost_col = (
         F.lit(1).cast("long") if cost is None else F.col(cost).cast("long")
     )
@@ -1655,6 +1726,7 @@ def local_clustering(
     src: str = "src",
     dst: str = "dst",
     scale: int = 1_000_000,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Per-node local clustering coefficient (Watts & Strogatz 1998):
 
@@ -1671,12 +1743,26 @@ def local_clustering(
     decimal(38,0) (2·tri·scale approaches d²·scale — past 2^63 at
     ~3M-degree hubs, the neighborhood_function precedent) and the
     ppm result is ≤ scale, so the BIGINT cast is always safe.
+
+    The orientation bounds the TOTAL wedge budget at m^1.5 whatever
+    the skew, but a hub still concentrates its wedge rows on one key
+    of the pivot join; the guard probes max(degree) on the
+    already-persisted degree frame and raises past
+    ``striot.graph.maxHubDegree`` unless the caller passed
+    ``max_degree``. ``max_degree=k`` computes the EXACT lcc of the
+    hub-filtered INDUCED SUBGRAPH (nodes with degree > k dropped with
+    their edges, degrees recomputed) — the documented delta: a hub's
+    own lcc is ~0 by construction and its removal only un-counts
+    triangles through it, the standard ego-density practice of
+    excluding celebrity nodes.
     Returns (node, degree, n_tri, lcc_ppm) for every node, degree-1
     nodes at lcc 0.
     """
     from striot_spark.functions.caching import track_persist
     from striot_spark.functions.text import md5_hash64
 
+    if max_degree is not None and max_degree < 1:
+        raise ValueError("local_clustering: max_degree must be >= 1")
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     p = track_persist(
         e.filter(F.col("u") != F.col("v"))
@@ -1693,6 +1779,30 @@ def local_clustering(
             F.count(F.lit(1)).alias("degree")
         )
     )
+    if max_degree is None:
+        max_deg = deg.agg(F.max("degree")).collect()[0][0]
+        _check_hub_degree(
+            "local_clustering",
+            int(max_deg or 0),
+            _hub_degree_threshold(edges.sparkSession),
+        )
+    else:
+        keep = deg.filter(F.col("degree") <= max_degree).select(
+            F.col("node").alias("u")
+        )
+        p = track_persist(
+            p.join(keep, "u", "left_semi").join(
+                keep.select(F.col("u").alias("v")), "v", "left_semi"
+            )
+        )
+        both = p.unionByName(
+            p.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = track_persist(
+            both.groupBy(F.col("u").alias("node")).agg(
+                F.count(F.lit(1)).alias("degree")
+            )
+        )
     ann = (
         p.join(
             deg.select(F.col("node").alias("__n"), F.col("degree").alias("du")),
@@ -1763,6 +1873,7 @@ def link_prediction_ra(
     src: str = "src",
     dst: str = "dst",
     scale: int = 1_000_000,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Resource-allocation link prediction (Zhou, Lü & Zhang 2009,
     public methodology): for every NON-adjacent pair at distance 2,
@@ -1778,14 +1889,27 @@ def link_prediction_ra(
 
     Plan: wedges centered on z (one self-join of the symmetric
     adjacency, Σ deg² rows — the same wedge budget as
-    ``triangle_count``; cap by degree upstream on hub-skewed graphs),
-    canonicalized u < v, anti-joined against the existing edge set,
-    then one (u, v) groupBy summing pre-computed per-z DIV terms.
+    ``triangle_count`` but UN-ORIENTED, so one hub dominates it:
+    10^6-degree z fans out 10^12 candidate pairs from a single node).
+    The guard probes max(degree) on the already-persisted adjacency
+    (one tiny agg over the cached frame) and raises past
+    ``striot.graph.maxHubDegree`` unless the caller passed
+    ``max_degree``; ``max_degree=k`` drops wedge CENTERS with
+    deg(z) > k before the fan-out. The capped score is still the
+    published RA estimator computed over the degree-capped center
+    set — a documented delta: each dropped center contributes
+    ``scale DIV deg(z) < scale/k`` to ra_ppm (RA's whole design is
+    that high-degree commons carry ~no signal), and ``common_nbrs``
+    counts only centers ≤ k. Wedges are canonicalized u < v,
+    anti-joined against the existing edge set, then one (u, v)
+    groupBy sums pre-computed per-z DIV terms.
     Returns (u, v, common_nbrs, ra_ppm) for every distance-2
     non-edge.
     """
     from striot_spark.functions.caching import track_persist
 
+    if max_degree is not None and max_degree < 1:
+        raise ValueError("link_prediction_ra: max_degree must be >= 1")
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     p = track_persist(
         e.filter(F.col("u") != F.col("v"))
@@ -1808,8 +1932,18 @@ def link_prediction_ra(
             "term", F.expr(f"CAST({scale} DIV d AS BIGINT)")
         )
     )
-    w1 = adj.select("z", F.col("n").alias("u"), "term")
-    w2 = adj.select("z", F.col("n").alias("v"))
+    if max_degree is None:
+        max_deg = adj.agg(F.max("d")).collect()[0][0]
+        _check_hub_degree(
+            "link_prediction_ra",
+            int(max_deg or 0),
+            _hub_degree_threshold(edges.sparkSession),
+        )
+        centers = adj
+    else:
+        centers = adj.filter(F.col("d") <= max_degree)
+    w1 = centers.select("z", F.col("n").alias("u"), "term")
+    w2 = centers.select("z", F.col("n").alias("v"))
     cand = (
         w1.join(w2, "z")
         .filter(F.col("u") < F.col("v"))
@@ -1829,6 +1963,7 @@ def coreness(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 4,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Per-node CORENESS (core number) by the h-index iteration (Lü,
     Chen, Ren, Zhang, Zhou & Stanley 2016, public methodology): start
@@ -1845,9 +1980,25 @@ def coreness(
     only on the multiset), so row_number needs no tiebreak. Plan per
     round: one keyed join (neighbor values onto edges), one window
     rank PARTITIONED BY node, one groupBy-max — Σdeg rows per round;
-    the per-node window sort spills, so hub degree bounds the sort
-    (degree-cap upstream on hub-skewed graphs, same advice as the
-    wedge family). All exact integers. Returns (node, coreness).
+    the per-node window sort is bounded by HUB DEGREE, so the guard
+    probes max(degree) on the already-persisted degree frame (folded
+    into the small-graph gate's one setup action — Σc = arc count)
+    and raises past ``striot.graph.maxHubDegree`` unless the caller
+    passed ``max_degree``.
+
+    ``max_degree=k`` switches to the K-BOUNDED coreness: every value
+    is clipped at k, which returns EXACTLY least(coreness, k) per
+    round — H(min(x, k)) = min(H(x), k) because H is monotone per
+    coordinate and max/min distribute, so by induction the clipped
+    iteration tracks the unclipped one capped at k (unit-tested
+    against the uncapped run). The capped round replaces the
+    row_number sort with a COUNTING H-index: groupBy (node, value)
+    then a cumulative count over the ≤ k distinct clipped values per
+    node — the hub's per-node sort shrinks from deg rows to ≤ k rows,
+    which is the whole point of capping. Self-loops are dropped at
+    setup (a self-loop makes a node its own neighbor and inflates its
+    h-index above the standard core number). All exact integers.
+    Returns (node, coreness).
     """
     from pyspark.sql import Window
 
@@ -1855,11 +2006,167 @@ def coreness(
 
     if rounds < 0:
         raise ValueError("coreness: rounds must be >= 0")
+    if max_degree is not None and max_degree < 1:
+        raise ValueError("coreness: max_degree must be >= 1")
     e = track_persist(
         edges.select(
             F.col(src).alias("s"), F.col(dst).alias("d")
-        ).distinct()
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
     )
+    spark = edges.sparkSession
+    c = track_persist(
+        e.groupBy(F.col("s").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+    )
+    # ONE setup action: arc count (small-graph gate, Σ degree) + hub
+    # probe (max degree) off the persisted degree frame
+    arc_rows, max_deg = c.agg(F.sum("c"), F.max("c")).collect()[0]
+    if max_degree is None:
+        _check_hub_degree(
+            "coreness", int(max_deg or 0), _hub_degree_threshold(spark)
+        )
+    try:
+        small_edges = int(
+            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
+        )
+    except ValueError:
+        small_edges = SMALL_GRAPH_DEFAULT
+    n = (
+        spark.sparkContext.defaultParallelism
+        if (arc_rows or 0) <= small_edges
+        else None
+    )
+
+    def part(df: DataFrame, key: str) -> DataFrame:
+        return df.repartition(n, key) if n else df
+
+    if max_degree is not None:
+        c = track_persist(
+            c.select("node", F.least(F.col("c"), F.lit(max_degree).cast("long")).alias("c"))
+        )
+    w = Window.partitionBy("node").orderBy(F.desc("cn"))
+    wcum = (
+        Window.partitionBy("node")
+        .orderBy(F.desc("cn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for r in range(rounds):
+        x = e.join(c, e["d"] == c["node"]).select(
+            F.col("s").alias("node"), F.col("c").alias("cn")
+        )
+        if max_degree is None:
+            c = track_persist(
+                part(x, "node")
+                .withColumn("rk", F.row_number().over(w))
+                .groupBy("node")
+                .agg(
+                    F.max(F.least(F.col("rk").cast("long"), F.col("cn")))
+                    .cast("long")
+                    .alias("c")
+                )
+            )
+        else:
+            # counting H-index: per (node, clipped value) count, then
+            # cum-count descending — ≤ max_degree rows per node sort
+            counts = (
+                part(x, "node")
+                .groupBy("node", "cn")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            )
+            c = track_persist(
+                counts.withColumn("cum", F.sum("cnt").over(wcum))
+                .groupBy("node")
+                .agg(
+                    F.max(F.least(F.col("cn"), F.col("cum")))
+                    .cast("long")
+                    .alias("c")
+                )
+            )
+        if (r + 1) % checkpoint_every == 0:
+            c = c.localCheckpoint(eager=True)
+    return c.select("node", F.col("c").alias("coreness"))
+
+
+def betweenness_pivots(
+    edges: DataFrame,
+    pivots: list,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Pivot-sampled BETWEENNESS centrality — Brandes (2001) run from
+    a small pivot set (the Brandes-Pich 2007 estimator), the last
+    classic centrality-family member (degree / closeness-harmonic /
+    PageRank / coreness are q251/q254/q232/q266): how often a node
+    sits INSIDE other nodes' shortest paths, the broker/bottleneck
+    signal none of the others capture (a bridge node has low degree,
+    middling closeness, and high betweenness).
+
+    UNWEIGHTED (hop) distances with a fixed horizon, the q249/q253
+    contract: paths of <= ``rounds`` edges from each pivot, so both
+    engines compute the identical intermediate whether or not the BFS
+    frontier emptied. Forward phase: one level-synchronous BFS for ALL
+    pivots simultaneously, state keyed (pivot, node) carrying
+    (dist, sigma) where sigma = exact shortest-path COUNT — sigma of a
+    level-k node is the sum of its level-(k-1) predecessors' sigmas
+    (every predecessor's count propagates exactly once, so the
+    frontier fold equals full level-synchronous BFS). Backward phase:
+    the shortest-path DAG (arcs with dist_v = dist_u + 1 per pivot) is
+    built ONCE from the persisted distance table, then Brandes'
+    dependency accumulates level by level descending:
+
+        delta(v) = sum over DAG successors w of
+                   sigma_v * (scale + delta(w)) DIV sigma_w
+
+    — the integer-scaled form of (sigma_v/sigma_w)(1 + delta(w)); the
+    per-term product runs in decimal(38,0) and sigma_v <= sigma_w (a
+    predecessor's count is a summand of its successor's), so each term
+    is <= scale + delta and the BIGINT cast is safe. bc_ppm(v) = the
+    per-pivot delta summed over pivots, pivots' own rows excluded —
+    Brandes' accumulation, scaled by ``scale``. All exact integer
+    arithmetic; an oracle unrolling the same per-level recurrence
+    reproduces every row. sigma headroom is ENFORCED at setup (the
+    pagerank precedent): sigma <= max_indegree^rounds, guarded against
+    2^62 from the same agg that feeds the small-graph gate.
+
+    Per round: one keyed equi-join + one groupBy-sum + one left_anti
+    (forward), one keyed join + one groupBy-sum (backward) — state is
+    |pivots| * |reached| rows, linear in the pivot budget, the same
+    scale path as ``harmonic_centrality_pivots`` (all-pairs Brandes
+    is |V| SSSPs; pivots make it |pivots|). Returns (node, bc_ppm)
+    for nodes with bc_ppm > 0.
+    """
+    from striot_spark.functions.caching import track_persist
+
+    if rounds < 1:
+        raise ValueError("betweenness_pivots: rounds must be >= 1")
+    if not pivots:
+        raise ValueError("betweenness_pivots: pivots must be non-empty")
+    pivots = sorted(set(pivots))
+    e = track_persist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    # ONE setup action: arc count (small-graph gate, = sum indeg) +
+    # max in-degree (sigma headroom) off the in-degree agg
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    arc_rows, max_indeg = indeg.agg(
+        F.sum("d"), F.max("d")
+    ).collect()[0]
+    if max_indeg is not None and max_indeg > 1:
+        if rounds * math.log2(float(max_indeg)) > 62:
+            raise ValueError(
+                f"betweenness_pivots: max_indegree^rounds = "
+                f"{max_indeg}^{rounds} exceeds 2^62 — the exact "
+                "shortest-path count sigma could wrap; reduce rounds "
+                "or cap hub in-degree upstream"
+            )
     spark = edges.sparkSession
     try:
         small_edges = int(
@@ -1869,33 +2176,130 @@ def coreness(
         small_edges = SMALL_GRAPH_DEFAULT
     n = (
         spark.sparkContext.defaultParallelism
-        if e.count() <= small_edges
+        if (arc_rows or 0) <= small_edges
         else None
     )
 
-    def part(df: DataFrame, key: str) -> DataFrame:
-        return df.repartition(n, key) if n else df
+    def part(df: DataFrame) -> DataFrame:
+        return df.repartition(n, "node") if n else df
 
-    c = track_persist(
-        part(e, "s")
-        .groupBy(F.col("s").alias("node"))
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nodes = e.select("src").union(e.select("dst")).distinct().select(
+        F.col("src").alias("node")
     )
-    w = Window.partitionBy("node").orderBy(F.desc("cn"))
-    for r in range(rounds):
-        x = e.join(c, e["d"] == c["node"]).select(
-            F.col("s").alias("node"), F.col("c").alias("cn")
+    hits = nodes.filter(F.col("node").isin(pivots)).count()
+    if hits != len(pivots):
+        raise ValueError(
+            f"betweenness_pivots: {len(pivots) - hits} pivot(s) "
+            "absent from the edge list; check the id namespace"
         )
-        c = track_persist(
-            part(x, "node")
-            .withColumn("rk", F.row_number().over(w))
-            .groupBy("node")
-            .agg(
-                F.max(F.least(F.col("rk").cast("long"), F.col("cn")))
-                .cast("long")
-                .alias("c")
+    state = track_persist(
+        nodes.filter(F.col("node").isin(pivots)).select(
+            F.col("node").alias("pivot"),
+            "node",
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+    )
+    frontier = state
+    for k in range(1, rounds + 1):
+        offers = (
+            part(frontier)
+            .join(e, frontier["node"] == e["src"])
+            .select(
+                "pivot",
+                F.col("dst").alias("node"),
+                F.col("sigma").alias("sg"),
             )
         )
-        if (r + 1) % checkpoint_every == 0:
-            c = c.localCheckpoint(eager=True)
-    return c.select("node", F.col("c").alias("coreness"))
+        agg = offers.groupBy("pivot", "node").agg(
+            F.sum("sg").cast("long").alias("sigma")
+        )
+        new = track_persist(
+            agg.join(
+                state.select("pivot", "node"), ["pivot", "node"],
+                "left_anti",
+            ).select(
+                "pivot", "node",
+                F.lit(k).cast("long").alias("dist"), "sigma",
+            )
+        )
+        state = track_persist(state.unionByName(new))
+        frontier = new
+        # each round references the previous state TWICE (union +
+        # left_anti), so the analyzed plan grows ~2^rounds between
+        # lineage cuts — and the DAG/backward phase below multiplies
+        # the tree again. The k_core precedent (its 3x-per-round
+        # growth OOMed the driver in plan-STRING generation, measured
+        # not hypothetical — and so did this operator at rounds=3 on
+        # a 3k-arc fixture before this cut): cap the factor with a
+        # tight cadence.
+        if k % min(checkpoint_every, 2) == 0:
+            state = state.localCheckpoint(eager=True)
+    # shortest-path DAG: per pivot, arcs one level apart, built once
+    u_side = state.select(
+        "pivot",
+        F.col("node").alias("un"),
+        F.col("dist").alias("du"),
+        F.col("sigma").alias("su"),
+    )
+    v_side = state.select(
+        F.col("pivot").alias("pv2"),
+        F.col("node").alias("vn"),
+        F.col("dist").alias("dv"),
+        F.col("sigma").alias("sv"),
+    )
+    e2 = e.select(F.col("src").alias("es"), F.col("dst").alias("ed"))
+    dag = track_persist(
+        u_side.join(e2, F.col("un") == F.col("es"))
+        .join(
+            v_side,
+            (F.col("pivot") == F.col("pv2"))
+            & (F.col("vn") == F.col("ed"))
+            & (F.col("dv") == F.col("du") + 1),
+        )
+        .select("pivot", "un", "vn", "du", "su", "sv")
+    )
+    # the backward phase references dag once per level and each
+    # delta chains on the previous — cut here so the delta plans
+    # start from a leaf, not from state x state x e
+    dag = dag.localCheckpoint(eager=True)
+    dec = "DECIMAL(38,0)"
+    delta = None
+    deltas = []
+    for lvl in range(rounds - 1, -1, -1):
+        cur = dag.filter(F.col("du") == lvl)
+        if delta is None:
+            joined = cur.withColumn("dl", F.lit(0).cast("long"))
+        else:
+            joined = cur.join(
+                delta.select(
+                    "pivot",
+                    F.col("node").alias("vn"),
+                    F.col("delta").alias("dl"),
+                ),
+                ["pivot", "vn"],
+                "left",
+            ).withColumn("dl", F.coalesce("dl", F.lit(0).cast("long")))
+        d = track_persist(
+            joined.select(
+                "pivot",
+                F.col("un").alias("node"),
+                F.expr(
+                    f"CAST(CAST(su AS {dec}) * ({scale} + dl) DIV sv "
+                    "AS BIGINT)"
+                ).alias("term"),
+            )
+            .groupBy("pivot", "node")
+            .agg(F.sum("term").cast("long").alias("delta"))
+        )
+        deltas.append(d)
+        delta = d
+    out = deltas[0]
+    for d in deltas[1:]:
+        out = out.unionByName(d)
+    return (
+        out.filter(F.col("node") != F.col("pivot"))
+        .groupBy("node")
+        .agg(F.sum("delta").cast("long").alias("bc_ppm"))
+        .filter(F.col("bc_ppm") > 0)
+    )

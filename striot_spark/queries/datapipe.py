@@ -3195,17 +3195,35 @@ def q214_dup_threshold_curve(
 
 @register(
     "q215_compression_quality",
-    None,  # zlib is not SQL-expressible: rows-only driver check
-    doc="compression-ratio quality screen "
-    "(functions/text.py:compression_ratio_pm): per-doc zlib "
-    "permille — the repetitiveness signal template-spam filtering "
-    "uses; the repo's one scalar @pandas_udf (Arrow-vectorized "
-    "batches, C zlib per row) because a byte-level compressor is "
-    "genuinely inexpressible in Column algebra. Registered "
-    "ROWS-ONLY by the documented contract for non-SQL ops; "
-    "determinism and the repetitive-text ordering are pinned by "
-    "unit test instead. Zero shuffle — one scan with the UDF in "
-    "the projection",
+    """
+    WITH g AS (
+        SELECT doc_id, n_chars, length(text) AS L,
+               CASE WHEN length(text) < 4 THEN NULL ELSE
+                   list_transform(
+                       range(1, length(text) - 2),
+                       i -> substring(text, CAST(i AS INTEGER), 4))
+               END AS gs
+        FROM documents)
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(CASE WHEN L < 4 THEN 0 ELSE
+               CAST(L - 3 - len(list_distinct(gs)) AS BIGINT) * 1000
+               // (L - 3) END AS BIGINT) AS dup4_pm
+    FROM g
+    """,
+    doc="compression-quality screen, oracle-checkable successor of "
+    "the zlib permille (which was the registry's one standing "
+    "rows-only ledger row): the DUPLICATE CHARACTER-4-GRAM permille "
+    "— (n_grams - n_distinct) * 1000 DIV n_grams over the in-row "
+    "sliding char 4-gram array — is the deterministic repetitiveness "
+    "proxy for the same template-spam signal (char-level, unlike "
+    "q70's token bigrams, so it tracks byte-level compressibility), "
+    "and it IS Column algebra: exact integers, hash-comparable, "
+    "zero shuffle — a 100 TB screen is one parquet scan. The zlib "
+    "permille itself stays available as the documented non-SQL "
+    "adjunct functions/text.py:compression_ratio_pm (scalar "
+    "@pandas_udf, unit-tested determinism/ordering) for callers who "
+    "want the real compressor",
 )
 def q215_compression_quality(
     spark: SparkSession, sf_dir: str
@@ -3213,8 +3231,14 @@ def q215_compression_quality(
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.col("n_chars"),
-        T.compression_ratio_pm(F.col("text")).alias("zratio_pm"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr(
+            "CAST(CASE WHEN length(text) < 4 THEN 0 ELSE "
+            "CAST(length(text) - 3 - size(array_distinct(transform("
+            "sequence(1, length(text) - 3), "
+            "i -> substring(text, i, 4)))) AS BIGINT) * 1000 "
+            "DIV (length(text) - 3) END AS BIGINT)"
+        ).alias("dup4_pm"),
     )
 
 

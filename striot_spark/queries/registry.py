@@ -55,67 +55,105 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# Driver sweep order. The driver's CORRECTNESS sweep caps at the first 50
-# registry entries per round. Entering round 9 the driver-row union is
-# 189 queries swept at least once, 184 green (r8 head: 50/50 green,
-# CORRECTNESS_r08.json); the 5 r07 reds (q93/q100/q101/q127/q132) were
-# a DuckDB-HUGEINT hash artifact in the driver's value normalizer,
-# root-caused and fixed registry-wide in r8 (every oracle integer
-# aggregate CAST AS BIGINT, enforced by tests/test_oracle_types.py),
-# judge-verified green in the r8 verdict. Round-9 head, in order
-# (executes the plan written in r8 and ratified by VERDICT r8 task 1):
-#   (1) q224_type_canary FIRST and first in every future head;
-#   (2) never-swept cohort part 2: q187 + the round-8 additions
-#       q225-q235 (11) + q188-q223 (36) = 48 — clears the never-swept
-#       backlog entirely;
-#   (3) fill to 50 with q13 (oldest stale row, r03). The other six of
-#       _SWEEP_LAST wait for r11.
-# ROUND-10 HEAD (executes the plan ratified by VERDICT r9 task 1):
+# Driver sweep order. The driver's CORRECTNESS sweep caps at the first
+# 50 registry entries per round, so this list is rebuilt each round to
+# put the queries that most need a driver row at the head. History:
+# r8 fixed the HUGEINT hash artifact registry-wide (every oracle
+# integer aggregate CAST AS BIGINT, tests/test_oracle_types.py);
+# r9 cleared the never-swept backlog; r10 re-swept the five r07
+# ex-reds + the r9 additions; r11 swept the r10 additions q243-q248 +
+# 43 of the stalest q01..q64 block (50/50 green, zero errs). Entering
+# r12 the ledger holds 250 swept-at-least-once, 249 green at latest
+# sweep (q215 rows-only by contract), oldest row r05.
+# ROUND-12 HEAD (executes the plan ratified by VERDICT r11 task 1):
 #   (1) q224_type_canary FIRST, as in every round;
-#   (2) the five r07 ex-reds q93/q100/q101/q127/q132 — the HUGEINT
-#       hash artifact was fixed registry-wide in r8 and judge-verified
-#       fresh-process in r8 AND r9; this formally clears the ledger;
-#   (3) the round-9 additions q236-q242 (judge-verified green in r9,
-#       never driver-swept);
-#   (4) the _SWEEP_LAST six (q14/q35/q80/q82/q83/q85 — oldest r03/r04
-#       rows, completing the rotation begun in r8);
-#   (5) fill to 50 with the oldest r05/r07-swept cohort in registered
-#       order: the q65-q96 block (28 after removing the ex-red q93 and
-#       the four already in (4)) + q97/q98/q99.
-# 1 + 5 + 7 + 6 + 31 = 50 exactly. After this sweep EVERY registry
-# entry has at least one green driver row (assuming 50/50 green).
-# ROUND-11 HEAD (executes the plan ratified by VERDICT r10 task 1):
-#   (1) q224_type_canary FIRST, as in every round;
-#   (2) the round-10 additions q243..q248 (6, never driver-swept; all
-#       six judge-verified green fresh-process in the r10 verdict);
-#   (3) 43 of the stalest remaining cohort — the r03/r04/r05-row block
-#       q01..q64 in registered order, skipping q13/q14/q35 (refreshed
-#       r9/r10). That block holds 61 names, so its last 18 rotate in
-#       the r12 head, followed by the r7/r8-rowed cohorts
-#       oldest-row-first.
-# 1 + 6 + 43 = 50 exactly. After this sweep every registry entry has a
-# driver row and the oldest remaining row is r05.
-# ROUND-12 HEAD PLAN (keep in sync): canary (1) + the round-11
-# additions q249..q267 (19, never driver-swept; every one sim-green
-# fresh-process in r11 — see ROUND11.md §10) + the 18-name tail of
-# the q01..q64 block (q05/q06/q07/q08/q09/q10/q11/q12/q15/q16/q47/
-# q49/q50/q30/q17/q18/q19/q20, r03-r05 rows) + fill the remaining 12
-# slots from the r07-rowed streaming cohort (q100d..q137 block)
-# oldest-row-first. 1 + 19 + 18 + 12 = 50 exactly.
+#   (2) the round-11 additions q249..q267 (19, never driver-swept;
+#       every one judge-verified green fresh-process in the r11
+#       verdict);
+#   (3) the 18-name tail of the q01..q64 block (r03-r05 rows),
+#       completing that block's rotation;
+#   (4) fill to 50 with q215_compression_quality — converted this
+#       round from the rows-only zlib screen to an oracle-backed
+#       repetitiveness proxy (VERDICT r11 task 4: its r09 no_oracle
+#       row was the ledger's ONE non-green entry, which outranks a
+#       stale-but-green r07 row under the reds > never-swept >
+#       behavior-touched > stale priority) + the 11 oldest r07-rowed
+#       streaming-cohort entries (q100d..q111 in registered order).
+# 1 + 19 + 18 + 1 + 11 = 50 exactly. After this sweep the oldest
+# remaining rows are the other 24 r07-rowed entries (q112..q137
+# block incl. q65/q78/q86-q92/q97).
+# ROUND-13 HEAD PLAN (keep in sync): canary (1) + the round-12
+# additions (never driver-swept; see ROUND12.md) + the remaining 24
+# r07-rowed entries (q112_domain_quality_filter +
+# q113_bloom_decontaminate..q137_zorder_zone_map block incl.
+# q65/q78/q86/q87/q89/q90/q91/q92/q97, oldest-row-first) + fill any
+# remaining slots from the r08-rowed cohort oldest-row-first.
 _SWEEP_FIRST = [
-    # (1) type canary — keep at head position 1 in every round
+    # (1) type canary -- keep at head position 1 in every round
     "q224_type_canary",
-    # (2) round-10 additions, never driver-swept (all six judge-
-    #     verified green fresh-process in the r10 verdict)
+    # (2) round-11 additions, never driver-swept (all 19 judge-
+    #     verified green fresh-process in the r11 verdict)
+    "q249_sssp_trade_proximity",
+    "q250_pagerank_stream_serve",
+    "q251_degree_distribution",
+    "q252_degree_assortativity",
+    "q253_sssp_parents",
+    "q254_harmonic_pivots",
+    "q255_local_clustering",
+    "q256_link_prediction_ra",
+    "q257_min_cost_supplier",
+    "q258_product_profit",
+    "q259_important_parts",
+    "q260_priority_line_counts",
+    "q261_supplier_counts_by_part_attr",
+    "q262_or_block_revenue",
+    "q263_excess_volume_suppliers",
+    "q264_strength_core",
+    "q265_shuffle_shard",
+    "q266_coreness",
+    "q267_sssp_stream_serve",
+    # (3) the 18-name tail of the q01..q64 block (r03-r05 rows)
+    "q05_choptime_window",
+    "q06_sliding_count_window",
+    "q07_scan_running_sum",
+    "q08_changes_dedup",
+    "q09_sample",
+    "q10_zip_join",
+    "q11_topk_per_window",
+    "q12_sessionize",
+    "q15_threshold_cross",
+    "q16_step_count",
+    "q47_broadcast_enrich",
+    "q49_wearable_chain",
+    "q50_window_custom_fold",
+    "q30_frequent_routes",
+    "q17_pricing_summary",
+    "q18_top_orders",
+    "q19_regional_revenue",
+    "q20_top_customers",
+    # (4) the ledger's one non-green row, converted to oracle-backed
+    #     this round (VERDICT r11 task 4), + 11 oldest r07-rowed
+    #     streaming-cohort entries
+    "q215_compression_quality",
+    "q100d_chop_stream_money_double",
+    "q102_tfidf_top_terms",
+    "q103_blocklist_filter",
+    "q104_canonical_docs",
+    "q105_token_budget_select",
+    "q106_temperature_mix",
+    "q107_latest_snapshot",
+    "q108_stream_static_enrich",
+    "q109_shared_ngram_pairs",
+    "q110_quality_filter_linear",
+    "q111_sliding_time_stream",
+    # ---- 50-cap boundary: entries below get no driver row in r12 ----
+    # Displaced r11 head + parked cohorts, oldest-row-first for r13+:
     "q247_hybrid_rrf",
     "q243_khop_reach_hll",
     "q245_khop_hll_stream_serve",
     "q246_neighborhood_function",
     "q244_ktruss_edges",
     "q248_harmonic_centrality",
-    # (3) 43 stalest rows: the r03/r04/r05 q01..q64 block in
-    #     registered order, skipping q13/q14/q35 (refreshed r9/r10).
-    #     The remaining 18 of that block rotate in the r12 head.
     "q31_joinw_revenue_per_click",
     "q32_joine_window_theta",
     "q33_sliding_time_window",
@@ -159,8 +197,6 @@ _SWEEP_FIRST = [
     "q02_expand_tokens",
     "q03_merge",
     "q04_chop_count_window",
-    # ---- 50-cap boundary: entries below get no driver row in r11 ----
-    # Displaced r10 head + parked cohorts, oldest-row-first for r12+:
     "q93_joinw_stream_non_nesting",
     "q100_chop_count_stream",
     "q101_sliding_stream_ooo_replay",
@@ -249,7 +285,6 @@ _SWEEP_FIRST = [
     "q212_disorder_profile",
     "q213_source_drift",
     "q214_dup_threshold_curve",
-    "q215_compression_quality",
     "q216_peak_concurrency",
     "q217_customer_order_distribution",
     "q218_top_supplier",

@@ -3513,3 +3513,119 @@ def q267_sssp_stream_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a", "b", F.expr("CAST(1000000 DIV w AS BIGINT)").alias("cost")
     )
     return sssp(edges, ["c1"], rounds=3, src="a", dst="b", cost="cost")
+
+
+def _betweenness_oracle(rounds: int, pivots: list, scale: int) -> str:
+    """Unrolled pivot-Brandes (mirrors
+    ``functions/graph.py:betweenness_pivots``): level-synchronous BFS
+    forward (sigma = exact path counts), shortest-path DAG, then the
+    dependency accumulation per level descending with the identical
+    per-term integer DIV. HUGEINT only in intermediates; every CTE
+    output column is BIGINT-cast."""
+    vals = ", ".join(f"('{p}')" for p in pivots)
+    sql = f"""
+    WITH eraw AS (
+        SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    e AS (SELECT a AS src, b AS dst FROM eraw
+          UNION SELECT b, a FROM eraw),
+    f0 AS (SELECT p AS pv, p AS node, CAST(0 AS BIGINT) AS dist,
+                  CAST(1 AS BIGINT) AS sigma
+           FROM (VALUES {vals}) t(p))"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    n{i} AS (SELECT f.pv, e.dst AS node,
+                    CAST(sum(f.sigma) AS BIGINT) AS sigma
+             FROM f{i - 1} f JOIN e ON e.src = f.node
+             WHERE f.dist = {i - 1} GROUP BY f.pv, e.dst),
+    f{i} AS (SELECT * FROM f{i - 1}
+             UNION ALL
+             SELECT n.pv, n.node, CAST({i} AS BIGINT), n.sigma
+             FROM n{i} n LEFT JOIN f{i - 1} s
+               ON s.pv = n.pv AND s.node = n.node
+             WHERE s.node IS NULL)"""
+    sql += f""",
+    dag AS (SELECT u.pv, u.node AS un, v.node AS vn, u.dist AS du,
+                   u.sigma AS su, v.sigma AS sv
+            FROM f{rounds} u JOIN e ON e.src = u.node
+            JOIN f{rounds} v ON v.pv = u.pv AND v.node = e.dst
+             AND v.dist = u.dist + 1)"""
+    prev = None
+    for lvl in range(rounds - 1, -1, -1):
+        dl = (
+            "CAST(0 AS BIGINT)"
+            if prev is None
+            else "coalesce(x.delta, 0)"
+        )
+        join = (
+            ""
+            if prev is None
+            else f" LEFT JOIN {prev} x ON x.pv = g.pv AND x.node = g.vn"
+        )
+        sql += f""",
+    d{lvl} AS (SELECT g.pv, g.un AS node,
+               CAST(sum(CAST(g.su AS HUGEINT) * ({scale} + {dl})
+                        // g.sv) AS BIGINT) AS delta
+               FROM dag g{join}
+               WHERE g.du = {lvl} GROUP BY g.pv, g.un)"""
+        prev = f"d{lvl}"
+    unions = "\n          UNION ALL ".join(
+        f"SELECT * FROM d{lvl}" for lvl in range(rounds - 1, -1, -1)
+    )
+    return sql + f""",
+    alld AS ({unions})
+    SELECT node, CAST(sum(delta) AS BIGINT) AS bc_ppm
+    FROM alld WHERE node <> pv
+    GROUP BY node HAVING sum(delta) > 0"""
+
+
+@register(
+    "q268_betweenness_pivots",
+    _betweenness_oracle(rounds=3, pivots=_Q254_PIVOTS, scale=1_000_000),
+    doc="pivot-sampled BETWEENNESS centrality "
+    "(functions/graph.py:betweenness_pivots — Brandes 2001 from a "
+    "pivot set, the Brandes-Pich 2007 estimator) over the "
+    "customer-supplier trade graph, unweighted 3-hop horizon from "
+    "q254's 4 pivots: the broker/bottleneck signal completing the "
+    "classic centrality family (degree q251, harmonic q254/q248, "
+    "PageRank q232/q236, coreness q266). Forward = ONE "
+    "level-synchronous BFS for all pivots keyed (pivot, node) "
+    "carrying exact path counts sigma; backward = Brandes' "
+    "dependency over the persisted shortest-path DAG, one keyed "
+    "join + groupBy-sum per level, delta = sigma_u * (scale + "
+    "delta_w) DIV sigma_w per DAG arc — exact integers, sigma "
+    "headroom enforced at setup (max_indeg^rounds <= 2^62). State "
+    "|pivots|*|V|, the linear-in-pivot-budget scale path vs "
+    "all-pairs |V| SSSPs. The oracle unrolls the identical "
+    "forward/backward recurrence",
+)
+def q268_betweenness_pivots(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions.graph import betweenness_pivots
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "a"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "b"
+            ),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return betweenness_pivots(
+        edges, _Q254_PIVOTS, rounds=3, src="a", dst="b",
+        scale=1_000_000,
+    )

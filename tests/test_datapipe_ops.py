@@ -3204,3 +3204,237 @@ def test_coreness_converges_to_true_core_numbers(spark):
         assert all(cur[n] <= prev[n] for n in cur)
         prev = cur
     assert prev == truth
+
+
+# ---------------------------------------------------------------------------
+# round 12: hub-degree guards, capped variants, strict cost typing,
+# self-loop semantics (VERDICT r11 task 3 + ADVICE r11)
+# ---------------------------------------------------------------------------
+
+
+def _sym(und):
+    return und + [(b, a) for a, b in und]
+
+
+def test_hub_degree_guard_raises_on_all_three(spark):
+    """A star hub above the (lowered) threshold must raise at setup in
+    link_prediction_ra / local_clustering / coreness, each naming the
+    conf and the max_degree= escape hatch; below threshold all run."""
+    from striot_spark.functions.graph import (
+        HUB_DEGREE_CONF,
+        coreness,
+        link_prediction_ra,
+        local_clustering,
+    )
+
+    star = _sym([(0, i) for i in range(1, 7)])  # hub degree 6
+    e = spark.createDataFrame(star, "src long, dst long")
+    old = spark.conf.get(HUB_DEGREE_CONF, None)
+    spark.conf.set(HUB_DEGREE_CONF, "5")
+    try:
+        for op in (
+            lambda: link_prediction_ra(e).count(),
+            lambda: local_clustering(e).count(),
+            lambda: coreness(e, rounds=1).count(),
+        ):
+            with pytest.raises(ValueError, match="maxHubDegree"):
+                op()
+        spark.conf.set(HUB_DEGREE_CONF, "6")
+        assert link_prediction_ra(e).count() >= 0
+        assert local_clustering(e).count() == 7
+        assert coreness(e, rounds=1).count() == 7
+    finally:
+        if old is None:
+            spark.conf.unset(HUB_DEGREE_CONF)
+        else:
+            spark.conf.set(HUB_DEGREE_CONF, old)
+
+
+def test_coreness_capped_equals_least_of_uncapped(spark):
+    """k-bounded coreness (counting H-index path) returns exactly
+    least(coreness, k) at every round — the clipped iteration tracks
+    the unclipped one (H(min(x,k)) = min(H(x),k), induction)."""
+    from striot_spark.functions.graph import coreness
+
+    und = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (1, 4), (2, 4)]
+    e = spark.createDataFrame(_sym(und), "src long, dst long")
+    for rounds in (0, 1, 3):
+        full = {
+            r["node"]: r["coreness"]
+            for r in coreness(e, rounds=rounds).collect()
+        }
+        for cap in (1, 2, 3):
+            capped = {
+                r["node"]: r["coreness"]
+                for r in coreness(e, rounds=rounds, max_degree=cap).collect()
+            }
+            assert capped == {n: min(v, cap) for n, v in full.items()}
+
+
+def test_link_prediction_ra_capped_drops_hub_centers(spark):
+    """Capping at k removes wedge centers with deg > k: on a hub (deg
+    3) + triangle graph the capped score keeps only low-degree
+    centers; equals the uncapped score of the same graph when k >=
+    max degree."""
+    from striot_spark.functions.graph import link_prediction_ra
+
+    # hub 0 adjacent to 1,2,3; plus edge 1-2 (so 1,2 have deg 2; 3 deg 1)
+    und = [(0, 1), (0, 2), (0, 3), (1, 2)]
+    e = spark.createDataFrame(_sym(und), "src long, dst long")
+    full = {
+        (r["u"], r["v"]): (r["common_nbrs"], r["ra_ppm"])
+        for r in link_prediction_ra(e).collect()
+    }
+    # uncapped: pairs (1,3),(2,3) via center 0 (deg 3, term 333333);
+    # (0,?) none — 0 adjacent to all; plus no others
+    assert full == {
+        (1, 3): (1, 333333),
+        (2, 3): (1, 333333),
+    }
+    same = {
+        (r["u"], r["v"]): (r["common_nbrs"], r["ra_ppm"])
+        for r in link_prediction_ra(e, max_degree=3).collect()
+    }
+    assert same == full
+    capped = {
+        (r["u"], r["v"]): (r["common_nbrs"], r["ra_ppm"])
+        for r in link_prediction_ra(e, max_degree=2).collect()
+    }
+    assert capped == {}  # only center with common neighbors was the hub
+
+
+def test_local_clustering_capped_is_exact_on_induced_subgraph(spark):
+    """max_degree=k equals running local_clustering on the subgraph
+    induced by nodes with degree <= k (hubs dropped, degrees
+    recomputed)."""
+    from striot_spark.functions.graph import local_clustering
+
+    # hub 0 over a 4-clique {1,2,3,4}: hub degree 4, clique degrees 4
+    # (3 in-clique + hub); drop-at-3 removes 0 AND... everyone has
+    # deg 4, so use hub deg 5: 0 adj to 1..5, clique {1,2,3,4}
+    und = [(0, i) for i in range(1, 6)] + [
+        (a, b) for a in range(1, 5) for b in range(a + 1, 5)
+    ]
+    e = spark.createDataFrame(_sym(und), "src long, dst long")
+    capped = {
+        r["node"]: (r["degree"], r["n_tri"], r["lcc_ppm"])
+        for r in local_clustering(e, max_degree=4).collect()
+    }
+    # induced subgraph after dropping node 0 (deg 5): clique {1,2,3,4}
+    # (deg 3 each, lcc 1.0) + isolated-from-subgraph node 5 (degree 0
+    # -> not present: no surviving edges touch it)
+    assert capped == {
+        n: (3, 3, 1_000_000) for n in (1, 2, 3, 4)
+    }
+    sub = spark.createDataFrame(
+        _sym([(a, b) for a in range(1, 5) for b in range(a + 1, 5)]),
+        "src long, dst long",
+    )
+    direct = {
+        r["node"]: (r["degree"], r["n_tri"], r["lcc_ppm"])
+        for r in local_clustering(sub).collect()
+    }
+    assert direct == capped
+
+
+def test_integral_cost_validation(spark):
+    """DOUBLE cost/weight columns are rejected at setup (cast('long')
+    would truncate -0.5 to 0 PAST the negative-cost guard and floor
+    fractional costs silently) — sssp, harmonic pivots, k_core."""
+    from striot_spark.functions.graph import (
+        harmonic_centrality_pivots,
+        k_core,
+        sssp,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2, -0.5), (2, 3, 1.5)], "src long, dst long, c double"
+    )
+    with pytest.raises(ValueError, match="non-integral"):
+        sssp(e, sources=[1], rounds=2, cost="c")
+    with pytest.raises(ValueError, match="non-integral"):
+        harmonic_centrality_pivots(e, pivots=[1], rounds=2, cost="c")
+    with pytest.raises(ValueError, match="non-integral"):
+        k_core(e, k=1, rounds=1, src="src", dst="dst", weight="c")
+    # integral columns still accepted
+    ei = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1)], "src long, dst long, c long"
+    )
+    assert sssp(ei, sources=[1], rounds=2, cost="c").count() == 3
+
+
+def test_core_family_ignores_self_loops(spark):
+    """A self-loop must not inflate degree/h-index: with loop (3,3)
+    added, coreness and k_core match the loop-free graph exactly."""
+    from striot_spark.functions.graph import coreness, k_core
+
+    und = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    clean = spark.createDataFrame(_sym(und), "src long, dst long")
+    loopy = spark.createDataFrame(
+        _sym(und) + [(3, 3)], "src long, dst long"
+    )
+    for rounds in (0, 2):
+        a = {
+            r["node"]: r["coreness"]
+            for r in coreness(clean, rounds=rounds).collect()
+        }
+        b = {
+            r["node"]: r["coreness"]
+            for r in coreness(loopy, rounds=rounds).collect()
+        }
+        assert a == b
+    ka = {
+        r["node"]: r["deg"]
+        for r in k_core(clean, k=2, rounds=3, src="src", dst="dst").collect()
+    }
+    kb = {
+        r["node"]: r["deg"]
+        for r in k_core(loopy, k=2, rounds=3, src="src", dst="dst").collect()
+    }
+    assert ka == kb
+
+
+def test_betweenness_pivots_hand_computed(spark):
+    """Path 1-2-3-4-5, pivot {1}, 4 rounds: Brandes deltas are
+    delta(2)=3, delta(3)=2, delta(4)=1 (x scale). Diamond 1-2-4,
+    1-3-4: the split path halves sigma-ratios (1//2 per branch), and
+    a second pivot at the opposite corner doubles symmetric nodes."""
+    from striot_spark.functions.graph import betweenness_pivots
+
+    path = _sym([(1, 2), (2, 3), (3, 4), (4, 5)])
+    e = spark.createDataFrame(path, "src long, dst long")
+    got = {
+        r["node"]: r["bc_ppm"]
+        for r in betweenness_pivots(e, pivots=[1], rounds=4).collect()
+    }
+    assert got == {2: 3_000_000, 3: 2_000_000, 4: 1_000_000}
+
+    diamond = _sym([(1, 2), (1, 3), (2, 4), (3, 4)])
+    d = spark.createDataFrame(diamond, "src long, dst long")
+    got1 = {
+        r["node"]: r["bc_ppm"]
+        for r in betweenness_pivots(d, pivots=[1], rounds=2).collect()
+    }
+    assert got1 == {2: 500_000, 3: 500_000}
+    got2 = {
+        r["node"]: r["bc_ppm"]
+        for r in betweenness_pivots(d, pivots=[1, 4], rounds=2).collect()
+    }
+    assert got2 == {2: 1_000_000, 3: 1_000_000}
+
+
+def test_betweenness_pivots_validation(spark):
+    """Empty pivots, absent pivots, and the sigma headroom guard all
+    raise at setup."""
+    from striot_spark.functions.graph import betweenness_pivots
+
+    e = spark.createDataFrame(
+        _sym([(1, 2), (2, 3)]), "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        betweenness_pivots(e, pivots=[], rounds=2)
+    with pytest.raises(ValueError, match="absent"):
+        betweenness_pivots(e, pivots=[99], rounds=2)
+    # max_indegree 2: 2^rounds crosses 2^62 only past 62 rounds
+    with pytest.raises(ValueError, match="sigma"):
+        betweenness_pivots(e, pivots=[1], rounds=63)

@@ -38,25 +38,36 @@ def test_ordering_is_a_permutation_of_the_registry():
     assert set(oracles) <= set(names)
 
 
-def test_head_50_composition_round11():
-    """The r11 head the driver sweeps (VERDICT r10 task 1): canary, the
-    round-10 additions q243-q248 (never driver-swept), then 43 of the
-    stalest q01-q64 block in registered order (skipping q13/q14/q35,
-    refreshed r9/r10). Update alongside the registry's rotation comment
-    when the head is rebuilt for a new round."""
+def test_head_50_composition_round12():
+    """The r12 head the driver sweeps (VERDICT r11 task 1): canary, the
+    round-11 additions q249-q267 (never driver-swept), the 18-name tail
+    of the q01-q64 block, q215 (converted from rows-only to
+    oracle-backed this round — the ledger's one non-green row), then
+    the 11 oldest r07-rowed streaming-cohort entries. Update alongside
+    the registry's rotation comment when the head is rebuilt."""
     names = list(all_queries())[:50]
     assert names[0] == "q224_type_canary"
-    # the never-swept round-10 additions fill slots 1-6
-    assert {n.split("_")[0] for n in names[1:7]} == {
-        f"q{i}" for i in range(243, 249)
+    # the never-swept round-11 additions fill slots 1-19
+    assert {n.split("_")[0] for n in names[1:20]} == {
+        f"q{i}" for i in range(249, 268)
     }
-    # the 43-slot stale block is drawn only from q01-q64, never from
-    # the q13/q14/q35 refreshed rows
-    stale_prefixes = {n.split("_")[0] for n in names[7:50]}
-    assert len(names[7:50]) == 43
-    assert all(
-        1 <= int(p[1:]) <= 64 and p not in {"q13", "q14", "q35"}
-        for p in stale_prefixes
+    # the 18-slot q01-q64 tail
+    tail_prefixes = [n.split("_")[0] for n in names[20:38]]
+    assert sorted(tail_prefixes) == sorted(
+        ["q05", "q06", "q07", "q08", "q09", "q10", "q11", "q12",
+         "q15", "q16", "q47", "q49", "q50", "q30", "q17", "q18",
+         "q19", "q20"]
     )
-    assert names[49] == "q04_chop_count_window"
+    # the converted q215 + the 11 oldest r07-rowed streaming entries
+    assert names[38] == "q215_compression_quality"
+    assert len(names[39:50]) == 11
+    assert [n.split("_")[0] for n in names[39:50]] == [
+        "q100d", "q102", "q103", "q104", "q105", "q106", "q107",
+        "q108", "q109", "q110", "q111",
+    ]
+    # every head entry is oracle-gated (q215's conversion closed the
+    # last rows-only hole)
+    oracles = all_oracles()
+    assert all(n in oracles for n in names)
+    assert names[49] == "q111_sliding_time_stream"
     assert all(n in REGISTRY for n in names)
