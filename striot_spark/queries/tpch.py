@@ -3629,3 +3629,99 @@ def q268_betweenness_pivots(
         edges, _Q254_PIVOTS, rounds=3, src="a", dst="b",
         scale=1_000_000,
     )
+
+
+_STAGED_COPURCHASE_OBS: dict = {}
+
+
+def _stage_copurchase_observations(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """Stage the (l_orderkey, l_partkey) co-purchase OBSERVATIONS
+    (duplicates kept — a part can appear on several lines of one
+    order; the stream delivers raw line events, not pre-distinct
+    keys) as three mtime-ordered files ordered by (k, p), so the
+    third-splits cut through a key's observations — the adversarial
+    batching the q250/q267 serves use: the materialized key set must
+    come out identical no matter where the micro-batch boundaries
+    land."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from striot_spark.streaming.runtime import stage_ordered_files
+
+    ck = (sf_dir, "copurchase_observations")
+    path = _STAGED_COPURCHASE_OBS.get(ck)
+    if path is not None:
+        return path
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    )
+    n = li.count()
+    r = li.withColumn(
+        "rn", F.row_number().over(Window.orderBy("k", "p"))
+    )
+    third = n // 3
+    chunks = [
+        r.filter(F.col("rn") <= third).drop("rn"),
+        r.filter(
+            (F.col("rn") > third) & (F.col("rn") <= 2 * third)
+        ).drop("rn"),
+        r.filter(F.col("rn") > 2 * third).drop("rn"),
+    ]
+    out = tempfile.mkdtemp(prefix="striot_q269_obs_") + "/data"
+    stage_ordered_files(chunks, out, order_cols=["k", "p"])
+    _STAGED_COPURCHASE_OBS[ck] = out
+    return out
+
+
+@register(
+    "q269_coreness_stream_serve",
+    _coreness_oracle(rounds=3),
+    doc="fourth stream->graph-analytics serve leg (after q245 reach, "
+    "q250 weighted PageRank, q267 shortest paths — this one proves "
+    "the DEGENERACY family rides the same tier): lineitem "
+    "co-purchase observations stream through the replay-idempotent "
+    "incremental_agg_sink keyed (l_orderkey, l_partkey) — additive "
+    "counting, so the materialized key set is batch-boundary- and "
+    "replay-independent — then the served snapshot's distinct keys "
+    "self-join into q266's FULL part co-purchase graph and "
+    "functions/graph.py:coreness (h-index iteration, 3 rounds) runs "
+    "on it. Oracle = q266's batch oracle VERBATIM: the stream-built "
+    "graph must be bit-identical to the batch-built one, which is "
+    "exactly the serve-tier contract",
+)
+def q269_coreness_stream_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from striot_spark.functions.graph import coreness
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_copurchase_observations(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+    path = tempfile.mkdtemp(prefix="striot_q269_mv_")
+    q = RT.incremental_agg_sink(
+        sdf,
+        path,
+        tempfile.mkdtemp(prefix="striot_q269_ck_"),
+        key_cols=["k", "p"],
+        sum_cols=[],
+    )
+    q.awaitTermination()
+    snap = RT.read_snapshot(spark, path).select("k", "p")
+    a = snap.select("k", F.col("p").alias("pa"))
+    b = snap.select("k", F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return coreness(edges, rounds=3, src="u", dst="v")

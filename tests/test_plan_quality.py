@@ -1038,3 +1038,47 @@ def test_coreness_rounds_are_keyed_and_windowed_only(spark, sf_dir):
     plan = _executed(spark, "q266_coreness", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_betweenness_phases_are_keyed_joins_only(spark, sf_dir):
+    """q268: the forward BFS rounds (relax join + sigma groupBy-sum +
+    left_anti), the one-shot DAG build, and the backward dependency
+    levels are all KEYED equi-joins — never a cartesian or an unkeyed
+    nested loop (the pivot column rides every join key)."""
+    plan = _executed(spark, "q268_betweenness_pivots", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_coreness_capped_path_has_no_rownumber_sort(spark, sf_dir):
+    """The k-bounded coreness (hub-cap path) replaces the per-node
+    row_number sort over deg rows with a counting H-index over <= k
+    distinct clipped values: no row_number window may appear in its
+    plan (the cumulative count window remains — that one is bounded
+    by the cap, which is the point)."""
+    from striot_spark.functions.graph import coreness
+    from striot_spark.sources.batch import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    df = coreness(edges, rounds=2, src="u", dst="v", max_degree=8)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan
+    assert "CartesianProduct" not in plan
