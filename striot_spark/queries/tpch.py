@@ -3426,6 +3426,21 @@ def _coreness_oracle(rounds: int) -> str:
     SELECT node, c AS coreness FROM {cur}"""
 
 
+def _coreness_capped_oracle(rounds: int, cap: int) -> str:
+    """q266's unrolled h-index recurrence with the final values
+    clipped at ``cap`` — EXACTLY what the k-bounded coreness returns
+    (H(min(x, k)) = min(H(x), k), so the clipped iteration tracks the
+    unclipped one capped at k at every round; unit-proved in
+    test_coreness_capped_equals_least_of_uncapped)."""
+    base = _coreness_oracle(rounds)
+    head, tail = base.rsplit("SELECT node, c AS coreness", 1)
+    return (
+        head
+        + f"SELECT node, CAST(LEAST(c, {cap}) AS BIGINT) AS coreness"
+        + tail
+    )
+
+
 @register(
     "q266_coreness",
     _coreness_oracle(rounds=3),
@@ -3725,3 +3740,108 @@ def q269_coreness_stream_serve(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     return coreness(edges, rounds=3, src="u", dst="v")
+
+
+@register(
+    "q270_coreness_hub_capped",
+    _coreness_capped_oracle(rounds=3, cap=60),
+    doc="K-BOUNDED coreness (functions/graph.py:coreness with "
+    "max_degree=60) on q266's full part co-purchase graph — the "
+    "driver-gated evidence for the round-12 hub-degree guard's cap "
+    "path: values are clipped at k, which returns EXACTLY "
+    "least(coreness, k) (H-index is monotone per coordinate, so "
+    "H(min(x,k)) = min(H(x),k) and the clipped iteration tracks the "
+    "unclipped one by induction), and the per-round fold switches "
+    "from a row_number sort over deg rows to a COUNTING H-index "
+    "over <= k distinct clipped values per node (plan-gated: no "
+    "row_number) — the per-hub sort cost a 100 TB power-law graph "
+    "needs bounded. Degrees here run 42-206 (sf0.01), so cap 60 "
+    "genuinely clips: output spread 42..60 both fixture scales. "
+    "Oracle = q266's unrolled recurrence with LEAST(c, 60)",
+)
+def q270_coreness_hub_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions.graph import coreness
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return coreness(edges, rounds=3, src="u", dst="v", max_degree=60)
+
+
+@register(
+    "q271_link_prediction_ra_capped",
+    """
+    WITH p AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    bd AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM bd GROUP BY u),
+    wed AS (SELECT b1.u AS z, b1.v AS x, b2.v AS y
+            FROM bd b1 JOIN bd b2 ON b1.u = b2.u AND b1.v < b2.v
+            JOIN deg dz ON dz.node = b1.u AND dz.degree <= 60),
+    cand AS (SELECT w.x AS u, w.y AS v, w.z
+             FROM wed w LEFT JOIN p ON p.u = w.x AND p.v = w.y
+             WHERE p.u IS NULL)
+    SELECT cand.u, cand.v,
+           CAST(count(*) AS BIGINT) AS common_nbrs,
+           CAST(sum(1000000 // d.degree) AS BIGINT) AS ra_ppm
+    FROM cand JOIN deg d ON d.node = cand.z
+    GROUP BY cand.u, cand.v
+    """,
+    doc="degree-CAPPED resource-allocation link prediction "
+    "(functions/graph.py:link_prediction_ra with max_degree=60) on "
+    "the FULL part co-purchase graph — the driver-gated evidence "
+    "for the hub-degree guard's cap path on the wedge family: wedge "
+    "CENTERS above the cap are dropped BEFORE the fan-out (each "
+    "dropped center contributes < scale/k to ra_ppm — RA's whole "
+    "design is that high-degree commons carry ~no signal), per-z "
+    "DIV terms still computed from the FULL degree, candidates "
+    "still anti-joined against the full edge set. Degrees run "
+    "42-206 at sf0.01, so cap 60 genuinely drops hub centers while "
+    "keeping the discriminative ones — the published estimator over "
+    "the capped center set, the documented delta. The uncapped "
+    "q256 form stays on the quarter graph; this one would be the "
+    "100 TB configuration",
+)
+def q271_link_prediction_ra_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions.graph import link_prediction_ra
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    return link_prediction_ra(
+        pairs, src="u", dst="v", max_degree=60
+    )
