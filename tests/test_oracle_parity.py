@@ -22,9 +22,11 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert not problems, "\n".join(problems)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, sf_dir, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+def test_no_rows_only_entries_remain():
+    """Round 12 closed the registry's one rows-only hole (q215's zlib
+    screen became an oracle-backed repetitiveness proxy): every entry
+    is hash-gated. The weaker rows-only contract path still exists for
+    genuinely non-SQL ops, but nothing may use it silently — a new
+    rows-only registration must be a deliberate, documented decision
+    (update this test alongside)."""
+    assert ROWS_ONLY == []
