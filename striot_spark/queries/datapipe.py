@@ -3417,3 +3417,83 @@ def q247_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q265_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return SAMP.shuffle_shard(docs, "doc_id", n_shards=8, seed="ep0")
+
+
+@register(
+    "q272_unigram_surprisal",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS tok
+        FROM documents),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+    bits AS (SELECT tok,
+                    CAST(length(bin(total // c)) - 1 AS BIGINT) AS b
+             FROM cnt CROSS JOIN tot),
+    s AS (SELECT t.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(b.b) AS BIGINT) AS surprisal_bits
+          FROM toks t JOIN bits b ON b.tok = t.tok
+          GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens, surprisal_bits,
+           CAST(surprisal_bits * 1000 // n_tokens AS BIGINT)
+               AS mean_millibits
+    FROM s
+    """,
+    doc="per-doc INTEGER unigram surprisal — the info-theoretic "
+    "member of the quality-screen family (the exact-arithmetic "
+    "stand-in for the perplexity filter every LLM corpus pipeline "
+    "runs): bits(tok) = floor(log2(N_total DIV count(tok))), "
+    "surprisal_bits(doc) = sum over its tokens — high = rare-token- "
+    "heavy (OOV junk, codes, boilerplate IDs), low = stopword soup; "
+    "mean_millibits normalizes by length. floor-log2 is computed "
+    "EXACTLY as length(bin(x)) - 1 — integer bit length, no libm: "
+    "float log2 is not correctly-rounded the same way across "
+    "engines near power-of-two boundaries, bit length is "
+    "bit-identical everywhere. Plan: one explode -> vocab-sized "
+    "token groupBy -> per-TYPE bits computed once on the vocab "
+    "table (not per occurrence) -> token-keyed join back -> doc "
+    "groupBy; the scalar total rides a 1-row broadcast cross join "
+    "(q238's idiom). Two keyed shuffles + one vocab join, no "
+    "floats, no UDFs — a 100 TB surprisal pass is a token shuffle "
+    "plus a doc reduce",
+)
+def q272_unigram_surprisal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions.text import nonempty_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(nonempty_tokens(F.col("text"))).alias("tok"),
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.agg(F.sum("c").cast("long").alias("total"))
+    bits = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.expr("CAST(length(bin(total DIV c)) - 1 AS BIGINT)").alias(
+            "b"
+        ),
+    )
+    return (
+        toks.join(bits, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("b").cast("long").alias("surprisal_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "surprisal_bits",
+            F.expr(
+                "CAST(surprisal_bits * 1000 DIV n_tokens AS BIGINT)"
+            ).alias("mean_millibits"),
+        )
+    )

@@ -3438,3 +3438,25 @@ def test_betweenness_pivots_validation(spark):
     # max_indegree 2: 2^rounds crosses 2^62 only past 62 rounds
     with pytest.raises(ValueError, match="sigma"):
         betweenness_pivots(e, pivots=[1], rounds=63)
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    """Corpus 'a a b' / 'b c': counts a=2 b=2 c=1, total 5.
+    bits = floor(log2(total DIV cnt)): a,b -> log2(2)=1, c ->
+    floor(log2(5))=2. d1 = 1+1+1 = 3 bits over 3 tokens (1000
+    millibits); d2 = 1+2 = 3 bits over 2 tokens (1500)."""
+    from striot_spark.queries.datapipe import q272_unigram_surprisal
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [("d1", "a a b"), ("d2", "b c")], "doc_id string, text string"
+    )
+    out = tempfile.mkdtemp(prefix="striot_q272_") + "/documents.parquet"
+    docs.write.parquet(out)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["surprisal_bits"], r["mean_millibits"]
+        )
+        for r in q272_unigram_surprisal(spark, out.rsplit("/", 1)[0]).collect()
+    }
+    assert got == {"d1": (3, 3, 1000), "d2": (2, 3, 1500)}

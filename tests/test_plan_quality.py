@@ -1082,3 +1082,12 @@ def test_coreness_capped_path_has_no_rownumber_sort(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "row_number" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_surprisal_total_is_one_row_broadcast(spark, sf_dir):
+    """q272: the scalar token total rides exactly ONE 1-row broadcast
+    (BroadcastNestedLoopJoin — the q238 idiom), never a cartesian;
+    the occurrence->bits join is a keyed token join."""
+    plan = _executed(spark, "q272_unigram_surprisal", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
