@@ -2186,12 +2186,6 @@ def betweenness_pivots(
     nodes = e.select("src").union(e.select("dst")).distinct().select(
         F.col("src").alias("node")
     )
-    hits = nodes.filter(F.col("node").isin(pivots)).count()
-    if hits != len(pivots):
-        raise ValueError(
-            f"betweenness_pivots: {len(pivots) - hits} pivot(s) "
-            "absent from the edge list; check the id namespace"
-        )
     state = track_persist(
         nodes.filter(F.col("node").isin(pivots)).select(
             F.col("node").alias("pivot"),
@@ -2200,6 +2194,16 @@ def betweenness_pivots(
             F.lit(1).cast("long").alias("sigma"),
         )
     )
+    # pivot presence validated by counting the PERSISTED initial
+    # state — the same scan warms the cache the first round reads,
+    # one job instead of a separate probe (the sssp probe predates
+    # this fold; here validation is free)
+    hits = state.count()
+    if hits != len(pivots):
+        raise ValueError(
+            f"betweenness_pivots: {len(pivots) - hits} pivot(s) "
+            "absent from the edge list; check the id namespace"
+        )
     frontier = state
     for k in range(1, rounds + 1):
         offers = (
