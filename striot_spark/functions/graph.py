@@ -180,6 +180,8 @@ def pagerank(
             f"got {dangling!r}"
         )
     spark = edges.sparkSession
+    if weight is not None:
+        _require_integral(edges, weight, "pagerank")
     w_expr = (
         F.col(weight).cast("long") if weight is not None else F.lit(1)
     )
@@ -672,6 +674,8 @@ def label_propagation(
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
     spark = edges.sparkSession
+    if weight is not None:
+        _require_integral(edges, weight, "label_propagation")
     w_expr = (
         F.col(weight).cast("long") if weight is not None else F.lit(1)
     )
@@ -906,6 +910,8 @@ def modularity(
     lab = track_persist(
         labels.select(F.col(node).alias("__n"), F.col(label).alias("__l"))
     )
+    if weight is not None:
+        _require_integral(edges, weight, "modularity")
     w_expr = (
         F.col(weight).cast("long") if weight is not None else F.lit(1)
     )

@@ -3460,3 +3460,26 @@ def test_unigram_surprisal_hand_computed(spark):
         for r in q272_unigram_surprisal(spark, out.rsplit("/", 1)[0]).collect()
     }
     assert got == {"d1": (3, 3, 1000), "d2": (2, 3, 1500)}
+
+
+def test_integral_weight_validation_pagerank_lpa_modularity(spark):
+    """The round-12 integral-type guard extended to ALL weighted graph
+    ops: pagerank / label_propagation / modularity reject DOUBLE
+    weight columns at setup (same silent-truncation disease ADVICE
+    r11 flagged on sssp/k_core)."""
+    from striot_spark.functions.graph import (
+        label_propagation,
+        modularity,
+        pagerank,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 1, 1.5)], "src long, dst long, w double"
+    )
+    with pytest.raises(ValueError, match="non-integral"):
+        pagerank(e, iterations=1, weight="w")
+    with pytest.raises(ValueError, match="non-integral"):
+        label_propagation(e, rounds=1, weight="w")
+    with pytest.raises(ValueError, match="non-integral"):
+        modularity(e, spark.createDataFrame([(1, 10), (2, 10)], "node long, label long"),
+                   weight="w")
