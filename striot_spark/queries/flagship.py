@@ -2800,3 +2800,101 @@ def q240_incremental_extents_stream(
         ts_str(F.col("min_ts")).alias("first_seen"),
         ts_str(F.col("max_ts")).alias("last_seen"),
     )
+
+
+@register(
+    "q273_surprisal_stream",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS tok
+        FROM documents),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+    bits AS (SELECT tok,
+                    CAST(length(bin(total // c)) - 1 AS BIGINT) AS b
+             FROM cnt CROSS JOIN tot),
+    s AS (SELECT t.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(b.b) AS BIGINT) AS surprisal_bits
+          FROM toks t JOIN bits b ON b.tok = t.tok
+          GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens, surprisal_bits,
+           CAST(surprisal_bits * 1000 // n_tokens AS BIGINT)
+               AS mean_millibits
+    FROM s
+    """,
+    doc="STREAMING ingest-time surprisal scoring — the deployment "
+    "shape of q272's quality screen (batch corpus stats, stream "
+    "scoring): phase 1 builds the per-token bits table from the "
+    "static corpus snapshot (vocab-bounded, q75's collect class) and "
+    "inlines it as a MapType literal; phase 2 scores each ARRIVING "
+    "document in-row via F.aggregate over its token array — a "
+    "STATELESS projection (no state store, no watermark, zero "
+    "shuffle on the stream), so the drained result is "
+    "batch-deterministic under any replay batching and the oracle is "
+    "q272's batch SQL verbatim. A vocab too large to inline would "
+    "explode+join per micro-batch (the q108 broadcast-enrich "
+    "pattern); the map literal is the 100 TB ingest path as long as "
+    "the vocabulary is executor-memory-bounded (64k BPE vocabs are)",
+)
+def q273_surprisal_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.text import nonempty_tokens
+    from striot_spark.streaming import runtime as RT
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(nonempty_tokens(F.col("text"))).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.agg(F.sum("c").cast("long").alias("total"))
+    bits = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.expr("CAST(length(bin(total DIV c)) - 1 AS BIGINT)").alias(
+            "b"
+        ),
+    )
+    pairs = [(r["tok"], int(r["b"])) for r in bits.collect()]
+    if pairs:
+        args = []
+        for t, b in pairs:
+            args.append(F.lit(t))
+            args.append(F.lit(b))
+        bmap = F.create_map(*args)
+    else:
+        bmap = F.create_map().cast("map<string,bigint>")
+
+    src = _stage_documents(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema)
+    tk = nonempty_tokens(F.col("text"))
+    scored = sdf.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.aggregate(
+            tk,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.coalesce(bmap[t], F.lit(0)),
+        ).cast("long").alias("surprisal_bits"),
+    )
+    drained = RT.run_available_now(
+        scored,
+        f"q273_surprisal_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q273_ck_"),
+        mode="append",
+    )
+    return drained.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "surprisal_bits",
+        F.expr(
+            "CAST(surprisal_bits * 1000 DIV n_tokens AS BIGINT)"
+        ).alias("mean_millibits"),
+    )
