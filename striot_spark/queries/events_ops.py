@@ -2703,3 +2703,56 @@ def q235_minhash_cohort_similarity(
             .alias("exact_jaccard_pm"),
         )
     )
+
+
+@register(
+    "q274_decayed_user_activity",
+    """
+    WITH a AS (SELECT CAST(max(ts) AS DATE) AS anchor FROM events),
+    w AS (SELECT user_id,
+                 (CAST(1 AS BIGINT)
+                  << (20 - (datediff('day', CAST(ts AS DATE), anchor)
+                            // 7))) AS wt
+          FROM events CROSS JOIN a)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(wt) AS BIGINT) AS decayed_score
+    FROM w GROUP BY user_id
+    """,
+    doc="recency-weighted user-activity score with an EXACT integer "
+    "half-life (the decayed-count trending/engagement feature every "
+    "behavioral ranking pipeline computes): each event contributes "
+    "1 << (20 - age_weeks) — weight halves every 7 days from the "
+    "corpus anchor (max event date), power-of-two weights so the "
+    "decay is exact integer arithmetic on ANY engine (a float "
+    "exp(-lambda*age) drifts with reduce order; shifted longs "
+    "cannot), headroom 2^20 x 10k events per user far under 2^63. "
+    "Plan: one scan + a 1-row anchor broadcast (q238's idiom) + one "
+    "user groupBy with map-side partials — a 100 TB trending pass "
+    "is one shuffle keyed on the grouping entity. Shift terms "
+    "parenthesized on both engines (DuckDB << / | share precedence)",
+)
+def q274_decayed_user_activity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    anchor = ev.agg(
+        F.max(F.col("ts").cast("date")).alias("anchor")
+    )
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(1 AS BIGINT) << (20 - "
+                "(datediff(anchor, CAST(ts AS DATE)) DIV 7))"
+            ).alias("wt"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("wt").cast("long").alias("decayed_score"),
+        )
+    )
