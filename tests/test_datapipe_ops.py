@@ -3483,3 +3483,71 @@ def test_integral_weight_validation_pagerank_lpa_modularity(spark):
     with pytest.raises(ValueError, match="non-integral"):
         modularity(e, spark.createDataFrame([(1, 10), (2, 10)], "node long, label long"),
                    weight="w")
+
+
+def test_betweenness_pivots_matches_naive_on_random_graph(spark):
+    """betweenness_pivots equals a pure-Python level-synchronous
+    BFS + Brandes accumulation implementing the IDENTICAL scaled
+    integer recurrence (per-DAG-arc term sigma_u*(scale+delta_w) DIV
+    sigma_w, summed per node, summed over pivots) on a seeded random
+    graph at full horizon — the same naive-reference pattern as
+    k-truss."""
+    import random
+
+    from striot_spark.functions.graph import betweenness_pivots
+
+    rng = random.Random(1207)
+    n = 12
+    und = [
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if rng.random() < 0.3
+    ]
+    sym = _sym(und)
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+    nodes = sorted(adj)
+    pivots = [nodes[0], nodes[len(nodes) // 2]]
+    rounds = n
+    scale = 1_000_000
+
+    expected = {}
+    for p in pivots:
+        dist = {p: 0}
+        sigma = {p: 1}
+        frontier = [p]
+        for k in range(1, rounds + 1):
+            offers = {}
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        offers[v] = offers.get(v, 0) + sigma[u]
+            for v, s in offers.items():
+                dist[v] = k
+                sigma[v] = s
+            frontier = list(offers)
+        delta = {}
+        for lvl in range(rounds - 1, -1, -1):
+            for u in [x for x in dist if dist[x] == lvl]:
+                acc = 0
+                for w in adj.get(u, ()):
+                    if dist.get(w) == lvl + 1:
+                        acc += (
+                            sigma[u] * (scale + delta.get(w, 0))
+                        ) // sigma[w]
+                if acc:
+                    delta[u] = acc
+        for v, d in delta.items():
+            if v != p:
+                expected[v] = expected.get(v, 0) + d
+
+    e = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r["node"]: r["bc_ppm"]
+        for r in betweenness_pivots(
+            e, pivots=pivots, rounds=rounds, scale=scale
+        ).collect()
+    }
+    assert got == {v: d for v, d in expected.items() if d > 0}
