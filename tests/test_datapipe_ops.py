@@ -3551,3 +3551,50 @@ def test_betweenness_pivots_matches_naive_on_random_graph(spark):
         ).collect()
     }
     assert got == {v: d for v, d in expected.items() if d > 0}
+
+
+def test_coreness_capped_matches_naive_on_random_graph(spark):
+    """k-bounded coreness (counting H-index path) equals a pure-Python
+    clipped h-index iteration on a seeded random graph, every round
+    and several caps — the random-graph extension of the hand-graph
+    least() identity test."""
+    import random
+
+    from striot_spark.functions.graph import coreness
+
+    rng = random.Random(1212)
+    n = 14
+    und = [
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if rng.random() < 0.35
+    ]
+    sym = _sym(und)
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+
+    def naive(rounds, cap):
+        c = {v: min(len(adj[v]), cap) for v in adj}
+        for _ in range(rounds):
+            nxt = {}
+            for v in adj:
+                vals = sorted((c[u] for u in adj[v]), reverse=True)
+                h = 0
+                for i, x in enumerate(vals, start=1):
+                    h = max(h, min(i, x))
+                nxt[v] = h
+            c = nxt
+        return c
+
+    e = spark.createDataFrame(sym, "src long, dst long")
+    for rounds in (1, 3):
+        for cap in (2, 4):
+            got = {
+                r["node"]: r["coreness"]
+                for r in coreness(
+                    e, rounds=rounds, max_degree=cap
+                ).collect()
+            }
+            assert got == naive(rounds, cap)
