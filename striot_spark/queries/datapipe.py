@@ -3497,3 +3497,81 @@ def q272_unigram_surprisal(
             ).alias("mean_millibits"),
         )
     )
+
+
+@register(
+    "q275_mrr_eval",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+          WHERE vec_id < 8),
+    b AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 8),
+    r AS (SELECT q.qid, b.label, q.qlabel,
+                 row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY round(list_dot_product(b.v, q.qv)
+                              / (sqrt(list_dot_product(b.v, b.v))
+                                 * sqrt(list_dot_product(q.qv, q.qv))),
+                              6) DESC, b.vec_id ASC) AS rnk
+          FROM b, q)
+    SELECT qid AS query_id,
+           CAST(min(rnk) AS BIGINT) AS first_rank,
+           CAST(1000000 // min(rnk) AS BIGINT) AS rr_ppm
+    FROM r WHERE label = qlabel GROUP BY qid
+    """,
+    doc="reciprocal-rank retrieval eval — the ranking-quality "
+    "complement of q176's recall@5 (recall asks 'did the relevant "
+    "items make the cut'; RR asks 'HOW HIGH does the first one "
+    "sit'): per query vector, rank the whole base by the shared "
+    "round-6 cosine + id tie-break and take the first SAME-LABEL "
+    "hit, rr_ppm = 1e6 DIV first_rank (exact integer; averaging "
+    "the 8 rows gives MRR). First ranks spread 2-32 on the "
+    "fixtures, so the gate is non-vacuous. Query side broadcast, "
+    "one window per query partition — the same scale shape as the "
+    "brute-force scorer it reuses",
+)
+def q275_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from striot_spark.functions.similarity import (
+        as_double,
+        norm,
+        pair_cosine,
+        scatter,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        as_double(F.col("embedding")).alias("qv"),
+    ).withColumn("nqv", norm(F.col("qv")))
+    base = scatter(emb.filter(F.col("vec_id") >= 8)).select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    scored = base.crossJoin(F.broadcast(q)).withColumn(
+        "cos",
+        F.round(
+            pair_cosine(
+                F.col("v"), F.col("nv"), F.col("qv"), F.col("nqv")
+            ),
+            6,
+        ),
+    )
+    w = W.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("label") == F.col("qlabel"))
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(F.min("rnk").cast("long").alias("first_rank"))
+        .select(
+            "query_id",
+            "first_rank",
+            F.expr("CAST(1000000 DIV first_rank AS BIGINT)").alias(
+                "rr_ppm"
+            ),
+        )
+    )
