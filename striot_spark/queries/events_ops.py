@@ -2709,11 +2709,15 @@ def q235_minhash_cohort_similarity(
     "q274_decayed_user_activity",
     """
     WITH a AS (SELECT CAST(max(ts) AS DATE) AS anchor FROM events),
+    g AS (SELECT user_id,
+                 (datediff('day', CAST(ts AS DATE), anchor) // 7)
+                     AS age_weeks
+          FROM events CROSS JOIN a),
     w AS (SELECT user_id,
-                 (CAST(1 AS BIGINT)
-                  << (20 - (datediff('day', CAST(ts AS DATE), anchor)
-                            // 7))) AS wt
-          FROM events CROSS JOIN a)
+                 CASE WHEN age_weeks > 20 THEN CAST(0 AS BIGINT)
+                      ELSE (CAST(1 AS BIGINT) << (20 - age_weeks))
+                 END AS wt
+          FROM g)
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(wt) AS BIGINT) AS decayed_score
@@ -2730,7 +2734,11 @@ def q235_minhash_cohort_similarity(
     "Plan: one scan + a 1-row anchor broadcast (q238's idiom) + one "
     "user groupBy with map-side partials — a 100 TB trending pass "
     "is one shuffle keyed on the grouping entity. Shift terms "
-    "parenthesized on both engines (DuckDB << / | share precedence)",
+    "parenthesized on both engines (DuckDB << / | share precedence) "
+    "and CLAMPED to zero past the 20-week horizon — a negative shift "
+    "is mod-64 in the JVM (silently astronomical) and different "
+    "again in DuckDB, so events older than the horizon must "
+    "contribute exactly 0 on both engines by construction",
 )
 def q274_decayed_user_activity(
     spark: SparkSession, sf_dir: str
@@ -2746,8 +2754,10 @@ def q274_decayed_user_activity(
         .select(
             "user_id",
             F.expr(
+                "CASE WHEN (datediff(anchor, CAST(ts AS DATE)) DIV 7)"
+                " > 20 THEN CAST(0 AS BIGINT) ELSE "
                 "CAST(1 AS BIGINT) << (20 - "
-                "(datediff(anchor, CAST(ts AS DATE)) DIV 7))"
+                "(datediff(anchor, CAST(ts AS DATE)) DIV 7)) END"
             ).alias("wt"),
         )
         .groupBy("user_id")
