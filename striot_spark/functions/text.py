@@ -932,3 +932,110 @@ def compression_ratio_pm(text: Column) -> Column:
         return s.map(one)
 
     return _ratio(text)
+
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_tokens: Sequence[str],
+    k: int = 10,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+) -> DataFrame:
+    """True BM25 retrieval (Robertson & Walker's Okapi weighting,
+    public methodology) in EXACT integer arithmetic — adds the
+    length-normalized tf SATURATION that ``lexical_search``'s plain
+    tf * idf ranking lacks:
+
+        score      = Σ_t  idf_milli(t) * sat_ppm(t, doc)
+        sat_ppm    = tf * (k1_milli + 1000) * 1e6
+                     DIV (tf * 1000 + (k1_milli * norm_milli) DIV 1000)
+        norm_milli = (1000 - b_milli)
+                     + b_milli * dl * N_docs DIV total_tokens
+        idf_milli  = (N_docs - df + 1) * 1000 DIV (df + 1)
+
+    with k1/b as milli-integers (defaults 1200/750 = the canonical
+    1.2/0.75). ``dl * N DIV total_tokens`` is the doc-length ratio
+    dl/avgdl with the average folded away, so no intermediate division
+    loses precision. The idf is the RATIONAL Robertson idf without the
+    log — a documented delta (like chopTime's alignment note): log is
+    monotone, so each individual term's df-ordering is identical and
+    only the relative weighting ACROSS terms differs (rare terms weigh
+    more than log-BM25 would). Every operation is integer DIV, so the
+    ranking is bit-identical across engines — a float log is not
+    (q272's rationale).
+
+    Headroom: sat_ppm < (k1_milli + 1000) * 1000 and idf_milli <=
+    (N + 1) * 1000, so the summed score stays under 2^63 for
+    N * |Q| up to ~4e9 doc-terms — ENFORCED below (ValueError, the
+    module's guard policy) rather than silently wrapping.
+
+    Same two-pass lowering as ``lexical_search``: pass 1 computes
+    N_docs, total_tokens AND the query tokens' dfs in ONE corpus scan
+    (a serving deployment reads the q170 posting-list index instead),
+    inlined as literals; pass 2 scores as a PURE PROJECTION — zero
+    joins, zero corpus shuffles — with TakeOrdered top-k under the
+    (score DESC, id ASC) total order.
+    """
+    qlist = list(query_tokens)
+    toks = nonempty_tokens(F.col(text_col))
+
+    def _empty() -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("dl"),
+            F.lit(0).cast("long").alias("score"),
+        ).limit(0)
+
+    if not qlist:
+        return _empty()
+    stats = df.select(
+        F.size(toks).cast("long").alias("__dl"),
+        *[
+            F.array_contains(toks, F.lit(t)).cast("long").alias(f"__c{i}")
+            for i, t in enumerate(qlist)
+        ],
+    ).agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("__dl").alias("__tot"),
+        *[F.sum(f"__c{i}").alias(f"df{i}") for i in range(len(qlist))],
+    )
+    row = stats.collect()[0]
+    n_docs = int(row["__n_docs"])
+    tot_tokens = int(row["__tot"] or 0)
+    if n_docs == 0 or tot_tokens == 0:
+        return _empty()
+    if (n_docs + 1) * 1000 * (k1_milli + 1000) * 1000 * len(qlist) >= 2**63:
+        raise ValueError(
+            "bm25_search: n_docs * |query| exceeds exact-long scoring "
+            "headroom - lower k1_milli or shrink the query"
+        )
+    tok_sql = f"filter(split({text_col}, ' '), x -> x <> '')"
+    dl_sql = f"CAST(size({tok_sql}) AS BIGINT)"
+    norm_sql = (
+        f"({1000 - b_milli} + {b_milli} * {dl_sql} * {n_docs} "
+        f"DIV {tot_tokens})"
+    )
+    terms = []
+    for i, t in enumerate(qlist):
+        dfi = int(row[f"df{i}"])
+        idf_milli = (n_docs - dfi + 1) * 1000 // (dfi + 1)
+        tf_sql = (
+            f"CAST(size(filter({tok_sql}, x -> x = '{t}')) AS BIGINT)"
+        )
+        sat_sql = (
+            f"({tf_sql} * {(k1_milli + 1000) * 1000000} "
+            f"DIV ({tf_sql} * 1000 + ({k1_milli} * {norm_sql}) DIV 1000))"
+        )
+        terms.append(f"{sat_sql} * {idf_milli}")
+    score_sql = "CAST(" + " + ".join(terms) + " AS BIGINT)"
+    scored = df.select(
+        F.col(id_col),
+        F.expr(dl_sql).alias("dl"),
+        F.expr(score_sql).alias("score"),
+    ).filter(F.col("score") > 0)
+    return scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)

@@ -3575,3 +3575,78 @@ def q275_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_BM25_QUERY = ["dup", "key", "batch"]
+_BM25_K1_M = 1200
+_BM25_B_M = 750
+
+
+def _q276_oracle() -> str:
+    """Mirror of functions/text.py:bm25_search's integer formula with
+    the corpus stats computed in SQL instead of collected literals —
+    identical values, identical DIV order."""
+    tok = "list_filter(string_split(text, ' '), x -> x <> '')"
+    norm = (
+        f"({1000 - _BM25_B_M} + {_BM25_B_M} * len(t) * n_docs // tot)"
+    )
+    terms = []
+    for i, w in enumerate(_BM25_QUERY):
+        tf = f"len(list_filter(t, x -> x = '{w}'))"
+        sat = (
+            f"({tf} * {(_BM25_K1_M + 1000) * 1000000} "
+            f"// ({tf} * 1000 + ({_BM25_K1_M} * {norm}) // 1000))"
+        )
+        idf = f"((n_docs - df{i} + 1) * 1000 // (df{i} + 1))"
+        terms.append(f"{sat} * {idf}")
+    score = " + ".join(terms)
+    dfs = ", ".join(
+        f"sum(CASE WHEN list_contains(t, '{w}') THEN 1 ELSE 0 END)"
+        f" AS df{i}"
+        for i, w in enumerate(_BM25_QUERY)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {tok} AS t FROM documents),
+    stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS tot,
+                     {dfs}
+              FROM toks),
+    scored AS (
+        SELECT doc_id, len(t) AS dl, {score} AS score
+        FROM toks, stats)
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl, CAST(score AS BIGINT) AS score
+    FROM scored WHERE score > 0
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+
+
+@register(
+    "q276_bm25_rank",
+    _q276_oracle(),
+    doc="TRUE BM25 retrieval (functions/text.py:bm25_search, Robertson "
+    "& Walker's Okapi weighting) for the query {dup, key, batch} — "
+    "the length-normalized tf SATURATION q178's plain tf*idf lacks, "
+    "in exact integer arithmetic: sat_ppm = tf*(k1+1)*1e6 DIV "
+    "(tf*1000 + k1*((1-b) + b*dl*N DIV total_tokens)) with "
+    "k1=1.2/b=0.75 as milli-integers and the rational Robertson idf "
+    "(N-df+1)*1000 DIV (df+1) — log-free so the ranking is "
+    "bit-identical across engines (documented delta: per-term "
+    "df-ordering identical to log-BM25, cross-term weighting "
+    "rational instead of logarithmic). 'dup' is rare (df 25/500) vs "
+    "'key'/'batch' (df ~400), so idf spans 75x and saturation + "
+    "length normalization decide the order within the dup-containing "
+    "set — the gate is non-vacuous on both BM25 components. Pass 1: "
+    "ONE corpus scan for N/total_tokens/dfs, inlined as literals; "
+    "pass 2: pure projection + TakeOrdered top-10 (zero joins, zero "
+    "corpus shuffles; plan-gated)",
+)
+def q276_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bm25_search(
+        docs,
+        "doc_id",
+        "text",
+        _BM25_QUERY,
+        k=10,
+        k1_milli=_BM25_K1_M,
+        b_milli=_BM25_B_M,
+    )

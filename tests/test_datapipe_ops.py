@@ -3598,3 +3598,37 @@ def test_coreness_capped_matches_naive_on_random_graph(spark):
                 ).collect()
             }
             assert got == naive(rounds, cap)
+
+
+def test_bm25_length_normalization_and_saturation(spark):
+    """bm25_search's two components q178 lacks: (a) equal tf, shorter
+    doc wins (length normalization); (b) 10x the tf yields far less
+    than 10x the score (saturation approaches k1+1)."""
+    from striot_spark.functions.text import bm25_search
+
+    filler = " ".join(["pad"] * 40)
+    df = spark.createDataFrame(
+        [
+            (0, "hit one two"),                 # tf=1, dl=3
+            (1, "hit " + filler),               # tf=1, dl=41
+            (2, ("hit " * 10) + filler),        # tf=10, dl=50
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(df, "doc_id", "text", ["hit"], k=10).collect()
+    }
+    assert got[0] > got[1], "shorter doc with equal tf must score higher"
+    assert got[2] < 10 * got[1] / 2, "tf saturation must cap the gain"
+
+
+def test_bm25_empty_query_returns_empty(spark):
+    from striot_spark.functions.text import bm25_search
+
+    df = spark.createDataFrame(
+        [(0, "some words")], "doc_id long, text string"
+    )
+    got = bm25_search(df, "doc_id", "text", [], k=5)
+    assert got.columns == ["doc_id", "dl", "score"]
+    assert got.collect() == []

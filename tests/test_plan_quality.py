@@ -1091,3 +1091,13 @@ def test_surprisal_total_is_one_row_broadcast(spark, sf_dir):
     plan = _executed(spark, "q272_unigram_surprisal", sf_dir)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_bm25_scores_as_projection(spark, sf_dir):
+    """q276: corpus stats inlined as literals make BM25 scoring a pure
+    projection — no join, no Exchange, TakeOrdered top-k (q178's gate,
+    held by the richer formula)."""
+    plan = _executed(spark, "q276_bm25_rank", sf_dir)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "TakeOrdered" in plan
