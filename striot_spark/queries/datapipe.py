@@ -3650,3 +3650,116 @@ def q276_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         k1_milli=_BM25_K1_M,
         b_milli=_BM25_B_M,
     )
+
+
+@register(
+    "q279_map_eval",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+          WHERE vec_id < 8),
+    b AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 8),
+    r AS (SELECT q.qid, b.label, q.qlabel,
+                 row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY round(list_dot_product(b.v, q.qv)
+                              / (sqrt(list_dot_product(b.v, b.v))
+                                 * sqrt(list_dot_product(q.qv, q.qv))),
+                              6) DESC, b.vec_id ASC) AS rnk
+          FROM b, q),
+    h AS (SELECT qid, rnk,
+                 row_number() OVER (
+                     PARTITION BY qid ORDER BY rnk) AS j
+          FROM r WHERE label = qlabel AND rnk <= 10),
+    agg AS (SELECT qid, count(*) AS n_rel_topk,
+                   sum(j * 1000000 // rnk) AS s
+            FROM h GROUP BY qid),
+    rt AS (SELECT q.qid, count(*) AS r_total
+           FROM b JOIN q ON b.label = q.qlabel GROUP BY q.qid)
+    SELECT rt.qid AS query_id,
+           CAST(coalesce(agg.n_rel_topk, 0) AS BIGINT) AS n_rel_topk,
+           CAST(coalesce(agg.s // least(greatest(rt.r_total, 1), 10), 0)
+                AS BIGINT) AS ap_ppm
+    FROM rt LEFT JOIN agg ON rt.qid = agg.qid
+    """,
+    doc="mean-average-precision retrieval eval — completes the "
+    "retrieval-quality trio (q176 recall@5: did the relevant items "
+    "make the cut; q275 MRR: how high is the FIRST one; MAP@10: how "
+    "well is the WHOLE relevant set ordered): per query vector, the "
+    "j-th same-label hit at rank r_j in the top-10 contributes "
+    "precision@r_j = j*1e6 DIV r_j, and ap_ppm = Σ_j prec_j DIV "
+    "min(R_total, 10) — the standard AP@k normalization, exact "
+    "integers after the shared round-6-cosine + id tie-break "
+    "ranking. Queries whose top-10 holds no relevant item emit "
+    "ap_ppm = 0 (left join keeps all 8 rows). Query side broadcast, "
+    "one window per query partition — q275's scale shape; averaging "
+    "the 8 rows gives MAP",
+)
+def q279_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from striot_spark.functions.similarity import (
+        as_double,
+        norm,
+        pair_cosine,
+        scatter,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        as_double(F.col("embedding")).alias("qv"),
+    ).withColumn("nqv", norm(F.col("qv")))
+    base = scatter(emb.filter(F.col("vec_id") >= 8)).select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    scored = base.crossJoin(F.broadcast(q)).withColumn(
+        "cos",
+        F.round(
+            pair_cosine(
+                F.col("v"), F.col("nv"), F.col("qv"), F.col("nqv")
+            ),
+            6,
+        ),
+    )
+    wr = W.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(wr))
+    wj = W.partitionBy("qid").orderBy(F.col("rnk").asc())
+    hits = (
+        ranked.filter(
+            (F.col("label") == F.col("qlabel")) & (F.col("rnk") <= 10)
+        )
+        .withColumn("j", F.row_number().over(wj))
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rel_topk"),
+            F.sum(F.expr("j * 1000000 DIV rnk")).alias("s"),
+        )
+    )
+    r_total = (
+        base.groupBy(F.col("label").alias("qlabel"))
+        .agg(F.count(F.lit(1)).alias("r_total"))
+        .join(
+            q.select("qid", "qlabel"), "qlabel"
+        )
+        .select("qid", "r_total")
+    )
+    return (
+        r_total.join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("n_rel_topk"), F.lit(0))
+            .cast("long")
+            .alias("n_rel_topk"),
+            F.coalesce(
+                F.expr("s DIV least(greatest(r_total, 1), 10)"),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("ap_ppm"),
+        )
+    )
