@@ -3763,3 +3763,123 @@ def q279_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ap_ppm"),
         )
     )
+
+
+@register(
+    "q280_bigram_surprisal",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+    occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM occ GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uni),
+    bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                 FROM toks)),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+           FROM bg GROUP BY w1, w2),
+    bb AS (SELECT bc.w1, bc.w2,
+                  CAST(length(bin(u.c // bc.cb)) - 1 AS BIGINT) AS b
+           FROM bc JOIN uni u ON u.tok = bc.w1),
+    ub AS (SELECT tok,
+                  CAST(length(bin(total // c)) - 1 AS BIGINT) AS b
+           FROM uni CROSS JOIN tot),
+    fb AS (SELECT x.doc_id, ub.b
+           FROM (SELECT doc_id, t[1] AS tok FROM toks
+                 WHERE len(t) >= 1) x
+           JOIN ub ON ub.tok = x.tok),
+    sb AS (SELECT bg.doc_id, CAST(sum(bb.b) AS BIGINT) AS s
+           FROM bg JOIN bb ON bb.w1 = bg.w1 AND bb.w2 = bg.w2
+           GROUP BY bg.doc_id)
+    SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(fb.b + coalesce(sb.s, 0) AS BIGINT) AS surprisal_bits,
+           CAST((fb.b + coalesce(sb.s, 0)) * 1000 // len(t.t)
+                AS BIGINT) AS mean_millibits
+    FROM toks t JOIN fb ON fb.doc_id = t.doc_id
+    LEFT JOIN sb ON sb.doc_id = t.doc_id
+    WHERE len(t.t) >= 1
+    """,
+    doc="per-doc BIGRAM-conditional surprisal — q272's context-"
+    "sensitive extension (the 2-gram LM member of the perplexity-"
+    "filter family): the first token pays the unigram cost "
+    "floor_log2(N_total DIV cnt(w)), every later token pays the "
+    "CONDITIONAL cost floor_log2(cnt(prev) DIV cnt(prev, cur)) — "
+    "cnt(prev) >= cnt(prev, cur) by construction, so bits >= 0. "
+    "Context-sensitivity is the gate: templated docs whose bigrams "
+    "repeat verbatim score far below q272 on the SAME unigram "
+    "multiset. floor-log2 as length(bin(x)) - 1, integer-exact "
+    "(q272's rationale). Plan: bigrams form IN-ROW (zip_with "
+    "against the array's own shift, q177's idiom — no positional "
+    "self-join), per-TYPE bits computed once on the bigram-vocab "
+    "table joined to vocab-sized unigram counts, then one (w1, w2) "
+    "join back + doc groupBy; three keyed shuffles, no floats, no "
+    "UDFs — a 100 TB pass is a bigram shuffle plus a doc reduce",
+)
+def q280_bigram_surprisal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions.text import nonempty_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", nonempty_tokens(F.col("text")).alias("tk")
+    ).filter(F.size("tk") >= 1)
+    occ = docs.select(
+        "doc_id", F.explode(F.col("tk")).alias("tok")
+    )
+    uni = occ.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("total"))
+    ub = uni.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.expr("CAST(length(bin(total DIV c)) - 1 AS BIGINT)").alias(
+            "b"
+        ),
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(tk, 1, greatest(0, size(tk) - 1))"),
+                F.expr("slice(tk, 2, greatest(0, size(tk) - 1))"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    bb = bc.join(
+        uni.select(F.col("tok").alias("w1"), "c"), "w1"
+    ).select(
+        "w1",
+        "w2",
+        F.expr("CAST(length(bin(c DIV cb)) - 1 AS BIGINT)").alias("b"),
+    )
+    fb = docs.select(
+        "doc_id", F.element_at("tk", 1).alias("tok")
+    ).join(ub, "tok").select("doc_id", F.col("b").alias("fb"))
+    sb = (
+        bg.join(bb, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.sum("b").cast("long").alias("s"))
+    )
+    return (
+        docs.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+        .join(fb, "doc_id")
+        .join(sb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("fb") + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("surprisal_bits"),
+            F.expr(
+                "CAST((fb + coalesce(s, 0)) * 1000 DIV n_tokens "
+                "AS BIGINT)"
+            ).alias("mean_millibits"),
+        )
+    )

@@ -3632,3 +3632,31 @@ def test_bm25_empty_query_returns_empty(spark):
     got = bm25_search(df, "doc_id", "text", [], k=5)
     assert got.columns == ["doc_id", "dl", "score"]
     assert got.collect() == []
+
+
+def test_bigram_surprisal_hand_computed_and_context_sensitive(spark):
+    """Corpus 'a b a b' / 'b a'. Unigrams: a=3 b=3, total 6.
+    Bigrams: (a,b)=2, (b,a)=2.
+    d1: first 'a' pays floor(log2(6 DIV 3)) = 1; then (a,b):
+    floor(log2(3 DIV 2)) = 0, (b,a): 0, (a,b): 0 -> 1 bit / 4 tokens
+    (250 millibits). d2: first 'b' pays 1; (b,a) pays 0 -> 1 bit / 2
+    tokens (500). The templated doc d1 (repeated bigrams) lands BELOW
+    its unigram surprisal (q272 would give 1000 millibits) — the
+    context-sensitivity gate."""
+    from striot_spark.queries.datapipe import q280_bigram_surprisal
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [("d1", "a b a b"), ("d2", "b a")], "doc_id string, text string"
+    )
+    out = tempfile.mkdtemp(prefix="striot_q280_") + "/documents.parquet"
+    docs.write.parquet(out)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["surprisal_bits"], r["mean_millibits"]
+        )
+        for r in q280_bigram_surprisal(
+            spark, out.rsplit("/", 1)[0]
+        ).collect()
+    }
+    assert got == {"d1": (4, 1, 250), "d2": (2, 1, 500)}
