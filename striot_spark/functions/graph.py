@@ -2313,3 +2313,158 @@ def betweenness_pivots(
         .agg(F.sum("delta").cast("long").alias("bc_ppm"))
         .filter(F.col("bc_ppm") > 0)
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 10**9,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Fixed-iteration integer HITS (Kleinberg 1999, public
+    methodology) over a DIRECTED edge list — the mutual-reinforcement
+    counterpart of PageRank: authority(v) = Σ_{u→v} hub(u),
+    hub(u) = Σ_{u→v} authority(v), alternating, each vector
+    L1-renormalized to total mass N * scale per half-round so the
+    fixed-point is scale-free and both engines compute the identical
+    truncated iterate (HITS is defined up to scaling; L1 instead of
+    the textbook L2 because Σ and DIV are exact integers while sqrt
+    is not — a documented delta that changes magnitudes, never
+    per-vector order).
+
+    All arithmetic exact: raw sums are plain longs (headroom
+    ``max_deg * N * scale < 2^63`` ENFORCED at setup — a hub of
+    in-degree d can receive at most d * N * scale); normalization
+    ``raw * (N * scale) DIV Σraw`` runs in decimal(38,0) because the
+    product is ~(N*scale)^2 (the ``dedup_groups``/``betweenness``
+    accumulator precedent), guarded by
+    ``max_deg * (N * scale)^2 < 10^38``. Parallel edges act as
+    integer weights (the multiplicity view); pass a distinct edge
+    list for the unweighted statistic.
+
+    Plan per half-round: one key join of the edge list with the
+    one-row-per-node score frame + one groupBy with map-side partials
+    + one scalar agg broadcast back — the pagerank shape, twice per
+    round. The edge list is persisted ONCE; per-iteration traffic is
+    two (node, score) tables. Lineage cut every ``checkpoint_every``
+    rounds on both vectors (each round references each vector twice:
+    the raw sum and the normalizer).
+
+    Returns (node, auth, hub) for every vertex of src ∪ dst —
+    source-only nodes end with auth = 0, sink-only nodes with
+    hub = 0.
+    """
+    from striot_spark.functions.caching import track_persist
+
+    if iterations < 1:
+        raise ValueError("hits: iterations must be >= 1")
+    spark = edges.sparkSession
+    e = track_persist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    try:
+        small_edges = int(
+            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
+        )
+    except ValueError:
+        small_edges = SMALL_GRAPH_DEFAULT
+    # one setup action over the persisted edge list covers the
+    # small-graph gate AND the hub-degree side of the headroom guard
+    # (max in/out degree as max over two count-distinct-free aggs)
+    degs = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("d").alias("max_deg"),
+            F.sum("d").alias("arcs2"),
+        )
+        .collect()[0]
+    )
+    n_nodes = int(degs["n_nodes"])
+    max_deg = int(degs["max_deg"] or 0)
+    edge_rows = int(degs["arcs2"]) // 2
+    if n_nodes == 0:
+        return e.select(
+            F.col("src").alias("node"),
+            F.lit(0).cast("long").alias("auth"),
+            F.lit(0).cast("long").alias("hub"),
+        ).limit(0)
+    mass = n_nodes * scale
+    if max_deg * mass >= 2**63:
+        raise ValueError(
+            f"hits: max_deg * N * scale = {max_deg} * {n_nodes} * "
+            f"{scale} exceeds 2^63-1 — a hub's raw sum would silently "
+            "wrap; lower scale (scores are relative)"
+        )
+    if max_deg * mass * mass >= 10**38:
+        raise ValueError(
+            f"hits: max_deg * (N * scale)^2 exceeds decimal(38,0) — "
+            "the normalization product would overflow; lower scale"
+        )
+    npart = (
+        spark.sparkContext.defaultParallelism
+        if edge_rows <= small_edges
+        else None
+    )
+
+    def part(df: DataFrame, key: str) -> DataFrame:
+        return df.repartition(npart, key) if npart else df
+
+    nodes = track_persist(
+        part(
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct(),
+            "node",
+        )
+    )
+    e_p = track_persist(part(e, "src"))
+
+    def _normalized(raw: DataFrame, out_col: str) -> DataFrame:
+        tot = raw.agg(F.sum("raw").alias("__tot"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.expr(
+                f"CAST(CAST(raw AS DECIMAL(38,0)) * {mass} "
+                f"DIV __tot AS BIGINT)"
+            ).alias(out_col),
+        )
+
+    h = nodes.withColumn("hub", F.lit(scale).cast("long"))
+    a = None
+    for i in range(iterations):
+        raw_a = (
+            e_p.join(part(h, "node"), e_p["src"] == F.col("node"))
+            .select(F.col("dst").alias("node"), F.col("hub").alias("c"))
+        )
+        raw_a = (
+            part(raw_a, "node").groupBy("node").agg(F.sum("c").alias("s"))
+        )
+        raw_a = nodes.join(raw_a, "node", "left").select(
+            "node", F.coalesce(F.col("s"), F.lit(0)).alias("raw")
+        )
+        a = _normalized(raw_a, "auth")
+        raw_h = (
+            e_p.join(part(a, "node"), e_p["dst"] == F.col("node"))
+            .select(F.col("src").alias("node"), F.col("auth").alias("c"))
+        )
+        raw_h = (
+            part(raw_h, "node").groupBy("node").agg(F.sum("c").alias("s"))
+        )
+        raw_h = nodes.join(raw_h, "node", "left").select(
+            "node", F.coalesce(F.col("s"), F.lit(0)).alias("raw")
+        )
+        h = _normalized(raw_h, "hub")
+        if (i + 1) % checkpoint_every == 0:
+            a = a.localCheckpoint(eager=True)
+            h = h.localCheckpoint(eager=True)
+    return nodes.join(a, "node", "left").join(h, "node", "left").select(
+        "node",
+        F.coalesce(F.col("auth"), F.lit(0)).cast("long").alias("auth"),
+        F.coalesce(F.col("hub"), F.lit(0)).cast("long").alias("hub"),
+    )

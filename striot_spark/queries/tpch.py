@@ -3845,3 +3845,86 @@ def q271_link_prediction_ra_capped(
     return link_prediction_ra(
         pairs, src="u", dst="v", max_degree=60
     )
+
+
+def _hits_oracle(iterations: int, scale: int) -> str:
+    """Unrolled HITS recurrence (mirror of functions/graph.py:hits):
+    alternating in-sum / out-sum with L1 renormalization to N*scale,
+    HUGEINT intermediates (Spark runs the normalization product in
+    decimal(38,0); values identical under the enforced guards)."""
+    sql = f"""
+    WITH eraw AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    v AS (SELECT src AS node FROM eraw UNION SELECT dst FROM eraw),
+    nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM v),
+    h0 AS (SELECT node, CAST({scale} AS HUGEINT) AS sc FROM v)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+    ra{i} AS (SELECT v.node, CAST(COALESCE(s.s, 0) AS HUGEINT) AS raw
+              FROM v LEFT JOIN (
+                  SELECT e.dst AS node, sum(h.sc) AS s
+                  FROM eraw e JOIN h{i - 1} h ON h.node = e.src
+                  GROUP BY e.dst) s ON v.node = s.node),
+    a{i} AS (SELECT node,
+                    raw * ((SELECT n FROM nn) * {scale})
+                        // (SELECT sum(raw) FROM ra{i}) AS sc
+             FROM ra{i}),
+    rh{i} AS (SELECT v.node, CAST(COALESCE(s.s, 0) AS HUGEINT) AS raw
+              FROM v LEFT JOIN (
+                  SELECT e.src AS node, sum(a.sc) AS s
+                  FROM eraw e JOIN a{i} a ON a.node = e.dst
+                  GROUP BY e.src) s ON v.node = s.node),
+    h{i} AS (SELECT node,
+                    raw * ((SELECT n FROM nn) * {scale})
+                        // (SELECT sum(raw) FROM rh{i}) AS sc
+             FROM rh{i})"""
+    return sql + f"""
+    SELECT a.node, CAST(a.sc AS BIGINT) AS auth,
+           CAST(h.sc AS BIGINT) AS hub
+    FROM a{iterations} a JOIN h{iterations} h ON a.node = h.node
+    """
+
+
+@register(
+    "q277_hits_trade",
+    _hits_oracle(iterations=2, scale=10**9),
+    doc="fixed-iteration integer HITS (functions/graph.py:hits, "
+    "Kleinberg 1999) over the DIRECTED customer->supplier trade "
+    "graph — the mutual-reinforcement counterpart of q133's "
+    "PageRank, completing the classic link-analysis pair: supplier "
+    "AUTHORITY = endorsed by high-hub customers, customer HUB = "
+    "buying from high-authority suppliers; on the bipartite graph "
+    "the two vectors split cleanly (customers end auth=0, suppliers "
+    "hub=0 — structural, so the gate checks both directions' "
+    "recurrences). L1 renormalization to N*scale per half-round in "
+    "exact integers (decimal(38,0) normalization product; headroom "
+    "max_deg*N*scale < 2^63 and max_deg*(N*scale)^2 < 10^38 both "
+    "ENFORCED at setup), a documented delta from the textbook L2 "
+    "(sqrt is not integer-exact; scaling never reorders). Oracle "
+    "unrolls the identical recurrence in HUGEINT. Per half-round: "
+    "one edge-key join + one keyed groupBy + one broadcast scalar — "
+    "pagerank's 100 TB shape",
+)
+def q277_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.graph import hits
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return hits(pairs, iterations=2)

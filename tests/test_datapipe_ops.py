@@ -3660,3 +3660,28 @@ def test_bigram_surprisal_hand_computed_and_context_sensitive(spark):
         ).collect()
     }
     assert got == {"d1": (4, 1, 250), "d2": (2, 1, 500)}
+
+
+def test_hits_hand_computed_and_guards(spark):
+    """3-node DAG 1->2, 1->3, 2->3 at scale=1000 (mass 3000), 2
+    rounds, by hand: r1 auth (0,1000,2000) tot 3000 -> unchanged;
+    hub raw (3000,2000,0) tot 5000 -> (1800,1200,0). r2 auth raw
+    (0,1800,3000) tot 4800 -> (0,1125,1875); hub raw (3000,1875,0)
+    tot 4875 -> (1846,1153,0)."""
+    import pytest as _pytest
+
+    from striot_spark.functions.graph import hits
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["auth"], r["hub"])
+        for r in hits(e, iterations=2, scale=1000).collect()
+    }
+    assert got == {1: (0, 1846), 2: (1125, 1153), 3: (1875, 0)}
+    with _pytest.raises(ValueError, match="iterations"):
+        hits(e, iterations=0)
+    # headroom: max_deg * N * scale past 2^63 must raise, not wrap
+    with _pytest.raises(ValueError, match="2\\^63"):
+        hits(e, iterations=1, scale=2**62)
