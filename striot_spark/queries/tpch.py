@@ -3928,3 +3928,67 @@ def q277_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return hits(pairs, iterations=2)
+
+
+@register(
+    "q278_butterfly_count",
+    """
+    WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+               FROM lineitem),
+    c AS (SELECT a.p AS pa, b.p AS pb,
+                 CAST(count(*) AS BIGINT) AS cooc
+          FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+          GROUP BY a.p, b.p),
+    bf AS (SELECT pa, pb, cooc * (cooc - 1) // 2 AS b
+           FROM c WHERE cooc >= 2)
+    SELECT part, CAST(sum(b) AS BIGINT) AS n_butterflies
+    FROM (SELECT pa AS part, b FROM bf
+          UNION ALL SELECT pb AS part, b FROM bf) x
+    GROUP BY part
+    """,
+    doc="per-part BUTTERFLY count (bipartite 4-cycle / K_{2,2} motif, "
+    "Sanei-Mehri, Sariyuce & Tirthapura KDD'18, public methodology) "
+    "over the order-part purchase bipartite graph — the bipartite "
+    "counterpart of q149's triangles (bipartite graphs have NO "
+    "triangles; the butterfly is their smallest cohesion unit): "
+    "bf(p) = Σ_q C(cooc(p,q), 2), where cooc = distinct orders "
+    "containing both parts — two orders sharing two parts form one "
+    "butterfly, the co-purchase clustering signal dedup/recsys "
+    "pipelines use. Wedges pivot on the ORDER side, so the fan-out "
+    "per order is C(order_size, 2) — bounded by basket size (~7 in "
+    "TPC-H-shaped data), NEVER by part popularity: Σ wedges is "
+    "LINEAR in orders at 100 TB and the only shuffle is the "
+    "(pa, pb) count with map-side partials (the published "
+    "smaller-side-pivot strategy). Exact integers throughout; the "
+    "full-history window is deliberate — the 1995Q1 window of "
+    "q241/q242 contains ZERO butterflies at fixture scale (probed; "
+    "vacuous-gate discipline)",
+)
+def q278_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    a = li.select("o", F.col("p").alias("pa"))
+    b = li.select("o", F.col("p").alias("pb"))
+    bf = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+        .select(
+            "pa",
+            "pb",
+            F.expr("cooc * (cooc - 1) DIV 2").alias("b"),
+        )
+    )
+    return (
+        bf.select(F.col("pa").alias("part"), "b")
+        .unionByName(bf.select(F.col("pb").alias("part"), "b"))
+        .groupBy("part")
+        .agg(F.sum("b").cast("long").alias("n_butterflies"))
+    )

@@ -3685,3 +3685,28 @@ def test_hits_hand_computed_and_guards(spark):
     # headroom: max_deg * N * scale past 2^63 must raise, not wrap
     with _pytest.raises(ValueError, match="2\\^63"):
         hits(e, iterations=1, scale=2**62)
+
+
+def test_butterfly_count_hand_computed(spark):
+    """Orders o1={p1,p2,p3}, o2={p1,p2}: cooc(p1,p2)=2 -> one
+    butterfly on p1 and p2; all pairs involving p3 have cooc 1 ->
+    p3 absent. Registered shape exercised via a temp lineitem."""
+    import tempfile
+
+    from striot_spark.queries.tpch import q278_butterfly_count
+
+    ns = 800_000_000_000_000_000  # load_table converts nano l_shipdate
+    rows = [
+        (1, 101, ns), (1, 102, ns), (1, 103, ns),
+        (2, 101, ns), (2, 102, ns),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_shipdate long"
+    )
+    d = tempfile.mkdtemp(prefix="striot_q278_")
+    li.write.parquet(d + "/lineitem.parquet")
+    got = {
+        r["part"]: r["n_butterflies"]
+        for r in q278_butterfly_count(spark, d).collect()
+    }
+    assert got == {101: 1, 102: 1}
