@@ -3992,3 +3992,116 @@ def q278_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part")
         .agg(F.sum("b").cast("long").alias("n_butterflies"))
     )
+
+
+@register(
+    "q281_rich_club",
+    """
+    WITH eraw AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (SELECT u AS src, v AS dst FROM eraw
+              UNION ALL SELECT v AS src, u AS dst FROM eraw),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    emin AS (SELECT least(du.d, dv.d) AS m
+             FROM eraw p
+             JOIN deg du ON du.node = p.u
+             JOIN deg dv ON dv.node = p.v),
+    ks AS (SELECT DISTINCT d AS k FROM deg),
+    stats AS (SELECT k,
+                     (SELECT count(*) FROM deg WHERE d > k) AS nk,
+                     (SELECT count(*) FROM emin WHERE m > k) AS ek
+              FROM ks)
+    SELECT CAST(k AS BIGINT) AS k, CAST(nk AS BIGINT) AS n_rich,
+           CAST(ek AS BIGINT) AS e_rich,
+           CAST(2 * ek * 1000000 // (nk * (nk - 1)) AS BIGINT)
+               AS phi_ppm
+    FROM stats WHERE nk >= 2
+    """,
+    doc="rich-club coefficient curve (Colizza, Flammini, Serrano & "
+    "Vespignani 2006, public methodology) over the FULL part "
+    "co-purchase graph (q266's; the quarter window's degrees top "
+    "out at 2 and give a 2-point curve — vacuous-gate discipline): "
+    "for every OBSERVED degree value k, phi(k) = "
+    "2*E_k*1e6 DIV (N_k*(N_k-1)) where N_k = nodes with degree > k "
+    "and E_k = edges whose BOTH endpoints have degree > k — do the "
+    "best-connected products preferentially co-occur with each "
+    "other (hub interconnection, the global complement of q252's "
+    "assortativity and q255's local clustering). Exact integer ppm. "
+    "Scale shape: an edge counts toward E_k for every k below its "
+    "MIN endpoint degree, so both curves are SUFFIX SUMS over two "
+    "degree-valued histograms — one degree groupBy, one edge "
+    "min-degree annotation (two keyed joins), then windows over the "
+    "distinct-degree frame (bounded by |distinct degrees|, single "
+    "tiny partition by design — never data-sized). No per-threshold "
+    "scans: the full curve costs one pass at 100 TB",
+)
+def q281_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    both = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    emin = (
+        pairs.join(
+            deg.select(F.col("node").alias("u"), F.col("d").alias("du")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("dv")),
+            "v",
+        )
+        .select(F.least("du", "dv").alias("val"))
+        .groupBy("val")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_cnt"))
+    )
+    nhist = deg.groupBy(F.col("d").alias("val")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cnt")
+    )
+    merged = nhist.join(emin, "val", "full").select(
+        "val",
+        F.coalesce("n_cnt", F.lit(0)).alias("n_cnt"),
+        F.coalesce("e_cnt", F.lit(0)).alias("e_cnt"),
+    )
+    w = (
+        W.orderBy(F.col("val").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    curve = merged.select(
+        "val",
+        "n_cnt",
+        F.coalesce(F.sum("n_cnt").over(w), F.lit(0)).alias("n_rich"),
+        F.coalesce(F.sum("e_cnt").over(w), F.lit(0)).alias("e_rich"),
+    )
+    return (
+        curve.filter((F.col("n_cnt") > 0) & (F.col("n_rich") >= 2))
+        .select(
+            F.col("val").cast("long").alias("k"),
+            F.col("n_rich").cast("long").alias("n_rich"),
+            F.col("e_rich").cast("long").alias("e_rich"),
+            F.expr(
+                "CAST(2 * e_rich * 1000000 DIV (n_rich * (n_rich - 1)) "
+                "AS BIGINT)"
+            ).alias("phi_ppm"),
+        )
+    )

@@ -3710,3 +3710,26 @@ def test_butterfly_count_hand_computed(spark):
         for r in q278_butterfly_count(spark, d).collect()
     }
     assert got == {101: 1, 102: 1}
+
+
+def test_rich_club_hand_computed(spark):
+    """Co-purchase graph = triangle {1,2,3} + pendant 4-1 (orders
+    {1,2},{1,3},{2,3},{1,4}). Degrees 3,2,2,1. Only k=1 qualifies
+    (k=2 leaves one node): N_1=3, E_1=3 (the triangle), phi =
+    2*3*1e6 DIV (3*2) = 1000000 — a perfect rich club."""
+    import tempfile
+
+    from striot_spark.queries.tpch import q281_rich_club
+
+    ns = 800_000_000_000_000_000
+    rows = [
+        (1, 1, ns), (1, 2, ns), (2, 1, ns), (2, 3, ns),
+        (3, 2, ns), (3, 3, ns), (4, 1, ns), (4, 4, ns),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_shipdate long"
+    )
+    d = tempfile.mkdtemp(prefix="striot_q281_")
+    li.write.parquet(d + "/lineitem.parquet")
+    got = [tuple(r) for r in q281_rich_club(spark, d).collect()]
+    assert got == [(1, 3, 3, 1000000)]
