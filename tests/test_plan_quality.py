@@ -1101,3 +1101,34 @@ def test_bm25_scores_as_projection(spark, sf_dir):
     assert "Join" not in plan
     assert "Exchange" not in plan
     assert "TakeOrdered" in plan
+
+
+def test_hits_rounds_are_keyed_joins_only(spark, sf_dir):
+    """q277: each HITS half-round is one edge-key join + one keyed
+    groupBy + a 1-row scalar broadcast; the round-2 lineage cut
+    collapses the normalizer branches, so the executed tree has no
+    cartesian and no unkeyed nested loop at all."""
+    plan = _executed(spark, "q277_hits_trade", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_butterfly_count_is_wedge_join_plus_aggs(spark, sf_dir):
+    """q278: the only join is the order-keyed wedge self-join (hash,
+    never sort-merge — both sides are the same deduped projection)
+    and everything else is hash aggregates; no cartesian, no window."""
+    plan = _executed(spark, "q278_butterfly_count", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_rich_club_curve_has_no_cartesian(spark, sf_dir):
+    """q281: degree annotation is two keyed joins, the curve is
+    suffix-sum windows over the distinct-degree histogram — no
+    cartesian, no unkeyed nested loop, and no per-threshold rescans
+    (exactly one scan pair for the wedge join)."""
+    plan = _executed(spark, "q281_rich_club", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
