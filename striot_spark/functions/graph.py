@@ -2426,6 +2426,12 @@ def hits(
     e_p = track_persist(part(e, "src"))
 
     def _normalized(raw: DataFrame, out_col: str) -> DataFrame:
+        # the normalizer references `raw` twice (scalar total + the
+        # scaled output) — persist the node-sized vector first or each
+        # half-round recomputes every prior one ~2x (the pagerank-
+        # redistribute double-reference disease; measured 32s -> ~8s
+        # at sf0.01 in the fresh-process sim)
+        raw = track_persist(raw)
         tot = raw.agg(F.sum("raw").alias("__tot"))
         return raw.crossJoin(F.broadcast(tot)).select(
             "node",
