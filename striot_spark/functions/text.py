@@ -980,7 +980,6 @@ def bm25_search(
     (score DESC, id ASC) total order.
     """
     qlist = list(query_tokens)
-    toks = nonempty_tokens(F.col(text_col))
 
     def _empty() -> DataFrame:
         return df.select(
@@ -991,6 +990,71 @@ def bm25_search(
 
     if not qlist:
         return _empty()
+    n_docs, tot_tokens, dfs = bm25_corpus_stats(df, text_col, qlist)
+    if n_docs == 0 or tot_tokens == 0:
+        return _empty()
+    if (n_docs + 1) * 1000 * (k1_milli + 1000) * 1000 * len(qlist) >= 2**63:
+        raise ValueError(
+            "bm25_search: n_docs * |query| exceeds exact-long scoring "
+            "headroom - lower k1_milli or shrink the query"
+        )
+    dl_sql, score_sql = bm25_score_sql(
+        text_col, qlist, dfs, n_docs, tot_tokens, k1_milli, b_milli
+    )
+    scored = df.select(
+        F.col(id_col),
+        F.expr(dl_sql).alias("dl"),
+        F.expr(score_sql).alias("score"),
+    ).filter(F.col("score") > 0)
+    return scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def bm25_score_sql(
+    text_col: str,
+    query_tokens: Sequence[str],
+    dfs: Sequence[int],
+    n_docs: int,
+    tot_tokens: int,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+) -> tuple[str, str]:
+    """Build the (dl, score) SQL expression pair of ``bm25_search``'s
+    integer Okapi formula with the corpus stats as inlined literals —
+    shared by the batch ranker and the streaming ingest-time scorer so
+    the two compute the bit-identical score by construction."""
+    tok_sql = f"filter(split({text_col}, ' '), x -> x <> '')"
+    dl_sql = f"CAST(size({tok_sql}) AS BIGINT)"
+    norm_sql = (
+        f"({1000 - b_milli} + {b_milli} * {dl_sql} * {n_docs} "
+        f"DIV {tot_tokens})"
+    )
+    terms = []
+    for t, dfi in zip(query_tokens, dfs):
+        idf_milli = (n_docs - dfi + 1) * 1000 // (dfi + 1)
+        tf_sql = (
+            f"CAST(size(filter({tok_sql}, x -> x = '{t}')) AS BIGINT)"
+        )
+        sat_sql = (
+            f"({tf_sql} * {(k1_milli + 1000) * 1000000} "
+            f"DIV ({tf_sql} * 1000 + ({k1_milli} * {norm_sql}) DIV 1000))"
+        )
+        terms.append(f"{sat_sql} * {idf_milli}")
+    score_sql = "CAST(" + " + ".join(terms) + " AS BIGINT)"
+    return dl_sql, score_sql
+
+
+def bm25_corpus_stats(
+    df: DataFrame,
+    text_col: str,
+    query_tokens: Sequence[str],
+) -> tuple[int, int, list[int]]:
+    """One-scan corpus statistics for BM25: (n_docs, total_tokens,
+    per-query-token document frequencies) — the pass both the batch
+    ranker and the streaming scorer run before inlining literals."""
+    toks = nonempty_tokens(F.col(text_col))
+    qlist = list(query_tokens)
     stats = df.select(
         F.size(toks).cast("long").alias("__dl"),
         *[
@@ -1003,39 +1067,8 @@ def bm25_search(
         *[F.sum(f"__c{i}").alias(f"df{i}") for i in range(len(qlist))],
     )
     row = stats.collect()[0]
-    n_docs = int(row["__n_docs"])
-    tot_tokens = int(row["__tot"] or 0)
-    if n_docs == 0 or tot_tokens == 0:
-        return _empty()
-    if (n_docs + 1) * 1000 * (k1_milli + 1000) * 1000 * len(qlist) >= 2**63:
-        raise ValueError(
-            "bm25_search: n_docs * |query| exceeds exact-long scoring "
-            "headroom - lower k1_milli or shrink the query"
-        )
-    tok_sql = f"filter(split({text_col}, ' '), x -> x <> '')"
-    dl_sql = f"CAST(size({tok_sql}) AS BIGINT)"
-    norm_sql = (
-        f"({1000 - b_milli} + {b_milli} * {dl_sql} * {n_docs} "
-        f"DIV {tot_tokens})"
+    return (
+        int(row["__n_docs"]),
+        int(row["__tot"] or 0),
+        [int(row[f"df{i}"]) for i in range(len(qlist))],
     )
-    terms = []
-    for i, t in enumerate(qlist):
-        dfi = int(row[f"df{i}"])
-        idf_milli = (n_docs - dfi + 1) * 1000 // (dfi + 1)
-        tf_sql = (
-            f"CAST(size(filter({tok_sql}, x -> x = '{t}')) AS BIGINT)"
-        )
-        sat_sql = (
-            f"({tf_sql} * {(k1_milli + 1000) * 1000000} "
-            f"DIV ({tf_sql} * 1000 + ({k1_milli} * {norm_sql}) DIV 1000))"
-        )
-        terms.append(f"{sat_sql} * {idf_milli}")
-    score_sql = "CAST(" + " + ".join(terms) + " AS BIGINT)"
-    scored = df.select(
-        F.col(id_col),
-        F.expr(dl_sql).alias("dl"),
-        F.expr(score_sql).alias("score"),
-    ).filter(F.col("score") > 0)
-    return scored.orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    ).limit(k)

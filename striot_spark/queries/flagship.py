@@ -2898,3 +2898,105 @@ def q273_surprisal_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(surprisal_bits * 1000 DIV n_tokens AS BIGINT)"
         ).alias("mean_millibits"),
     )
+
+
+def _q282_oracle() -> str:
+    """q276's scored CTE WITHOUT the top-k: the serve scores every
+    arriving document (the oracle recomputes the corpus stats in SQL;
+    the stream inlines the identical literals)."""
+    from striot_spark.queries.datapipe import (
+        _BM25_B_M,
+        _BM25_K1_M,
+        _BM25_QUERY,
+    )
+
+    tok = "list_filter(string_split(text, ' '), x -> x <> '')"
+    norm = (
+        f"({1000 - _BM25_B_M} + {_BM25_B_M} * len(t) * n_docs // tot)"
+    )
+    terms = []
+    for i, w in enumerate(_BM25_QUERY):
+        tf = f"len(list_filter(t, x -> x = '{w}'))"
+        sat = (
+            f"({tf} * {(_BM25_K1_M + 1000) * 1000000} "
+            f"// ({tf} * 1000 + ({_BM25_K1_M} * {norm}) // 1000))"
+        )
+        idf = f"((n_docs - df{i} + 1) * 1000 // (df{i} + 1))"
+        terms.append(f"{sat} * {idf}")
+    score = " + ".join(terms)
+    dfs = ", ".join(
+        f"sum(CASE WHEN list_contains(t, '{w}') THEN 1 ELSE 0 END)"
+        f" AS df{i}"
+        for i, w in enumerate(_BM25_QUERY)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {tok} AS t FROM documents),
+    stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS tot,
+                     {dfs}
+              FROM toks)
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+           CAST({score} AS BIGINT) AS score
+    FROM toks, stats
+    """
+
+
+@register(
+    "q282_bm25_stream_serve",
+    _q282_oracle(),
+    doc="STREAMING ingest-time BM25 scoring — q276's deployment shape "
+    "and the retrieval member of the serve tier (graphs: "
+    "q250/q267/q269; text quality: q273): phase 1 runs "
+    "functions/text.py:bm25_corpus_stats on the static corpus "
+    "snapshot (ONE scan -> N_docs/total_tokens/per-term dfs) and "
+    "inlines them as literals into the SHARED bm25_score_sql "
+    "expression — the batch ranker and the stream scorer compute the "
+    "bit-identical score BY CONSTRUCTION (same code path builds "
+    "both); phase 2 scores every ARRIVING document in-row: a "
+    "STATELESS projection (no state store, no watermark, zero "
+    "stream-side shuffle), so the drained result is "
+    "batch-deterministic under any replay batching and the oracle is "
+    "q276's scored CTE without the top-k (a serve emits every doc's "
+    "score; ranking/cutoff is the reader's policy). At 100 TB the "
+    "stats pass is one scan and ingest scoring rides the stream at "
+    "scan speed",
+)
+def q282_bm25_stream_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from striot_spark.functions.text import (
+        bm25_corpus_stats,
+        bm25_score_sql,
+    )
+    from striot_spark.queries.datapipe import (
+        _BM25_B_M,
+        _BM25_K1_M,
+        _BM25_QUERY,
+    )
+    from striot_spark.streaming import runtime as RT
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs, tot_tokens, dfs = bm25_corpus_stats(
+        docs, "text", _BM25_QUERY
+    )
+    dl_sql, score_sql = bm25_score_sql(
+        "text", _BM25_QUERY, dfs, n_docs, tot_tokens,
+        _BM25_K1_M, _BM25_B_M,
+    )
+    src = _stage_documents(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = RT.file_stream(spark, src, schema)
+    scored = sdf.select(
+        "doc_id",
+        F.expr(dl_sql).alias("dl"),
+        F.expr(score_sql).alias("score"),
+    )
+    drained = RT.run_available_now(
+        scored,
+        f"q282_bm25_{uuid.uuid4().hex[:8]}",
+        tempfile.mkdtemp(prefix="striot_q282_ck_"),
+        mode="append",
+    )
+    return drained
