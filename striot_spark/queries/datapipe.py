@@ -3883,3 +3883,123 @@ def q280_bigram_surprisal(
             ).alias("mean_millibits"),
         )
     )
+
+
+@register(
+    "q283_prototypicality_band",
+    """
+    WITH idx AS (
+        SELECT label, embedding AS em,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings),
+    cs AS (SELECT label, i,
+                  sum(CAST(floor(CAST(em[i] AS DOUBLE) * 1000000 + 0.5)
+                           AS BIGINT)) AS q,
+                  count(*) AS n
+           FROM idx GROUP BY label, i),
+    cen AS (SELECT label,
+                   list(CAST(q AS DOUBLE) / n / 1000000 ORDER BY i)
+                       AS cl
+            FROM cs GROUP BY label),
+    sc AS (SELECT v.vec_id, v.label,
+                  round(list_dot_product(v.em, c.cl)
+                        / (sqrt(list_dot_product(v.em, v.em))
+                           * sqrt(list_dot_product(c.cl, c.cl))),
+                        6) AS cos
+           FROM (SELECT vec_id, label, embedding::DOUBLE[] AS em
+                 FROM embeddings) v
+           JOIN cen c ON c.label = v.label),
+    r AS (SELECT vec_id, label,
+                 row_number() OVER (
+                     PARTITION BY label
+                     ORDER BY cos DESC, vec_id ASC) AS r,
+                 count(*) OVER (PARTITION BY label) AS n
+          FROM sc)
+    SELECT vec_id, label, CAST(r AS BIGINT) AS r,
+           CAST(n AS BIGINT) AS n_label
+    FROM r WHERE r > n // 10 AND r <= n - n // 10
+    """,
+    doc="prototypicality BAND filter over embeddings (the D4 / "
+    "SSL-prototypes pruning recipe, Sorscher et al. 2022 + Abbas et "
+    "al. 2023 methodology): rank every vector within its label by "
+    "cosine to the LABEL CENTROID and drop BOTH tails — the top "
+    "decile (most prototypical = redundant near the cluster center) "
+    "and the bottom decile (far outliers = likely noise), keeping "
+    "the informative middle band. Centroids come from q145's exact "
+    "integer micro-unit sums (engine-identical), converted to "
+    "doubles by the SAME IEEE division on both engines and inlined "
+    "as per-label array literals, so scoring is a ZERO-JOIN "
+    "projection (10 labels x 64 dims of literals); ranking uses the "
+    "shared round-6-cosine + vec_id tie-break (q275's determinism "
+    "contract) and the output is integers only. One label-window "
+    "rank, band edges by integer DIV — at 100 TB this is one "
+    "centroid pass + one scan + one label-keyed window",
+)
+def q283_prototypicality_band(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from striot_spark.functions.similarity import (
+        as_double,
+        norm,
+        pair_cosine,
+        scatter,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.select(
+            "label",
+            F.posexplode(as_double(F.col("embedding"))).alias("i", "x"),
+        )
+        .groupBy("label", "i")
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(x * 1000000 + 0.5) AS BIGINT)")
+            ).alias("q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    cents: dict = {}
+    for row in qs:
+        cents.setdefault(int(row["label"]), {})[int(row["i"])] = (
+            int(row["q"]) / int(row["n"]) / 1000000
+        )
+    map_args = []
+    for lbl in sorted(cents):
+        dims = cents[lbl]
+        arr = [dims[i] for i in range(len(dims))]
+        map_args.append(F.lit(lbl))
+        map_args.append(F.array(*[F.lit(x) for x in arr]))
+    cmap = F.create_map(*map_args)
+    scored = scatter(emb).select(
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("v"),
+        cmap[F.col("label")].alias("c"),
+    ).select(
+        "vec_id",
+        "label",
+        F.round(
+            pair_cosine(
+                F.col("v"), norm(F.col("v")), F.col("c"), norm(F.col("c"))
+            ),
+            6,
+        ).alias("cos"),
+    )
+    wr = W.partitionBy("label").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    wn = W.partitionBy("label")
+    ranked = scored.select(
+        "vec_id",
+        "label",
+        F.row_number().over(wr).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n_label"),
+    )
+    return ranked.filter(
+        (F.col("r") > F.expr("n_label DIV 10"))
+        & (F.col("r") <= F.expr("n_label - n_label DIV 10"))
+    )

@@ -2766,3 +2766,63 @@ def q274_decayed_user_activity(
             F.sum("wt").cast("long").alias("decayed_score"),
         )
     )
+
+
+@register(
+    "q284_exponential_histogram",
+    f"""
+    WITH c AS (SELECT event_type, {CENTS_SQL} AS v
+               FROM events WHERE {CENTS_SQL} >= 1)
+    SELECT event_type,
+           CAST(length(bin(v)) - 1 AS BIGINT) AS bucket,
+           CAST(1::BIGINT << (length(bin(v)) - 1) AS BIGINT) AS lo_c,
+           CAST((1::BIGINT << length(bin(v))) - 1 AS BIGINT) AS hi_c,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v) AS BIGINT) AS sum_c
+    FROM c GROUP BY event_type, length(bin(v))
+    """,
+    doc="per-type EXPONENTIAL histogram of event values — the "
+    "base-2-bucket latency/value histogram of the observability "
+    "standard (OpenTelemetry exponential histograms, Prometheus "
+    "native histograms; scale-0 base-2 variant), completing the "
+    "histogram trio: q183 equiwidth (fixed linear bins), q231 "
+    "equidepth (quantile bins, needs a rank pass), exponential "
+    "(fixed RELATIVE-error bins, mergeable, streaming-friendly — "
+    "the only one whose bucket function is a pure per-row "
+    "projection at any scale). bucket = floor(log2(cents)) computed "
+    "EXACTLY as length(bin(v)) - 1 (q272's bit-length idiom, no "
+    "libm), [lo_c, hi_c] the closed cent bounds, per-bucket count + "
+    "exact cent sum. One scan -> one (type, bucket) groupBy with "
+    "map-side partials: ~|types| * 64 output rows from any input "
+    "size. Zero-cent events are excluded (log2 undefined; the "
+    "fixture has none - the filter is the documented domain guard)",
+)
+def q284_exponential_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", cents(F.col("value")).alias("v")
+    ).filter(F.col("v") >= 1)
+    return (
+        c.withColumn(
+            "bucket", F.expr("CAST(length(bin(v)) - 1 AS BIGINT)")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v").cast("long").alias("sum_c"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.expr("CAST(1 AS BIGINT) << CAST(bucket AS INT)").alias(
+                "lo_c"
+            ),
+            F.expr(
+                "(CAST(1 AS BIGINT) << (CAST(bucket AS INT) + 1)) - 1"
+            ).alias("hi_c"),
+            "n_events",
+            "sum_c",
+        )
+    )

@@ -4105,3 +4105,96 @@ def q281_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("phi_ppm"),
         )
     )
+
+
+@register(
+    "q285_transitivity",
+    """
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    nd AS (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0),
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM nd GROUP BY n),
+    wg AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+           FROM deg),
+    ann AS (
+        SELECT e0.u, e0.v, du.d AS du, dv.d AS dv,
+               ('0x' || substr(md5(e0.u::VARCHAR), 1, 15))::BIGINT AS hu,
+               ('0x' || substr(md5(e0.v::VARCHAR), 1, 15))::BIGINT AS hv
+        FROM e0 JOIN deg du ON e0.u = du.n JOIN deg dv ON e0.v = dv.n),
+    o AS (
+        SELECT CASE WHEN du < dv OR (du = dv AND hu < hv)
+                    THEN u ELSE v END AS src,
+               CASE WHEN du < dv OR (du = dv AND hu < hv)
+                    THEN v ELSE u END AS dst,
+               CASE WHEN du < dv OR (du = dv AND hu < hv)
+                    THEN dv ELSE du END AS dd,
+               CASE WHEN du < dv OR (du = dv AND hu < hv)
+                    THEN hv ELSE hu END AS dh
+        FROM ann),
+    w AS (
+        SELECT o1.dst AS x, o2.dst AS y
+        FROM o o1 JOIN o o2 ON o1.src = o2.src
+        WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dh < o2.dh)),
+    tr AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           FROM w JOIN o ON w.x = o.src AND w.y = o.dst)
+    SELECT wg.n_wedges, tr.n_triangles,
+           CAST(3 * tr.n_triangles * 1000000 // wg.n_wedges AS BIGINT)
+               AS transitivity_ppm
+    FROM wg, tr
+    """,
+    doc="GLOBAL transitivity ratio (Watts-Strogatz / Newman's global "
+    "clustering coefficient) over q149's full part co-purchase "
+    "graph: 3 * triangles * 1e6 DIV wedges, with wedges = "
+    "SUM C(deg, 2) off the degree frame and triangles from the SAME "
+    "degree-oriented m^1.5-bounded counter q149 uses "
+    "(functions/graph.py:triangle_count) — the corpus-level "
+    "complement of q255's per-node local coefficient (the two "
+    "deliberately disagree on skewed graphs: global weights hubs by "
+    "their wedge mass, the mean of locals weights nodes equally — "
+    "having both is the published practice). Exact integers; two "
+    "1-row frames cross-joined (one broadcast BNLJ, q238's scalar "
+    "idiom); headroom 3e6 * triangles < 2^63 holds to ~3e12 "
+    "triangles",
+)
+def q285_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .distinct()
+    )
+    both = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    wedges = (
+        both.groupBy(F.col("a").alias("n"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .agg(
+            F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias(
+                "n_wedges"
+            )
+        )
+    )
+    tri = triangle_count(edges).select(
+        F.col("n_triangles").cast("long").alias("n_triangles")
+    )
+    return wedges.crossJoin(F.broadcast(tri)).select(
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CAST(3 * n_triangles * 1000000 DIV n_wedges AS BIGINT)"
+        ).alias("transitivity_ppm"),
+    )

@@ -3733,3 +3733,74 @@ def test_rich_club_hand_computed(spark):
     li.write.parquet(d + "/lineitem.parquet")
     got = [tuple(r) for r in q281_rich_club(spark, d).collect()]
     assert got == [(1, 3, 3, 1000000)]
+
+
+def test_exponential_histogram_excludes_zero_cents(spark):
+    """A 0.00-value event has no log2 bucket — the documented domain
+    guard drops it; 0.01 lands in bucket 0 ([1,1] cents), 1.28 in
+    bucket 7 ([128,255])."""
+    import tempfile
+
+    from striot_spark.queries.events_ops import (
+        q284_exponential_histogram,
+    )
+
+    ns = 800_000_000_000_000_000
+    ev = spark.createDataFrame(
+        [
+            (1, ns, 1, "click", 0.0, "{}"),
+            (2, ns, 1, "click", 0.01, "{}"),
+            (3, ns, 1, "click", 1.28, "{}"),
+        ],
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="striot_q284_")
+    ev.write.parquet(d + "/events.parquet")
+    got = {
+        r["bucket"]: (r["lo_c"], r["hi_c"], r["n_events"], r["sum_c"])
+        for r in q284_exponential_histogram(spark, d).collect()
+    }
+    assert got == {0: (1, 1, 1, 1), 7: (128, 255, 1, 128)}
+
+
+def test_prototypicality_band_drops_both_deciles(spark):
+    """10 vectors in one label: the top and bottom rank (deciles of
+    n=10) are dropped, the middle 8 kept."""
+    import tempfile
+
+    from striot_spark.queries.datapipe import q283_prototypicality_band
+
+    rows = [
+        (i, [1.0, float(i) / 10.0], 0) for i in range(10)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = tempfile.mkdtemp(prefix="striot_q283_")
+    emb.write.parquet(d + "/embeddings.parquet")
+    got = sorted(
+        r["r"] for r in q283_prototypicality_band(spark, d).collect()
+    )
+    assert got == [2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_transitivity_hand_computed(spark):
+    """Triangle {1,2,3} + pendant 4-1: wedges C(3,2)+1+1 = 5,
+    triangles 1, transitivity = 3*1e6 DIV 5 = 600000."""
+    import tempfile
+
+    from striot_spark.queries.tpch import q285_transitivity
+
+    ns = 800_000_000_000_000_000
+    rows = [
+        (1, 1, ns), (1, 2, ns), (2, 1, ns), (2, 3, ns),
+        (3, 2, ns), (3, 3, ns), (4, 1, ns), (4, 4, ns),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_shipdate long"
+    )
+    d = tempfile.mkdtemp(prefix="striot_q285_")
+    li.write.parquet(d + "/lineitem.parquet")
+    got = [tuple(r) for r in q285_transitivity(spark, d).collect()]
+    assert got == [(5, 1, 600000)]

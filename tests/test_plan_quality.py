@@ -1132,3 +1132,31 @@ def test_rich_club_curve_has_no_cartesian(spark, sf_dir):
     plan = _executed(spark, "q281_rich_club", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prototypicality_scoring_is_zero_join(spark, sf_dir):
+    """q283: centroids return to the plan as per-label array literals,
+    so scoring is a projection — the only post-scan operators are the
+    label window and the band filter; no join of any kind."""
+    plan = _executed(spark, "q283_prototypicality_band", sf_dir)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exponential_histogram_is_scan_plus_one_groupby(spark, sf_dir):
+    """q284: the bucket function is a pure per-row projection; the
+    whole query is scan -> (type,bucket) hash aggregate — no join, no
+    window, no sort before the aggregate."""
+    plan = _executed(spark, "q284_exponential_histogram", sf_dir)
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_transitivity_single_scalar_broadcast(spark, sf_dir):
+    """q285: wedge and triangle totals are two 1-row frames — exactly
+    one broadcast nested-loop (the scalar combine, q238's idiom) and
+    no cartesian; the triangle side keeps q149's all-equi-join
+    orientation."""
+    plan = _executed(spark, "q285_transitivity", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
