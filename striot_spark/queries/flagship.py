@@ -3000,3 +3000,80 @@ def q282_bm25_stream_serve(
         mode="append",
     )
     return drained
+
+
+def _q286_oracle() -> str:
+    from striot_spark.queries.events_ops import CENTS_SQL
+
+    return f"""
+    WITH c AS (SELECT event_type, {CENTS_SQL} AS v
+               FROM events WHERE {CENTS_SQL} >= 1)
+    SELECT event_type,
+           CAST(length(bin(v)) - 1 AS BIGINT) AS bucket,
+           CAST(1::BIGINT << (length(bin(v)) - 1) AS BIGINT) AS lo_c,
+           CAST((1::BIGINT << length(bin(v))) - 1 AS BIGINT) AS hi_c,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v) AS BIGINT) AS sum_c
+    FROM c GROUP BY event_type, length(bin(v))
+    """
+
+
+@register(
+    "q286_exp_histogram_stream_serve",
+    _q286_oracle(),
+    doc="STREAMING exponential histogram — the claim q284 makes "
+    "('the mergeable, streaming-friendly histogram') proven through "
+    "the serve tier: the bucket function is a stateless per-row "
+    "projection, so arriving events map to (type, bucket) rows "
+    "in-flight and the replay-idempotent incremental_agg_sink "
+    "maintains per-bucket count + exact cent sum ADDITIVELY — "
+    "additive merge is batch-boundary- and arrival-order-independent "
+    "by associativity, so the converged snapshot equals the batch "
+    "groupBy and the ORACLE IS q284's SQL VERBATIM (the serve-tier "
+    "contract: q250/q267/q269 graphs, q273 quality, q282 retrieval, "
+    "now observability). Replayed out-of-order in four adversarial "
+    "micro-batches (q101's staging); state is #(type,bucket) rows — "
+    "~|types| * 64 keys FOREVER, the smallest state any serve here "
+    "carries",
+)
+def q286_exp_histogram_stream_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from striot_spark.functions.analytics import cents
+    from striot_spark.streaming import runtime as RT
+
+    src = _stage_events_ooo(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        RT.file_stream(spark, src, schema, max_files_per_trigger=1)
+        .filter(F.col("user_id") != BARRIER_USER)
+        .select(
+            "event_type", cents(F.col("value")).alias("v")
+        )
+        .filter(F.col("v") >= 1)
+        .withColumn(
+            "bucket", F.expr("CAST(length(bin(v)) - 1 AS BIGINT)")
+        )
+    )
+    path = tempfile.mkdtemp(prefix="striot_q286_mv_")
+    q = RT.incremental_agg_sink(
+        sdf,
+        path,
+        tempfile.mkdtemp(prefix="striot_q286_ck_"),
+        key_cols=["event_type", "bucket"],
+        sum_cols=["v"],
+    )
+    q.awaitTermination()
+    snap = RT.read_snapshot(spark, path)
+    return snap.select(
+        "event_type",
+        "bucket",
+        F.expr("CAST(1 AS BIGINT) << CAST(bucket AS INT)").alias("lo_c"),
+        F.expr(
+            "(CAST(1 AS BIGINT) << (CAST(bucket AS INT) + 1)) - 1"
+        ).alias("hi_c"),
+        F.col("n_rows").cast("long").alias("n_events"),
+        F.col("sum_v").cast("long").alias("sum_c"),
+    )
