@@ -2474,3 +2474,123 @@ def hits(
         F.coalesce(F.col("auth"), F.lit(0)).cast("long").alias("auth"),
         F.coalesce(F.col("hub"), F.lit(0)).cast("long").alias("hub"),
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-horizon Katz centrality (Katz 1953, public methodology)
+    with attenuation factor 1/2, EXACT: katz(v) = Σ_{r=1..R} w_r(v)/2^r
+    where w_r(v) = #walks of length r ending at v — computed with zero
+    truncation as the scaled integer
+
+        katz_scaled(v) = Σ_{r=1..R} w_r(v) * 2^(R-r)
+                       = 2^R * katz(v)
+
+    (every term is a whole number, so the score is exact and
+    engine-identical; α = 1/2 < 1/λ_max truncated at horizon R is the
+    standard practical Katz). The walk-counting member of the
+    centrality family — PageRank normalizes by out-degree (random
+    walks), Katz counts RAW walks, so high-fan-in chains score where
+    PageRank dilutes.
+
+    Walk counts grow like max_indeg^r; headroom
+    ``N * max_indeg^rounds * 2^rounds < 2^62`` is ENFORCED at setup
+    (betweenness' sigma-guard policy) from one degree aggregate that
+    also feeds the small-graph gate.
+
+    Plan per round: one dst-key join of the walk table with the
+    persisted edge list + one keyed groupBy sum — pagerank's shape
+    minus the scalar normalizer; lineage cut every
+    ``checkpoint_every`` rounds. Returns (node, katz_scaled) for
+    every vertex of src ∪ dst (nodes with no in-walks score 0).
+    """
+    from striot_spark.functions.caching import track_persist
+
+    if rounds < 1:
+        raise ValueError("katz_centrality: rounds must be >= 1")
+    spark = edges.sparkSession
+    e = track_persist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    degs = (
+        e.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.max("d").alias("max_indeg"),
+            F.sum("d").alias("arcs"),
+        )
+        .collect()[0]
+    )
+    max_indeg = int(degs["max_indeg"] or 0)
+    arcs = int(degs["arcs"] or 0)
+    if arcs == 0:
+        return e.select(
+            F.col("src").alias("node"),
+            F.lit(0).cast("long").alias("katz_scaled"),
+        ).limit(0)
+    n_bound = 2 * arcs  # every vertex touches an arc
+    if n_bound * (max_indeg**rounds) * (2**rounds) >= 2**62:
+        raise ValueError(
+            f"katz_centrality: N * max_indeg^rounds * 2^rounds "
+            f"(~{n_bound} * {max_indeg}^{rounds} * 2^{rounds}) exceeds "
+            "the exact-long walk-count headroom — lower rounds or "
+            "pre-cap in-degree"
+        )
+    try:
+        small_edges = int(
+            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
+        )
+    except ValueError:
+        small_edges = SMALL_GRAPH_DEFAULT
+    npart = (
+        spark.sparkContext.defaultParallelism
+        if arcs <= small_edges
+        else None
+    )
+
+    def part(df: DataFrame, key: str) -> DataFrame:
+        return df.repartition(npart, key) if npart else df
+
+    nodes = track_persist(
+        part(
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct(),
+            "node",
+        )
+    )
+    e_p = track_persist(part(e, "src"))
+    walks = nodes.withColumn("w", F.lit(1).cast("long"))
+    acc = nodes.withColumn("s", F.lit(0).cast("long"))
+    for r in range(1, rounds + 1):
+        nxt = (
+            e_p.join(part(walks, "node"), e_p["src"] == F.col("node"))
+            .select(F.col("dst").alias("node"), F.col("w").alias("c"))
+        )
+        walks = (
+            part(nxt, "node")
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("w"))
+        )
+        # accumulate w_r * 2^(rounds - r); walks table holds only
+        # reached nodes, so accumulate via left join + coalesce
+        scale = 2 ** (rounds - r)
+        acc = (
+            acc.join(walks.withColumnRenamed("w", "wr"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("s")
+                    + F.coalesce(F.col("wr"), F.lit(0)) * F.lit(scale)
+                ).cast("long").alias("s"),
+            )
+        )
+        if r % checkpoint_every == 0:
+            walks = walks.localCheckpoint(eager=True)
+            acc = acc.localCheckpoint(eager=True)
+    return acc.select("node", F.col("s").alias("katz_scaled"))

@@ -4198,3 +4198,82 @@ def q285_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(3 * n_triangles * 1000000 DIV n_wedges AS BIGINT)"
         ).alias("transitivity_ppm"),
     )
+
+
+def _katz_oracle(rounds: int) -> str:
+    """Unrolled Katz walk recurrence (mirror of
+    functions/graph.py:katz_centrality): w_r = A^T w_{r-1} with w_0=1,
+    katz_scaled = Σ w_r * 2^(rounds-r); HUGEINT intermediates."""
+    sql = """
+    WITH eraw AS (
+        SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (SELECT a AS src, b AS dst FROM eraw
+              UNION ALL SELECT b AS src, a AS dst FROM eraw),
+    v AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+    w0 AS (SELECT node, CAST(1 AS HUGEINT) AS w FROM v)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    w{r} AS (SELECT v.node, CAST(COALESCE(s.s, 0) AS HUGEINT) AS w
+             FROM v LEFT JOIN (
+                 SELECT e.dst AS node, sum(w.w) AS s
+                 FROM edges e JOIN w{r - 1} w ON w.node = e.src
+                 GROUP BY e.dst) s ON v.node = s.node)"""
+    terms = " + ".join(
+        f"w{r}.w * {2 ** (rounds - r)}" for r in range(1, rounds + 1)
+    )
+    joins = " ".join(
+        f"JOIN w{r} ON w{r}.node = v.node" for r in range(1, rounds + 1)
+    )
+    return sql + f"""
+    SELECT v.node, CAST({terms} AS BIGINT) AS katz_scaled
+    FROM v {joins}
+    """
+
+
+@register(
+    "q287_katz_centrality",
+    _katz_oracle(rounds=3),
+    doc="fixed-horizon Katz centrality "
+    "(functions/graph.py:katz_centrality, Katz 1953) over the "
+    "SYMMETRIC customer-supplier trade graph, attenuation 1/2, "
+    "horizon 3 — the WALK-COUNTING centrality member: PageRank "
+    "divides by out-degree (random-walk mass), Katz counts raw "
+    "walks, so high-fan-in chains score where PageRank dilutes; "
+    "the symmetric graph is deliberate (on the directed bipartite "
+    "form walks die after one hop and Katz degenerates to "
+    "in-degree). EXACT: katz_scaled = Σ_r w_r * 2^(3-r) = 8 * Σ "
+    "w_r/2^r — every term a whole number, zero truncation; "
+    "headroom N * max_indeg^rounds * 2^rounds < 2^62 ENFORCED at "
+    "setup from the same degree agg as the small-graph gate "
+    "(betweenness' sigma-guard policy). Oracle unrolls the "
+    "identical recurrence in HUGEINT. Per round: one edge-key join "
+    "+ one keyed groupBy — pagerank's shape minus the scalar "
+    "normalizer",
+)
+def q287_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from striot_spark.functions.graph import katz_centrality
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "a"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "b"
+            ),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return katz_centrality(edges, rounds=3, src="a", dst="b")

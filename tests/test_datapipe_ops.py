@@ -3804,3 +3804,25 @@ def test_transitivity_hand_computed(spark):
     li.write.parquet(d + "/lineitem.parquet")
     got = [tuple(r) for r in q285_transitivity(spark, d).collect()]
     assert got == [(5, 1, 600000)]
+
+
+def test_katz_hand_computed_and_guards(spark):
+    """Edges 1->2, 2->3, 1->3, R=2: walks ending per round
+    w1=(0,1,2), w2=(0,0,1); katz_scaled = w1*2 + w2*1 =
+    (0, 2, 5)."""
+    import pytest as _pytest
+
+    from striot_spark.functions.graph import katz_centrality
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    got = sorted(
+        tuple(r) for r in katz_centrality(e, rounds=2).collect()
+    )
+    assert got == [(1, 0), (2, 2), (3, 5)]
+    with _pytest.raises(ValueError, match="rounds"):
+        katz_centrality(e, rounds=0)
+    # max_indeg 2: N * 2^r * 2^r crosses 2^62 past ~r=30
+    with _pytest.raises(ValueError, match="headroom"):
+        katz_centrality(e, rounds=40)

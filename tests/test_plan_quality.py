@@ -1160,3 +1160,13 @@ def test_transitivity_single_scalar_broadcast(spark, sf_dir):
     plan = _executed(spark, "q285_transitivity", sf_dir)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_katz_rounds_are_keyed_joins_only(spark, sf_dir):
+    """q287: each walk round is one edge-key join + one keyed groupBy
+    + the accumulator's node-key left join — no cartesian, no unkeyed
+    nested loop, no window."""
+    plan = _executed(spark, "q287_katz_centrality", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
