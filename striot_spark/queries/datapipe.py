@@ -4003,3 +4003,86 @@ def q283_prototypicality_band(
         (F.col("r") > F.expr("n_label DIV 10"))
         & (F.col("r") <= F.expr("n_label - n_label DIV 10"))
     )
+
+
+@register(
+    "q288_hard_negatives",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+          WHERE vec_id < 8),
+    b AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 8),
+    r AS (SELECT q.qid, b.vec_id, b.label,
+                 row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY round(list_dot_product(b.v, q.qv)
+                              / (sqrt(list_dot_product(b.v, b.v))
+                                 * sqrt(list_dot_product(q.qv, q.qv))),
+                              6) DESC, b.vec_id ASC) AS rnk
+          FROM b, q WHERE b.label <> q.qlabel)
+    SELECT qid AS query_id, vec_id AS neg_id,
+           CAST(label AS BIGINT) AS neg_label,
+           CAST(rnk AS BIGINT) AS hard_rank
+    FROM r WHERE rnk <= 5
+    """,
+    doc="HARD-NEGATIVE mining for contrastive training pairs (the "
+    "dense-retrieval data-prep step, Karpukhin et al. 2020 DPR "
+    "methodology): per anchor vector, the 5 highest-cosine "
+    "WRONG-label base vectors — the negatives that sit closest to "
+    "the decision boundary, where random negatives are trivially "
+    "easy and contribute no gradient. Ranking restricted to "
+    "label <> qlabel BEFORE the window (the semi-join filter rides "
+    "the broadcast), then the shared round-6-cosine + id tie-break "
+    "(q275's determinism contract); output integers only. Completes "
+    "the embedding-pair prep set: positives from near-dup/ANN "
+    "(q27/q42/q96), informative middles from the band filter "
+    "(q283), hard negatives here. Query side broadcast, one window "
+    "per anchor partition — the brute-force scorer's scale shape; "
+    "at serving scale the base side is IVF-pruned first (q37)",
+)
+def q288_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from striot_spark.functions.similarity import (
+        as_double,
+        norm,
+        pair_cosine,
+        scatter,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        as_double(F.col("embedding")).alias("qv"),
+    ).withColumn("nqv", norm(F.col("qv")))
+    base = scatter(emb.filter(F.col("vec_id") >= 8)).select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .withColumn(
+            "cos",
+            F.round(
+                pair_cosine(
+                    F.col("v"), F.col("nv"), F.col("qv"), F.col("nqv")
+                ),
+                6,
+            ),
+        )
+    )
+    wr = W.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").cast("long").alias("neg_label"),
+            F.col("rnk").cast("long").alias("hard_rank"),
+        )
+    )

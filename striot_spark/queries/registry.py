@@ -82,7 +82,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # 1 + 19 + 18 + 1 + 11 = 50 exactly. After this sweep the oldest
 # remaining rows are the other 24 r07-rowed entries (q112..q137
 # block incl. q65/q78/q86-q92/q97).
-# ROUND-13 HEAD PLAN (keep in sync): canary (1) + the TWENTY
+# ROUND-13 HEAD PLAN (keep in sync): canary (1) + the TWENTY-ONE
 # round-12 additions, never driver-swept, all sim-green
 # fresh-process in r12 (see ROUND12.md): q268_betweenness_pivots /
 # q269_coreness_stream_serve / q270_coreness_hub_capped /
@@ -92,12 +92,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # q279_map_eval / q280_bigram_surprisal / q281_rich_club /
 # q282_bm25_stream_serve / q283_prototypicality_band /
 # q284_exponential_histogram / q285_transitivity /
-# q286_exp_histogram_stream_serve / q287_katz_centrality (20) +
-# the remaining 24 r07-rowed entries (q112_domain_quality_filter +
+# q286_exp_histogram_stream_serve / q287_katz_centrality /
+# q288_hard_negatives (21) + the remaining 24 r07-rowed entries
+# (q112_domain_quality_filter +
 # q113_bloom_decontaminate..q137_zorder_zone_map block incl.
 # q65/q78/q86/q87/q89/q90/q91/q92/q97, oldest-row-first) + fill the
-# remaining 5 slots from the r08-rowed cohort oldest-row-first.
-# 1 + 20 + 24 + 5 = 50 exactly.
+# remaining 4 slots from the r08-rowed cohort oldest-row-first.
+# 1 + 21 + 24 + 4 = 50 exactly.
 _SWEEP_FIRST = [
     # (1) type canary -- keep at head position 1 in every round
     "q224_type_canary",
