@@ -4170,7 +4170,12 @@ def q285_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
     )
-    edges = (
+    from striot_spark.functions.caching import track_persist
+
+    # the pair build (orderkey self-join + distinct) feeds BOTH the
+    # wedge count and triangle_count's internal pipeline — persist it
+    # once or the join runs twice (the §38 struct-agg discipline)
+    edges = track_persist(
         a.join(b, "k")
         .filter(F.col("pa") < F.col("pb"))
         .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
