@@ -3826,3 +3826,89 @@ def test_katz_hand_computed_and_guards(spark):
     # max_indeg 2: N * 2^r * 2^r crosses 2^62 past ~r=30
     with _pytest.raises(ValueError, match="headroom"):
         katz_centrality(e, rounds=40)
+
+
+def test_hits_matches_naive_on_random_graph(spark):
+    """hits() equals a pure-Python loop implementing the IDENTICAL
+    integer recurrence (raw in/out sums, L1 renormalization
+    raw * N*scale // tot) on a seeded random DIRECTED graph — the
+    naive-reference pattern of the betweenness/k-truss tests."""
+    import random
+
+    from striot_spark.functions.graph import hits
+
+    rng = random.Random(1208)
+    n = 10
+    arcs = sorted(
+        {
+            (a, b)
+            for a in range(n)
+            for b in range(n)
+            if a != b and rng.random() < 0.25
+        }
+    )
+    nodes = sorted({a for a, _ in arcs} | {b for _, b in arcs})
+    scale = 1000
+    mass = len(nodes) * scale
+    iters = 3
+
+    h = {v: scale for v in nodes}
+    a_vec = {}
+    for _ in range(iters):
+        raw = {v: 0 for v in nodes}
+        for u, v in arcs:
+            raw[v] += h[u]
+        tot = sum(raw.values())
+        a_vec = {v: raw[v] * mass // tot for v in nodes}
+        raw = {v: 0 for v in nodes}
+        for u, v in arcs:
+            raw[u] += a_vec[v]
+        tot = sum(raw.values())
+        h = {v: raw[v] * mass // tot for v in nodes}
+
+    e = spark.createDataFrame(arcs, "src long, dst long")
+    got = {
+        r["node"]: (r["auth"], r["hub"])
+        for r in hits(e, iterations=iters, scale=scale).collect()
+    }
+    assert got == {v: (a_vec[v], h[v]) for v in nodes}
+
+
+def test_katz_matches_naive_on_random_graph(spark):
+    """katz_centrality() equals the pure-Python walk recurrence
+    katz_scaled = sum w_r * 2^(R-r) on a seeded random directed
+    graph at a horizon past the fixture depth (also stresses the
+    lineage cuts)."""
+    import random
+
+    from striot_spark.functions.graph import katz_centrality
+
+    rng = random.Random(1209)
+    n = 10
+    arcs = sorted(
+        {
+            (a, b)
+            for a in range(n)
+            for b in range(n)
+            if a != b and rng.random() < 0.25
+        }
+    )
+    nodes = sorted({a for a, _ in arcs} | {b for _, b in arcs})
+    rounds = 6
+
+    w = {v: 1 for v in nodes}
+    acc = {v: 0 for v in nodes}
+    for r in range(1, rounds + 1):
+        nxt = {v: 0 for v in nodes}
+        for u, v in arcs:
+            nxt[v] += w[u]
+        w = nxt
+        for v in nodes:
+            acc[v] += w[v] * 2 ** (rounds - r)
+
+    e = spark.createDataFrame(arcs, "src long, dst long")
+    got = {
+        r["node"]: r["katz_scaled"]
+        for r in katz_centrality(e, rounds=rounds).collect()
+    }
+    assert got == acc
