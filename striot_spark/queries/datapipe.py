@@ -4086,3 +4086,66 @@ def q288_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("hard_rank"),
         )
     )
+
+
+@register(
+    "q289_frequent_trigrams",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+    g AS (SELECT doc_id,
+                 t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                FROM toks)
+          WHERE len(t) >= 3)
+    SELECT gram,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM g GROUP BY gram
+    ORDER BY n_occurrences DESC, gram ASC LIMIT 20
+    """,
+    doc="corpus-level frequent TOKEN trigram mining: the top-20 "
+    "3-token phrases by occurrence with their document frequency — "
+    "the boilerplate-template detector (repeated navigation strings, "
+    "license headers, SEO spam templates) that feeds a removal "
+    "blocklist in C4/CCNet-style cleaning; the corpus-global "
+    "complement of q70's intra-doc repetition and q215's in-row "
+    "char-4-gram permille, and the text counterpart of q208's EVENT "
+    "trigrams. Trigrams form IN-ROW (transform over an index "
+    "sequence, zero self-joins), one (gram) groupBy with map-side "
+    "partials carries both counts, top-20 under the total "
+    "(count DESC, gram ASC) order via TakeOrdered — at 100 TB this "
+    "is one token-window shuffle, the same budget as the vocab "
+    "build. Fixture spread probed before registration (max count "
+    "8-9, thousands of grams with count >= 2 at BOTH scales — "
+    "4/5-grams were too flat; vacuous-gate discipline)",
+)
+def q289_frequent_trigrams(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from striot_spark.functions.text import nonempty_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", nonempty_tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 3)
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3), i -> "
+                "concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"
+            )
+        ).alias("gram"),
+    )
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(20)
+    )
