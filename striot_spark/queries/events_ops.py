@@ -2826,3 +2826,77 @@ def q284_exponential_histogram(
             "sum_c",
         )
     )
+
+
+@register(
+    "q290_first_touch_attribution",
+    f"""
+    WITH f AS (
+        SELECT user_id, event_type AS first_type
+        FROM (SELECT user_id, event_type,
+                     row_number() OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC) AS rn
+              FROM events) x
+        WHERE rn = 1),
+    p AS (SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n_purchases,
+                 CAST(sum({CENTS_SQL}) AS BIGINT) AS revenue_c
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id)
+    SELECT f.first_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(p.n_purchases) AS BIGINT) AS n_purchases,
+           CAST(sum(p.revenue_c) AS BIGINT) AS revenue_c
+    FROM f JOIN p ON f.user_id = p.user_id
+    GROUP BY f.first_type
+    """,
+    doc="FIRST-TOUCH attribution — the marketing/product analytics "
+    "complement of q153/q207's funnels (funnels ask 'did the "
+    "sequence complete'; attribution asks 'which ENTRY channel gets "
+    "credit for the conversion'): each converting user's purchases "
+    "and exact cent revenue are credited to the event_type of their "
+    "very first event under the (ts, event_id) total order — the "
+    "deterministic tie-break every per-user sequence query here "
+    "uses. One user-window for the first touch + one filtered "
+    "user-keyed agg + one user-keyed join + one type rollup: two "
+    "keyed shuffles over the events table at 100 TB, both on "
+    "user_id (co-partitioned — AQE reuses the exchange), and the "
+    "final rollup is |event_types| rows. Money in integer cents "
+    "(order-insensitive, engine-exact)",
+)
+def q290_first_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    firsts = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"))
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(cents(F.col("value"))).cast("long").alias("revenue_c"),
+        )
+    )
+    return (
+        firsts.join(purch, "user_id")
+        .groupBy("first_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_purchases").cast("long").alias("n_purchases"),
+            F.sum("revenue_c").cast("long").alias("revenue_c"),
+        )
+    )
