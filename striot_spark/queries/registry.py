@@ -82,7 +82,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # 1 + 19 + 18 + 1 + 11 = 50 exactly. After this sweep the oldest
 # remaining rows are the other 24 r07-rowed entries (q112..q137
 # block incl. q65/q78/q86-q92/q97).
-# ROUND-13 HEAD PLAN (keep in sync): canary (1) + the TWENTY-THREE
+# ROUND-13 HEAD PLAN (keep in sync): canary (1) + the TWENTY-FOUR
 # round-12 additions, never driver-swept, all sim-green
 # fresh-process in r12 (see ROUND12.md): q268_betweenness_pivots /
 # q269_coreness_stream_serve / q270_coreness_hub_capped /
@@ -94,11 +94,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # q284_exponential_histogram / q285_transitivity /
 # q286_exp_histogram_stream_serve / q287_katz_centrality /
 # q288_hard_negatives / q289_frequent_trigrams /
-# q290_first_touch_attribution (23) + the remaining 24 r07-rowed
-# entries (q112_domain_quality_filter +
+# q290_first_touch_attribution / q291_avg_neighbor_degree (24) +
+# the remaining 24 r07-rowed entries (q112_domain_quality_filter +
 # q113_bloom_decontaminate..q137_zorder_zone_map block incl.
-# q65/q78/q86/q87/q89/q90/q91/q92/q97, oldest-row-first) + the 2
-# oldest r08-rowed entries. 1 + 23 + 24 + 2 = 50 exactly.
+# q65/q78/q86/q87/q89/q90/q91/q92/q97, oldest-row-first) + the 1
+# oldest r08-rowed entry. 1 + 24 + 24 + 1 = 50 exactly.
 _SWEEP_FIRST = [
     # (1) type canary -- keep at head position 1 in every round
     "q224_type_canary",

@@ -4282,3 +4282,90 @@ def q287_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     return katz_centrality(edges, rounds=3, src="a", dst="b")
+
+
+@register(
+    "q291_avg_neighbor_degree",
+    """
+    WITH eraw AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (SELECT u AS src, v AS dst FROM eraw
+              UNION ALL SELECT v AS src, u AS dst FROM eraw),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    ann AS (SELECT du.d AS k, dv.d AS nd
+            FROM edges e
+            JOIN deg du ON du.node = e.src
+            JOIN deg dv ON dv.node = e.dst)
+    SELECT k,
+           CAST(count(*) // k AS BIGINT) AS n_nodes,
+           CAST(sum(nd) * 1000 // (k * (count(*) // k)) AS BIGINT)
+               AS knn_milli
+    FROM ann GROUP BY k
+    """,
+    doc="average-neighbor-degree curve knn(k) (Pastor-Satorras, "
+    "Vazquez & Vespignani 2001, public methodology) over the FULL "
+    "part co-purchase graph: for each degree class k, the mean "
+    "degree of the neighbors of degree-k nodes in exact integer "
+    "milli-units — the degree-correlation CURVE whose slope sign is "
+    "what q252's assortativity coefficient summarizes in one number "
+    "(rising = assortative hubs-with-hubs, falling = disassortative "
+    "hub-and-spoke), same number-vs-curve relationship as "
+    "q252/q281. Plan: one degree groupBy + two arc-keyed annotation "
+    "joins + one k groupBy — the arc table is scanned once; "
+    "per-class node count recovered exactly as count(arcs) DIV k "
+    "(every degree-k node contributes exactly k annotated arcs), so "
+    "no second node-level aggregate is needed. Output is "
+    "|distinct degrees| rows at any scale",
+)
+def q291_avg_neighbor_degree(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    both = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ann = (
+        both.join(
+            deg.select(F.col("node").alias("u"), F.col("d").alias("du")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("dv")),
+            "v",
+        )
+        .select(F.col("du").alias("kk"), F.col("dv").alias("nd"))
+    )
+    return (
+        ann.groupBy("kk")
+        .agg(
+            F.count(F.lit(1)).alias("arcs"),
+            F.sum("nd").alias("snd"),
+        )
+        .select(
+            F.col("kk").cast("long").alias("k"),
+            F.expr("CAST(arcs DIV kk AS BIGINT)").alias("n_nodes"),
+            F.expr(
+                "CAST(snd * 1000 DIV (kk * (arcs DIV kk)) AS BIGINT)"
+            ).alias("knn_milli"),
+        )
+    )

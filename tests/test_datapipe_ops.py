@@ -3912,3 +3912,27 @@ def test_katz_matches_naive_on_random_graph(spark):
         for r in katz_centrality(e, rounds=rounds).collect()
     }
     assert got == acc
+
+
+def test_avg_neighbor_degree_hand_computed(spark):
+    """Triangle {1,2,3} + pendant 4-1 (degrees 3,2,2,1):
+    knn(1) = deg(1) = 3.000; knn(2) = (5+5)/(2*2) = 2.500;
+    knn(3) = (2+2+1)/3 = 1.666 (floor DIV in milli-units)."""
+    import tempfile
+
+    from striot_spark.queries.tpch import q291_avg_neighbor_degree
+
+    ns = 800_000_000_000_000_000
+    rows = [
+        (1, 1, ns), (1, 2, ns), (2, 1, ns), (2, 3, ns),
+        (3, 2, ns), (3, 3, ns), (4, 1, ns), (4, 4, ns),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_shipdate long"
+    )
+    d = tempfile.mkdtemp(prefix="striot_q291_")
+    li.write.parquet(d + "/lineitem.parquet")
+    got = sorted(
+        tuple(r) for r in q291_avg_neighbor_degree(spark, d).collect()
+    )
+    assert got == [(1, 1, 3000), (2, 2, 2500), (3, 1, 1666)]
