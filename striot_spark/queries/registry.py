@@ -65,149 +65,189 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # 43 of the stalest q01..q64 block (50/50 green, zero errs). Entering
 # r12 the ledger holds 250 swept-at-least-once, 249 green at latest
 # sweep (q215 rows-only by contract), oldest row r05.
-# ROUND-12 HEAD (executes the plan ratified by VERDICT r11 task 1):
+# r12 executed the r11 plan verbatim: canary + the 19 r11 additions +
+# the 18-name q01..q64 tail + the converted q215 + the 11 oldest
+# r07-rowed streaming entries (50/50 green, zero errs; the full
+# cumulative ledger reached 269/269 green-at-latest for the first
+# time). Entering r13 the ledger holds 269 swept-at-least-once, all
+# green; the 24 never-swept are exactly the round-12 additions
+# q268..q291; the oldest rows are 24 r07-rowed entries.
+# ROUND-13 HEAD (executes VERDICT r12 task 1):
 #   (1) q224_type_canary FIRST, as in every round;
-#   (2) the round-11 additions q249..q267 (19, never driver-swept;
-#       every one judge-verified green fresh-process in the r11
+#   (2) the round-12 additions q268..q291 (24, never driver-swept;
+#       every one judge-verified green fresh-process in the r12
 #       verdict);
-#   (3) the 18-name tail of the q01..q64 block (r03-r05 rows),
-#       completing that block's rotation;
-#   (4) fill to 50 with q215_compression_quality — converted this
-#       round from the rows-only zlib screen to an oracle-backed
-#       repetitiveness proxy (VERDICT r11 task 4: its r09 no_oracle
-#       row was the ledger's ONE non-green entry, which outranks a
-#       stale-but-green r07 row under the reds > never-swept >
-#       behavior-touched > stale priority) + the 11 oldest r07-rowed
-#       streaming-cohort entries (q100d..q111 in registered order).
-# 1 + 19 + 18 + 1 + 11 = 50 exactly. After this sweep the oldest
-# remaining rows are the other 24 r07-rowed entries (q112..q137
-# block incl. q65/q78/q86-q92/q97).
-# ROUND-13 HEAD PLAN (keep in sync): canary (1) + the TWENTY-FOUR
-# round-12 additions, never driver-swept, all sim-green
-# fresh-process in r12 (see ROUND12.md): q268_betweenness_pivots /
-# q269_coreness_stream_serve / q270_coreness_hub_capped /
-# q271_link_prediction_ra_capped / q272_unigram_surprisal /
-# q273_surprisal_stream / q274_decayed_user_activity / q275_mrr_eval
-# / q276_bm25_rank / q277_hits_trade / q278_butterfly_count /
-# q279_map_eval / q280_bigram_surprisal / q281_rich_club /
-# q282_bm25_stream_serve / q283_prototypicality_band /
-# q284_exponential_histogram / q285_transitivity /
-# q286_exp_histogram_stream_serve / q287_katz_centrality /
-# q288_hard_negatives / q289_frequent_trigrams /
-# q290_first_touch_attribution / q291_avg_neighbor_degree (24) +
-# the remaining 24 r07-rowed entries (q112_domain_quality_filter +
-# q113_bloom_decontaminate..q137_zorder_zone_map block incl.
-# q65/q78/q86/q87/q89/q90/q91/q92/q97, oldest-row-first) + the 1
-# oldest r08-rowed entry. 1 + 24 + 24 + 1 = 50 exactly.
+#   (3) the 24 remaining r07-rowed entries (the ledger's oldest
+#       rows), in registered order, completing the r07 rotation;
+#   (4) the single oldest r08-rowed entry
+#       (q138_incremental_agg_stream) to fill slot 50.
+# 1 + 24 + 24 + 1 = 50 exactly. NOTE: VERDICT r12's plan text named
+# q65/q78/q86-q92/q97 in the r07 block from a stale comment; the
+# computed ledger (every CORRECTNESS_r*.json, latest row per query)
+# shows those were re-swept in r10 — the authoritative r07-rowed set
+# is the 24 names in slot group (3) below.
+# ROUND-14 HEAD PLAN (keep in sync): canary (1) + any round-13
+# additions (none as of feature freeze) + the next 49 tail names
+# below the 50-cap boundary verbatim — 48 r08-rowed entries +
+# q13_percentiles (oldest r09 row). The tail is already sorted
+# oldest-ledger-row-first for exactly this purpose; at 50/round the
+# whole 293-ledger reaches r13-or-newer rows by r15.
 _SWEEP_FIRST = [
     # (1) type canary -- keep at head position 1 in every round
     "q224_type_canary",
-    # (2) round-11 additions, never driver-swept (all 19 judge-
-    #     verified green fresh-process in the r11 verdict)
-    "q249_sssp_trade_proximity",
-    "q250_pagerank_stream_serve",
-    "q251_degree_distribution",
-    "q252_degree_assortativity",
-    "q253_sssp_parents",
-    "q254_harmonic_pivots",
-    "q255_local_clustering",
-    "q256_link_prediction_ra",
-    "q257_min_cost_supplier",
-    "q258_product_profit",
-    "q259_important_parts",
-    "q260_priority_line_counts",
-    "q261_supplier_counts_by_part_attr",
-    "q262_or_block_revenue",
-    "q263_excess_volume_suppliers",
-    "q264_strength_core",
-    "q265_shuffle_shard",
-    "q266_coreness",
-    "q267_sssp_stream_serve",
-    # (3) the 18-name tail of the q01..q64 block (r03-r05 rows)
-    "q05_choptime_window",
-    "q06_sliding_count_window",
-    "q07_scan_running_sum",
-    "q08_changes_dedup",
-    "q09_sample",
-    "q10_zip_join",
-    "q11_topk_per_window",
-    "q12_sessionize",
-    "q15_threshold_cross",
-    "q16_step_count",
-    "q47_broadcast_enrich",
-    "q49_wearable_chain",
-    "q50_window_custom_fold",
-    "q30_frequent_routes",
-    "q17_pricing_summary",
-    "q18_top_orders",
-    "q19_regional_revenue",
-    "q20_top_customers",
-    # (4) the ledger's one non-green row, converted to oracle-backed
-    #     this round (VERDICT r11 task 4), + 11 oldest r07-rowed
-    #     streaming-cohort entries
-    "q215_compression_quality",
-    "q100d_chop_stream_money_double",
-    "q102_tfidf_top_terms",
-    "q103_blocklist_filter",
-    "q104_canonical_docs",
-    "q105_token_budget_select",
-    "q106_temperature_mix",
-    "q107_latest_snapshot",
-    "q108_stream_static_enrich",
-    "q109_shared_ngram_pairs",
-    "q110_quality_filter_linear",
-    "q111_sliding_time_stream",
-    # ---- 50-cap boundary: entries below get no driver row in r12 ----
-    # Displaced r11 head + parked cohorts, oldest-row-first for r13+:
-    "q247_hybrid_rrf",
-    "q243_khop_reach_hll",
-    "q245_khop_hll_stream_serve",
-    "q246_neighborhood_function",
-    "q244_ktruss_edges",
-    "q248_harmonic_centrality",
-    "q31_joinw_revenue_per_click",
-    "q32_joine_window_theta",
-    "q33_sliding_time_window",
-    "q34_filteracc_above_running_avg",
-    "q39_sliding_time_forward",
-    "q40_empty_windows",
-    "q41_merge_timestamp_order",
-    "q46_profitability_cells",
-    "q36_window_expand_roundtrip",
-    "q53_asof_enrich",
-    "q54_time_rollup",
-    "q55_json_props",
-    "q56_daily_distinct_users",
-    "q59_interval_join",
-    "q60_salted_skew_join",
-    "q61_approx_aggregates",
-    "q21_text_stats",
-    "q22_lang_id",
-    "q23_dedup_exact",
-    "q24_doc_fingerprint",
-    "q25_minhash_signatures",
-    "q26_simhash",
-    "q27_ann_cosine",
-    "q28_multimodal_meta",
-    "q37_ann_ivf",
-    "q38_quality_class",
-    "q42_embedding_near_dups",
-    "q43_rolling_fingerprint",
-    "q44_bpe_token_stats",
-    "q45_simhash_near_dups",
-    "q29_lsh_near_dups",
-    "q48_ann_lsh",
-    "q51_stratified_sample",
-    "q52_reservoir_per_lang",
-    "q57_chunk_documents",
-    "q58_corpus_build",
-    "q62_sequence_pack",
-    "q63_nearest_centroid",
-    "q64_kmeans_clusters",
-    "q01_filter_map",
-    "q02_expand_tokens",
-    "q03_merge",
-    "q04_chop_count_window",
+    # (2) round-12 additions, never driver-swept (all 24 judge-
+    #     verified green fresh-process in the r12 verdict)
+    "q272_unigram_surprisal",
+    "q275_mrr_eval",
+    "q276_bm25_rank",
+    "q279_map_eval",
+    "q280_bigram_surprisal",
+    "q283_prototypicality_band",
+    "q288_hard_negatives",
+    "q289_frequent_trigrams",
+    "q274_decayed_user_activity",
+    "q284_exponential_histogram",
+    "q290_first_touch_attribution",
+    "q273_surprisal_stream",
+    "q282_bm25_stream_serve",
+    "q286_exp_histogram_stream_serve",
+    "q268_betweenness_pivots",
+    "q269_coreness_stream_serve",
+    "q270_coreness_hub_capped",
+    "q271_link_prediction_ra_capped",
+    "q277_hits_trade",
+    "q278_butterfly_count",
+    "q281_rich_club",
+    "q285_transitivity",
+    "q287_katz_centrality",
+    "q291_avg_neighbor_degree",
+    # (3) the 24 remaining r07-rowed entries (oldest ledger rows),
+    #     completing the r07 rotation
+    "q118_quality_audit",
+    "q119_snapshot_diff",
+    "q124_column_profile",
+    "q112_domain_quality_filter",
+    "q113_bloom_decontaminate",
+    "q114_scrub_duplicated_spans",
+    "q128_cms_heavy_hitters",
+    "q129_dedup_groups_logrounds",
+    "q131_systematic_weighted_sample",
+    "q136_novelty_stats",
+    "q134_scd2_history",
+    "q135_snapshot_asof",
+    "q115_daily_distinct_stream",
+    "q116_interval_join_stream",
+    "q117_joine_stream",
+    "q120_merge_stream",
+    "q121_expand_stream",
+    "q122_corpus_ingest_stream",
+    "q123_zip_join_stream",
+    "q125_upsert_snapshot_stream",
+    "q130_cms_sketch_stream",
+    "q126_volume_shipping",
+    "q133_pagerank_customer_supplier",
+    "q137_zorder_zone_map",
+    # (4) the oldest r08-rowed entry, starting the r08 rotation
+    "q138_incremental_agg_stream",
+    # ---- 50-cap boundary: entries below get no driver row in r13 ----
+    # Tail is oldest-ledger-row-first so r14+ can take the next 49
+    # verbatim: 48 r08-rowed + q13 (r09) fill the next head exactly.
+    "q139_hll_distinct",
+    "q140_fuzzy_link_pairs",
+    "q141_hll_sketch_stream",
+    "q142_skew_profile",
+    "q143_compact_small_files",
+    "q144_importance_weights",
+    "q145_label_centroids",
+    "q146_interarrival_stats",
+    "q147_quantiles_at_scale",
+    "q148_table_digest",
+    "q149_triangle_count",
+    "q150_table_digest_stream",
+    "q151_group_quantiles",
+    "q152_pit_enrich_stream",
+    "q153_conversion_funnel",
+    "q154_retention_cohorts",
+    "q155_rolling_active_users",
+    "q156_hll_rolling_merge",
+    "q157_event_transitions",
+    "q158_mad_outliers",
+    "q159_join_size_estimate",
+    "q160_gini_diversity",
+    "q161_ohlc_bars",
+    "q162_gap_fill_ffill",
+    "q163_entity_resolution",
+    "q164_ohlc_bars_stream",
+    "q165_pii_scrub",
+    "q166_grain_rollup_reuse",
+    "q167_cdc_apply_deletes",
+    "q168_k_anonymity",
+    "q169_winsorized_stats",
+    "q170_posting_lists",
+    "q171_weighted_median_len",
+    "q172_kcore_parts",
+    "q173_partition_pruned_day",
+    "q174_rollup_serve_stream",
+    "q175_pq_encode",
+    "q176_ann_recall_eval",
+    "q177_collocations",
+    "q178_lexical_search",
+    "q179_cdc_apply_stream",
+    "q180_forecast_revenue_band",
+    "q181_promo_revenue_share",
+    "q182_rank_normalize",
+    "q183_equiwidth_histogram",
+    "q184_freshness_audit",
+    "q185_oov_audit",
+    "q186_dup_cluster_census",
+    "q187_leakage_aware_split",
+    "q225_stream_near_dup_filter",
+    "q226_bloom_file_skip",
+    "q227_phrase_search",
+    "q228_lpa_communities",
+    "q229_stream_quantile_bins",
+    "q230_lpa_modularity",
+    "q231_equidepth_histogram",
+    "q232_personalized_pagerank",
+    "q233_hll_set_algebra",
+    "q234_association_rules",
+    "q235_minhash_cohort_similarity",
+    "q188_cap_per_cluster",
+    "q189_freshness_stream",
+    "q190_media_embed",
+    "q191_trend_stats",
+    "q192_scd2_enrich",
+    "q193_twap_daily",
+    "q194_pareto_frontier",
+    "q195_debounce_per_user",
+    "q196_burst_detection",
+    "q197_curriculum_interleave",
+    "q198_debounce_stream",
+    "q199_returned_revenue_customers",
+    "q200_sorted_export",
+    "q201_json_schema_profile",
+    "q202_large_order_customers",
+    "q203_nearest_event_align",
+    "q204_int8_quantize",
+    "q205_session_stats",
+    "q206_burst_detection_stream",
+    "q207_timed_funnel",
+    "q208_trigram_patterns",
+    "q209_segment_overlap",
+    "q210_corpus_card",
+    "q211_mixed_language_audit",
+    "q212_disorder_profile",
+    "q213_source_drift",
+    "q214_dup_threshold_curve",
+    "q216_peak_concurrency",
+    "q217_customer_order_distribution",
+    "q218_top_supplier",
+    "q219_small_quantity_revenue",
+    "q220_stream_exact_dedup",
+    "q221_weekend_split",
+    "q222_stratum_floor_split",
+    "q223_weekly_top_event",
+    "q13_percentiles",
     "q93_joinw_stream_non_nesting",
     "q100_chop_count_stream",
     "q101_sliding_stream_ooo_replay",
@@ -257,103 +297,104 @@ _SWEEP_FIRST = [
     "q97_filteracc_stream_global",
     "q98_docs_jsonl_dead_letter",
     "q99_corpus_pipeline",
-    "q187_leakage_aware_split",
-    "q225_stream_near_dup_filter",
-    "q226_bloom_file_skip",
-    "q227_phrase_search",
-    "q228_lpa_communities",
-    "q229_stream_quantile_bins",
-    "q230_lpa_modularity",
-    "q231_equidepth_histogram",
-    "q232_personalized_pagerank",
-    "q233_hll_set_algebra",
-    "q234_association_rules",
-    "q235_minhash_cohort_similarity",
-    "q188_cap_per_cluster",
-    "q189_freshness_stream",
-    "q190_media_embed",
-    "q191_trend_stats",
-    "q192_scd2_enrich",
-    "q193_twap_daily",
-    "q194_pareto_frontier",
-    "q195_debounce_per_user",
-    "q196_burst_detection",
-    "q197_curriculum_interleave",
-    "q198_debounce_stream",
-    "q199_returned_revenue_customers",
-    "q200_sorted_export",
-    "q201_json_schema_profile",
-    "q202_large_order_customers",
-    "q203_nearest_event_align",
-    "q204_int8_quantize",
-    "q205_session_stats",
-    "q206_burst_detection_stream",
-    "q207_timed_funnel",
-    "q208_trigram_patterns",
-    "q209_segment_overlap",
-    "q210_corpus_card",
-    "q211_mixed_language_audit",
-    "q212_disorder_profile",
-    "q213_source_drift",
-    "q214_dup_threshold_curve",
-    "q216_peak_concurrency",
-    "q217_customer_order_distribution",
-    "q218_top_supplier",
-    "q219_small_quantity_revenue",
-    "q220_stream_exact_dedup",
-    "q221_weekend_split",
-    "q222_stratum_floor_split",
-    "q223_weekly_top_event",
-    "q13_percentiles",
-    "q138_incremental_agg_stream",
-    "q139_hll_distinct",
-    "q140_fuzzy_link_pairs",
-    "q141_hll_sketch_stream",
-    "q142_skew_profile",
-    "q143_compact_small_files",
-    "q144_importance_weights",
-    "q145_label_centroids",
-    "q146_interarrival_stats",
-    "q147_quantiles_at_scale",
-    "q148_table_digest",
-    "q149_triangle_count",
-    "q150_table_digest_stream",
-    "q151_group_quantiles",
-    "q152_pit_enrich_stream",
-    "q153_conversion_funnel",
-    "q154_retention_cohorts",
-    "q155_rolling_active_users",
-    "q156_hll_rolling_merge",
-    "q157_event_transitions",
-    "q158_mad_outliers",
-    "q159_join_size_estimate",
-    "q160_gini_diversity",
-    "q161_ohlc_bars",
-    "q162_gap_fill_ffill",
-    "q163_entity_resolution",
-    "q164_ohlc_bars_stream",
-    "q165_pii_scrub",
-    "q166_grain_rollup_reuse",
-    "q167_cdc_apply_deletes",
-    "q168_k_anonymity",
-    "q169_winsorized_stats",
-    "q170_posting_lists",
-    "q171_weighted_median_len",
-    "q172_kcore_parts",
-    "q173_partition_pruned_day",
-    "q174_rollup_serve_stream",
-    "q175_pq_encode",
-    "q176_ann_recall_eval",
-    "q177_collocations",
-    "q178_lexical_search",
-    "q179_cdc_apply_stream",
-    "q180_forecast_revenue_band",
-    "q181_promo_revenue_share",
-    "q182_rank_normalize",
-    "q183_equiwidth_histogram",
-    "q184_freshness_audit",
-    "q185_oov_audit",
-    "q186_dup_cluster_census",
+    "q247_hybrid_rrf",
+    "q243_khop_reach_hll",
+    "q245_khop_hll_stream_serve",
+    "q246_neighborhood_function",
+    "q244_ktruss_edges",
+    "q248_harmonic_centrality",
+    "q31_joinw_revenue_per_click",
+    "q32_joine_window_theta",
+    "q33_sliding_time_window",
+    "q34_filteracc_above_running_avg",
+    "q39_sliding_time_forward",
+    "q40_empty_windows",
+    "q41_merge_timestamp_order",
+    "q46_profitability_cells",
+    "q36_window_expand_roundtrip",
+    "q53_asof_enrich",
+    "q54_time_rollup",
+    "q55_json_props",
+    "q56_daily_distinct_users",
+    "q59_interval_join",
+    "q60_salted_skew_join",
+    "q61_approx_aggregates",
+    "q21_text_stats",
+    "q22_lang_id",
+    "q23_dedup_exact",
+    "q24_doc_fingerprint",
+    "q25_minhash_signatures",
+    "q26_simhash",
+    "q27_ann_cosine",
+    "q28_multimodal_meta",
+    "q37_ann_ivf",
+    "q38_quality_class",
+    "q42_embedding_near_dups",
+    "q43_rolling_fingerprint",
+    "q44_bpe_token_stats",
+    "q45_simhash_near_dups",
+    "q29_lsh_near_dups",
+    "q48_ann_lsh",
+    "q51_stratified_sample",
+    "q52_reservoir_per_lang",
+    "q57_chunk_documents",
+    "q58_corpus_build",
+    "q62_sequence_pack",
+    "q63_nearest_centroid",
+    "q64_kmeans_clusters",
+    "q01_filter_map",
+    "q02_expand_tokens",
+    "q03_merge",
+    "q04_chop_count_window",
+    "q249_sssp_trade_proximity",
+    "q250_pagerank_stream_serve",
+    "q251_degree_distribution",
+    "q252_degree_assortativity",
+    "q253_sssp_parents",
+    "q254_harmonic_pivots",
+    "q255_local_clustering",
+    "q256_link_prediction_ra",
+    "q257_min_cost_supplier",
+    "q258_product_profit",
+    "q259_important_parts",
+    "q260_priority_line_counts",
+    "q261_supplier_counts_by_part_attr",
+    "q262_or_block_revenue",
+    "q263_excess_volume_suppliers",
+    "q264_strength_core",
+    "q265_shuffle_shard",
+    "q266_coreness",
+    "q267_sssp_stream_serve",
+    "q05_choptime_window",
+    "q06_sliding_count_window",
+    "q07_scan_running_sum",
+    "q08_changes_dedup",
+    "q09_sample",
+    "q10_zip_join",
+    "q11_topk_per_window",
+    "q12_sessionize",
+    "q15_threshold_cross",
+    "q16_step_count",
+    "q47_broadcast_enrich",
+    "q49_wearable_chain",
+    "q50_window_custom_fold",
+    "q30_frequent_routes",
+    "q17_pricing_summary",
+    "q18_top_orders",
+    "q19_regional_revenue",
+    "q20_top_customers",
+    "q215_compression_quality",
+    "q100d_chop_stream_money_double",
+    "q102_tfidf_top_terms",
+    "q103_blocklist_filter",
+    "q104_canonical_docs",
+    "q105_token_budget_select",
+    "q106_temperature_mix",
+    "q107_latest_snapshot",
+    "q108_stream_static_enrich",
+    "q109_shared_ngram_pairs",
+    "q110_quality_filter_linear",
+    "q111_sliding_time_stream",
 ]
 # Everything below the 50 cap is driver-green untouched code; order
 # among them is irrelevant to the driver. _SWEEP_LAST is now empty:

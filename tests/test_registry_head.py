@@ -38,36 +38,28 @@ def test_ordering_is_a_permutation_of_the_registry():
     assert set(oracles) <= set(names)
 
 
-def test_head_50_composition_round12():
-    """The r12 head the driver sweeps (VERDICT r11 task 1): canary, the
-    round-11 additions q249-q267 (never driver-swept), the 18-name tail
-    of the q01-q64 block, q215 (converted from rows-only to
-    oracle-backed this round — the ledger's one non-green row), then
-    the 11 oldest r07-rowed streaming-cohort entries. Update alongside
-    the registry's rotation comment when the head is rebuilt."""
+def test_head_50_composition_round13():
+    """The r13 head the driver sweeps (VERDICT r12 task 1): canary, the
+    round-12 additions q268-q291 (never driver-swept), the 24 remaining
+    r07-rowed entries (the ledger's oldest rows), and the single oldest
+    r08-rowed entry. Update alongside the registry's rotation comment
+    when the head is rebuilt."""
     names = list(all_queries())[:50]
     assert names[0] == "q224_type_canary"
-    # the never-swept round-11 additions fill slots 1-19
-    assert {n.split("_")[0] for n in names[1:20]} == {
-        f"q{i}" for i in range(249, 268)
+    # the never-swept round-12 additions fill slots 1-24
+    assert {n.split("_")[0] for n in names[1:25]} == {
+        f"q{i}" for i in range(268, 292)
     }
-    # the 18-slot q01-q64 tail
-    tail_prefixes = [n.split("_")[0] for n in names[20:38]]
-    assert sorted(tail_prefixes) == sorted(
-        ["q05", "q06", "q07", "q08", "q09", "q10", "q11", "q12",
-         "q15", "q16", "q47", "q49", "q50", "q30", "q17", "q18",
-         "q19", "q20"]
-    )
-    # the converted q215 + the 11 oldest r07-rowed streaming entries
-    assert names[38] == "q215_compression_quality"
-    assert len(names[39:50]) == 11
-    assert [n.split("_")[0] for n in names[39:50]] == [
-        "q100d", "q102", "q103", "q104", "q105", "q106", "q107",
-        "q108", "q109", "q110", "q111",
+    # the 24 remaining r07-rowed entries, registered order
+    assert [n.split("_")[0] for n in names[25:49]] == [
+        "q118", "q119", "q124", "q112", "q113", "q114", "q128",
+        "q129", "q131", "q136", "q134", "q135", "q115", "q116",
+        "q117", "q120", "q121", "q122", "q123", "q125", "q130",
+        "q126", "q133", "q137",
     ]
-    # every head entry is oracle-gated (q215's conversion closed the
-    # last rows-only hole)
+    # the oldest r08-rowed entry fills slot 50
+    assert names[49] == "q138_incremental_agg_stream"
+    # every head entry is oracle-gated (zero rows-only since r12)
     oracles = all_oracles()
     assert all(n in oracles for n in names)
-    assert names[49] == "q111_sliding_time_stream"
     assert all(n in REGISTRY for n in names)
