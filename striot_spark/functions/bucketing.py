@@ -30,10 +30,10 @@ Operational notes encoded here:
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from striot_spark.tempdirs import striot_mkdtemp
 
 _DB = "striot_buckets"
 _LOCATION: str | None = None
@@ -45,7 +45,7 @@ def _ensure_db(spark: SparkSession) -> str:
     may not be writable where the driver runs)."""
     global _LOCATION
     if _LOCATION is None:
-        _LOCATION = tempfile.mkdtemp(prefix="striot_bucket_db_")
+        _LOCATION = striot_mkdtemp(prefix="striot_bucket_db_")
     spark.sql(
         f"CREATE DATABASE IF NOT EXISTS {_DB} LOCATION '{_LOCATION}'"
     )

@@ -1023,7 +1023,36 @@ def bm25_score_sql(
     """Build the (dl, score) SQL expression pair of ``bm25_search``'s
     integer Okapi formula with the corpus stats as inlined literals —
     shared by the batch ranker and the streaming ingest-time scorer so
-    the two compute the bit-identical score by construction."""
+    the two compute the bit-identical score by construction.
+
+    Tokens are interpolated into string literals, so each is escaped
+    by doubling single quotes (ANSI, identical semantics in Spark and
+    DuckDB); backslashes and control characters are REJECTED because
+    their literal semantics differ between Spark's default parser
+    (backslash-escapes) and ANSI engines — a silent dialect divergence,
+    not an expressible token (ADVICE r12).
+
+    Parameter validation (ADVICE r12): for tf=0 terms the saturation
+    denominator reduces to (k1_milli * norm) DIV 1000, which is 0 when
+    k1_milli * (1000 - b_milli) < 1000 — Spark's non-ANSI DIV then
+    yields NULL and silently nulls the whole score. The guard below
+    enforces k1_milli * max(1000 - b_milli, 1) >= 1000 so the
+    denominator is provably positive for every tf >= 0 (norm >=
+    1000 - b_milli always); b_milli = 1000 is rejected outright since
+    norm can then reach 0 for below-average-length docs.
+    """
+    if not (1 <= k1_milli and 0 <= b_milli < 1000):
+        raise ValueError(
+            "bm25_score_sql: require k1_milli >= 1 and "
+            f"0 <= b_milli < 1000, got k1_milli={k1_milli} "
+            f"b_milli={b_milli}"
+        )
+    if k1_milli * (1000 - b_milli) < 1000:
+        raise ValueError(
+            "bm25_score_sql: k1_milli * (1000 - b_milli) must be "
+            ">= 1000 or the tf=0 saturation denominator underflows "
+            f"to 0 (integer DIV), got {k1_milli * (1000 - b_milli)}"
+        )
     tok_sql = f"filter(split({text_col}, ' '), x -> x <> '')"
     dl_sql = f"CAST(size({tok_sql}) AS BIGINT)"
     norm_sql = (
@@ -1032,9 +1061,15 @@ def bm25_score_sql(
     )
     terms = []
     for t, dfi in zip(query_tokens, dfs):
+        if "\\" in t or any(ord(c) < 0x20 for c in t):
+            raise ValueError(
+                "bm25_score_sql: query token contains a backslash or "
+                f"control character (dialect-divergent literal): {t!r}"
+            )
+        lit = t.replace("'", "''")
         idf_milli = (n_docs - dfi + 1) * 1000 // (dfi + 1)
         tf_sql = (
-            f"CAST(size(filter({tok_sql}, x -> x = '{t}')) AS BIGINT)"
+            f"CAST(size(filter({tok_sql}, x -> x = '{lit}')) AS BIGINT)"
         )
         sat_sql = (
             f"({tf_sql} * {(k1_milli + 1000) * 1000000} "

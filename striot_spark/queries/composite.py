@@ -10,6 +10,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from striot_spark.tempdirs import striot_mkdtemp
 from striot_spark.functions.analytics import cents, ts_str
 from striot_spark.operators import ChopTime, Complete, SlidingTime
 from striot_spark.operators.windows import Chop
@@ -116,13 +117,13 @@ def q87_joinw_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ld = RT.run_available_now(
         lw,
         f"q87_l_{tag}",
-        tempfile.mkdtemp(prefix="striot_q87_lck_"),
+        striot_mkdtemp(prefix="striot_q87_lck_"),
         mode="complete",
     )
     rd = RT.run_available_now(
         rw,
         f"q87_r_{tag}",
-        tempfile.mkdtemp(prefix="striot_q87_rck_"),
+        striot_mkdtemp(prefix="striot_q87_rck_"),
         mode="complete",
     )
     # finalize tier: left-start containment alignment (join_w's rule)
@@ -215,7 +216,7 @@ def q93_joinw_stream_non_nesting(
     drained = RT.run_available_now(
         out,
         f"q93_joinw_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q93_ck_"),
+        striot_mkdtemp(prefix="striot_q93_ck_"),
         mode="append",
         expect_data_batches=1,
     )
@@ -293,7 +294,8 @@ def _assert_q93_closed(ev: DataFrame, res: DataFrame, wm_us: int) -> None:
     import json
     import tempfile
 
-    dump = tempfile.mkdtemp(prefix="striot_q93_mismatch_")
+    dump = tempfile.mkdtemp(  # post-mortem artifact: must outlive the process
+        prefix="striot_q93_mismatch_")
     with open(f"{dump}/drained.json", "w") as fh:
         json.dump(got, fh, default=str)
     with open(f"{dump}/closed.json", "w") as fh:

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from striot_spark.tempdirs import striot_mkdtemp
 from striot_spark.functions import dedup as D
 from striot_spark.functions import sampling as SAMP
 from striot_spark.functions import similarity as SIM
@@ -2901,7 +2902,7 @@ def q200_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             + md5_hash64(F.col("source")) % F.lit(100)
         ).alias("interleave_key"),
     )
-    out = tempfile.mkdtemp(prefix="striot_q200_export_") + "/data"
+    out = striot_mkdtemp(prefix="striot_q200_export_") + "/data"
     (
         keyed.repartitionByRange(8, F.col("interleave_key"))
         .sortWithinPartitions("interleave_key", "doc_id")
@@ -3692,7 +3693,11 @@ def q276_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min(R_total, 10) — the standard AP@k normalization, exact "
     "integers after the shared round-6-cosine + id tie-break "
     "ranking. Queries whose top-10 holds no relevant item emit "
-    "ap_ppm = 0 (left join keeps all 8 rows). Query side broadcast, "
+    "ap_ppm = 0 (left join from r_total keeps them); a query whose "
+    "label has ZERO same-label base vectors is omitted entirely — "
+    "r_total is an inner join on label, identically in the oracle "
+    "(on this fixture every label has base vectors, so all 8 rows "
+    "emit; ADVICE r12 contract note). Query side broadcast, "
     "one window per query partition — q275's scale shape; averaging "
     "the 8 rows gives MAP",
 )
@@ -3964,8 +3969,12 @@ def q283_prototypicality_band(
     )
     cents: dict = {}
     for row in qs:
+        # round q to double BEFORE dividing, matching the oracle's
+        # CAST(q AS DOUBLE) / n operation order — Python's int/int is
+        # correctly-rounded exact-rational division and can differ by
+        # 1 ulp once q exceeds 2^53 (ADVICE r12)
         cents.setdefault(int(row["label"]), {})[int(row["i"])] = (
-            int(row["q"]) / int(row["n"]) / 1000000
+            float(int(row["q"])) / int(row["n"]) / 1000000
         )
     map_args = []
     for lbl in sorted(cents):

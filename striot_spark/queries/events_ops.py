@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from striot_spark.tempdirs import striot_mkdtemp
 from striot_spark.functions.analytics import (
     avg_money,
     cents,
@@ -1512,7 +1513,7 @@ def q173_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", day_str(F.col("ts"))
     )
-    path = tempfile.mkdtemp(prefix="striot_q173_part_") + "/data"
+    path = striot_mkdtemp(prefix="striot_q173_part_") + "/data"
     write_partitioned(ev, path, ["day"], sort_by=["ts", "event_id"])
     back = spark.read.parquet(path).filter(
         F.col("day") == F.lit("2024-01-15")

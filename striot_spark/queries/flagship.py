@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from striot_spark.tempdirs import striot_mkdtemp
 from striot_spark.functions.analytics import day_str, topk
 from striot_spark.queries.registry import register
 from striot_spark.sources.batch import load_table
@@ -172,7 +173,7 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     path = _STAGED.get(sf_dir)
     if path is not None:
         return path
-    out = tempfile.mkdtemp(prefix="striot_fr_stream_src_")
+    out = striot_mkdtemp(prefix="striot_fr_stream_src_")
     load_table(spark, sf_dir, "events").repartition(1).sortWithinPartitions(
         "ts", "event_id"
     ).write.mode("overwrite").parquet(out)
@@ -227,7 +228,7 @@ def _stage_events_barrier(
             for f in base.schema.fields
         ]
     )
-    out = tempfile.mkdtemp(prefix="striot_fr_stream_srcb_")
+    out = striot_mkdtemp(prefix="striot_fr_stream_srcb_")
     base.unionByName(barrier).repartition(1).sortWithinPartitions(
         "ts", "event_id"
     ).write.mode("overwrite").parquet(out)
@@ -246,7 +247,10 @@ def _stage_events_ooo(spark: SparkSession, sf_dir: str) -> str:
     query (q101) proves the order-robust lowering withstands it in the
     driver's own environment. The 365-day watermark delay exceeds any
     possible disorder (the whole data span); the barrier lands one hour
-    past max+delay so the final watermark passes every real event."""
+    past max+delay so the final watermark passes every real event.
+
+    TEST-STAGING ONLY: the global single-partition ``row_number()`` below (a ``Window.orderBy`` with no partition key) is a deliberate O(n)-single-partition sort that exists to cut adversarial micro-batch boundaries for the serve tests at sf0.01 — it is fixture machinery, never a production path, and must not be copied into an operator (VERDICT r12).
+    """
     import datetime as _dt
     import tempfile
 
@@ -282,7 +286,7 @@ def _stage_events_ooo(spark: SparkSession, sf_dir: str) -> str:
             for f in base.schema.fields
         ]
     )
-    out = tempfile.mkdtemp(prefix="striot_fr_stream_srco_") + "/data"
+    out = striot_mkdtemp(prefix="striot_fr_stream_srco_") + "/data"
     stage_ordered_files([b, a, c, barrier], out)
     _STAGED[ck] = out
     return out
@@ -302,7 +306,7 @@ def q65_frequent_routes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stage_events(spark, sf_dir)
     schema = spark.read.parquet(src).schema
-    ck = tempfile.mkdtemp(prefix="striot_fr_stream_ck_")
+    ck = striot_mkdtemp(prefix="striot_fr_stream_ck_")
     return frequent_routes_stream(spark, src, schema, ck)
 
 
@@ -347,7 +351,7 @@ def q78_window_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = RT.run_available_now(
         counts,
         f"q78_winagg_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q78_ck_"),
+        striot_mkdtemp(prefix="striot_q78_ck_"),
         mode="complete",
     )
     return drained.select(
@@ -409,7 +413,7 @@ def q86_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = RT.run_available_now(
         agg,
         f"q86_sess_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q86_ck_"),
+        striot_mkdtemp(prefix="striot_q86_ck_"),
         mode="complete",
     )
     return drained.select(
@@ -470,7 +474,7 @@ def _stage_taxi_csv(spark: SparkSession, sf_dir: str) -> str:
         .when(F.col("event_id") % 103 == 0, F.lit(""))
         .otherwise(F.concat_ws(",", *fields))
     )
-    out = tempfile.mkdtemp(prefix="striot_taxi_csv_")
+    out = striot_mkdtemp(prefix="striot_taxi_csv_")
     ev.select(line.alias("value")).repartition(2).write.mode(
         "overwrite"
     ).text(out)
@@ -545,7 +549,7 @@ def _stage_docs_jsonl(spark: SparkSession, sf_dir: str) -> str:
         .when(F.col("doc_id") % 103 == 0, F.lit(""))
         .otherwise(payload)
     )
-    out = tempfile.mkdtemp(prefix="striot_docs_jsonl_")
+    out = striot_mkdtemp(prefix="striot_docs_jsonl_")
     docs.select(line.alias("value")).repartition(2).write.mode(
         "overwrite"
     ).text(out)
@@ -659,7 +663,7 @@ def q89_scan_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = RT.run_available_now(
         out,
         f"q89_scan_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q89_ck_"),
+        striot_mkdtemp(prefix="striot_q89_ck_"),
         mode="append",
     )
     # finalize: (user_id, ts) is unique in this data, but the grouped
@@ -713,7 +717,7 @@ def q90_filteracc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = RT.run_available_now(
         out,
         f"q90_facc_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q90_ck_"),
+        striot_mkdtemp(prefix="striot_q90_ck_"),
         mode="append",
     )
     return drained.select("user_id", "event_id")
@@ -768,7 +772,7 @@ def q91_sliding_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = RT.run_available_now(
         out,
         f"q91_slide_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q91_ck_"),
+        striot_mkdtemp(prefix="striot_q91_ck_"),
         mode="append",
     )
     return drained.select(
@@ -829,7 +833,7 @@ def q92_scan_stream_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = RT.run_available_now(
         out,
         f"q92_gscan_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q92_ck_"),
+        striot_mkdtemp(prefix="striot_q92_ck_"),
         mode="append",
         expect_data_batches=1,
     )
@@ -903,7 +907,7 @@ def q100_chop_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = RT.run_available_now(
         out,
         f"q100_chop_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q100_ck_"),
+        striot_mkdtemp(prefix="striot_q100_ck_"),
         mode="append",
         expect_data_batches=1,
     )
@@ -955,7 +959,7 @@ def q97_filteracc_stream_global(
     drained = RT.run_available_now(
         out,
         f"q97_gfacc_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q97_ck_"),
+        striot_mkdtemp(prefix="striot_q97_ck_"),
         mode="append",
     )
     return drained.select("event_id")
@@ -1017,7 +1021,7 @@ def q101_sliding_stream_ooo_replay(
     drained = RT.run_available_now(
         out,
         f"q101_ooo_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q101_ck_"),
+        striot_mkdtemp(prefix="striot_q101_ck_"),
         mode="append",
         expect_data_batches=4,
     )
@@ -1101,7 +1105,7 @@ def q108_stream_static_enrich(
     drained = RT.run_available_now(
         joined,
         f"q108_enrich_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q108_ck_"),
+        striot_mkdtemp(prefix="striot_q108_ck_"),
         mode="append",
     )
     return drained.groupBy(
@@ -1159,7 +1163,7 @@ def q111_sliding_time_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = RT.run_available_now(
         counts,
         f"q111_slidet_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q111_ck_"),
+        striot_mkdtemp(prefix="striot_q111_ck_"),
         mode="complete",
     )
     return drained.select(
@@ -1211,7 +1215,7 @@ def q115_daily_distinct_stream(
     drained = RT.run_available_now(
         s2,
         f"q115_ddistinct_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q115_ck_"),
+        striot_mkdtemp(prefix="striot_q115_ck_"),
         mode="append",
         expect_data_batches=1,
     )
@@ -1291,7 +1295,7 @@ def q116_interval_join_stream(
     drained = RT.run_available_now(
         out,
         f"q116_ij_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q116_ck_"),
+        striot_mkdtemp(prefix="striot_q116_ck_"),
         mode="append",
     )
     return drained.select(
@@ -1356,7 +1360,7 @@ def q117_joine_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = RT.run_available_now(
         out,
         f"q117_je_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q117_ck_"),
+        striot_mkdtemp(prefix="striot_q117_ck_"),
         mode="append",
     )
     return drained.select(
@@ -1420,7 +1424,7 @@ def q120_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RT.run_available_now(
         merged,
         f"q120_merge_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q120_ck_"),
+        striot_mkdtemp(prefix="striot_q120_ck_"),
         mode="append",
     )
 
@@ -1435,7 +1439,7 @@ def _stage_documents(spark: SparkSession, sf_dir: str) -> str:
     path = _STAGED.get(ck)
     if path is not None:
         return path
-    out = tempfile.mkdtemp(prefix="striot_doc_stream_src_")
+    out = striot_mkdtemp(prefix="striot_doc_stream_src_")
     load_table(spark, sf_dir, "documents").repartition(
         1
     ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(out)
@@ -1472,7 +1476,7 @@ def q121_expand_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RT.run_available_now(
         counts,
         f"q121_expand_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q121_ck_"),
+        striot_mkdtemp(prefix="striot_q121_ck_"),
         mode="complete",
     )
 
@@ -1535,7 +1539,7 @@ def q122_corpus_ingest_stream(
     drained = RT.run_available_now(
         deduped,
         f"q122_ingest_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q122_ck_"),
+        striot_mkdtemp(prefix="striot_q122_ck_"),
         mode="complete",
     )
     return drained.select("doc_id", "n_dupes")
@@ -1583,7 +1587,7 @@ def q123_zip_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = RT.run_available_now(
         out,
         f"q123_zip_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q123_ck_"),
+        striot_mkdtemp(prefix="striot_q123_ck_"),
         mode="append",
         expect_data_batches=1,
     )
@@ -1632,11 +1636,11 @@ def q125_upsert_snapshot_stream(
     sdf = RT.file_stream(
         spark, src, schema, max_files_per_trigger=1
     ).withColumn("value_c", cents(F.col("value")))
-    path = tempfile.mkdtemp(prefix="striot_q125_snap_")
+    path = striot_mkdtemp(prefix="striot_q125_snap_")
     q = RT.upsert_snapshot_sink(
         sdf,
         path,
-        tempfile.mkdtemp(prefix="striot_q125_ck_"),
+        striot_mkdtemp(prefix="striot_q125_ck_"),
         key_cols=["user_id"],
         order_cols=["ts", "event_id"],
         payload_cols=["event_type", "value_c"],
@@ -1724,7 +1728,7 @@ def q130_cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = RT.run_available_now(
         sketch_s,
         f"q130_cms_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q130_ck_"),
+        striot_mkdtemp(prefix="striot_q130_ck_"),
         mode="complete",
     )
     table = {(r["row"], r["pos"]): r["c"] for r in drained.collect()}
@@ -1788,11 +1792,11 @@ def q138_incremental_agg_stream(
     sdf = RT.file_stream(
         spark, src, schema, max_files_per_trigger=1
     ).withColumn("value_c", cents(F.col("value")))
-    path = tempfile.mkdtemp(prefix="striot_q138_mv_")
+    path = striot_mkdtemp(prefix="striot_q138_mv_")
     q = RT.incremental_agg_sink(
         sdf,
         path,
-        tempfile.mkdtemp(prefix="striot_q138_ck_"),
+        striot_mkdtemp(prefix="striot_q138_ck_"),
         key_cols=["user_id", "event_type"],
         sum_cols=["value_c"],
     )
@@ -1863,7 +1867,7 @@ def q141_hll_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = RT.run_available_now(
         regs_s,
         f"q141_hll_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q141_ck_"),
+        striot_mkdtemp(prefix="striot_q141_ck_"),
         mode="complete",
     )
     est = hll_estimate(drained, ["lang"])
@@ -1905,9 +1909,9 @@ def q143_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from striot_spark.functions.bucketing import compact_files
 
     ev = load_table(spark, sf_dir, "events")
-    frag = tempfile.mkdtemp(prefix="striot_q143_frag_") + "/data"
+    frag = striot_mkdtemp(prefix="striot_q143_frag_") + "/data"
     ev.repartition(64).write.parquet(frag)
-    out = tempfile.mkdtemp(prefix="striot_q143_out_") + "/data"
+    out = striot_mkdtemp(prefix="striot_q143_out_") + "/data"
     compacted = compact_files(spark, frag, out, target_bytes=8 * 1024 * 1024)
     return compacted.select(
         "event_id",
@@ -1983,7 +1987,7 @@ def q150_table_digest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RT.run_available_now(
         digest_s,
         f"q150_digest_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q150_ck_"),
+        striot_mkdtemp(prefix="striot_q150_ck_"),
         mode="complete",
     )
 
@@ -2065,7 +2069,7 @@ def q152_pit_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RT.run_available_now(
         joined,
         f"q152_pit_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q152_ck_"),
+        striot_mkdtemp(prefix="striot_q152_ck_"),
     )
 
 
@@ -2121,7 +2125,7 @@ def q164_ohlc_bars_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RT.run_available_now(
         bars_s,
         f"q164_ohlc_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q164_ck_"),
+        striot_mkdtemp(prefix="striot_q164_ck_"),
         mode="complete",
     )
 
@@ -2165,11 +2169,11 @@ def q174_rollup_serve_stream(
             cents(F.col("value")).alias("value_c"),
         )
     )
-    path = tempfile.mkdtemp(prefix="striot_q174_mv_")
+    path = striot_mkdtemp(prefix="striot_q174_mv_")
     q = RT.incremental_agg_sink(
         sdf,
         path,
-        tempfile.mkdtemp(prefix="striot_q174_ck_"),
+        striot_mkdtemp(prefix="striot_q174_ck_"),
         key_cols=["minute", "event_type"],
         sum_cols=["value_c"],
     )
@@ -2229,11 +2233,11 @@ def q179_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_str(F.col("ts")).alias("last_ts"),
         )
     )
-    path = tempfile.mkdtemp(prefix="striot_q179_snap_")
+    path = striot_mkdtemp(prefix="striot_q179_snap_")
     q = RT.upsert_snapshot_sink(
         sdf,
         path,
-        tempfile.mkdtemp(prefix="striot_q179_ck_"),
+        striot_mkdtemp(prefix="striot_q179_ck_"),
         key_cols=["user_id"],
         order_cols=["ts", "event_id"],
         payload_cols=["event_type", "last_cents", "last_ts"],
@@ -2277,11 +2281,11 @@ def q189_freshness_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") != BARRIER_USER)
         .select("event_type", "ts", "event_id")
     )
-    path = tempfile.mkdtemp(prefix="striot_q189_snap_")
+    path = striot_mkdtemp(prefix="striot_q189_snap_")
     q = RT.upsert_snapshot_sink(
         sdf,
         path,
-        tempfile.mkdtemp(prefix="striot_q189_ck_"),
+        striot_mkdtemp(prefix="striot_q189_ck_"),
         key_cols=["event_type"],
         order_cols=["ts", "event_id"],
         payload_cols=[],
@@ -2345,7 +2349,7 @@ def q198_debounce_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = RT.run_available_now(
         out,
         f"q198_deb_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q198_ck_"),
+        striot_mkdtemp(prefix="striot_q198_ck_"),
         mode="append",
     )
     return drained.select("user_id", "event_id")
@@ -2386,7 +2390,7 @@ def q206_burst_detection_stream(
     m = RT.run_available_now(
         sdf,
         f"q206_burst_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q206_ck_"),
+        striot_mkdtemp(prefix="striot_q206_ck_"),
         mode="complete",
     )
     return burst_flags(m, "event_type", "b")
@@ -2427,7 +2431,7 @@ def q220_stream_exact_dedup(
     path = _STAGED.get(ck)
     if path is None:
         base = _lt(spark, sf_dir, "events")
-        path = tempfile.mkdtemp(prefix="striot_q220_dup_src_")
+        path = striot_mkdtemp(prefix="striot_q220_dup_src_")
         RT.stage_ordered_files([base, base], path)
         _STAGED[ck] = path
     schema = spark.read.parquet(path).schema
@@ -2444,7 +2448,7 @@ def q220_stream_exact_dedup(
     return RT.run_available_now(
         deduped,
         f"q220_dedup_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q220_ck_"),
+        striot_mkdtemp(prefix="striot_q220_ck_"),
         mode="complete",
     )
 
@@ -2524,18 +2528,18 @@ def q225_stream_near_dup_filter(
             )
             for i in range(5)
         ]
-        path = tempfile.mkdtemp(prefix="striot_q225_src_")
+        path = striot_mkdtemp(prefix="striot_q225_src_")
         RT.stage_ordered_files(chunks, path, order_cols=["doc_id"])
         _STAGED[ck] = path
     schema = spark.read.parquet(path).schema
     sdf = RT.file_stream(spark, path, schema, max_files_per_trigger=1)
-    out = tempfile.mkdtemp(prefix="striot_q225_out_")
-    snap = tempfile.mkdtemp(prefix="striot_q225_snap_")
+    out = striot_mkdtemp(prefix="striot_q225_out_")
+    snap = striot_mkdtemp(prefix="striot_q225_snap_")
     q = D.near_dup_filter_stream(
         sdf,
         out,
         snap,
-        tempfile.mkdtemp(prefix="striot_q225_ck_"),
+        striot_mkdtemp(prefix="striot_q225_ck_"),
         "doc_id",
         "text",
         ["doc_id", "lang"],
@@ -2595,11 +2599,11 @@ def q229_stream_quantile_bins(
         .select(cents(F.col("value")).alias("vc"))
         .select(F.expr("vc DIV 1000").alias("bin"))
     )
-    path = tempfile.mkdtemp(prefix="striot_q229_mv_")
+    path = striot_mkdtemp(prefix="striot_q229_mv_")
     q = RT.incremental_agg_sink(
         sdf,
         path,
-        tempfile.mkdtemp(prefix="striot_q229_ck_"),
+        striot_mkdtemp(prefix="striot_q229_ck_"),
         key_cols=["bin"],
         sum_cols=[],
     )
@@ -2618,7 +2622,10 @@ def _stage_pair_events(spark: SparkSession, sf_dir: str) -> str:
     contiguous, so the third-splits deliberately cut THROUGH pairs —
     the same edge's multiplicity accumulates across micro-batch
     boundaries, which is exactly what the additive ingest sink must
-    get right."""
+    get right.
+
+    TEST-STAGING ONLY: the global single-partition ``row_number()`` below (a ``Window.orderBy`` with no partition key) is a deliberate O(n)-single-partition sort that exists to cut adversarial micro-batch boundaries for the serve tests at sf0.01 — it is fixture machinery, never a production path, and must not be copied into an operator (VERDICT r12).
+    """
     import tempfile
 
     from pyspark.sql import Window
@@ -2657,7 +2664,7 @@ def _stage_pair_events(spark: SparkSession, sf_dir: str) -> str:
         ).drop("rn"),
         r.filter(F.col("rn") > 2 * third).drop("rn"),
     ]
-    out = tempfile.mkdtemp(prefix="striot_fr_stream_pairs_") + "/data"
+    out = striot_mkdtemp(prefix="striot_fr_stream_pairs_") + "/data"
     stage_ordered_files(chunks, out, order_cols=["u", "v"])
     _STAGED[ck] = out
     return out
@@ -2723,11 +2730,11 @@ def q239_lpa_stream_weighted(
     src = _stage_pair_events(spark, sf_dir)
     schema = spark.read.parquet(src).schema
     sdf = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
-    path = tempfile.mkdtemp(prefix="striot_q239_mv_")
+    path = striot_mkdtemp(prefix="striot_q239_mv_")
     q = RT.incremental_agg_sink(
         sdf,
         path,
-        tempfile.mkdtemp(prefix="striot_q239_ck_"),
+        striot_mkdtemp(prefix="striot_q239_ck_"),
         key_cols=["u", "v"],
         sum_cols=[],
     )
@@ -2779,11 +2786,11 @@ def q240_incremental_extents_stream(
     sdf = RT.file_stream(
         spark, src, schema, max_files_per_trigger=1
     ).withColumn("value_c", cents(F.col("value")))
-    path = tempfile.mkdtemp(prefix="striot_q240_mv_")
+    path = striot_mkdtemp(prefix="striot_q240_mv_")
     q = RT.incremental_agg_sink(
         sdf,
         path,
-        tempfile.mkdtemp(prefix="striot_q240_ck_"),
+        striot_mkdtemp(prefix="striot_q240_ck_"),
         key_cols=["user_id"],
         sum_cols=["value_c"],
         min_cols=["ts"],
@@ -2887,7 +2894,7 @@ def q273_surprisal_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = RT.run_available_now(
         scored,
         f"q273_surprisal_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q273_ck_"),
+        striot_mkdtemp(prefix="striot_q273_ck_"),
         mode="append",
     )
     return drained.filter(F.col("n_tokens") > 0).select(
@@ -2996,7 +3003,7 @@ def q282_bm25_stream_serve(
     drained = RT.run_available_now(
         scored,
         f"q282_bm25_{uuid.uuid4().hex[:8]}",
-        tempfile.mkdtemp(prefix="striot_q282_ck_"),
+        striot_mkdtemp(prefix="striot_q282_ck_"),
         mode="append",
     )
     return drained
@@ -3057,11 +3064,11 @@ def q286_exp_histogram_stream_serve(
             "bucket", F.expr("CAST(length(bin(v)) - 1 AS BIGINT)")
         )
     )
-    path = tempfile.mkdtemp(prefix="striot_q286_mv_")
+    path = striot_mkdtemp(prefix="striot_q286_mv_")
     q = RT.incremental_agg_sink(
         sdf,
         path,
-        tempfile.mkdtemp(prefix="striot_q286_ck_"),
+        striot_mkdtemp(prefix="striot_q286_ck_"),
         key_cols=["event_type", "bucket"],
         sum_cols=["v"],
     )

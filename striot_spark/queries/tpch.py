@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from striot_spark.tempdirs import striot_mkdtemp
 from striot_spark.functions.analytics import day_str
 from striot_spark.queries.registry import register
 from striot_spark.sources.batch import load_table
@@ -2059,7 +2060,10 @@ def _stage_quarter_pair_events(spark: SparkSession, sf_dir: str) -> str:
     per same-order partkey pair occurrence, duplicates kept) as three
     mtime-ordered files, ordered by (u, v) so the third-splits cut
     through pairs — same adversarial discipline as q239's stager, on
-    q241/q243's one-quarter graph."""
+    q241/q243's one-quarter graph.
+
+    TEST-STAGING ONLY: the global single-partition ``row_number()`` below (a ``Window.orderBy`` with no partition key) is a deliberate O(n)-single-partition sort that exists to cut adversarial micro-batch boundaries for the serve tests at sf0.01 — it is fixture machinery, never a production path, and must not be copied into an operator (VERDICT r12).
+    """
     import tempfile
 
     from pyspark.sql import Window
@@ -2102,7 +2106,7 @@ def _stage_quarter_pair_events(spark: SparkSession, sf_dir: str) -> str:
         ).drop("rn"),
         r.filter(F.col("rn") > 2 * third).drop("rn"),
     ]
-    out = tempfile.mkdtemp(prefix="striot_q245_pairs_") + "/data"
+    out = striot_mkdtemp(prefix="striot_q245_pairs_") + "/data"
     stage_ordered_files(chunks, out, order_cols=["u", "v"])
     _STAGED_QPAIRS[ck] = out
     return out
@@ -2135,11 +2139,11 @@ def q245_khop_hll_stream_serve(
     src = _stage_quarter_pair_events(spark, sf_dir)
     schema = spark.read.parquet(src).schema
     sdf = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
-    path = tempfile.mkdtemp(prefix="striot_q245_mv_")
+    path = striot_mkdtemp(prefix="striot_q245_mv_")
     q = RT.incremental_agg_sink(
         sdf,
         path,
-        tempfile.mkdtemp(prefix="striot_q245_ck_"),
+        striot_mkdtemp(prefix="striot_q245_ck_"),
         key_cols=["u", "v"],
         sum_cols=[],
         gc_grace_batches=1,
@@ -2497,7 +2501,10 @@ def _stage_trade_observations(spark: SparkSession, sf_dir: str) -> str:
     mtime-ordered files ordered by (a, b), so the third-splits cut
     through a pair's observations — the adversarial batching q239/q245
     use: per-key counts must come out identical no matter where the
-    micro-batch boundaries land."""
+    micro-batch boundaries land.
+
+    TEST-STAGING ONLY: the global single-partition ``row_number()`` below (a ``Window.orderBy`` with no partition key) is a deliberate O(n)-single-partition sort that exists to cut adversarial micro-batch boundaries for the serve tests at sf0.01 — it is fixture machinery, never a production path, and must not be copied into an operator (VERDICT r12).
+    """
     import tempfile
 
     from pyspark.sql import Window
@@ -2530,7 +2537,7 @@ def _stage_trade_observations(spark: SparkSession, sf_dir: str) -> str:
         ).drop("rn"),
         r.filter(F.col("rn") > 2 * third).drop("rn"),
     ]
-    out = tempfile.mkdtemp(prefix="striot_q250_obs_") + "/data"
+    out = striot_mkdtemp(prefix="striot_q250_obs_") + "/data"
     stage_ordered_files(chunks, out, order_cols=["a", "b"])
     _STAGED_TRADE_OBS[ck] = out
     return out
@@ -2563,11 +2570,11 @@ def q250_pagerank_stream_serve(
     src = _stage_trade_observations(spark, sf_dir)
     schema = spark.read.parquet(src).schema
     sdf = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
-    path = tempfile.mkdtemp(prefix="striot_q250_mv_")
+    path = striot_mkdtemp(prefix="striot_q250_mv_")
     q = RT.incremental_agg_sink(
         sdf,
         path,
-        tempfile.mkdtemp(prefix="striot_q250_ck_"),
+        striot_mkdtemp(prefix="striot_q250_ck_"),
         key_cols=["a", "b"],
         sum_cols=[],
         gc_grace_batches=1,
@@ -3508,11 +3515,11 @@ def q267_sssp_stream_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _stage_trade_observations(spark, sf_dir)
     schema = spark.read.parquet(src).schema
     sdf = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
-    path = tempfile.mkdtemp(prefix="striot_q267_mv_")
+    path = striot_mkdtemp(prefix="striot_q267_mv_")
     q = RT.incremental_agg_sink(
         sdf,
         path,
-        tempfile.mkdtemp(prefix="striot_q267_ck_"),
+        striot_mkdtemp(prefix="striot_q267_ck_"),
         key_cols=["a", "b"],
         sum_cols=[],
     )
@@ -3659,7 +3666,10 @@ def _stage_copurchase_observations(
     third-splits cut through a key's observations — the adversarial
     batching the q250/q267 serves use: the materialized key set must
     come out identical no matter where the micro-batch boundaries
-    land."""
+    land.
+
+    TEST-STAGING ONLY: the global single-partition ``row_number()`` below (a ``Window.orderBy`` with no partition key) is a deliberate O(n)-single-partition sort that exists to cut adversarial micro-batch boundaries for the serve tests at sf0.01 — it is fixture machinery, never a production path, and must not be copied into an operator (VERDICT r12).
+    """
     import tempfile
 
     from pyspark.sql import Window
@@ -3685,7 +3695,7 @@ def _stage_copurchase_observations(
         ).drop("rn"),
         r.filter(F.col("rn") > 2 * third).drop("rn"),
     ]
-    out = tempfile.mkdtemp(prefix="striot_q269_obs_") + "/data"
+    out = striot_mkdtemp(prefix="striot_q269_obs_") + "/data"
     stage_ordered_files(chunks, out, order_cols=["k", "p"])
     _STAGED_COPURCHASE_OBS[ck] = out
     return out
@@ -3718,11 +3728,11 @@ def q269_coreness_stream_serve(
     src = _stage_copurchase_observations(spark, sf_dir)
     schema = spark.read.parquet(src).schema
     sdf = RT.file_stream(spark, src, schema, max_files_per_trigger=1)
-    path = tempfile.mkdtemp(prefix="striot_q269_mv_")
+    path = striot_mkdtemp(prefix="striot_q269_mv_")
     q = RT.incremental_agg_sink(
         sdf,
         path,
-        tempfile.mkdtemp(prefix="striot_q269_ck_"),
+        striot_mkdtemp(prefix="striot_q269_ck_"),
         key_cols=["k", "p"],
         sum_cols=[],
     )

@@ -1,0 +1,48 @@
+"""Process-lifetime temp staging dirs with atexit cleanup.
+
+The serve/streaming queries stage replay sources, snapshot sinks, and
+checkpoints under ``tempfile.mkdtemp(prefix="striot_q*")``. Within one
+process those are memoized, but every FRESH process (driver sweep,
+bench run, test session) minted new dirs and never removed them, so
+repeated sweeps accumulated ``/tmp/striot_q*`` indefinitely (VERDICT
+r12 housekeeping item 3). ``striot_mkdtemp`` keeps the per-process
+isolation that makes concurrent sweeps safe (never a shared
+deterministic path — a bench and a sim running side by side must not
+cross-write staging) and registers ONE atexit hook that removes
+everything this process created when it exits. Crashed processes can
+still leave orphans; that is the accepted trade-off versus the
+alternative of GC-ing other live processes' dirs by prefix, which
+would corrupt a concurrent run.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+_CREATED: list[str] = []
+
+
+def striot_mkdtemp(prefix: str) -> str:
+    """``tempfile.mkdtemp`` that self-cleans at interpreter exit.
+
+    Drop-in for every staging/checkpoint/snapshot dir whose lifetime
+    is "this process's queries" — NOT for post-mortem artifact dumps
+    (e.g. q93's mismatch dump), which must outlive the process.
+    """
+    path = tempfile.mkdtemp(prefix=prefix)
+    if not _CREATED:
+        atexit.register(cleanup_tempdirs)
+    _CREATED.append(path)
+    return path
+
+
+def cleanup_tempdirs() -> None:
+    """Remove every dir this process minted via ``striot_mkdtemp``.
+
+    Idempotent; runs automatically at exit. File removal needs no JVM,
+    so ordering against Spark's own shutdown hooks is irrelevant.
+    """
+    while _CREATED:
+        shutil.rmtree(_CREATED.pop(), ignore_errors=True)

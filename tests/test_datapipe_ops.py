@@ -3623,6 +3623,54 @@ def test_bm25_length_normalization_and_saturation(spark):
     assert got[2] < 10 * got[1] / 2, "tf saturation must cap the gain"
 
 
+def test_bm25_token_escaping_and_dialect_guards(spark):
+    """bm25_score_sql interpolates tokens into SQL string literals
+    (ADVICE r12): a single-quote token must be escaped (ANSI doubled
+    quote, not a broken expression), and backslash / control-char
+    tokens must raise rather than silently diverge between Spark's
+    backslash-escaping parser and ANSI DuckDB."""
+    import pytest
+
+    from striot_spark.functions.text import bm25_score_sql, bm25_search
+
+    df = spark.createDataFrame(
+        [(0, "it's here"), (1, "plain words")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(df, "doc_id", "text", ["it's"], k=5).collect()
+    }
+    assert set(got) == {0} and got[0] > 0
+    for bad in ["a\\b", "a\nb", "a\tb"]:
+        with pytest.raises(ValueError, match="backslash or control"):
+            bm25_score_sql("text", [bad], [1], 2, 10)
+
+
+def test_bm25_parameter_range_guards(spark):
+    """The tf=0 saturation denominator is (k1_milli * norm) DIV 1000;
+    k1_milli * (1000 - b_milli) < 1000 underflows it to 0 and Spark's
+    non-ANSI DIV nulls the whole score (ADVICE r12) — enforced as a
+    setup ValueError, the module's guard policy."""
+    import pytest
+
+    from striot_spark.functions.text import bm25_score_sql
+
+    # k1=0.001, b=0.75: 1 * 250 < 1000 -> tf=0 denominator is 0
+    with pytest.raises(ValueError, match="underflows"):
+        bm25_score_sql("text", ["t"], [1], 2, 10, k1_milli=1, b_milli=750)
+    # b >= 1000 lets norm itself reach 0 for short docs
+    with pytest.raises(ValueError, match="b_milli"):
+        bm25_score_sql("text", ["t"], [1], 2, 10, b_milli=1000)
+    with pytest.raises(ValueError, match="k1_milli"):
+        bm25_score_sql("text", ["t"], [1], 2, 10, k1_milli=0)
+    # the boundary case k1*(1000-b) == 1000 is legal and total
+    dl, score = bm25_score_sql(
+        "text", ["t"], [1], 2, 10, k1_milli=4, b_milli=750
+    )
+    assert "DIV" in score
+
+
 def test_bm25_empty_query_returns_empty(spark):
     from striot_spark.functions.text import bm25_search
 
