@@ -661,14 +661,17 @@ def label_propagation(
 
     Plan shape per round: one join of the label table with the
     persisted edge list on ``src``, one (node, label) count groupBy,
-    one per-node arg-max window (partitioned by node — state bounded
-    by the node's distinct neighbor labels) — keyed shuffles only,
-    edge list shipped once, labels (two columns per node) are the
-    only per-round traffic. Same small-graph width gate and
-    ``localCheckpoint`` lineage cuts as ``pagerank``.
+    then a per-node HASH-AGGREGATE arg-max — ``max(struct(c,
+    -label))`` is lexicographic, so the max is (highest vote, then
+    smallest label), exactly the ``ORDER BY c DESC, label ASC``
+    row_number pick but with map-side partial aggregation and no
+    per-partition sort (a window arg-max would shuffle every
+    (node, label, c) row to its node partition and sort it; the
+    struct-max ships at most one candidate per node per map task) —
+    keyed shuffles only, edge list shipped once, labels (two columns
+    per node) are the only per-round traffic. Same small-graph width
+    gate and ``localCheckpoint`` lineage cuts as ``pagerank``.
     """
-    from pyspark.sql import Window as W
-
     from striot_spark.functions.caching import track_persist
 
     if rounds < 0:
@@ -710,9 +713,6 @@ def label_propagation(
         )
     )
     labels = nodes.withColumn("label", F.col("node"))
-    w = W.partitionBy("node").orderBy(
-        F.col("c").desc(), F.col("label").asc()
-    )
     for i in range(rounds):
         nbr = e.join(
             part(labels, "node"), e["src"] == labels["node"]
@@ -722,10 +722,21 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.sum("w").alias("c"))
         )
+        # hash-aggregate arg-max (see docstring): lexicographic
+        # max(struct(c, -label)) == highest vote count, ties to the
+        # smallest label — bit-identical to the row_number pick, but
+        # with map-side partial aggregation and no per-node sort
         picked = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"),
+                        (-F.col("label")).alias("nl"),
+                    )
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
         )
         labels = (
             nodes.join(
