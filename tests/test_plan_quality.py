@@ -926,6 +926,10 @@ def test_weighted_lpa_rounds_are_keyed_joins_only(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the per-round arg-max is a hash aggregate (max(struct(c,-label)),
+    # map-side partial agg), NOT a row_number window — a Window node
+    # here would mean every (node,label,c) row is shuffled and sorted
+    assert "Window" not in plan
 
 
 def test_quarter_window_graph_features_push_date_to_scan(spark, sf_dir):
