@@ -1,0 +1,126 @@
+"""Correctness-ledger rotation planner.
+
+The grading driver sweeps only the FIRST 50 registry entries per round
+(`striot_spark/queries/registry.py:_SWEEP_FIRST`), so each round the
+head must be rebuilt to put the queries that most need a driver row on
+top. The authoritative input is the cumulative ledger — the LATEST row
+per query across every committed `CORRECTNESS_r*.json` — not the
+rotation comments (VERDICT r12's plan text named nine queries from a
+stale comment; the computed ledger showed they had r10 rows).
+
+Usage:
+    python tools/ledger.py            # ledger summary + proposed head
+    python tools/ledger.py --check    # exit 1 if the current
+                                      # _SWEEP_FIRST head differs from
+                                      # the proposal (stale-head guard)
+
+Priority for head slots (established across rounds 8-13):
+    canary first, then reds (non-green at latest sweep), then
+    never-swept, then oldest-row-first; ties broken by registry order.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CANARY = "q224_type_canary"
+HEAD = 50
+
+
+def load_ledger(repo: str) -> dict[str, tuple[int, bool]]:
+    """name -> (latest round with a driver row, green at that row)."""
+    ledger: dict[str, tuple[int, bool]] = {}
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rn = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        try:
+            rows = json.load(open(f))
+        except (json.JSONDecodeError, OSError):
+            continue
+        for name, v in rows.items():
+            if not isinstance(v, dict):
+                continue
+            green = bool(
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match") in (True, None)
+                and not v.get("err")
+            )
+            ledger[name] = (rn, green)
+    return ledger
+
+
+def registry_names() -> list[str]:
+    import __spark_entry__ as entry
+
+    return list(entry.queries().keys())
+
+
+def propose_head(
+    names: list[str], ledger: dict[str, tuple[int, bool]]
+) -> list[str]:
+    order = {n: i for i, n in enumerate(names)}
+
+    def key(n: str):
+        rn, green = ledger.get(n, (None, True))
+        if rn is None:
+            return (1, 0, order[n])  # never swept
+        if not green:
+            return (0, 0, order[n])  # red: outranks everything
+        return (2, rn, order[n])  # green: oldest first
+
+    rest = sorted((n for n in names if n != CANARY), key=key)
+    return [CANARY] + rest[: HEAD - 1]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true")
+    args = ap.parse_args()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    ledger = load_ledger(repo)
+    names = registry_names()
+
+    never = [n for n in names if n not in ledger]
+    reds = [n for n in names if n in ledger and not ledger[n][1]]
+    by_round: dict[int, int] = {}
+    for n in names:
+        if n in ledger:
+            by_round[ledger[n][0]] = by_round.get(ledger[n][0], 0) + 1
+    print(f"registry: {len(names)}  swept: {len(names) - len(never)}  "
+          f"never-swept: {len(never)}  reds-at-latest: {len(reds)}")
+    for rn in sorted(by_round):
+        print(f"  r{rn:02d}: {by_round[rn]}")
+    if reds:
+        print("REDS (head priority 1):")
+        for n in reds:
+            print(f"  {n} (r{ledger[n][0]:02d})")
+    if never:
+        print("never-swept (head priority 2):")
+        for n in never:
+            print(f"  {n}")
+
+    proposal = propose_head(names, ledger)
+    from striot_spark.queries.registry import _SWEEP_FIRST, _load
+
+    _load()
+    current = [n for n in _SWEEP_FIRST][:HEAD]
+    if current == proposal:
+        print(f"\nhead-{HEAD}: current _SWEEP_FIRST matches the proposal.")
+        return 0
+    print(f"\nproposed head-{HEAD} (differs from current _SWEEP_FIRST):")
+    for i, n in enumerate(proposal):
+        marker = "" if i < len(current) and current[i] == n else "  <- differs"
+        print(f"  {i + 1:02d} {n}{marker}")
+    return 1 if args.check else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
