@@ -661,16 +661,20 @@ def label_propagation(
 
     Plan shape per round: one join of the label table with the
     persisted edge list on ``src``, one (node, label) count groupBy,
-    then a per-node HASH-AGGREGATE arg-max — ``max(struct(c,
-    -label))`` is lexicographic, so the max is (highest vote, then
-    smallest label), exactly the ``ORDER BY c DESC, label ASC``
-    row_number pick but with map-side partial aggregation and no
-    per-partition sort (a window arg-max would shuffle every
-    (node, label, c) row to its node partition and sort it; the
-    struct-max ships at most one candidate per node per map task) —
-    keyed shuffles only, edge list shipped once, labels (two columns
-    per node) are the only per-round traffic. Same small-graph width
-    gate and ``localCheckpoint`` lineage cuts as ``pagerank``.
+    then a per-node single-pass struct-max arg-max —
+    ``max(struct(c, -label))`` is lexicographic, so the max is
+    (highest vote, then smallest label), exactly the ``ORDER BY c
+    DESC, label ASC`` row_number pick. The struct buffer compiles to
+    SortAggregate (§38's struct-agg finding) but KEEPS map-side
+    ``partial_max``: at most one candidate per node per map task
+    crosses the shuffle, where a window arg-max would ship and sort
+    the entire vote multiset (measured 1.9× slower at sf0.1). The
+    q253-style all-long rewrite (hash max(c) + equi-join back +
+    min(label)) was A/B-measured SLOWER here — the extra join's
+    stages beat the sort they save; decision in PERF.md §42. Keyed
+    shuffles only, edge list shipped once, labels (two columns per
+    node) are the only per-round traffic. Same small-graph width gate
+    and ``localCheckpoint`` lineage cuts as ``pagerank``.
     """
     from striot_spark.functions.caching import track_persist
 
@@ -722,10 +726,11 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.sum("w").alias("c"))
         )
-        # hash-aggregate arg-max (see docstring): lexicographic
+        # struct-max arg-max (see docstring): lexicographic
         # max(struct(c, -label)) == highest vote count, ties to the
         # smallest label — bit-identical to the row_number pick, but
-        # with map-side partial aggregation and no per-node sort
+        # with map-side partial aggregation (only per-task winners
+        # cross the shuffle; the window form ships the whole multiset)
         picked = (
             votes.groupBy("node")
             .agg(
