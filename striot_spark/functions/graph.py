@@ -661,12 +661,14 @@ def label_propagation(
 
     Plan shape per round: one join of the label table with the
     persisted edge list on ``src``, one (node, label) count groupBy,
-    then a per-node single-pass struct-max arg-max —
-    ``max(struct(c, -label))`` is lexicographic, so the max is
+    then a per-node single-pass struct-min arg-max —
+    ``min(struct(-c, label))`` is lexicographic, so the min is
     (highest vote, then smallest label), exactly the ``ORDER BY c
-    DESC, label ASC`` row_number pick. The struct buffer compiles to
+    DESC, label ASC`` row_number pick; negating the COUNT (always
+    ≥ 1, overflow-free) rather than the label keeps the pick valid
+    for any orderable label type. The struct buffer compiles to
     SortAggregate (§38's struct-agg finding) but KEEPS map-side
-    ``partial_max``: at most one candidate per node per map task
+    ``partial_min``: at most one candidate per node per map task
     crosses the shuffle, where a window arg-max would ship and sort
     the entire vote multiset (measured 1.9× slower at sf0.1). The
     q253-style all-long rewrite (hash max(c) + equi-join back +
@@ -726,22 +728,25 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.sum("w").alias("c"))
         )
-        # struct-max arg-max (see docstring): lexicographic
-        # max(struct(c, -label)) == highest vote count, ties to the
+        # struct-min arg-max (see docstring): lexicographic
+        # min(struct(-c, label)) == highest vote count, ties to the
         # smallest label — bit-identical to the row_number pick, but
         # with map-side partial aggregation (only per-task winners
-        # cross the shuffle; the window form ships the whole multiset)
+        # cross the shuffle; the window form ships the whole
+        # multiset). The vote count c is negated, never the label:
+        # c >= 1 always, so -c cannot overflow, and the pick works
+        # for ANY orderable label type (string ids included)
         picked = (
             votes.groupBy("node")
             .agg(
-                F.max(
+                F.min(
                     F.struct(
-                        F.col("c").alias("c"),
-                        (-F.col("label")).alias("nl"),
+                        (-F.col("c")).alias("nc"),
+                        F.col("label").alias("label"),
                     )
                 ).alias("m")
             )
-            .select("node", (-F.col("m.nl")).alias("label"))
+            .select("node", F.col("m.label").alias("label"))
         )
         labels = (
             nodes.join(

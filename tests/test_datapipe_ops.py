@@ -2134,6 +2134,25 @@ def test_label_propagation_separates_bridged_cliques(spark):
     assert got[0] != got[10]  # the bridge must NOT merge the cliques
 
 
+def test_label_propagation_string_node_ids(spark):
+    """The arg-max pick negates the VOTE COUNT, never the label, so
+    LPA stays valid for any orderable id type (the trade graph uses
+    'c123'/'s45' string ids). Triangle x-y-z, 1 round: every node
+    sees both other labels once — tie breaks to the lexicographically
+    smallest neighbor label."""
+    from striot_spark.functions.graph import label_propagation
+
+    e = [("x", "y"), ("y", "z"), ("x", "z")]
+    edges = spark.createDataFrame(
+        e + [(b, a) for a, b in e], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=1).collect()
+    }
+    assert got == {"x": "y", "y": "x", "z": "x"}
+
+
 def test_binned_quantile_serve_exact_rank_selection(spark):
     """Decile reconstruction from bin counts must pick exactly the bin
     holding rank (q*(N-1)) DIV 10 for every decile — verified against
