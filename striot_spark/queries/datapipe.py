@@ -1100,16 +1100,18 @@ def q57_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "digests), everything else is scan-local",
 )
 def q58_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     docs = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy(F.md5(F.encode(F.col("text"), "UTF-8"))).orderBy(
-        "doc_id"
-    )
+    # keep-first per digest as a struct-min aggregate (doc_id leads the
+    # struct and is unique, so the min IS the smallest-id row): map-side
+    # partials ship one winner per digest per task instead of sorting
+    # every duplicate inside its digest partition (the canonical_docs
+    # max_by pattern; same r13 finding as LPA's arg-max, PERF §42)
     kept = (
-        docs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        docs.groupBy(
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("__fp")
+        )
+        .agg(F.min(F.struct(*docs.columns)).alias("__r"))
+        .select("__r.*")
     )
     n = T.token_count(F.col("text"))
     gated = kept.filter(

@@ -1923,13 +1923,22 @@ def q203_nearest_event_align(
             F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("p_ts"))
         ).alias("dist_us"),
     )
-    w = W.partitionBy("err_id").orderBy(
-        F.col("dist_us").asc(), F.col("pur_id").asc()
-    )
+    # nearest-candidate pick as a struct-min aggregate (dist ASC, then
+    # pur_id ASC — exactly the old window order): map-side partials
+    # ship one winner per err_id per task instead of shuffling + sorting
+    # the whole band-bounded candidate set (r13 arg-max finding, PERF
+    # §42 — the candidate multiset is the term that grows with data)
     return (
-        j.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("err_id", "pur_id", "dist_us")
+        j.groupBy("err_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("dist_us").alias("dist_us"),
+                    F.col("pur_id").alias("pur_id"),
+                )
+            ).alias("m")
+        )
+        .select("err_id", F.col("m.pur_id"), F.col("m.dist_us"))
     )
 
 
@@ -2869,20 +2878,24 @@ def q284_exponential_histogram(
 def q290_first_touch_attribution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import Window as W
-
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
+    # first-touch pick as a struct-min aggregate ((ts, event_id) ASC —
+    # exactly the old window order, event_id the unique tie-break):
+    # map-side partials ship one winner per user per task instead of
+    # shuffling + sorting every event inside its user partition (r13
+    # arg-max finding, PERF §42)
     firsts = (
-        ev.select(
-            "user_id",
-            "event_type",
-            F.row_number().over(w).alias("rn"),
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("ts").alias("ts"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("event_type").alias("event_type"),
+                )
+            ).alias("m")
         )
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("first_type"))
+        .select("user_id", F.col("m.event_type").alias("first_type"))
     )
     purch = (
         ev.filter(F.col("event_type") == "purchase")
