@@ -1174,3 +1174,19 @@ def test_katz_rounds_are_keyed_joins_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_argmax_picks_are_windowless_struct_aggregates(spark, sf_dir):
+    """r13 arg-max finding (PERF §42): q58's keep-first-per-digest,
+    q203's nearest-candidate pick, and q290's first-touch pick are
+    single struct-min groupBys with map-side partials — a Window node
+    in any of these plans means the sorting form crept back and the
+    full per-group candidate multiset is crossing the shuffle again."""
+    for q in (
+        "q58_corpus_build",
+        "q203_nearest_event_align",
+        "q290_first_touch_attribution",
+    ):
+        plan = _executed(spark, q, sf_dir)
+        assert "Window" not in plan, q
+        assert "partial_min" in plan, q
