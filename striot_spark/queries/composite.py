@@ -83,7 +83,6 @@ def q31_joinw(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drain form",
 )
 def q87_joinw_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.analytics import sum_money
@@ -187,7 +186,6 @@ def q87_joinw_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q93_joinw_stream_non_nesting(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.queries.flagship import _stage_events

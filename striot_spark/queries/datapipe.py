@@ -2888,7 +2888,6 @@ def q197_curriculum_interleave(
     "file-level disjointness check runs in the unit suite",
 )
 def q200_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from pyspark.sql import Window as W
 

@@ -1505,7 +1505,6 @@ def q169_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scanning a day and scanning three years",
 )
 def q173_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from striot_spark.functions.analytics import day_str
     from striot_spark.sources.bucketed import write_partitioned

@@ -168,7 +168,6 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     additionally makes within-file order the oracle's global
     (ts, event_id) order, so even order-sensitive operators that do NOT
     re-sort see the canonical sequence."""
-    import tempfile
 
     path = _STAGED.get(sf_dir)
     if path is not None:
@@ -208,7 +207,6 @@ def _stage_events_barrier(
     The oracle runs over the unmodified ``events`` table; the barrier
     is invisible in any output by construction."""
     import datetime as _dt
-    import tempfile
 
     ck = (sf_dir, "barrier", int(barrier_hours))
     path = _STAGED.get(ck)
@@ -252,7 +250,6 @@ def _stage_events_ooo(spark: SparkSession, sf_dir: str) -> str:
     TEST-STAGING ONLY: the global single-partition ``row_number()`` below (a ``Window.orderBy`` with no partition key) is a deliberate O(n)-single-partition sort that exists to cut adversarial micro-batch boundaries for the serve tests at sf0.01 — it is fixture machinery, never a production path, and must not be copied into an operator (VERDICT r12).
     """
     import datetime as _dt
-    import tempfile
 
     from pyspark.sql import Window
 
@@ -302,7 +299,6 @@ def _stage_events_ooo(spark: SparkSession, sf_dir: str) -> str:
     "DuckDB oracle as batch q30 (Taxi.hs:173-178)",
 )
 def q65_frequent_routes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     src = _stage_events(spark, sf_dir)
     schema = spark.read.parquet(src).schema
@@ -328,7 +324,6 @@ from striot_spark.queries.events_ops import CENTS_SQL as _Q78_CENTS
     "semantics parity is driver-visible, not only locally tested",
 )
 def q78_window_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.analytics import avg_money, sum_money
@@ -393,7 +388,6 @@ from striot_spark.queries.events_ops import TS_FMT as _TS_FMT
     "session_start, n) — third driver-visible streaming parity row",
 )
 def q86_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.analytics import ts_str
@@ -437,7 +431,6 @@ def _stage_taxi_csv(spark: SparkSession, sf_dir: str) -> str:
     must route to rejects. Because the damage rule is arithmetic on
     event_id, the DuckDB oracle can state the expected good/reject
     partition directly over the events view. Cached per sf_dir."""
-    import tempfile
 
     from striot_spark.functions.analytics import cents
 
@@ -537,7 +530,6 @@ def _stage_docs_jsonl(spark: SparkSession, sf_dir: str) -> str:
     remaining ``% 103 == 0`` a blank line. Arithmetic damage rule →
     the DuckDB oracle states the good/reject partition directly over
     the documents view. Cached per sf_dir."""
-    import tempfile
 
     path = _STAGED_JSONL.get(sf_dir)
     if path is not None:
@@ -639,7 +631,6 @@ from striot_spark.queries.events_ops import TS_FMT as _TS_FMT_Q89
     "accumulator adds exact integers (no cross-engine float rounding)",
 )
 def q89_scan_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.analytics import cents, ts_str
@@ -692,7 +683,6 @@ def q89_scan_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-checked against the batch lag oracle",
 )
 def q90_filteracc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.streaming import runtime as RT
@@ -745,7 +735,6 @@ def q90_filteracc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sliding-count q91) are now correctness-gate-verified",
 )
 def q91_sliding_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.analytics import cents, ts_str
@@ -803,7 +792,6 @@ def q91_sliding_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the call-site note in streaming/runtime.py:scan_stream",
 )
 def q92_scan_stream_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.analytics import cents, ts_str
@@ -879,7 +867,6 @@ def q92_scan_stream_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "where an unfilled window never materializes",
 )
 def q100_chop_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.analytics import cents, ts_str
@@ -937,7 +924,6 @@ def q100_chop_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q97_filteracc_stream_global(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.streaming import runtime as RT
@@ -994,7 +980,6 @@ def q97_filteracc_stream_global(
 def q101_sliding_stream_ooo_replay(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.analytics import cents, ts_str
@@ -1089,7 +1074,6 @@ from striot_spark.queries.events_ops import CENTS_SQL as _CENTS_SQL_Q108
 def q108_stream_static_enrich(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.analytics import sum_money
@@ -1140,7 +1124,6 @@ def q108_stream_static_enrich(
     "its two covering windows and aggregates — exact cents",
 )
 def q111_sliding_time_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.analytics import sum_money
@@ -1195,7 +1178,6 @@ def q111_sliding_time_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q115_daily_distinct_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.streaming import runtime as RT
@@ -1255,7 +1237,6 @@ def q115_daily_distinct_stream(
 def q116_interval_join_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.analytics import cents
@@ -1333,7 +1314,6 @@ _EPOCH_S_Q117 = "(epoch_us(ts) // 1000000)"
     "Inner join emits on arrival — single-batch drain, no barrier",
 )
 def q117_joine_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.streaming import runtime as RT
@@ -1392,7 +1372,6 @@ from striot_spark.queries.events_ops import TS_FMT as _TS_FMT_Q120
     "as in the batch lowering (the gate is order-insensitive)",
 )
 def q120_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.analytics import ts_str
@@ -1433,7 +1412,6 @@ def _stage_documents(spark: SparkSession, sf_dir: str) -> str:
     """One-file staging of the documents table for streaming replays
     (same single-data-batch determinism argument as ``_stage_events``,
     sorted by doc_id)."""
-    import tempfile
 
     ck = (sf_dir, "docs")
     path = _STAGED.get(ck)
@@ -1461,7 +1439,6 @@ def _stage_documents(spark: SparkSession, sf_dir: str) -> str:
     "the vocabulary-sized aggregation is the only stateful tier",
 )
 def q121_expand_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.streaming import runtime as RT
@@ -1515,7 +1492,6 @@ _STOP_Q122 = "('the','a','of','and','to','in','is','it','for','on')"
 def q122_corpus_ingest_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.text import (
@@ -1570,7 +1546,6 @@ def q122_corpus_ingest_stream(
     "staging + expect_data_batches=1 pin the drain deterministic",
 )
 def q123_zip_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.streaming import runtime as RT
@@ -1626,7 +1601,6 @@ def q123_zip_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q125_upsert_snapshot_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
 
     from striot_spark.functions.analytics import cents, ts_str
     from striot_spark.streaming import runtime as RT
@@ -1693,7 +1667,6 @@ def q125_upsert_snapshot_stream(
     "sketch-on-batch bit-for-bit",
 )
 def q130_cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.text import md5_hash64, nonempty_tokens
@@ -1782,7 +1755,6 @@ def q130_cms_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q138_incremental_agg_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
 
     from striot_spark.functions.analytics import cents
     from striot_spark.streaming import runtime as RT
@@ -1850,7 +1822,6 @@ def q138_incremental_agg_stream(
     "count-min sketch",
 )
 def q141_hll_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.analytics import hll_estimate, hll_registers
@@ -1903,7 +1874,6 @@ def q141_hll_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(functions/bucketing.py:compact_files)",
 )
 def q143_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from striot_spark.functions.analytics import cents, ts_str
     from striot_spark.functions.bucketing import compact_files
@@ -1949,7 +1919,6 @@ def q143_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SAME oracle as batch q148",
 )
 def q150_table_digest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.analytics import cents
@@ -2063,7 +2032,6 @@ def q152_pit_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(F.col("ts")).alias("ts_s"),
         "state_type",
     )
-    import tempfile
     import uuid
 
     return RT.run_available_now(
@@ -2104,7 +2072,6 @@ def q152_pit_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the batch form",
 )
 def q164_ohlc_bars_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.analytics import cents, day_str, ohlc_bars
@@ -2153,7 +2120,6 @@ def q164_ohlc_bars_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q174_rollup_serve_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
 
     from striot_spark.functions.analytics import cents, ts_str
     from striot_spark.streaming import runtime as RT
@@ -2214,7 +2180,6 @@ def q174_rollup_serve_stream(
     "count (per-key counts belong to the additive sink, q138)",
 )
 def q179_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from striot_spark.functions.analytics import cents, ts_str
     from striot_spark.streaming import runtime as RT
@@ -2269,7 +2234,6 @@ def q179_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every drain point",
 )
 def q189_freshness_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from striot_spark.functions.analytics import ts_str
     from striot_spark.streaming import runtime as RT
@@ -2318,7 +2282,6 @@ def q189_freshness_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequential recurrence exactly",
 )
 def q198_debounce_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.streaming import runtime as RT
@@ -2370,7 +2333,6 @@ def q198_debounce_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q206_burst_detection_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.analytics import burst_flags
@@ -2420,7 +2382,6 @@ def q206_burst_detection_stream(
 def q220_stream_exact_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.analytics import cents
@@ -2510,7 +2471,6 @@ _NEAR_DUP_SQL = """
 def q225_stream_near_dup_filter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
 
     from striot_spark.functions import dedup as D
     from striot_spark.streaming import runtime as RT
@@ -2583,7 +2543,6 @@ def q225_stream_near_dup_filter(
 def q229_stream_quantile_bins(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
 
     from striot_spark.functions.analytics import (
         binned_quantile_serve,
@@ -2626,7 +2585,6 @@ def _stage_pair_events(spark: SparkSession, sf_dir: str) -> str:
 
     TEST-STAGING ONLY: the global single-partition ``row_number()`` below (a ``Window.orderBy`` with no partition key) is a deliberate O(n)-single-partition sort that exists to cut adversarial micro-batch boundaries for the serve tests at sf0.01 — it is fixture machinery, never a production path, and must not be copied into an operator (VERDICT r12).
     """
-    import tempfile
 
     from pyspark.sql import Window
 
@@ -2722,7 +2680,6 @@ def _q239_oracle(rounds: int) -> str:
 def q239_lpa_stream_weighted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
 
     from striot_spark.functions.graph import label_propagation
     from striot_spark.streaming import runtime as RT
@@ -2776,7 +2733,6 @@ def q239_lpa_stream_weighted(
 def q240_incremental_extents_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
 
     from striot_spark.functions.analytics import cents, ts_str
     from striot_spark.streaming import runtime as RT
@@ -2848,7 +2804,6 @@ def q240_incremental_extents_stream(
     "the vocabulary is executor-memory-bounded (64k BPE vocabs are)",
 )
 def q273_surprisal_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.text import nonempty_tokens
@@ -2970,7 +2925,6 @@ def _q282_oracle() -> str:
 def q282_bm25_stream_serve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
     import uuid
 
     from striot_spark.functions.text import (
@@ -3046,7 +3000,6 @@ def _q286_oracle() -> str:
 def q286_exp_histogram_stream_serve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
 
     from striot_spark.functions.analytics import cents
     from striot_spark.streaming import runtime as RT

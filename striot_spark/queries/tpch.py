@@ -2064,7 +2064,6 @@ def _stage_quarter_pair_events(spark: SparkSession, sf_dir: str) -> str:
 
     TEST-STAGING ONLY: the global single-partition ``row_number()`` below (a ``Window.orderBy`` with no partition key) is a deliberate O(n)-single-partition sort that exists to cut adversarial micro-batch boundaries for the serve tests at sf0.01 — it is fixture machinery, never a production path, and must not be copied into an operator (VERDICT r12).
     """
-    import tempfile
 
     from pyspark.sql import Window
 
@@ -2131,7 +2130,6 @@ def _stage_quarter_pair_events(spark: SparkSession, sf_dir: str) -> str:
 def q245_khop_hll_stream_serve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
 
     from striot_spark.functions.graph import khop_reach_hll
     from striot_spark.streaming import runtime as RT
@@ -2505,7 +2503,6 @@ def _stage_trade_observations(spark: SparkSession, sf_dir: str) -> str:
 
     TEST-STAGING ONLY: the global single-partition ``row_number()`` below (a ``Window.orderBy`` with no partition key) is a deliberate O(n)-single-partition sort that exists to cut adversarial micro-batch boundaries for the serve tests at sf0.01 — it is fixture machinery, never a production path, and must not be copied into an operator (VERDICT r12).
     """
-    import tempfile
 
     from pyspark.sql import Window
 
@@ -2562,7 +2559,6 @@ def _stage_trade_observations(spark: SparkSession, sf_dir: str) -> str:
 def q250_pagerank_stream_serve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
 
     from striot_spark.functions.graph import pagerank
     from striot_spark.streaming import runtime as RT
@@ -3507,7 +3503,6 @@ def q266_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "where the micro-batch boundaries land",
 )
 def q267_sssp_stream_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from striot_spark.functions.graph import sssp
     from striot_spark.streaming import runtime as RT
@@ -3670,7 +3665,6 @@ def _stage_copurchase_observations(
 
     TEST-STAGING ONLY: the global single-partition ``row_number()`` below (a ``Window.orderBy`` with no partition key) is a deliberate O(n)-single-partition sort that exists to cut adversarial micro-batch boundaries for the serve tests at sf0.01 — it is fixture machinery, never a production path, and must not be copied into an operator (VERDICT r12).
     """
-    import tempfile
 
     from pyspark.sql import Window
 
@@ -3720,7 +3714,6 @@ def _stage_copurchase_observations(
 def q269_coreness_stream_serve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
 
     from striot_spark.functions.graph import coreness
     from striot_spark.streaming import runtime as RT
