@@ -73,6 +73,13 @@ def _ensure_package_shipped(spark: SparkSession) -> None:
         with zipfile.ZipFile(zpath, "w") as z:
             for p in sorted(pkg_dir.rglob("*.py")):
                 z.write(p, p.relative_to(pkg_dir.parent))
+        # self-clean at exit like every other striot temp artifact;
+        # Spark copied the zip into its own file server at addPyFile
+        # time, but the original must outlive possible session
+        # restarts within this process
+        from striot_spark.tempdirs import register_tempfile
+
+        register_tempfile(zpath)
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:

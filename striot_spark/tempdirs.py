@@ -38,11 +38,32 @@ def striot_mkdtemp(prefix: str) -> str:
     return path
 
 
+def register_tempfile(path: str) -> str:
+    """Register an existing temp FILE (not dir) for the same atexit
+    removal — e.g. the per-process ``striot_spark_pkg_<pid>.zip`` that
+    ``addPyFile`` ships to executors: Spark copies it into its own
+    file server at add time, but the original must survive the process
+    (a session restart re-adds it), so deletion rides process exit."""
+    if not _CREATED:
+        atexit.register(cleanup_tempdirs)
+    _CREATED.append(path)
+    return path
+
+
 def cleanup_tempdirs() -> None:
-    """Remove every dir this process minted via ``striot_mkdtemp``.
+    """Remove every path this process registered (dirs and files).
 
     Idempotent; runs automatically at exit. File removal needs no JVM,
     so ordering against Spark's own shutdown hooks is irrelevant.
     """
+    import os
+
     while _CREATED:
-        shutil.rmtree(_CREATED.pop(), ignore_errors=True)
+        p = _CREATED.pop()
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass

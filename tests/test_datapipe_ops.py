@@ -7,6 +7,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+from striot_spark.tempdirs import striot_mkdtemp
 from striot_spark.core.scale import scatter
 from striot_spark.functions import dedup as D
 from striot_spark.functions import text as T
@@ -1923,7 +1924,6 @@ def test_sorted_export_files_cover_disjoint_key_ranges(spark):
     interleave_key ranges, so reading files in range order IS the
     global order without a sort."""
     import glob
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -1931,7 +1931,7 @@ def test_sorted_export_files_cover_disjoint_key_ranges(spark):
         F.col("id").alias("doc_id"),
         (F.col("id") * 37 % 1000).alias("interleave_key"),
     )
-    out = tempfile.mkdtemp(prefix="striot_export_gate_") + "/d"
+    out = striot_mkdtemp(prefix="striot_export_gate_") + "/d"
     (
         df.repartitionByRange(6, F.col("interleave_key"))
         .sortWithinPartitions("interleave_key", "doc_id")
@@ -2812,9 +2812,8 @@ def test_association_rules_hand_computed(spark):
     pair_ref = {("x", "y"): (2, 500, 666, 888888),
                 ("y", "z"): (1, 250, 333, 1333333)}
     import os
-    import tempfile
 
-    d = tempfile.mkdtemp(prefix="striot_q234_t_")
+    d = striot_mkdtemp(prefix="striot_q234_t_")
     ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
     from striot_spark.queries.registry import REGISTRY, _load
 
@@ -3465,12 +3464,11 @@ def test_unigram_surprisal_hand_computed(spark):
     floor(log2(5))=2. d1 = 1+1+1 = 3 bits over 3 tokens (1000
     millibits); d2 = 1+2 = 3 bits over 2 tokens (1500)."""
     from striot_spark.queries.datapipe import q272_unigram_surprisal
-    import tempfile
 
     docs = spark.createDataFrame(
         [("d1", "a a b"), ("d2", "b c")], "doc_id string, text string"
     )
-    out = tempfile.mkdtemp(prefix="striot_q272_") + "/documents.parquet"
+    out = striot_mkdtemp(prefix="striot_q272_") + "/documents.parquet"
     docs.write.parquet(out)
     got = {
         r["doc_id"]: (
@@ -3711,12 +3709,11 @@ def test_bigram_surprisal_hand_computed_and_context_sensitive(spark):
     its unigram surprisal (q272 would give 1000 millibits) — the
     context-sensitivity gate."""
     from striot_spark.queries.datapipe import q280_bigram_surprisal
-    import tempfile
 
     docs = spark.createDataFrame(
         [("d1", "a b a b"), ("d2", "b a")], "doc_id string, text string"
     )
-    out = tempfile.mkdtemp(prefix="striot_q280_") + "/documents.parquet"
+    out = striot_mkdtemp(prefix="striot_q280_") + "/documents.parquet"
     docs.write.parquet(out)
     got = {
         r["doc_id"]: (
@@ -3758,7 +3755,6 @@ def test_butterfly_count_hand_computed(spark):
     """Orders o1={p1,p2,p3}, o2={p1,p2}: cooc(p1,p2)=2 -> one
     butterfly on p1 and p2; all pairs involving p3 have cooc 1 ->
     p3 absent. Registered shape exercised via a temp lineitem."""
-    import tempfile
 
     from striot_spark.queries.tpch import q278_butterfly_count
 
@@ -3770,7 +3766,7 @@ def test_butterfly_count_hand_computed(spark):
     li = spark.createDataFrame(
         rows, "l_orderkey long, l_partkey long, l_shipdate long"
     )
-    d = tempfile.mkdtemp(prefix="striot_q278_")
+    d = striot_mkdtemp(prefix="striot_q278_")
     li.write.parquet(d + "/lineitem.parquet")
     got = {
         r["part"]: r["n_butterflies"]
@@ -3784,7 +3780,6 @@ def test_rich_club_hand_computed(spark):
     {1,2},{1,3},{2,3},{1,4}). Degrees 3,2,2,1. Only k=1 qualifies
     (k=2 leaves one node): N_1=3, E_1=3 (the triangle), phi =
     2*3*1e6 DIV (3*2) = 1000000 — a perfect rich club."""
-    import tempfile
 
     from striot_spark.queries.tpch import q281_rich_club
 
@@ -3796,7 +3791,7 @@ def test_rich_club_hand_computed(spark):
     li = spark.createDataFrame(
         rows, "l_orderkey long, l_partkey long, l_shipdate long"
     )
-    d = tempfile.mkdtemp(prefix="striot_q281_")
+    d = striot_mkdtemp(prefix="striot_q281_")
     li.write.parquet(d + "/lineitem.parquet")
     got = [tuple(r) for r in q281_rich_club(spark, d).collect()]
     assert got == [(1, 3, 3, 1000000)]
@@ -3806,7 +3801,6 @@ def test_exponential_histogram_excludes_zero_cents(spark):
     """A 0.00-value event has no log2 bucket — the documented domain
     guard drops it; 0.01 lands in bucket 0 ([1,1] cents), 1.28 in
     bucket 7 ([128,255])."""
-    import tempfile
 
     from striot_spark.queries.events_ops import (
         q284_exponential_histogram,
@@ -3822,7 +3816,7 @@ def test_exponential_histogram_excludes_zero_cents(spark):
         "event_id long, ts long, user_id long, event_type string,"
         " value double, props string",
     )
-    d = tempfile.mkdtemp(prefix="striot_q284_")
+    d = striot_mkdtemp(prefix="striot_q284_")
     ev.write.parquet(d + "/events.parquet")
     got = {
         r["bucket"]: (r["lo_c"], r["hi_c"], r["n_events"], r["sum_c"])
@@ -3834,7 +3828,6 @@ def test_exponential_histogram_excludes_zero_cents(spark):
 def test_prototypicality_band_drops_both_deciles(spark):
     """10 vectors in one label: the top and bottom rank (deciles of
     n=10) are dropped, the middle 8 kept."""
-    import tempfile
 
     from striot_spark.queries.datapipe import q283_prototypicality_band
 
@@ -3844,7 +3837,7 @@ def test_prototypicality_band_drops_both_deciles(spark):
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     )
-    d = tempfile.mkdtemp(prefix="striot_q283_")
+    d = striot_mkdtemp(prefix="striot_q283_")
     emb.write.parquet(d + "/embeddings.parquet")
     got = sorted(
         r["r"] for r in q283_prototypicality_band(spark, d).collect()
@@ -3855,7 +3848,6 @@ def test_prototypicality_band_drops_both_deciles(spark):
 def test_transitivity_hand_computed(spark):
     """Triangle {1,2,3} + pendant 4-1: wedges C(3,2)+1+1 = 5,
     triangles 1, transitivity = 3*1e6 DIV 5 = 600000."""
-    import tempfile
 
     from striot_spark.queries.tpch import q285_transitivity
 
@@ -3867,7 +3859,7 @@ def test_transitivity_hand_computed(spark):
     li = spark.createDataFrame(
         rows, "l_orderkey long, l_partkey long, l_shipdate long"
     )
-    d = tempfile.mkdtemp(prefix="striot_q285_")
+    d = striot_mkdtemp(prefix="striot_q285_")
     li.write.parquet(d + "/lineitem.parquet")
     got = [tuple(r) for r in q285_transitivity(spark, d).collect()]
     assert got == [(5, 1, 600000)]
@@ -3985,7 +3977,6 @@ def test_avg_neighbor_degree_hand_computed(spark):
     """Triangle {1,2,3} + pendant 4-1 (degrees 3,2,2,1):
     knn(1) = deg(1) = 3.000; knn(2) = (5+5)/(2*2) = 2.500;
     knn(3) = (2+2+1)/3 = 1.666 (floor DIV in milli-units)."""
-    import tempfile
 
     from striot_spark.queries.tpch import q291_avg_neighbor_degree
 
@@ -3997,7 +3988,7 @@ def test_avg_neighbor_degree_hand_computed(spark):
     li = spark.createDataFrame(
         rows, "l_orderkey long, l_partkey long, l_shipdate long"
     )
-    d = tempfile.mkdtemp(prefix="striot_q291_")
+    d = striot_mkdtemp(prefix="striot_q291_")
     li.write.parquet(d + "/lineitem.parquet")
     got = sorted(
         tuple(r) for r in q291_avg_neighbor_degree(spark, d).collect()

@@ -9,7 +9,12 @@ import os
 import subprocess
 import sys
 
-from striot_spark.tempdirs import _CREATED, cleanup_tempdirs, striot_mkdtemp
+from striot_spark.tempdirs import (
+    _CREATED,
+    cleanup_tempdirs,
+    register_tempfile,
+    striot_mkdtemp,
+)
 
 
 def test_mkdtemp_registers_and_cleanup_removes():
@@ -25,6 +30,19 @@ def test_mkdtemp_registers_and_cleanup_removes():
     # cleanup must not have eaten dirs created before this test
     for p in before:
         assert p not in _CREATED
+
+
+def test_register_tempfile_removes_files_too():
+    """The per-process pkg zip (sources/batch.py) registers as a FILE;
+    cleanup must unlink it, not only rmtree dirs."""
+    import tempfile
+
+    fd, path = tempfile.mkstemp(prefix="striot_test_file_")
+    os.close(fd)
+    register_tempfile(path)
+    assert os.path.exists(path)
+    cleanup_tempdirs()
+    assert not os.path.exists(path)
 
 
 def test_fresh_process_removes_its_staging_at_exit():
