@@ -1101,17 +1101,29 @@ def q57_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q58_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # keep-first per digest as a struct-min aggregate (doc_id leads the
-    # struct and is unique, so the min IS the smallest-id row): map-side
-    # partials ship one winner per digest per task instead of sorting
-    # every duplicate inside its digest partition (the canonical_docs
-    # max_by pattern; same r13 finding as LPA's arg-max, PERF §42)
+    # keep-first per digest as a struct-min aggregate: map-side partials
+    # ship one winner per digest per task instead of sorting every
+    # duplicate inside its digest partition (the canonical_docs max_by
+    # pattern; same r13 finding as LPA's arg-max, PERF §42). doc_id is
+    # placed FIRST in the struct explicitly — struct-min compares
+    # field-by-field in struct order, and doc_id is unique, so the min
+    # is the smallest-id row regardless of the parquet's on-disk column
+    # order (ADVICE r13: `*docs.columns` silently changed the pick if
+    # doc_id ever stopped being the leading file column).
     kept = (
         docs.groupBy(
             F.md5(F.encode(F.col("text"), "UTF-8")).alias("__fp")
         )
-        .agg(F.min(F.struct(*docs.columns)).alias("__r"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("doc_id"),
+                    *[F.col(c) for c in docs.columns if c != "doc_id"],
+                )
+            ).alias("__r")
+        )
         .select("__r.*")
+        .select(*docs.columns)
     )
     n = T.token_count(F.col("text"))
     gated = kept.filter(

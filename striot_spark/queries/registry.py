@@ -57,101 +57,39 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # Driver sweep order. The driver's CORRECTNESS sweep caps at the first
 # 50 registry entries per round, so this list is rebuilt each round to
-# put the queries that most need a driver row at the head. History:
-# r8 fixed the HUGEINT hash artifact registry-wide (every oracle
-# integer aggregate CAST AS BIGINT, tests/test_oracle_types.py);
-# r9 cleared the never-swept backlog; r10 re-swept the five r07
-# ex-reds + the r9 additions; r11 swept the r10 additions q243-q248 +
-# 43 of the stalest q01..q64 block (50/50 green, zero errs). Entering
-# r12 the ledger holds 250 swept-at-least-once, 249 green at latest
-# sweep (q215 rows-only by contract), oldest row r05.
-# r12 executed the r11 plan verbatim: canary + the 19 r11 additions +
-# the 18-name q01..q64 tail + the converted q215 + the 11 oldest
-# r07-rowed streaming entries (50/50 green, zero errs; the full
-# cumulative ledger reached 269/269 green-at-latest for the first
-# time). Entering r13 the ledger holds 269 swept-at-least-once, all
-# green; the 24 never-swept are exactly the round-12 additions
-# q268..q291; the oldest rows are 24 r07-rowed entries.
-# ROUND-13 HEAD (executes VERDICT r12 task 1):
+# put the queries that most need a driver row at the head.
+#
+# ROUND-OPEN PROTOCOL: run `python tools/ledger.py --check` BEFORE the
+# first sweep of every round. It computes the cumulative ledger (latest
+# row per query across all CORRECTNESS_r*.json) and proposes the
+# canonical next head; exit 1 at round open means rebuild this list to
+# the tool's proposal first. The tool is authoritative — prose comments
+# here have gone stale twice (r12 named nine queries that already had
+# r10 rows; r13's tail comment named q13 where the tool picks q187).
+# Do not hand-build the head from comments.
+#
+# History: r8 fixed the HUGEINT hash artifact registry-wide; r9 cleared
+# the never-swept backlog; r10 re-swept the five r07 ex-reds + the r9
+# additions; r11 swept the r10 additions + 43 of the stalest q01..q64
+# block; r12 swept its plan verbatim (ledger reached 269/269
+# green-at-latest); r13 swept canary + the 24 r12 additions + the 24
+# r07-rowed entries + q138 (50/50 green — ledger reached 293/293
+# green-at-latest with zero never-swept for the first time).
+# ROUND-14 HEAD (executes VERDICT r13 task 1, tool-ratified):
 #   (1) q224_type_canary FIRST, as in every round;
-#   (2) the round-12 additions q268..q291 (24, never driver-swept;
-#       every one judge-verified green fresh-process in the r12
-#       verdict);
-#   (3) the 24 remaining r07-rowed entries (the ledger's oldest
-#       rows), in registered order, completing the r07 rotation;
-#   (4) the single oldest r08-rowed entry
-#       (q138_incremental_agg_stream) to fill slot 50.
-# 1 + 24 + 24 + 1 = 50 exactly. NOTE: VERDICT r12's plan text named
-# q65/q78/q86-q92/q97 in the r07 block from a stale comment; the
-# computed ledger (every CORRECTNESS_r*.json, latest row per query)
-# shows those were re-swept in r10 — the authoritative r07-rowed set
-# is the 24 names in slot group (3) below.
-# ROUND-14 HEAD PLAN (keep in sync): canary (1) + any round-13
-# additions (none as of feature freeze) + the next 49 tail names
-# below the 50-cap boundary verbatim — 48 r08-rowed entries +
-# q13_percentiles (oldest r09 row). The tail is already sorted
-# oldest-ledger-row-first for exactly this purpose; at 50/round the
-# whole 293-ledger reaches r13-or-newer rows by r15.
+#   (2) the 48 r08-rowed entries q139..q186, oldest ledger rows;
+#   (3) q187_leakage_aware_split — the tool's pick for slot 50 (first
+#       r09-rowed entry in registry order; NOT q13 as a stale r13
+#       comment once said).
+# 1 + 48 + 1 = 50 exactly. The tail below is sorted
+# oldest-ledger-row-first so r15 can take the next 49 verbatim:
+# the 47 remaining r09-rowed entries + q93/q100 (the two oldest r10
+# rows). At 50/round the whole 293-ledger reaches r13-or-newer rows at
+# the r15 close. Verify with the tool, not this prose.
 _SWEEP_FIRST = [
     # (1) type canary -- keep at head position 1 in every round
     "q224_type_canary",
-    # (2) round-12 additions, never driver-swept (all 24 judge-
-    #     verified green fresh-process in the r12 verdict)
-    "q272_unigram_surprisal",
-    "q275_mrr_eval",
-    "q276_bm25_rank",
-    "q279_map_eval",
-    "q280_bigram_surprisal",
-    "q283_prototypicality_band",
-    "q288_hard_negatives",
-    "q289_frequent_trigrams",
-    "q274_decayed_user_activity",
-    "q284_exponential_histogram",
-    "q290_first_touch_attribution",
-    "q273_surprisal_stream",
-    "q282_bm25_stream_serve",
-    "q286_exp_histogram_stream_serve",
-    "q268_betweenness_pivots",
-    "q269_coreness_stream_serve",
-    "q270_coreness_hub_capped",
-    "q271_link_prediction_ra_capped",
-    "q277_hits_trade",
-    "q278_butterfly_count",
-    "q281_rich_club",
-    "q285_transitivity",
-    "q287_katz_centrality",
-    "q291_avg_neighbor_degree",
-    # (3) the 24 remaining r07-rowed entries (oldest ledger rows),
-    #     completing the r07 rotation
-    "q118_quality_audit",
-    "q119_snapshot_diff",
-    "q124_column_profile",
-    "q112_domain_quality_filter",
-    "q113_bloom_decontaminate",
-    "q114_scrub_duplicated_spans",
-    "q128_cms_heavy_hitters",
-    "q129_dedup_groups_logrounds",
-    "q131_systematic_weighted_sample",
-    "q136_novelty_stats",
-    "q134_scd2_history",
-    "q135_snapshot_asof",
-    "q115_daily_distinct_stream",
-    "q116_interval_join_stream",
-    "q117_joine_stream",
-    "q120_merge_stream",
-    "q121_expand_stream",
-    "q122_corpus_ingest_stream",
-    "q123_zip_join_stream",
-    "q125_upsert_snapshot_stream",
-    "q130_cms_sketch_stream",
-    "q126_volume_shipping",
-    "q133_pagerank_customer_supplier",
-    "q137_zorder_zone_map",
-    # (4) the oldest r08-rowed entry, starting the r08 rotation
-    "q138_incremental_agg_stream",
-    # ---- 50-cap boundary: entries below get no driver row in r13 ----
-    # Tail is oldest-ledger-row-first so r14+ can take the next 49
-    # verbatim: 48 r08-rowed + q13 (r09) fill the next head exactly.
+    # (2) the 48 r08-rowed entries (oldest ledger rows)
     "q139_hll_distinct",
     "q140_fuzzy_link_pairs",
     "q141_hll_sketch_stream",
@@ -200,7 +138,12 @@ _SWEEP_FIRST = [
     "q184_freshness_audit",
     "q185_oov_audit",
     "q186_dup_cluster_census",
+    # (3) slot 50: first r09-rowed entry in registry order
     "q187_leakage_aware_split",
+    # ---- 50-cap boundary: entries below get no driver row in r14 ----
+    # Tail is oldest-ledger-row-first (47 r09, then r10..r13) so the
+    # r15 head is canary + the next 49 verbatim. Tool-generated; run
+    # `python tools/ledger.py --check` rather than trusting prose.
     "q225_stream_near_dup_filter",
     "q226_bloom_file_skip",
     "q227_phrase_search",
@@ -395,6 +338,55 @@ _SWEEP_FIRST = [
     "q109_shared_ngram_pairs",
     "q110_quality_filter_linear",
     "q111_sliding_time_stream",
+    "q272_unigram_surprisal",
+    "q275_mrr_eval",
+    "q276_bm25_rank",
+    "q279_map_eval",
+    "q280_bigram_surprisal",
+    "q283_prototypicality_band",
+    "q288_hard_negatives",
+    "q289_frequent_trigrams",
+    "q274_decayed_user_activity",
+    "q284_exponential_histogram",
+    "q290_first_touch_attribution",
+    "q273_surprisal_stream",
+    "q282_bm25_stream_serve",
+    "q286_exp_histogram_stream_serve",
+    "q268_betweenness_pivots",
+    "q269_coreness_stream_serve",
+    "q270_coreness_hub_capped",
+    "q271_link_prediction_ra_capped",
+    "q277_hits_trade",
+    "q278_butterfly_count",
+    "q281_rich_club",
+    "q285_transitivity",
+    "q287_katz_centrality",
+    "q291_avg_neighbor_degree",
+    "q118_quality_audit",
+    "q119_snapshot_diff",
+    "q124_column_profile",
+    "q112_domain_quality_filter",
+    "q113_bloom_decontaminate",
+    "q114_scrub_duplicated_spans",
+    "q128_cms_heavy_hitters",
+    "q129_dedup_groups_logrounds",
+    "q131_systematic_weighted_sample",
+    "q136_novelty_stats",
+    "q134_scd2_history",
+    "q135_snapshot_asof",
+    "q115_daily_distinct_stream",
+    "q116_interval_join_stream",
+    "q117_joine_stream",
+    "q120_merge_stream",
+    "q121_expand_stream",
+    "q122_corpus_ingest_stream",
+    "q123_zip_join_stream",
+    "q125_upsert_snapshot_stream",
+    "q130_cms_sketch_stream",
+    "q126_volume_shipping",
+    "q133_pagerank_customer_supplier",
+    "q137_zorder_zone_map",
+    "q138_incremental_agg_stream",
 ]
 # Everything below the 50 cap is driver-green untouched code; order
 # among them is irrelevant to the driver. _SWEEP_LAST is now empty:

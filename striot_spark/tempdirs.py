@@ -32,8 +32,6 @@ def striot_mkdtemp(prefix: str) -> str:
     (e.g. q93's mismatch dump), which must outlive the process.
     """
     path = tempfile.mkdtemp(prefix=prefix)
-    if not _CREATED:
-        atexit.register(cleanup_tempdirs)
     _CREATED.append(path)
     return path
 
@@ -44,8 +42,6 @@ def register_tempfile(path: str) -> str:
     ``addPyFile`` ships to executors: Spark copies it into its own
     file server at add time, but the original must survive the process
     (a session restart re-adds it), so deletion rides process exit."""
-    if not _CREATED:
-        atexit.register(cleanup_tempdirs)
     _CREATED.append(path)
     return path
 
@@ -67,3 +63,11 @@ def cleanup_tempdirs() -> None:
                 os.unlink(p)
             except OSError:
                 pass
+
+
+# Registered exactly once, at import: keying registration off _CREATED
+# transitioning from empty re-registered the hook after every manual
+# cleanup_tempdirs() drain (harmless only because cleanup is
+# idempotent). cleanup_tempdirs with an empty list is a no-op, so
+# import-time registration costs nothing when no dir is ever minted.
+atexit.register(cleanup_tempdirs)

@@ -3458,6 +3458,36 @@ def test_betweenness_pivots_validation(spark):
         betweenness_pivots(e, pivots=[1], rounds=63)
 
 
+def test_q58_keep_first_pick_independent_of_column_order(spark):
+    """ADVICE r13: q58's struct-min dedup must pick the smallest doc_id
+    per duplicate text REGARDLESS of the parquet's on-disk column
+    order. Stage documents with doc_id as the LAST file column and a
+    lang ordering that would flip the pick if the struct were built
+    from file order (doc 5's lang 'aa' sorts before doc 3's 'zz', so a
+    file-order struct-min over the tied text would keep doc 5; the
+    explicit doc_id-first struct keeps doc 3). doc_ids 3, 5, 8 all
+    pass the 50% hash sample (md5 bucket < 5000), so a wrong pick
+    would be visible in the output, not silently sampled away."""
+    from striot_spark.queries.datapipe import q58_corpus_build
+
+    dup = "the " + " ".join(f"w{i}" for i in range(19))  # 20 tokens, 5% stopwords
+    uniq = "the " + " ".join(f"u{i}" for i in range(19))
+    docs = spark.createDataFrame(
+        [
+            (dup, "zz", "s", 0, 3),
+            (dup, "aa", "s", 0, 5),
+            (uniq, "aa", "s", 0, 8),
+        ],
+        "text string, lang string, source string, n_chars bigint, doc_id bigint",
+    )
+    d = striot_mkdtemp(prefix="striot_q58_colorder_")
+    docs.write.parquet(d + "/documents.parquet")
+    kept_ids = {
+        r["doc_id"] for r in q58_corpus_build(spark, d).select("doc_id").collect()
+    }
+    assert kept_ids == {3, 8}
+
+
 def test_unigram_surprisal_hand_computed(spark):
     """Corpus 'a a b' / 'b c': counts a=2 b=2 c=1, total 5.
     bits = floor(log2(total DIV cnt)): a,b -> log2(2)=1, c ->

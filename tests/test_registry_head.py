@@ -38,27 +38,21 @@ def test_ordering_is_a_permutation_of_the_registry():
     assert set(oracles) <= set(names)
 
 
-def test_head_50_composition_round13():
-    """The r13 head the driver sweeps (VERDICT r12 task 1): canary, the
-    round-12 additions q268-q291 (never driver-swept), the 24 remaining
-    r07-rowed entries (the ledger's oldest rows), and the single oldest
-    r08-rowed entry. Update alongside the registry's rotation comment
-    when the head is rebuilt."""
+def test_head_50_composition_round14():
+    """The r14 head the driver sweeps (VERDICT r13 task 1, ratified by
+    tools/ledger.py --check): canary, the 48 r08-rowed entries
+    q139-q186 (the ledger's oldest rows) in registered order, and
+    q187_leakage_aware_split (the tool's pick for slot 50 — the first
+    r09-rowed entry in registry order). Update alongside the registry's
+    rotation comment when the head is rebuilt."""
     names = list(all_queries())[:50]
     assert names[0] == "q224_type_canary"
-    # the never-swept round-12 additions fill slots 1-24
-    assert {n.split("_")[0] for n in names[1:25]} == {
-        f"q{i}" for i in range(268, 292)
-    }
-    # the 24 remaining r07-rowed entries, registered order
-    assert [n.split("_")[0] for n in names[25:49]] == [
-        "q118", "q119", "q124", "q112", "q113", "q114", "q128",
-        "q129", "q131", "q136", "q134", "q135", "q115", "q116",
-        "q117", "q120", "q121", "q122", "q123", "q125", "q130",
-        "q126", "q133", "q137",
+    # the 48 r08-rowed entries fill slots 2-49, registered order
+    assert [n.split("_")[0] for n in names[1:49]] == [
+        f"q{i}" for i in range(139, 187)
     ]
-    # the oldest r08-rowed entry fills slot 50
-    assert names[49] == "q138_incremental_agg_stream"
+    # slot 50: the first r09-rowed entry in registry order
+    assert names[49] == "q187_leakage_aware_split"
     # every head entry is oracle-gated (zero rows-only since r12)
     oracles = all_oracles()
     assert all(n in oracles for n in names)

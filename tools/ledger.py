@@ -37,8 +37,16 @@ HEAD = 50
 def load_ledger(repo: str) -> dict[str, tuple[int, bool]]:
     """name -> (latest round with a driver row, green at that row)."""
     ledger: dict[str, tuple[int, bool]] = {}
-    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        rn = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+
+    def round_no(f: str) -> int:
+        return int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+
+    # Sort numerically, not lexicographically: zero-padded names keep
+    # the two orders identical through r99, but at r100 lexicographic
+    # order would replay older files after newer ones and latest-row-
+    # wins would invert (ADVICE r13).
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")), key=round_no):
+        rn = round_no(f)
         try:
             rows = json.load(open(f))
         except (json.JSONDecodeError, OSError):
