@@ -56,3 +56,20 @@ def test_red_beats_even_the_stalest_green():
     }
     head = ledger_tool.propose_head(names, ledger)
     assert head[1] == "qx"
+
+
+def test_load_ledger_orders_rounds_numerically(tmp_path):
+    """r100's file must replay AFTER r99's (ADVICE r13: lexicographic
+    glob order inverts latest-row-wins once round numbers hit three
+    digits)."""
+    import json
+
+    row = {"rows_match": True, "schema_match": True, "hash_match": True}
+    (tmp_path / "CORRECTNESS_r99.json").write_text(
+        json.dumps({"qz": dict(row, hash_match=False)})
+    )
+    (tmp_path / "CORRECTNESS_r100.json").write_text(json.dumps({"qz": row}))
+    ledger = ledger_tool.load_ledger(str(tmp_path))
+    # lexicographically r100 < r99, so a lexicographic replay would
+    # leave the r99 red as the latest row; numeric order keeps r100
+    assert ledger["qz"] == (100, True)

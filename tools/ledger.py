@@ -13,6 +13,11 @@ Usage:
     python tools/ledger.py --check    # exit 1 if the current
                                       # _SWEEP_FIRST head differs from
                                       # the proposal (stale-head guard)
+    python tools/ledger.py --plan-next
+                                      # assume the current head sweeps
+                                      # green this round and print the
+                                      # FOLLOWING round's proposal (for
+                                      # the round-close plan section)
 
 Priority for head slots (established across rounds 8-13):
     canary first, then reds (non-green at latest sweep), then
@@ -90,11 +95,34 @@ def propose_head(
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true")
+    ap.add_argument("--plan-next", action="store_true")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     ledger = load_ledger(repo)
     names = registry_names()
+
+    if args.plan_next:
+        # Project the ledger forward: every entry in the CURRENT head
+        # gets a green row for the upcoming round, then propose the
+        # head after that. Written at round close so the next-round
+        # plan is tool-computed, not prose (prose plans went stale in
+        # r12 and r13).
+        from striot_spark.queries.registry import _SWEEP_FIRST, _load
+
+        _load()
+        this_round = 1 + max((rn for rn, _ in ledger.values()), default=0)
+        projected = dict(ledger)
+        for n in _SWEEP_FIRST[:HEAD]:
+            projected[n] = (this_round, True)
+        nxt = propose_head(names, projected)
+        print(f"assuming the current head-{HEAD} sweeps green in "
+              f"r{this_round:02d}, the r{this_round + 1:02d} proposal is:")
+        for i, n in enumerate(nxt):
+            rn = projected.get(n, (None,))[0]
+            tag = f" (r{rn:02d})" if rn is not None else " (never swept)"
+            print(f"  {i + 1:02d} {n}{tag}")
+        return 0
 
     never = [n for n in names if n not in ledger]
     reds = [n for n in names if n in ledger and not ledger[n][1]]
