@@ -393,6 +393,61 @@ def pagerank(
     return ranks
 
 
+def same_key_pairs(
+    df: DataFrame,
+    key: str,
+    item: str,
+    out_a: str = "u",
+    out_b: str = "v",
+) -> DataFrame:
+    """Distinct unordered co-occurrence pairs — all (x, y) with x < y
+    whose ``item`` values share a ``key`` value (the co-purchase /
+    co-visit edge build every graph query in this package starts from).
+
+    Lowered as ONE groupBy (``array_sort(collect_set(item))`` per key)
+    + an in-row pair expansion (nested ``transform`` over the sorted
+    array — per-row lambdas are the right tool at this arity, PERF §23)
+    + one explode, instead of the classic self-join on ``key``. The
+    self-join form shuffles the fact table TWICE (both join sides) and
+    at cluster scale plans as a sort-merge join — two full shuffles
+    plus two sorts of the biggest table in the query; locally AQE
+    hides that by broadcasting one side, which is exactly the rescue a
+    100 TB lineitem never gets. This form is one shuffle, one hash
+    aggregate, zero joins. Interleaved A/B at sf0.1 (best-of-3, same
+    session, identical 1,196,000-pair output): self-join 1.94s,
+    this form 1.36s — 1.43× with the broadcast rescue still ON for
+    the join side (PERF §43).
+
+    PRECONDITION: per-key group size must be bounded (orders hold ≤ 7
+    lineitems in TPC-H; the quarter windows are narrower still) — the
+    collect_set buffer and the C(n, 2) in-row expansion are per-group.
+    For unbounded groups keep a self-join with a skew strategy instead.
+
+    Output pairs satisfy ``out_a < out_b``; within-key duplicate items
+    collapse in the set, cross-key duplicates in the final distinct
+    (the same global shuffle the self-join form needs too).
+    """
+    items = F.array_sort(F.collect_set(item)).alias("__is")
+    pairs = F.flatten(
+        F.transform(
+            F.col("__is"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__is"), i + F.lit(2), F.size(F.col("__is"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        df.groupBy(key)
+        .agg(items)
+        .select(F.explode(pairs).alias("__p"))
+        .select(
+            F.col("__p.a").alias(out_a), F.col("__p.b").alias(out_b)
+        )
+        .distinct()
+    )
+
+
 def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     """Exact global triangle count over an undirected edge list
     (distinct pairs, either orientation) — with the degree-orientation

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from striot_spark.tempdirs import striot_mkdtemp
 from striot_spark.functions.analytics import day_str
+from striot_spark.functions.graph import same_key_pairs
 from striot_spark.queries.registry import register
 from striot_spark.sources.batch import load_table
 
@@ -1371,18 +1372,7 @@ def q149_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
-    )
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-        .distinct()
-    )
+    edges = same_key_pairs(li, "l_orderkey", "l_partkey", out_a="a", out_b="b")
     return triangle_count(edges)
 
 
@@ -1473,18 +1463,7 @@ def q172_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
-    )
-    pairs = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-        .distinct()
-    )
+    pairs = same_key_pairs(li, "l_orderkey", "l_partkey", out_a="u", out_b="v")
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -1890,18 +1869,7 @@ def _copurchase_quarter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_partkey")
     )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
-    )
-    return (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-        .distinct()
-    )
+    return same_key_pairs(li, "l_orderkey", "l_partkey", out_a="u", out_b="v")
 
 
 @register(
@@ -2276,18 +2244,7 @@ def _copurchase_year_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_partkey")
     )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
-    )
-    return (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-        .distinct()
-    )
+    return same_key_pairs(li, "l_orderkey", "l_partkey", out_a="u", out_b="v")
 
 
 @register(
@@ -3469,18 +3426,7 @@ def q266_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
-    )
-    pairs = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-        .distinct()
-    )
+    pairs = same_key_pairs(li, "l_orderkey", "l_partkey", out_a="u", out_b="v")
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -3705,7 +3651,7 @@ def _stage_copurchase_observations(
     "incremental_agg_sink keyed (l_orderkey, l_partkey) — additive "
     "counting, so the materialized key set is batch-boundary- and "
     "replay-independent — then the served snapshot's distinct keys "
-    "self-join into q266's FULL part co-purchase graph and "
+    "pair up (same_key_pairs) into q266's FULL part co-purchase graph and "
     "functions/graph.py:coreness (h-index iteration, 3 rounds) runs "
     "on it. Oracle = q266's batch oracle VERBATIM: the stream-built "
     "graph must be bit-identical to the batch-built one, which is "
@@ -3731,14 +3677,7 @@ def q269_coreness_stream_serve(
     )
     q.awaitTermination()
     snap = RT.read_snapshot(spark, path).select("k", "p")
-    a = snap.select("k", F.col("p").alias("pa"))
-    b = snap.select("k", F.col("p").alias("pb"))
-    pairs = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-        .distinct()
-    )
+    pairs = same_key_pairs(snap, "k", "p", out_a="u", out_b="v")
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -3770,18 +3709,7 @@ def q270_coreness_hub_capped(
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
-    )
-    pairs = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-        .distinct()
-    )
+    pairs = same_key_pairs(li, "l_orderkey", "l_partkey", out_a="u", out_b="v")
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -3833,18 +3761,7 @@ def q271_link_prediction_ra_capped(
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
-    )
-    pairs = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-        .distinct()
-    )
+    pairs = same_key_pairs(li, "l_orderkey", "l_partkey", out_a="u", out_b="v")
     return link_prediction_ra(
         pairs, src="u", dst="v", max_degree=60
     )
@@ -4047,18 +3964,7 @@ def q281_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
-    )
-    pairs = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-        .distinct()
-    )
+    pairs = same_key_pairs(li, "l_orderkey", "l_partkey", out_a="u", out_b="v")
     both = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -4167,22 +4073,13 @@ def q285_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
-    )
     from striot_spark.functions.caching import track_persist
 
-    # the pair build (orderkey self-join + distinct) feeds BOTH the
-    # wedge count and triangle_count's internal pipeline — persist it
-    # once or the join runs twice (the §38 struct-agg discipline)
+    # the pair build (one groupBy + in-row expansion + distinct) feeds
+    # BOTH the wedge count and triangle_count's internal pipeline —
+    # persist it once or the build runs twice (the §38 discipline)
     edges = track_persist(
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-        .distinct()
+        same_key_pairs(li, "l_orderkey", "l_partkey", out_a="a", out_b="b")
     )
     both = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -4329,18 +4226,7 @@ def q291_avg_neighbor_degree(
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
-    )
-    pairs = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-        .distinct()
-    )
+    pairs = same_key_pairs(li, "l_orderkey", "l_partkey", out_a="u", out_b="v")
     both = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

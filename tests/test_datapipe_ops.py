@@ -1649,6 +1649,47 @@ def test_quantiles_at_scale_matches_python_and_forced_two_pass(spark):
     assert got2 == want
 
 
+def test_same_key_pairs_hand_computed(spark):
+    """Order 1 holds parts {3, 1, 2} (one duplicated) -> pairs (1,2),
+    (1,3), (2,3); order 2 holds {2, 3} -> (2,3) collapsing with order
+    1's in the global distinct; order 3 is a singleton -> no pairs.
+    Pairs are canonical (a < b) regardless of row order."""
+    from striot_spark.functions.graph import same_key_pairs
+
+    df = spark.createDataFrame(
+        [(1, 3), (1, 1), (1, 2), (1, 1), (2, 3), (2, 2), (3, 9)],
+        "k long, p long",
+    )
+    got = {
+        (r["u"], r["v"])
+        for r in same_key_pairs(df, "k", "p").collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_same_key_pairs_matches_self_join_on_lineitem(spark, sf_dir):
+    """The decisive equivalence: on the real co-purchase build the
+    helper's pair SET equals the classic self-join's, both directions
+    (PERF §43 swapped all 11 graph-query pair builds onto the helper)."""
+    from striot_spark.functions.graph import same_key_pairs
+    from striot_spark.sources.batch import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    joined = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    helper = same_key_pairs(li, "l_orderkey", "l_partkey")
+    assert helper.exceptAll(joined).count() == 0
+    assert joined.exceptAll(helper).count() == 0
+
+
 def test_triangle_count_known_graphs(spark):
     from striot_spark.functions.graph import triangle_count
 

@@ -1176,6 +1176,28 @@ def test_katz_rounds_are_keyed_joins_only(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_copurchase_pair_build_is_joinless(spark, sf_dir):
+    """PERF §43: the co-purchase pair build (same_key_pairs) is ONE
+    groupBy + an in-row expansion + explode + distinct — a Join node
+    in its plan means the two-shuffle self-join form crept back (at
+    cluster scale that form is a sort-merge join over two full copies
+    of the fact table; locally AQE masks it with a broadcast that a
+    100 TB lineitem never gets). Date pushdown must survive the
+    groupBy exactly as it did the join."""
+    from striot_spark.functions.graph import same_key_pairs
+    from striot_spark.sources.batch import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    df = same_key_pairs(li, "l_orderkey", "l_partkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Generate" in plan  # the explode fan-out
+    # partial collect_set rides map-side (ObjectHashAggregate partials)
+    assert "partial_collect_set" in plan
+
+
 def test_argmax_picks_are_windowless_struct_aggregates(spark, sf_dir):
     """r13 arg-max finding (PERF §42): q58's keep-first-per-digest,
     q203's nearest-candidate pick, and q290's first-touch pick are
