@@ -1183,20 +1183,7 @@ def q230_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
+    pairs = same_key_pairs(li, "l_orderkey", "l_partkey", out_a="u", out_b="v")
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -1215,8 +1202,9 @@ def q230_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle unrolls the identical rounds as chained CTEs. "
     "Frequency voting finds DENSE regions where the min-label "
     "broadcast (q74/q129) finds connectivity. Per round: one src-key "
-    "join + one (node, label) groupBy + one per-node arg-max window "
-    "(state bounded by a node's distinct neighbor labels); the edge "
+    "join + one (node, label) groupBy + one per-node struct-min "
+    "aggregate (PERF \u00a742 \u2014 map-side partials, no window sort; state "
+    "bounded by a node's distinct neighbor labels); the edge "
     "list ships once, labels are the only per-round traffic",
 )
 def q228_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1225,20 +1213,7 @@ def q228_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
+    pairs = same_key_pairs(li, "l_orderkey", "l_partkey", out_a="u", out_b="v")
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
