@@ -1720,27 +1720,27 @@ def shared_ngram_pairs(
             (F.size("ids") >= 2) & (F.size("ids") <= F.lit(df_cap))
         )
     )
-    # in-row i<j pair expansion over the (sorted, ≤df_cap) member list
-    pairs = members.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ids"),
-                            i + F.lit(2),
-                            F.size("ids") - i - 1,
-                        ),
-                        lambda y: F.struct(
-                            x.alias("id_a"), y.alias("id_b")
-                        ),
-                    ),
+    # i<j pair expansion over the (sorted, ≤df_cap) member list as two
+    # codegen-able Generates — posexplode picks the lesser member, the
+    # sliced explode its greater partners. NOT a nested in-row
+    # transform: higher-order lambdas evaluate interpreted (PERF §23),
+    # and at df_cap=100 that put up to ~5000 interpreted struct
+    # constructions in a single hot row (PERF §43's finding, applied
+    # here the same round)
+    heads = members.select(
+        F.col("ids"), F.posexplode("ids").alias("__i", "id_a")
+    ).filter(F.size("ids") > F.col("__i") + 1)
+    return (
+        heads.select(
+            F.col("id_a"),
+            F.explode(
+                F.slice(
+                    F.col("ids"), F.col("__i") + F.lit(2), F.size("ids")
                 )
-            )
-        ).alias("p")
+            ).alias("id_b"),
+        )
+        .distinct()
     )
-    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def fuzzy_pairs(

@@ -2163,24 +2163,24 @@ def q209_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_set("event_type")).alias("types")
     )
-    pairs = u.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.col("types"),
-                        lambda a: F.transform(
-                            F.col("types"),
-                            lambda b: F.struct(
-                                a.alias("type_a"), b.alias("type_b")
-                            ),
-                        ),
-                    )
-                ),
-                lambda s: s["type_a"] < s["type_b"],
-            )
-        ).alias("p")
-    ).select("p.type_a", "p.type_b")
+    # i<j expansion as two codegen-able Generates (PERF §43): the old
+    # nested-transform form built the full n² struct product
+    # INTERPRETED per user row and then filtered half of it away
+    pairs = (
+        u.select(
+            F.col("types"),
+            F.posexplode("types").alias("__i", "type_a"),
+        )
+        .filter(F.size("types") > F.col("__i") + 1)
+        .select(
+            F.col("type_a"),
+            F.explode(
+                F.slice(
+                    F.col("types"), F.col("__i") + F.lit(2), F.size("types")
+                )
+            ).alias("type_b"),
+        )
+    )
     inter = pairs.groupBy("type_a", "type_b").agg(
         F.count(F.lit(1)).alias("n_both")
     )
