@@ -399,10 +399,18 @@ def same_key_pairs(
     item: str,
     out_a: str = "u",
     out_b: str = "v",
+    unique: bool = True,
 ) -> DataFrame:
     """Distinct unordered co-occurrence pairs — all (x, y) with x < y
     whose ``item`` values share a ``key`` value (the co-purchase /
     co-visit edge build every graph query in this package starts from).
+
+    ``unique=False`` skips the final global distinct and returns ONE
+    row per (key, pair) co-occurrence — the input to co-occurrence
+    COUNTING (q234's association rules, q278's butterfly wedges),
+    where the consumer's own ``groupBy(pair).count()`` replaces the
+    distinct's shuffle and the total stays at one fact-table exchange.
+    Within a key, pairs are still distinct (the set dedups items).
 
     Lowered as ONE groupBy (``array_sort(collect_set(item))`` per key)
     + a lambda-free two-step Generate expansion (``posexplode`` of the
@@ -445,17 +453,15 @@ def same_key_pairs(
     heads = grouped.select(
         F.col("__is"), F.posexplode("__is").alias("__i", out_a)
     ).filter(F.size("__is") > F.col("__i") + 1)
-    return (
-        heads.select(
-            F.col(out_a),
-            F.explode(
-                F.slice(
-                    F.col("__is"), F.col("__i") + F.lit(2), F.size("__is")
-                )
-            ).alias(out_b),
-        )
-        .distinct()
+    pairs = heads.select(
+        F.col(out_a),
+        F.explode(
+            F.slice(
+                F.col("__is"), F.col("__i") + F.lit(2), F.size("__is")
+            )
+        ).alias(out_b),
     )
+    return pairs.distinct() if unique else pairs
 
 
 def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:

@@ -2569,18 +2569,17 @@ def q234_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = baskets.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_t")
     )
-    a = baskets.alias("a")
-    b = baskets.alias("b")
+    from striot_spark.functions.graph import same_key_pairs
+
+    # unique=False: one row per (user, type-pair) co-occurrence; the
+    # groupBy below IS the dedup shuffle, so the basket table crosses
+    # the wire once (PERF §43) instead of twice through a self-join
     pair = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
+        same_key_pairs(
+            baskets, "user_id", "event_type",
+            out_a="ante", out_b="cons", unique=False,
         )
-        .groupBy(
-            F.col("a.event_type").alias("ante"),
-            F.col("b.event_type").alias("cons"),
-        )
+        .groupBy("ante", "cons")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
     ia = item.select(

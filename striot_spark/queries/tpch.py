@@ -3867,11 +3867,10 @@ def q278_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    a = li.select("o", F.col("p").alias("pa"))
-    b = li.select("o", F.col("p").alias("pb"))
+    # unique=False: one row per (order, part-pair) co-occurrence; the
+    # cooc groupBy is the only pair shuffle (PERF §43)
     bf = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
+        same_key_pairs(li, "o", "p", out_a="pa", out_b="pb", unique=False)
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
         .filter(F.col("cooc") >= 2)
