@@ -1667,6 +1667,25 @@ def test_same_key_pairs_hand_computed(spark):
     assert got == {(1, 2), (1, 3), (2, 3)}
 
 
+def test_same_key_pairs_counted_multiplicity(spark):
+    """unique=False keeps one row per (key, pair) co-occurrence: the
+    (1,2) pair occurs under keys 10 and 20 -> two rows; within a key
+    duplicates still collapse (key 10 holds item 1 twice). The
+    consumer's groupBy(pair).count() then yields exact co-occurrence
+    counts (q234 support, q278 wedge multiplicity)."""
+    from striot_spark.functions.graph import same_key_pairs
+
+    df = spark.createDataFrame(
+        [(10, 1), (10, 1), (10, 2), (10, 3), (20, 1), (20, 2), (30, 7)],
+        "k long, p long",
+    )
+    rows = sorted(
+        (r["u"], r["v"])
+        for r in same_key_pairs(df, "k", "p", unique=False).collect()
+    )
+    assert rows == [(1, 2), (1, 2), (1, 3), (2, 3)]
+
+
 def test_same_key_pairs_matches_self_join_on_lineitem(spark, sf_dir):
     """The decisive equivalence: on the real co-purchase build the
     helper's pair SET equals the classic self-join's, both directions
