@@ -75,75 +75,19 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # green-at-latest); r13 swept canary + the 24 r12 additions + the 24
 # r07-rowed entries + q138 (50/50 green — ledger reached 293/293
 # green-at-latest with zero never-swept for the first time).
-# ROUND-14 HEAD (executes VERDICT r13 task 1, tool-ratified):
+# ROUND-15 HEAD (executes VERDICT r14 task 1, tool-ratified — the
+# r14 tail's "next 49 verbatim" promise, confirmed against
+# `python tools/ledger.py --check` at r15 open):
 #   (1) q224_type_canary FIRST, as in every round;
-#   (2) the 48 r08-rowed entries q139..q186, oldest ledger rows;
-#   (3) q187_leakage_aware_split — the tool's pick for slot 50 (first
-#       r09-rowed entry in registry order; NOT q13 as a stale r13
-#       comment once said).
-# 1 + 48 + 1 = 50 exactly. The tail below is sorted
-# oldest-ledger-row-first so r15 can take the next 49 verbatim:
-# the 47 remaining r09-rowed entries + q93/q100 (the two oldest r10
-# rows). At 50/round the whole 293-ledger reaches r13-or-newer rows at
-# the r15 close. Verify with the tool, not this prose.
+#   (2) the 47 r09-rowed entries (q225..q235, q188..q214 minus the
+#       r13-swept q215, q216..q223, then q13), oldest ledger rows;
+#   (3) q93 + q100 — the two oldest r10 rows.
+# 1 + 47 + 2 = 50 exactly. After this sweep the whole 293-ledger
+# holds r13-or-newer rows. Verify with the tool, not this prose.
 _SWEEP_FIRST = [
     # (1) type canary -- keep at head position 1 in every round
     "q224_type_canary",
-    # (2) the 48 r08-rowed entries (oldest ledger rows)
-    "q139_hll_distinct",
-    "q140_fuzzy_link_pairs",
-    "q141_hll_sketch_stream",
-    "q142_skew_profile",
-    "q143_compact_small_files",
-    "q144_importance_weights",
-    "q145_label_centroids",
-    "q146_interarrival_stats",
-    "q147_quantiles_at_scale",
-    "q148_table_digest",
-    "q149_triangle_count",
-    "q150_table_digest_stream",
-    "q151_group_quantiles",
-    "q152_pit_enrich_stream",
-    "q153_conversion_funnel",
-    "q154_retention_cohorts",
-    "q155_rolling_active_users",
-    "q156_hll_rolling_merge",
-    "q157_event_transitions",
-    "q158_mad_outliers",
-    "q159_join_size_estimate",
-    "q160_gini_diversity",
-    "q161_ohlc_bars",
-    "q162_gap_fill_ffill",
-    "q163_entity_resolution",
-    "q164_ohlc_bars_stream",
-    "q165_pii_scrub",
-    "q166_grain_rollup_reuse",
-    "q167_cdc_apply_deletes",
-    "q168_k_anonymity",
-    "q169_winsorized_stats",
-    "q170_posting_lists",
-    "q171_weighted_median_len",
-    "q172_kcore_parts",
-    "q173_partition_pruned_day",
-    "q174_rollup_serve_stream",
-    "q175_pq_encode",
-    "q176_ann_recall_eval",
-    "q177_collocations",
-    "q178_lexical_search",
-    "q179_cdc_apply_stream",
-    "q180_forecast_revenue_band",
-    "q181_promo_revenue_share",
-    "q182_rank_normalize",
-    "q183_equiwidth_histogram",
-    "q184_freshness_audit",
-    "q185_oov_audit",
-    "q186_dup_cluster_census",
-    # (3) slot 50: first r09-rowed entry in registry order
-    "q187_leakage_aware_split",
-    # ---- 50-cap boundary: entries below get no driver row in r14 ----
-    # Tail is oldest-ledger-row-first (47 r09, then r10..r13) so the
-    # r15 head is canary + the next 49 verbatim. Tool-generated; run
-    # `python tools/ledger.py --check` rather than trusting prose.
+    # (2) the 47 r09-rowed entries (oldest ledger rows)
     "q225_stream_near_dup_filter",
     "q226_bloom_file_skip",
     "q227_phrase_search",
@@ -191,8 +135,14 @@ _SWEEP_FIRST = [
     "q222_stratum_floor_split",
     "q223_weekly_top_event",
     "q13_percentiles",
+    # (3) the two oldest r10 rows
     "q93_joinw_stream_non_nesting",
     "q100_chop_count_stream",
+    # ---- 50-cap boundary: entries below get no driver row in r15 ----
+    # Tail is oldest-ledger-row-first (46 remaining r10 rows, then
+    # r11..r14) so the r16 head is canary + the next 49 verbatim.
+    # Tool-generated; run `python tools/ledger.py --check` rather than
+    # trusting prose.
     "q101_sliding_stream_ooo_replay",
     "q127_market_share",
     "q132_bucketed_colocated_join",
@@ -387,6 +337,56 @@ _SWEEP_FIRST = [
     "q133_pagerank_customer_supplier",
     "q137_zorder_zone_map",
     "q138_incremental_agg_stream",
+    # r14-swept cohort (newest ledger rows) — stays last in the tail
+    "q139_hll_distinct",
+    "q140_fuzzy_link_pairs",
+    "q141_hll_sketch_stream",
+    "q142_skew_profile",
+    "q143_compact_small_files",
+    "q144_importance_weights",
+    "q145_label_centroids",
+    "q146_interarrival_stats",
+    "q147_quantiles_at_scale",
+    "q148_table_digest",
+    "q149_triangle_count",
+    "q150_table_digest_stream",
+    "q151_group_quantiles",
+    "q152_pit_enrich_stream",
+    "q153_conversion_funnel",
+    "q154_retention_cohorts",
+    "q155_rolling_active_users",
+    "q156_hll_rolling_merge",
+    "q157_event_transitions",
+    "q158_mad_outliers",
+    "q159_join_size_estimate",
+    "q160_gini_diversity",
+    "q161_ohlc_bars",
+    "q162_gap_fill_ffill",
+    "q163_entity_resolution",
+    "q164_ohlc_bars_stream",
+    "q165_pii_scrub",
+    "q166_grain_rollup_reuse",
+    "q167_cdc_apply_deletes",
+    "q168_k_anonymity",
+    "q169_winsorized_stats",
+    "q170_posting_lists",
+    "q171_weighted_median_len",
+    "q172_kcore_parts",
+    "q173_partition_pruned_day",
+    "q174_rollup_serve_stream",
+    "q175_pq_encode",
+    "q176_ann_recall_eval",
+    "q177_collocations",
+    "q178_lexical_search",
+    "q179_cdc_apply_stream",
+    "q180_forecast_revenue_band",
+    "q181_promo_revenue_share",
+    "q182_rank_normalize",
+    "q183_equiwidth_histogram",
+    "q184_freshness_audit",
+    "q185_oov_audit",
+    "q186_dup_cluster_census",
+    "q187_leakage_aware_split",
 ]
 # Everything below the 50 cap is driver-green untouched code; order
 # among them is irrelevant to the driver. _SWEEP_LAST is now empty:

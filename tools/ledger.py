@@ -111,9 +111,26 @@ def main() -> int:
         from striot_spark.queries.registry import _SWEEP_FIRST, _load
 
         _load()
-        this_round = 1 + max((rn for rn, _ in ledger.values()), default=0)
+        mx = max((rn for rn, _ in ledger.values()), default=0)
+        head = _SWEEP_FIRST[:HEAD]
+        if all(ledger.get(n, (None, False))[0] == mx for n in head):
+            # The current head already has rows at the ledger's max
+            # round — its CORRECTNESS file has landed, so projecting it
+            # green again would label the proposal one round too far
+            # ahead (ADVICE r14: printed "r16 proposal" at r14 close
+            # when the content was the r15 head). No projection needed:
+            # propose straight from the ledger, labeled max+1.
+            nxt = propose_head(names, ledger)
+            print(f"current head-{HEAD} already swept in r{mx:02d}; "
+                  f"the r{mx + 1:02d} proposal is:")
+            for i, n in enumerate(nxt):
+                rn = ledger.get(n, (None,))[0]
+                tag = f" (r{rn:02d})" if rn is not None else " (never swept)"
+                print(f"  {i + 1:02d} {n}{tag}")
+            return 0
+        this_round = 1 + mx
         projected = dict(ledger)
-        for n in _SWEEP_FIRST[:HEAD]:
+        for n in head:
             projected[n] = (this_round, True)
         nxt = propose_head(names, projected)
         print(f"assuming the current head-{HEAD} sweeps green in "
