@@ -446,9 +446,18 @@ def same_key_pairs(
     Output pairs satisfy ``out_a < out_b``; within-key duplicate items
     collapse in the set, cross-key duplicates in the final distinct
     (the same global shuffle the self-join form needs too).
+
+    NULL keys are rejected up front to preserve the semantics of the
+    self-join form this replaces: an equi-join on ``key`` emits nothing
+    for NULL (NULL = NULL is not true), whereas a bare groupBy would
+    collect all NULL-keyed rows into ONE group and emit pairs among
+    them (ADVICE r14). NULL items need no guard — collect_set drops
+    them, matching the x < y predicate of the join form.
     """
-    grouped = df.groupBy(key).agg(
-        F.array_sort(F.collect_set(item)).alias("__is")
+    grouped = (
+        df.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.array_sort(F.collect_set(item)).alias("__is"))
     )
     heads = grouped.select(
         F.col("__is"), F.posexplode("__is").alias("__i", out_a)

@@ -3860,12 +3860,11 @@ def q277_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vacuous-gate discipline)",
 )
 def q278_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
+    # no .distinct() pre-pass: same_key_pairs' collect_set already
+    # dedups parts within each order, so a distinct here would add a
+    # full lineitem shuffle for no semantic effect (ADVICE r14)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
     # unique=False: one row per (order, part-pair) co-occurrence; the
     # cooc groupBy is the only pair shuffle (PERF §43)

@@ -1686,6 +1686,29 @@ def test_same_key_pairs_counted_multiplicity(spark):
     assert rows == [(1, 2), (1, 2), (1, 3), (2, 3)]
 
 
+def test_same_key_pairs_rejects_null_keys(spark):
+    """NULL-key rows must produce NO pairs — matching the null-rejecting
+    equi-join the helper replaced (ADVICE r14: a bare groupBy would pool
+    every NULL-keyed row into one group and fabricate edges among
+    them). NULL items drop inside collect_set, matching the join form's
+    x < y predicate."""
+    from striot_spark.functions.graph import same_key_pairs
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (None, 3), (1, 7), (1, 8), (1, None)],
+        "k long, p long",
+    )
+    got = {
+        (r["u"], r["v"]) for r in same_key_pairs(df, "k", "p").collect()
+    }
+    assert got == {(7, 8)}
+    counted = {
+        (r["u"], r["v"])
+        for r in same_key_pairs(df, "k", "p", unique=False).collect()
+    }
+    assert counted == {(7, 8)}
+
+
 def test_same_key_pairs_matches_self_join_on_lineitem(spark, sf_dir):
     """The decisive equivalence: on the real co-purchase build the
     helper's pair SET equals the classic self-join's, both directions

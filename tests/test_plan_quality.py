@@ -1117,14 +1117,15 @@ def test_hits_rounds_are_keyed_joins_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_butterfly_count_is_wedge_join_plus_aggs(spark, sf_dir):
-    """q278: the only join is the order-keyed wedge self-join (hash,
-    never sort-merge — both sides are the same deduped projection)
-    and everything else is hash aggregates; no cartesian, no window."""
+def test_butterfly_count_is_joinless_aggs(spark, sf_dir):
+    """q278: the wedge build goes through same_key_pairs (one groupBy +
+    Generate expansion, PERF §43) and the pre-pass distinct is gone
+    (collect_set dedups within-order, ADVICE r14) — the executed plan
+    is scan -> hash aggregates -> Generates -> hash aggregates with NO
+    join node of any kind and no window."""
     plan = _executed(spark, "q278_butterfly_count", sf_dir)
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "SortMergeJoin" not in plan
     assert "Window" not in plan
 
 
