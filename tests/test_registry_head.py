@@ -89,3 +89,71 @@ def test_head_matches_ledger_tool_proposal():
         # the proposal has rotated past it (documented round-close state)
         return
     assert head == ledger_mod.propose_head(names, led)
+
+def test_propose_head_priority_order():
+    """The rotation planner's slot priority (reds > never-swept >
+    oldest-green-first, registry order inside each tier, canary always
+    slot 1) on a synthetic ledger — the algorithm that decides which 50
+    queries get driver evidence each round, tested without touching the
+    committed CORRECTNESS files."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import ledger as ledger_mod
+
+    canary = ledger_mod.CANARY
+    names = [canary] + [f"q{i:03d}_x" for i in range(60)]
+    led = {n: (10, True) for n in names}
+    led["q005_x"] = (9, True)  # older green: outranks r10 greens
+    led["q007_x"] = (12, False)  # red at latest: outranks everything
+    del led["q003_x"]  # never swept: outranks greens
+    head = ledger_mod.propose_head(names, led)
+    assert head[0] == canary
+    assert head[1] == "q007_x"  # red first
+    assert head[2] == "q003_x"  # then never-swept
+    assert head[3] == "q005_x"  # then oldest green
+    # remaining greens fill by registry order
+    assert head[4:7] == ["q000_x", "q001_x", "q002_x"]
+    assert len(head) == ledger_mod.HEAD
+    assert len(set(head)) == len(head)
+
+
+def test_load_ledger_latest_row_wins(tmp_path):
+    """A red in r07 superseded by a green in r09 must read green (and
+    r09, not r07); hash_match=None (rows-only entries) counts green;
+    an err marks red even when the match booleans are true."""
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import ledger as ledger_mod
+
+    def row(rows=True, schema=True, hsh=True, err=None):
+        return {
+            "rows_match": rows,
+            "schema_match": schema,
+            "hash_match": hsh,
+            "err": err,
+        }
+
+    (tmp_path / "CORRECTNESS_r07.json").write_text(
+        json.dumps({"qa": row(hsh=False), "qb": row(), "qc": row()})
+    )
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps(
+            {
+                "qa": row(),
+                "qb": row(err="boom"),
+                "qd": row(hsh=None),
+            }
+        )
+    )
+    led = ledger_mod.load_ledger(str(tmp_path))
+    assert led["qa"] == (9, True)  # red r07 superseded by green r09
+    assert led["qb"] == (9, False)  # err == red despite true booleans
+    assert led["qc"] == (7, True)  # untouched by r09
+    assert led["qd"] == (9, True)  # rows-only (hash None) is green

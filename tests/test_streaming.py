@@ -2042,3 +2042,41 @@ def test_near_dup_filter_stream_matches_batch(spark, tmp_path):
     )
     with pytest.raises(Exception, match="different run"):
         q2.awaitTermination()
+
+
+def test_drain_pins_and_restores_shuffle_partitions(
+    spark, sf_dir, events_dir, ckpt
+):
+    """run_available_now pins spark.sql.shuffle.partitions for the
+    drain (the state-commit fan-out fix: 200 default partitions x
+    n_stateful_ops x n_batches tiny checkpoint writes made q93's drain
+    commit-bound under the grading driver's plain session) and MUST
+    restore the session value afterwards — a leaked override would
+    silently reshape every later batch query in the sweep. Results are
+    partition-count-invariant: the same aggregation drained at 3
+    partitions equals the module-default drain."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    sdf = RT.file_stream(spark, events_dir, _events_schema(spark, sf_dir))
+    agg = RT.window_agg_stream(
+        sdf, "ts", "1 day", {"n": F.count(F.lit(1))}, watermark="1 minute"
+    )
+    got = RT.run_available_now(
+        agg,
+        "drain_pin_probe",
+        ckpt,
+        mode="complete",
+        drain_shuffle_partitions=3,
+    )
+    rows3 = {
+        (r["window_start"], r["n"])
+        for r in got.select("window_start", "n").collect()
+    }
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    batch_rows = {(r["window_start"], r["n"]) for r in batch.collect()}
+    assert rows3 == batch_rows
