@@ -790,6 +790,16 @@ def label_propagation(
     def part(df: DataFrame, key: str) -> DataFrame:
         return df.repartition(n, key) if n else df
 
+    if n:
+        # mirror pagerank's e_deg persist: co-partition the persisted
+        # edge list by the per-round join key, so the label join is
+        # exchange-free on the edge side. Without this the loop joins
+        # the RAW persisted layout and re-exchanges the full edge list
+        # to the label side's width every round — pure scheduling
+        # overhead on a small graph, which is exactly what this gate
+        # exists to remove (big graphs keep the session width and the
+        # per-round exchange is the real data term).
+        e = track_persist(part(e, "src"))
     nodes = track_persist(
         part(
             e.select(F.col("src").alias("node"))
