@@ -800,7 +800,12 @@ def run_available_now(
     parallel while cutting the commit fan-out 25x. Pass None to leave
     the session setting untouched — the right call for a PRODUCTION
     continuous stream, whose state sizing must match cluster cores and
-    whose checkpoint outlives the process."""
+    whose checkpoint outlives the process.
+
+    NOT safe for two concurrent drains on one session: the pin is a
+    session conf, so an overlapping drain's restore would race it.
+    Every caller in this package drains sequentially; a concurrent
+    harness should pass None and set the conf once at session build."""
     spark = sdf.sparkSession
     restore: str | None = None
     if drain_shuffle_partitions is not None:
