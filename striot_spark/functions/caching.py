@@ -41,6 +41,25 @@ def track_persist(df: DataFrame) -> DataFrame:
     return p
 
 
+def untrack(df: DataFrame, blocking: bool = False) -> None:
+    """Unpersist one tracked frame NOW and drop it from the release
+    list. For setup-superseded persists (ADVICE r15): when an operator
+    replaces a persisted work table with a re-layout of itself (e.g.
+    the co-partitioned edge copy under the small-graph gate), the raw
+    persist would otherwise stay cached alongside the copy until
+    ``release_persisted``, doubling cached memory for the whole job.
+    Callers must materialize the successor first (one ``count()``)
+    so the copy is built from the still-cached raw layout."""
+    try:
+        df.unpersist(blocking)
+    except Exception:
+        pass  # session already stopped; nothing to release
+    try:
+        _PERSISTED.remove(df)
+    except ValueError:
+        pass  # already released (or never tracked) — idempotent
+
+
 def release_persisted(blocking: bool = False) -> int:
     """Unpersist every tracked work table; returns how many released."""
     n = 0

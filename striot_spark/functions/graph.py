@@ -258,6 +258,14 @@ def pagerank(
     # out-strength: Σw per src (== out-degree when unweighted, w=1)
     deg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     e_deg = track_persist(part(e.join(deg, "src"), "src"))
+    # NOTE deliberately NOT untracking the raw edge persist here the
+    # way label_propagation does (ADVICE r15): the loop reads e_deg
+    # AND nodes, so dropping the raw requires eagerly materializing
+    # BOTH successors first — two extra serialized jobs that an
+    # interleaved A/B measured at 1.24x on q237 (PERF §45), where
+    # LPA's single cheap e.count() measured parity. The doubled cache
+    # is gate-bounded (small graphs only) and released between queries
+    # by release_persisted; the runtime cost is not worth it.
     # the documented headroom is ENFORCED (modularity precedent —
     # PERF.md §32's 10× probe proved a silent 2^63 wrap is a real
     # failure mode, not a doc footnote): total rank mass is ~N*scale
@@ -758,7 +766,7 @@ def label_propagation(
     node) are the only per-round traffic. Same small-graph width gate
     and ``localCheckpoint`` lineage cuts as ``pagerank``.
     """
-    from striot_spark.functions.caching import track_persist
+    from striot_spark.functions.caching import track_persist, untrack
 
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
@@ -799,7 +807,14 @@ def label_propagation(
         # overhead on a small graph, which is exactly what this gate
         # exists to remove (big graphs keep the session width and the
         # per-round exchange is the real data term).
+        raw = e
         e = track_persist(part(e, "src"))
+        # materialize the copy from the still-cached raw layout, then
+        # drop the raw persist — keeping both would double cached edge
+        # memory for the rest of the job (ADVICE r15); the loop only
+        # ever reads the co-partitioned copy
+        e.count()
+        untrack(raw)
     nodes = track_persist(
         part(
             e.select(F.col("src").alias("node"))

@@ -75,74 +75,21 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # green-at-latest); r13 swept canary + the 24 r12 additions + the 24
 # r07-rowed entries + q138 (50/50 green — ledger reached 293/293
 # green-at-latest with zero never-swept for the first time).
-# ROUND-15 HEAD (executes VERDICT r14 task 1, tool-ratified — the
-# r14 tail's "next 49 verbatim" promise, confirmed against
-# `python tools/ledger.py --check` at r15 open):
+# ROUND-16 HEAD (executes VERDICT r15 task 1, tool-ratified against
+# `python tools/ledger.py --check` at r16 open):
 #   (1) q224_type_canary FIRST, as in every round;
-#   (2) the 47 r09-rowed entries (q225..q235, q188..q214 minus the
-#       r13-swept q215, q216..q223, then q13), oldest ledger rows;
-#   (3) q93 + q100 — the two oldest r10 rows.
-# 1 + 47 + 2 = 50 exactly. After this sweep the whole 293-ledger
-# holds r13-or-newer rows. Verify with the tool, not this prose.
+#   (2) the 47 r10-rowed entries (q101, q127, q132, q236..q242, q14,
+#       q35, the q65..q99 cohort), oldest ledger rows after r15
+#       rotated the r09 cohort;
+#   (3) q247_hybrid_rrf + q243_khop_reach_hll -- the two oldest r11
+#       rows.
+# 1 + 47 + 2 = 50 exactly. After this sweep the oldest ledger
+# evidence is r11. Verify with the tool, not this prose.
 _SWEEP_FIRST = [
     # (1) type canary -- keep at head position 1 in every round
     "q224_type_canary",
-    # (2) the 47 r09-rowed entries (oldest ledger rows)
-    "q225_stream_near_dup_filter",
-    "q226_bloom_file_skip",
-    "q227_phrase_search",
-    "q228_lpa_communities",
-    "q229_stream_quantile_bins",
-    "q230_lpa_modularity",
-    "q231_equidepth_histogram",
-    "q232_personalized_pagerank",
-    "q233_hll_set_algebra",
-    "q234_association_rules",
-    "q235_minhash_cohort_similarity",
-    "q188_cap_per_cluster",
-    "q189_freshness_stream",
-    "q190_media_embed",
-    "q191_trend_stats",
-    "q192_scd2_enrich",
-    "q193_twap_daily",
-    "q194_pareto_frontier",
-    "q195_debounce_per_user",
-    "q196_burst_detection",
-    "q197_curriculum_interleave",
-    "q198_debounce_stream",
-    "q199_returned_revenue_customers",
-    "q200_sorted_export",
-    "q201_json_schema_profile",
-    "q202_large_order_customers",
-    "q203_nearest_event_align",
-    "q204_int8_quantize",
-    "q205_session_stats",
-    "q206_burst_detection_stream",
-    "q207_timed_funnel",
-    "q208_trigram_patterns",
-    "q209_segment_overlap",
-    "q210_corpus_card",
-    "q211_mixed_language_audit",
-    "q212_disorder_profile",
-    "q213_source_drift",
-    "q214_dup_threshold_curve",
-    "q216_peak_concurrency",
-    "q217_customer_order_distribution",
-    "q218_top_supplier",
-    "q219_small_quantity_revenue",
-    "q220_stream_exact_dedup",
-    "q221_weekend_split",
-    "q222_stratum_floor_split",
-    "q223_weekly_top_event",
-    "q13_percentiles",
-    # (3) the two oldest r10 rows
-    "q93_joinw_stream_non_nesting",
-    "q100_chop_count_stream",
-    # ---- 50-cap boundary: entries below get no driver row in r15 ----
-    # Tail is oldest-ledger-row-first (46 remaining r10 rows, then
-    # r11..r14) so the r16 head is canary + the next 49 verbatim.
-    # Tool-generated; run `python tools/ledger.py --check` rather than
-    # trusting prose.
+    # (2) the 47 r10-rowed entries (oldest ledger rows after the r15
+    #     sweep rotated the r09 cohort)
     "q101_sliding_stream_ooo_replay",
     "q127_market_share",
     "q132_bucketed_colocated_join",
@@ -190,8 +137,14 @@ _SWEEP_FIRST = [
     "q97_filteracc_stream_global",
     "q98_docs_jsonl_dead_letter",
     "q99_corpus_pipeline",
+    # (3) the two oldest r11 rows
     "q247_hybrid_rrf",
     "q243_khop_reach_hll",
+    # ---- 50-cap boundary: entries below get no driver row in r16 ----
+    # Tail is oldest-ledger-row-first (47 remaining r11 rows, then
+    # r12..r15) so the r17 head is canary + the next 49 verbatim.
+    # Tool-generated; run `python tools/ledger.py --check` rather than
+    # trusting prose.
     "q245_khop_hll_stream_serve",
     "q246_neighborhood_function",
     "q244_ktruss_edges",
@@ -337,7 +290,6 @@ _SWEEP_FIRST = [
     "q133_pagerank_customer_supplier",
     "q137_zorder_zone_map",
     "q138_incremental_agg_stream",
-    # r14-swept cohort (newest ledger rows) — stays last in the tail
     "q139_hll_distinct",
     "q140_fuzzy_link_pairs",
     "q141_hll_sketch_stream",
@@ -387,6 +339,56 @@ _SWEEP_FIRST = [
     "q185_oov_audit",
     "q186_dup_cluster_census",
     "q187_leakage_aware_split",
+    # r15-swept cohort (newest ledger rows) -- stays last in the tail
+    "q225_stream_near_dup_filter",
+    "q226_bloom_file_skip",
+    "q227_phrase_search",
+    "q228_lpa_communities",
+    "q229_stream_quantile_bins",
+    "q230_lpa_modularity",
+    "q231_equidepth_histogram",
+    "q232_personalized_pagerank",
+    "q233_hll_set_algebra",
+    "q234_association_rules",
+    "q235_minhash_cohort_similarity",
+    "q188_cap_per_cluster",
+    "q189_freshness_stream",
+    "q190_media_embed",
+    "q191_trend_stats",
+    "q192_scd2_enrich",
+    "q193_twap_daily",
+    "q194_pareto_frontier",
+    "q195_debounce_per_user",
+    "q196_burst_detection",
+    "q197_curriculum_interleave",
+    "q198_debounce_stream",
+    "q199_returned_revenue_customers",
+    "q200_sorted_export",
+    "q201_json_schema_profile",
+    "q202_large_order_customers",
+    "q203_nearest_event_align",
+    "q204_int8_quantize",
+    "q205_session_stats",
+    "q206_burst_detection_stream",
+    "q207_timed_funnel",
+    "q208_trigram_patterns",
+    "q209_segment_overlap",
+    "q210_corpus_card",
+    "q211_mixed_language_audit",
+    "q212_disorder_profile",
+    "q213_source_drift",
+    "q214_dup_threshold_curve",
+    "q216_peak_concurrency",
+    "q217_customer_order_distribution",
+    "q218_top_supplier",
+    "q219_small_quantity_revenue",
+    "q220_stream_exact_dedup",
+    "q221_weekend_split",
+    "q222_stratum_floor_split",
+    "q223_weekly_top_event",
+    "q13_percentiles",
+    "q93_joinw_stream_non_nesting",
+    "q100_chop_count_stream",
 ]
 # Everything below the 50 cap is driver-green untouched code; order
 # among them is irrelevant to the driver. _SWEEP_LAST is now empty:

@@ -38,26 +38,28 @@ def test_ordering_is_a_permutation_of_the_registry():
     assert set(oracles) <= set(names)
 
 
-def test_head_50_composition_round15():
-    """The r15 head the driver sweeps (VERDICT r14 task 1, ratified by
-    tools/ledger.py --check): canary, the 47 r09-rowed entries
-    (q225-q235, q188-q214 minus the r13-swept q215, q216-q223) in
-    registered order, then the three oldest r10 rows q13/q93/q100.
+def test_head_50_composition_round16():
+    """The r16 head the driver sweeps (VERDICT r15 task 1, ratified by
+    tools/ledger.py --check): canary, the 47 r10-rowed entries
+    (q101, q127, q132, q236-q242, q14, q35, the q65-q99 cohort) in
+    registered order, then the two oldest r11 rows q247/q243.
     Update alongside the registry's rotation comment when the head is
     rebuilt."""
     names = list(all_queries())[:50]
     assert names[0] == "q224_type_canary"
-    # the 47 r09-rowed entries fill slots 2-48: the 46 q188-q235-range
-    # entries in registered order, then q13 (the 47th r09 row)
+    # the 47 r10-rowed entries fill slots 2-48, in registered order
     expected = (
-        [f"q{i}" for i in range(225, 236)]
-        + [f"q{i}" for i in range(188, 215)]
-        + [f"q{i}" for i in range(216, 224)]
-        + ["q13"]
+        ["q101", "q127", "q132"]
+        + [f"q{i}" for i in range(236, 243)]
+        + ["q14", "q35", "q80", "q82", "q83", "q85", "q87", "q93d", "q79"]
+        + ["q74", "q75", "q76", "q77", "q68", "q69", "q94", "q95"]
+        + ["q70", "q71", "q96", "q84", "q66", "q67", "q65", "q78"]
+        + ["q86", "q88", "q89", "q90", "q91", "q92", "q72", "q73"]
+        + ["q81", "q97", "q98", "q99"]
     )
     assert [n.split("_")[0] for n in names[1:48]] == expected
-    # slots 49-50: the two oldest r10 rows
-    assert [n.split("_")[0] for n in names[48:]] == ["q93", "q100"]
+    # slots 49-50: the two oldest r11 rows
+    assert [n.split("_")[0] for n in names[48:]] == ["q247", "q243"]
     # every head entry is oracle-gated (zero rows-only since r12)
     oracles = all_oracles()
     assert all(n in oracles for n in names)
@@ -76,6 +78,8 @@ def test_head_matches_ledger_tool_proposal():
     import os
     import sys
 
+    import pytest
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, os.path.join(repo, "tools"))
     import ledger as ledger_mod
@@ -86,8 +90,12 @@ def test_head_matches_ledger_tool_proposal():
     mx = max((rn for rn, _ in led.values()), default=0)
     if all(led.get(n, (None, False))[0] == mx for n in head):
         # the current head was already swept in the newest ledger round:
-        # the proposal has rotated past it (documented round-close state)
-        return
+        # the proposal has rotated past it (documented round-close state).
+        # Skip VISIBLY (ADVICE r15): a bare return would report "passed"
+        # when the tool-equality assertion never ran.
+        pytest.skip(
+            "round-close window: head already swept at ledger max round"
+        )
     assert head == ledger_mod.propose_head(names, led)
 
 def test_propose_head_priority_order():
@@ -157,3 +165,45 @@ def test_load_ledger_latest_row_wins(tmp_path):
     assert led["qb"] == (9, False)  # err == red despite true booleans
     assert led["qc"] == (7, True)  # untouched by r09
     assert led["qd"] == (9, True)  # rows-only (hash None) is green
+
+
+def test_write_state_regenerates_from_correctness_files(tmp_path):
+    """LEDGER-STATE.md (VERDICT r15 task 7) must be derivable from the
+    committed CORRECTNESS files alone: counts, round grouping, reds and
+    never-swept sections — no prose inputs."""
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import ledger as ledger_mod
+
+    def row(err=None):
+        return {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": err is None,
+            "err": err,
+        }
+
+    (tmp_path / "CORRECTNESS_r07.json").write_text(
+        json.dumps({"qa_x": row(), "qb_x": row()})
+    )
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps({"qb_x": row(), "qc_x": row(err="boom")})
+    )
+    names = ["qa_x", "qb_x", "qc_x", "qd_x"]  # qd never swept
+    led = ledger_mod.load_ledger(str(tmp_path))
+    out = ledger_mod.write_state(str(tmp_path), names, led)
+    text = open(out).read()
+    assert "registry entries: **4**" in text
+    assert "(never-swept: 1)" in text
+    assert "red at latest sweep: **1**" in text
+    assert "| r07 | 1 | qa_x |" in text
+    assert "| r09 | 2 | qb_x, qc_x |" in text
+    assert "- qc_x (r09)" in text  # red section
+    assert "- qd_x" in text  # never-swept section
+    # regeneration is idempotent on unchanged inputs
+    ledger_mod.write_state(str(tmp_path), names, led)
+    assert open(out).read() == text

@@ -92,15 +92,86 @@ def propose_head(
     return [CANARY] + rest[: HEAD - 1]
 
 
+def write_state(repo: str, names: list[str], ledger: dict) -> str:
+    """Render LEDGER-STATE.md — the one-page cumulative-ledger summary
+    (VERDICT r15 task 7) — purely from the committed CORRECTNESS_r*.json
+    files plus the registry name list. No prose inputs: rerunning
+    `python tools/ledger.py --state` after any sweep regenerates it, so
+    rounds/judges stop re-deriving the rotation state from 15 ROUND*.md
+    files."""
+    never = [n for n in names if n not in ledger]
+    reds = [n for n in names if n in ledger and not ledger[n][1]]
+    mx = max((rn for rn, _ in ledger.values()), default=0)
+    by_round: dict[int, list[str]] = {}
+    for n in names:
+        if n in ledger:
+            by_round.setdefault(ledger[n][0], []).append(n)
+
+    lines = [
+        "# LEDGER-STATE",
+        "",
+        "GENERATED — do not edit. Regenerate with "
+        "`python tools/ledger.py --state` after any sweep lands.",
+        "Source of truth: the committed `CORRECTNESS_r*.json` files "
+        "(latest row per query wins) plus the registry name list.",
+        "",
+        f"- registry entries: **{len(names)}**",
+        f"- swept at least once: **{len(names) - len(never)}**"
+        f"  (never-swept: {len(never)})",
+        f"- red at latest sweep: **{len(reds)}**",
+        f"- newest ledger round: **r{mx:02d}**"
+        f"  · oldest evidence: **r{min(by_round):02d}**"
+        if by_round
+        else "- ledger empty",
+        "",
+        "## Latest driver row per query, grouped by round",
+        "",
+        "| round | queries | names |",
+        "|---|---|---|",
+    ]
+    for rn in sorted(by_round):
+        qs = by_round[rn]
+        lines.append(f"| r{rn:02d} | {len(qs)} | {', '.join(qs)} |")
+    if reds:
+        lines += ["", "## RED at latest sweep (head priority 1)", ""]
+        lines += [f"- {n} (r{ledger[n][0]:02d})" for n in reds]
+    if never:
+        lines += ["", "## Never swept (head priority 2)", ""]
+        lines += [f"- {n}" for n in never]
+    lines += [
+        "",
+        "## Next head",
+        "",
+        "The head the driver sweeps next round is canary + the 49 "
+        "oldest rows above (reds, then never-swept, then "
+        "oldest-green-first; registry order inside each tier). "
+        "Run `python tools/ledger.py --check` for the exact list.",
+        "",
+    ]
+    out = os.path.join(repo, "LEDGER-STATE.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--plan-next", action="store_true")
+    ap.add_argument(
+        "--state",
+        action="store_true",
+        help="write LEDGER-STATE.md from the committed CORRECTNESS files",
+    )
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     ledger = load_ledger(repo)
     names = registry_names()
+
+    if args.state:
+        print(f"wrote {write_state(repo, names, ledger)}")
+        return 0
 
     if args.plan_next:
         # Project the ledger forward: every entry in the CURRENT head
