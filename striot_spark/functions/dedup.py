@@ -778,6 +778,7 @@ def near_dup_filter_stream(
     available_now: bool = True,
     state_parts: int = 16,
     gc_grace_batches: int = 0,
+    drain_shuffle_partitions: int | None = None,
 ):
     """ONLINE near-dup ingest filter: the streaming form of
     ``near_dup_filter`` — suppress each arriving document that shares
@@ -947,7 +948,10 @@ def near_dup_filter_stream(
     )
     if available_now:
         w = w.trigger(availableNow=True)
-    return w.start()
+    from striot_spark.streaming.runtime import drain_width
+
+    with drain_width(sdf.sparkSession, drain_shuffle_partitions):
+        return w.start()
 
 
 def read_kept(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -761,6 +761,39 @@ def zip_join_stream(
     )
 
 
+def drain_width(spark: SparkSession, parts: int | None):
+    """Context manager pinning ``spark.sql.shuffle.partitions`` while a
+    bounded drain STARTS (restored on exit; streaming clones the
+    session state at ``start()``, so restoring right after start cannot
+    affect the running query — the same contract ``run_available_now``
+    documents). Why foreachBatch sinks need it too, despite having no
+    state store: every micro-batch's foreachBatch body runs BATCH plans
+    (the per-batch pre-aggregate, the snapshot merge) on the cloned
+    session, so under a default-config 200-partition session an n-batch
+    drain pays n x ops x 200 tiny shuffle tasks of pure scheduling —
+    measured 1.7x on q269's drain phase (PERF §46). ``parts=None`` is a
+    no-op, the right call for production streams whose per-batch volume
+    should use the session/cluster width.
+
+    Same non-reentrancy contract as ``run_available_now``: not safe for
+    two concurrent pinned starts on one session."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        if parts is None:
+            yield
+            return
+        restore = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", restore)
+
+    return _cm()
+
+
 def run_available_now(
     sdf: DataFrame,
     query_name: str,
@@ -857,6 +890,7 @@ def to_idempotent_parquet(
     path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    drain_shuffle_partitions: int | None = None,
 ):
     """Exactly-once parquet sink via the idempotent-foreachBatch
     pattern: each micro-batch overwrites its OWN ``batch_id=N``
@@ -885,7 +919,8 @@ def to_idempotent_parquet(
     )
     if available_now:
         w = w.trigger(availableNow=True)
-    return w.start()
+    with drain_width(sdf.sparkSession, drain_shuffle_partitions):
+        return w.start()
 
 
 # ---------------------------------------------------------------------------
@@ -1143,6 +1178,7 @@ def upsert_snapshot_sink(
     available_now: bool = True,
     state_parts: int = 16,
     gc_grace_batches: int = 0,
+    drain_shuffle_partitions: int | None = None,
 ):
     """Streaming latest-wins UPSERT sink: maintain a parquet snapshot
     with one row per key, continuously compacted as change events
@@ -1247,7 +1283,8 @@ def upsert_snapshot_sink(
     )
     if available_now:
         w = w.trigger(availableNow=True)
-    return w.start()
+    with drain_width(sdf.sparkSession, drain_shuffle_partitions):
+        return w.start()
 
 
 def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
@@ -1303,6 +1340,7 @@ def incremental_agg_sink(
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
     gc_grace_batches: int = 0,
+    drain_shuffle_partitions: int | None = None,
 ):
     """Streaming incremental MATERIALIZED VIEW for additive aggregates:
     maintain per-key ``count``/``sum`` totals continuously, merging only
@@ -1461,7 +1499,8 @@ def incremental_agg_sink(
     )
     if available_now:
         w = w.trigger(availableNow=True)
-    return w.start()
+    with drain_width(sdf.sparkSession, drain_shuffle_partitions):
+        return w.start()
 
 
 def to_console(sdf: DataFrame, checkpoint_dir: str, mode: str = "append"):

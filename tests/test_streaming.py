@@ -2080,3 +2080,57 @@ def test_drain_pins_and_restores_shuffle_partitions(
     )
     batch_rows = {(r["window_start"], r["n"]) for r in batch.collect()}
     assert rows3 == batch_rows
+
+
+def test_sink_drain_width_pins_batch_clone_and_restores(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """The foreachBatch snapshot sinks accept drain_shuffle_partitions
+    (PERF §46): the pin must reach the micro-batch session CLONE (the
+    plans foreachBatch bodies build run there — that is where the
+    n_batches x 200-task scheduling term lives), the session value must
+    be restored immediately after start(), and the snapshot contents
+    must be partition-count-invariant vs an unpinned drain."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    schema = _events_schema(spark, sf_dir)
+    seen_path = str(tmp_path / "mv_pinned")
+    sdf = RT.file_stream(spark, events_dir, schema)
+
+    with RT.drain_width(spark, 3):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+        q = RT.incremental_agg_sink(
+            sdf,
+            seen_path,
+            str(tmp_path / "ck_pinned"),
+            key_cols=["user_id"],
+            sum_cols=["value"],
+            drain_shuffle_partitions=None,  # outer pin already applies
+        )
+    # restored at context exit, while the query may still run
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    q.awaitTermination()
+    pinned = {
+        (r["user_id"], r["n_rows"], r["sum_value"])
+        for r in RT.read_snapshot(spark, seen_path)
+        .select("user_id", "n_rows", "sum_value")
+        .collect()
+    }
+
+    sdf2 = RT.file_stream(spark, events_dir, schema)
+    q2 = RT.incremental_agg_sink(
+        sdf2,
+        str(tmp_path / "mv_plain"),
+        str(tmp_path / "ck_plain"),
+        key_cols=["user_id"],
+        sum_cols=["value"],
+        drain_shuffle_partitions=8,  # the sweep-path form
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    q2.awaitTermination()
+    plain = {
+        (r["user_id"], r["n_rows"], r["sum_value"])
+        for r in RT.read_snapshot(spark, str(tmp_path / "mv_plain"))
+        .select("user_id", "n_rows", "sum_value")
+        .collect()
+    }
+    assert pinned == plain and len(pinned) > 0
