@@ -170,7 +170,7 @@ def pagerank(
     ``checkpoint_every`` rounds so deep iteration counts do not grow
     the plan unboundedly.
     """
-    from striot_spark.functions.caching import track_persist
+    from striot_spark.functions.caching import track_persist, untrack
 
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -227,18 +227,42 @@ def pagerank(
     def part(df: DataFrame, key: str) -> DataFrame:
         return df.repartition(n, key) if n else df
 
+    if n:
+        # LPA's r15 idiom, extended here for the same reason it won
+        # there: a cached plan's output partitioning is frozen at
+        # materialization (AQE cannot re-coalesce cached plans —
+        # canChangeCachedPlanOutputPartitioning is off by default), so
+        # the raw persist keeps the SESSION width and every setup map
+        # over it (the nodes union-distinct, the degree groupBy, the
+        # e_deg join) runs 200/400-wide under the grading driver's
+        # plain session — pure scheduling on a gate-small graph.
+        # Narrow the cached layout ONCE (one n-wide exchange,
+        # materialized from the still-cached raw, which the gate count
+        # already paid for), then drop the raw (caching.untrack).
+        # This is NOT the variant PERF §45 rejected: that one kept
+        # the 200-wide raw and eagerly counted nodes+e_deg THROUGH it
+        # (two wide serialized jobs, 1.24x); this narrows the source
+        # so everything downstream is n-wide by construction.
+        raw = e
+        e = track_persist(part(e, "src"))
+        e.count()
+        untrack(raw)
+
     if dangling == "ignore":
+        # part-BEFORE-distinct: a distinct over an n-partitioned-by-
+        # node frame satisfies its clustering requirement, so it runs
+        # exchange-free at width n — part-after-distinct paid the
+        # session-width distinct exchange AND the n-wide repartition
         nodes = track_persist(
-            part(e.select(F.col("src").alias("node")).distinct(), "node")
+            part(e.select(F.col("src").alias("node")), "node").distinct()
         )
     else:
         nodes = track_persist(
             part(
                 e.select(F.col("src").alias("node"))
-                .unionByName(e.select(F.col("dst").alias("node")))
-                .distinct(),
+                .unionByName(e.select(F.col("dst").alias("node"))),
                 "node",
-            )
+            ).distinct()
         )
         if dangling == "self":
             dang = nodes.join(
@@ -246,26 +270,27 @@ def pagerank(
                 "node",
                 "left_anti",
             )
+            # the union breaks the narrow layout — re-part under the
+            # gate so e_deg's build stays n-wide
+            prev = e
             e = track_persist(
-                e.unionByName(
-                    dang.select(
-                        F.col("node").alias("src"),
-                        F.col("node").alias("dst"),
-                        F.lit(1).cast("long").alias("w"),
-                    )
+                part(
+                    e.unionByName(
+                        dang.select(
+                            F.col("node").alias("src"),
+                            F.col("node").alias("dst"),
+                            F.lit(1).cast("long").alias("w"),
+                        )
+                    ),
+                    "src",
                 )
             )
+            if n:
+                e.count()
+                untrack(prev)
     # out-strength: Σw per src (== out-degree when unweighted, w=1)
     deg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     e_deg = track_persist(part(e.join(deg, "src"), "src"))
-    # NOTE deliberately NOT untracking the raw edge persist here the
-    # way label_propagation does (ADVICE r15): the loop reads e_deg
-    # AND nodes, so dropping the raw requires eagerly materializing
-    # BOTH successors first — two extra serialized jobs that an
-    # interleaved A/B measured at 1.24x on q237 (PERF §45), where
-    # LPA's single cheap e.count() measured parity. The doubled cache
-    # is gate-bounded (small graphs only) and released between queries
-    # by release_persisted; the runtime cost is not worth it.
     # the documented headroom is ENFORCED (modularity precedent —
     # PERF.md §32's 10× probe proved a silent 2^63 wrap is a real
     # failure mode, not a doc footnote): total rank mass is ~N*scale
