@@ -23,9 +23,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: graphs with at most this many edges pin iteration exchanges to
-#: defaultParallelism (see pagerank's small-graph gate)
+#: a size-derived width (see pagerank's small-graph gate)
 SMALL_GRAPH_CONF = "striot.graph.smallEdgeRows"
 SMALL_GRAPH_DEFAULT = 5_000_000
+
+#: explicit override for the gated width (int); unset = derive from
+#: the edge count
+GATE_WIDTH_CONF = "striot.graph.smallGraphWidth"
+#: target edge rows per task under the gate: the pinned width is
+#: ceil(edge_rows / this), floored at 8 tasks and capped at
+#: defaultParallelism — derived from the DATA, not a machine constant
+#: (a gated graph's per-stage work is tiny; 128k edge rows is a few
+#: ms of columnar compute, enough to amortize a task launch)
+GATE_TARGET_ROWS = 131_072
+
+
+def _gate_width(spark, edge_rows: int) -> int | None:
+    """Width for the small-graph iteration pin.
+
+    ``None`` above the ``SMALL_GRAPH_CONF`` edge-row threshold (big
+    graphs keep the session/AQE width untouched — at 100 TB the gate
+    never fires). Below it, the width is derived from the edge count
+    (~``GATE_TARGET_ROWS`` rows per task), floored at 8 and capped at
+    ``defaultParallelism``: a 16k-node state table iterated for R
+    rounds at a machine-sized width is R x width near-empty tasks of
+    pure scheduling (guide: derive partitioning from input size, not
+    a constant tuned for the machine). ``GATE_WIDTH_CONF`` overrides
+    the derivation for A/B probes and tuning.
+    """
+    try:
+        small_edges = int(
+            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
+        )
+    except ValueError:
+        small_edges = SMALL_GRAPH_DEFAULT
+    rows = int(edge_rows or 0)
+    if rows > small_edges:
+        return None
+    try:
+        override = spark.conf.get(GATE_WIDTH_CONF, "")
+    except ValueError:
+        override = ""
+    if override:
+        return max(1, int(override))
+    dp = spark.sparkContext.defaultParallelism
+    return min(dp, max(8, -(-rows // GATE_TARGET_ROWS)))
 
 #: hub-degree guard for the wedge/sort operator family
 #: (link_prediction_ra / local_clustering / coreness): operators whose
@@ -194,19 +236,13 @@ def pagerank(
     )
     # small-graph gate: per-iteration exchanges at the session's
     # shuffle width (200 on a plain session) are pure scheduling
-    # overhead when the graph is small, so pin them to
-    # defaultParallelism below a row threshold. The gate counts the
-    # PERSISTED edge list (one cheap job over data every later stage
-    # reuses) instead of Catalyst's size estimate: edge lists are
-    # usually join-derived, and without CBO a join's estimate is the
-    # product of its children — uselessly large. Big graphs keep the
-    # session width untouched.
-    try:
-        small_edges = int(
-            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
-        )
-    except ValueError:
-        small_edges = SMALL_GRAPH_DEFAULT
+    # overhead when the graph is small, so pin them to a size-derived
+    # width below a row threshold (``_gate_width``). The gate counts
+    # the PERSISTED edge list (one cheap job over data every later
+    # stage reuses) instead of Catalyst's size estimate: edge lists
+    # are usually join-derived, and without CBO a join's estimate is
+    # the product of its children — uselessly large. Big graphs keep
+    # the session width untouched.
     # one action covers both setup reads: the small-graph gate's row
     # count and (weighted form only) the headroom guard's max weight —
     # so the weighted path costs ZERO extra jobs over the unweighted
@@ -218,11 +254,7 @@ def pagerank(
         max_w = max_w or 0
     else:
         edge_rows, max_w = e.count(), 0
-    n = (
-        spark.sparkContext.defaultParallelism
-        if edge_rows <= small_edges
-        else None
-    )
+    n = _gate_width(spark, edge_rows)
 
     def part(df: DataFrame, key: str) -> DataFrame:
         return df.repartition(n, key) if n else df
@@ -808,17 +840,7 @@ def label_propagation(
             w_expr.cast("long").alias("w"),
         )
     )
-    try:
-        small_edges = int(
-            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
-        )
-    except ValueError:
-        small_edges = SMALL_GRAPH_DEFAULT
-    n = (
-        spark.sparkContext.defaultParallelism
-        if e.count() <= small_edges
-        else None
-    )
+    n = _gate_width(spark, e.count())
 
     def part(df: DataFrame, key: str) -> DataFrame:
         return df.repartition(n, key) if n else df
@@ -969,17 +991,7 @@ def k_core(
             w_expr.alias("w"),
         ).filter(F.col("s") != F.col("d"))
     )
-    try:
-        small_edges = int(
-            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
-        )
-    except ValueError:
-        small_edges = SMALL_GRAPH_DEFAULT
-    n = (
-        spark.sparkContext.defaultParallelism
-        if e.count() <= small_edges
-        else None
-    )
+    n = _gate_width(spark, e.count())
 
     def part(df: DataFrame, key: str) -> DataFrame:
         return df.repartition(n, key) if n else df
@@ -1556,19 +1568,10 @@ def sssp(
                 "wrap; rescale the cost column"
             )
     # small-graph gate, same conf and rationale as pagerank's: pin the
-    # per-round exchanges to defaultParallelism below the row threshold
+    # per-round exchanges to a size-derived width below the row
+    # threshold
     spark = edges.sparkSession
-    try:
-        small_edges = int(
-            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
-        )
-    except ValueError:
-        small_edges = SMALL_GRAPH_DEFAULT
-    n = (
-        spark.sparkContext.defaultParallelism
-        if edge_rows <= small_edges
-        else None
-    )
+    n = _gate_width(spark, edge_rows)
 
     def part(df: DataFrame) -> DataFrame:
         return df.repartition(n, "node") if n else df
@@ -1807,17 +1810,7 @@ def harmonic_centrality_pivots(
                 "column"
             )
     spark = edges.sparkSession
-    try:
-        small_edges = int(
-            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
-        )
-    except ValueError:
-        small_edges = SMALL_GRAPH_DEFAULT
-    n = (
-        spark.sparkContext.defaultParallelism
-        if edge_rows <= small_edges
-        else None
-    )
+    n = _gate_width(spark, edge_rows)
 
     def part(df: DataFrame) -> DataFrame:
         return df.repartition(n, "node") if n else df
@@ -2185,17 +2178,7 @@ def coreness(
         _check_hub_degree(
             "coreness", int(max_deg or 0), _hub_degree_threshold(spark)
         )
-    try:
-        small_edges = int(
-            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
-        )
-    except ValueError:
-        small_edges = SMALL_GRAPH_DEFAULT
-    n = (
-        spark.sparkContext.defaultParallelism
-        if (arc_rows or 0) <= small_edges
-        else None
-    )
+    n = _gate_width(spark, arc_rows or 0)
 
     def part(df: DataFrame, key: str) -> DataFrame:
         return df.repartition(n, key) if n else df
@@ -2325,17 +2308,7 @@ def betweenness_pivots(
                 "or cap hub in-degree upstream"
             )
     spark = edges.sparkSession
-    try:
-        small_edges = int(
-            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
-        )
-    except ValueError:
-        small_edges = SMALL_GRAPH_DEFAULT
-    n = (
-        spark.sparkContext.defaultParallelism
-        if (arc_rows or 0) <= small_edges
-        else None
-    )
+    n = _gate_width(spark, arc_rows or 0)
 
     def part(df: DataFrame) -> DataFrame:
         return df.repartition(n, "node") if n else df
@@ -2515,12 +2488,6 @@ def hits(
     e = track_persist(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     )
-    try:
-        small_edges = int(
-            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
-        )
-    except ValueError:
-        small_edges = SMALL_GRAPH_DEFAULT
     # one setup action over the persisted edge list covers the
     # small-graph gate AND the hub-degree side of the headroom guard
     # (max in/out degree as max over two count-distinct-free aggs)
@@ -2557,11 +2524,7 @@ def hits(
             f"hits: max_deg * (N * scale)^2 exceeds decimal(38,0) — "
             "the normalization product would overflow; lower scale"
         )
-    npart = (
-        spark.sparkContext.defaultParallelism
-        if edge_rows <= small_edges
-        else None
-    )
+    npart = _gate_width(spark, edge_rows)
 
     def part(df: DataFrame, key: str) -> DataFrame:
         return df.repartition(npart, key) if npart else df
@@ -2692,17 +2655,7 @@ def katz_centrality(
             "the exact-long walk-count headroom — lower rounds or "
             "pre-cap in-degree"
         )
-    try:
-        small_edges = int(
-            spark.conf.get(SMALL_GRAPH_CONF, str(SMALL_GRAPH_DEFAULT))
-        )
-    except ValueError:
-        small_edges = SMALL_GRAPH_DEFAULT
-    npart = (
-        spark.sparkContext.defaultParallelism
-        if arcs <= small_edges
-        else None
-    )
+    npart = _gate_width(spark, arcs)
 
     def part(df: DataFrame, key: str) -> DataFrame:
         return df.repartition(npart, key) if npart else df
