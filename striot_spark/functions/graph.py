@@ -1579,16 +1579,21 @@ def sssp(
     nodes = e.select("src").union(e.select("dst")).distinct().select(
         F.col("src").alias("node")
     )
-    hits = nodes.filter(F.col("node").isin(sources)).count()
+    init = nodes.filter(F.col("node").isin(sources)).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    init = track_persist(init)
+    # source presence validated by counting the PERSISTED initial
+    # state — the same scan warms the cache the first round reads
+    # (betweenness' fold); the separate distinct+filter probe job
+    # this replaces was a full extra pass over the arc list
+    hits = init.count()
     if hits != len(sources):
         raise ValueError(
             f"sssp: {len(sources) - hits} source(s) absent from the "
             "edge list — a missing source silently contributes no "
             "distances; check the id namespace"
         )
-    init = nodes.filter(F.col("node").isin(sources)).select(
-        "node", F.lit(0).cast("long").alias("dist")
-    )
     # parents ride OUTSIDE the per-round fold: min(struct(dist,
     # parent)) lands in SortAggregate (struct/string buffers are not
     # HashAggregate-able), measured 3.6× the dist-only rounds at
@@ -1603,7 +1608,7 @@ def sssp(
         if return_parents
         else None
     )
-    dist = track_persist(init)
+    dist = init
     frontier = dist
     for r in range(rounds):
         fr = part(frontier)
@@ -1818,13 +1823,6 @@ def harmonic_centrality_pivots(
     nodes = e.select("src").union(e.select("dst")).distinct().select(
         F.col("src").alias("node")
     )
-    hits = nodes.filter(F.col("node").isin(pivots)).count()
-    if hits != len(pivots):
-        raise ValueError(
-            f"harmonic_centrality_pivots: {len(pivots) - hits} "
-            "pivot(s) absent from the edge list; check the id "
-            "namespace"
-        )
     dist = track_persist(
         nodes.filter(F.col("node").isin(pivots)).select(
             F.col("node").alias("pivot"),
@@ -1832,6 +1830,17 @@ def harmonic_centrality_pivots(
             F.lit(0).cast("long").alias("dist"),
         )
     )
+    # pivot presence validated by counting the PERSISTED initial
+    # state — the same scan warms the cache the first round reads
+    # (betweenness' fold); the separate distinct+filter probe job
+    # this replaces was a full extra pass over the arc list
+    hits = dist.count()
+    if hits != len(pivots):
+        raise ValueError(
+            f"harmonic_centrality_pivots: {len(pivots) - hits} "
+            "pivot(s) absent from the edge list; check the id "
+            "namespace"
+        )
     frontier = dist
     for r in range(rounds):
         fr = part(frontier)
