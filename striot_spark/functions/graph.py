@@ -69,6 +69,39 @@ def _gate_width(spark, edge_rows: int) -> int | None:
     dp = spark.sparkContext.defaultParallelism
     return min(dp, max(8, -(-rows // GATE_TARGET_ROWS)))
 
+
+#: lineage-cut cadence override under the small-graph gate (int
+#: rounds; 0 = keep the caller's cadence, i.e. the pre-r16 behavior)
+GATE_CKPT_CONF = "striot.graph.gatedCheckpointEvery"
+
+
+def _cut_every(spark, gate_width: int | None, caller: int) -> int:
+    """Lineage-cut cadence for the iterative loops.
+
+    Above the small-graph gate (``gate_width is None``) the caller's
+    ``checkpoint_every`` stands — at scale the rounds are
+    compute-bound and an eager per-round materialization of the state
+    table is real I/O. UNDER the gate the dominant cost is the
+    DRIVER, not the executors: the round tree compounds in the
+    logical plan (persists do not truncate lineage), and AQE
+    re-optimizes the remaining plan at every query-stage boundary, so
+    per-stage planning grows with the number of uncut rounds —
+    measured 2.0x on hits/q277 (11.0s -> 5.5s min, interleaved
+    in-session) from cutting every round. ``localCheckpoint`` is pure
+    materialization: results are bit-identical, partitioning is
+    preserved, and the extra per-round job is a few hundred tiny
+    rows. ``GATE_CKPT_CONF`` overrides the gated cadence for A/B
+    probes (0 restores the caller's cadence).
+    """
+    if not gate_width:
+        return caller
+    try:
+        v = int(spark.conf.get(GATE_CKPT_CONF, "1"))
+    except ValueError:
+        v = 1
+    return max(1, v) if v else caller
+
+
 #: hub-degree guard for the wedge/sort operator family
 #: (link_prediction_ra / local_clustering / coreness): operators whose
 #: per-node cost is super-linear in degree PROBE max(degree) on their
@@ -914,7 +947,7 @@ def label_propagation(
                 F.coalesce(F.col("__pl"), F.col("node")).alias("label"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
+        if (i + 1) % _cut_every(spark, n, checkpoint_every) == 0:
             labels = labels.localCheckpoint(eager=True)
     return labels
 
@@ -1625,11 +1658,34 @@ def sssp(
             # extra joins' stages beat the one-pass scan they save.)
             cand = track_persist(cand)
             offers.append(cand)
-        new_dist = track_persist(
+        new_dist = (
             part(dist.unionByName(cand.drop("parent")))
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
+        # cut BEFORE deriving the next frontier: the frontier (and,
+        # with return_parents, every persisted offer built from it)
+        # otherwise keeps the UNCUT lineage alive, compounding the
+        # final parents-fold plan past Catalyst's comfort (measured:
+        # cutting only `dist` left q253's final plan at 6717
+        # Exchange nodes / 5.6 MB formatted; cutting here it is a
+        # leaf-join chain). A checkpointed round is already
+        # materialized, so it skips the persist. The gated per-round
+        # cadence applies to the PARENTS form only (q253 0.61-0.80x
+        # interleaved); the plain-dist form is parity-to-mild-
+        # regression under it (q249 0.97x / q267 1.06x, the
+        # harmonic/coreness pattern: linear single-reference chains
+        # don't pay the replanning cost the cut removes), so it keeps
+        # the caller's cadence.
+        cut = (
+            _cut_every(spark, n, min(checkpoint_every, 4))
+            if return_parents
+            else min(checkpoint_every, 4)
+        )
+        if (r + 1) % cut == 0:
+            new_dist = new_dist.localCheckpoint(eager=True)
+        else:
+            new_dist = track_persist(new_dist)
         if r + 1 < rounds:  # the last frontier is never expanded
             frontier = track_persist(
                 new_dist.join(
@@ -1644,8 +1700,6 @@ def sssp(
                 ).drop("__old")
             )
         dist = new_dist
-        if (r + 1) % min(checkpoint_every, 4) == 0:
-            dist = dist.localCheckpoint(eager=True)
     if not return_parents:
         return dist
     allo = offers[0]
@@ -2376,7 +2430,7 @@ def betweenness_pivots(
         # not hypothetical — and so did this operator at rounds=3 on
         # a 3k-arc fixture before this cut): cap the factor with a
         # tight cadence.
-        if k % min(checkpoint_every, 2) == 0:
+        if k % _cut_every(spark, n, min(checkpoint_every, 2)) == 0:
             state = state.localCheckpoint(eager=True)
     # shortest-path DAG: per pivot, arcs one level apart, built once
     u_side = state.select(
@@ -2589,7 +2643,7 @@ def hits(
             "node", F.coalesce(F.col("s"), F.lit(0)).alias("raw")
         )
         h = _normalized(raw_h, "hub")
-        if (i + 1) % checkpoint_every == 0:
+        if (i + 1) % _cut_every(spark, npart, checkpoint_every) == 0:
             a = a.localCheckpoint(eager=True)
             h = h.localCheckpoint(eager=True)
     return nodes.join(a, "node", "left").join(h, "node", "left").select(
