@@ -647,17 +647,13 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
-def _edge_triangle_support(p: DataFrame) -> DataFrame:
-    """Per-edge triangle support over a CANONICAL undirected pair set
-    (``u < v``, distinct, no self-loops): for every triangle, each of
-    its three edges gains one support. Enumeration uses the same
-    degree-orientation trick as ``triangle_count`` (Suri &
-    Vassilvitskii WWW'11) so the wedge join stays Σ outdeg² ≤ m^1.5
-    bounded on hub-skewed graphs; each triangle is found exactly once
-    and then unpacked into its three canonical edges, so the support
-    VALUES are orientation-independent (an oracle enumerating by
-    ``a < b < c`` reproduces them exactly). Returns (u, v, sup) for
-    edges with sup ≥ 1 only."""
+def _orient_pairs(p: DataFrame) -> DataFrame:
+    """Degree-orient a CANONICAL undirected pair set (``u < v``,
+    distinct, no self-loops): every edge directed from its
+    lower-(degree, md5) endpoint to the higher (Suri & Vassilvitskii
+    WWW'11), keeping the canonical (u, v) columns alongside so the
+    oriented layout can be filtered by pair later. Returns
+    (u, v, src, dst, dd, dh) — NOT persisted; callers decide."""
     from striot_spark.functions.text import md5_hash64
 
     both = p.unionByName(
@@ -681,18 +677,29 @@ def _edge_triangle_support(p: DataFrame) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("hu") < F.col("hv"))
     )
-    from striot_spark.functions.caching import track_persist
-
-    # consumed three times (both wedge sides + the closing-edge probe):
-    # without the barrier the degree-annotation chain recomputes 3x
-    oriented = track_persist(
-        ann.select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
-            F.when(u_first, F.col("hv")).otherwise(F.col("hu")).alias("dh"),
-        )
+    return ann.select(
+        "u",
+        "v",
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+        F.when(u_first, F.col("hv")).otherwise(F.col("hu")).alias("dh"),
     )
+
+
+def _support_from_oriented(oriented: DataFrame) -> DataFrame:
+    """Per-edge triangle support from an already-oriented edge layout
+    (``_orient_pairs`` schema, one row per surviving canonical pair).
+    Any orientation derived from a total order on nodes finds each
+    triangle exactly once, and the support VALUES are
+    orientation-independent (each triangle is unpacked into its three
+    canonical edges regardless of direction) — which is why k_truss
+    may keep the ROUND-0 orientation across peels instead of
+    re-deriving degrees each round. The wedge join stays bounded by
+    the ORIGINAL graph's Σ outdeg² ≤ m^1.5 (degrees only shrink under
+    peeling). The caller must persist ``oriented`` — it is consumed
+    three times (both wedge sides + the closing-edge probe). Returns
+    (u, v, sup) for edges with sup ≥ 1 only."""
     w1 = oriented.select(
         F.col("src").alias("p"),
         F.col("dst").alias("x"),
@@ -733,6 +740,15 @@ def _edge_triangle_support(p: DataFrame) -> DataFrame:
     return edges3.groupBy("u", "v").agg(F.count(F.lit(1)).alias("sup"))
 
 
+def _edge_triangle_support(p: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a CANONICAL undirected pair set:
+    ``_orient_pairs`` + ``_support_from_oriented`` for one-shot
+    callers (persists the oriented layout it builds)."""
+    from striot_spark.functions.caching import track_persist
+
+    return _support_from_oriented(track_persist(_orient_pairs(p)))
+
+
 def k_truss(
     edges: DataFrame,
     k: int,
@@ -758,14 +774,19 @@ def k_truss(
     the last peel so returned values are consistent with the returned
     edge set.
 
-    Plan shape per round: one support computation (degree-annotated
-    orientation + wedge equi-join, Σ outdeg² ≤ m^1.5 bounded — see
-    ``_edge_triangle_support``) + one threshold filter; the surviving
-    pair set is persisted AND lineage-cut EVERY round
-    (``localCheckpoint``): a support round references the edge set
-    ~5× (degree, two annotations, two wedge sides), so the k_core
-    cadence rule (cut cadence must match per-round self-reference
-    fan-out; PERF.md §30) demands the tightest cadence here.
+    Plan shape: the graph is degree-oriented ONCE (``_orient_pairs``);
+    support values are orientation-independent (every triangle unpacks
+    into its three canonical edges whatever the direction), so each
+    peel round keeps the round-0 orientation and just semi-joins the
+    oriented layout down to the surviving pairs — one left_semi per
+    round instead of re-deriving degrees (one groupBy + two
+    annotation joins) from the shrunk pair set (r16 optimization; the
+    wedge bound only tightens, since degrees never grow under
+    peeling). Per round: one wedge equi-join support computation +
+    one threshold filter + one semi-join; the surviving oriented set
+    is persisted AND lineage-cut EVERY round (``localCheckpoint``): a
+    support round references it ~3× (two wedge sides + closing
+    probe), the k_core cadence rule (PERF.md §30) at its tightest.
     """
     from striot_spark.functions.caching import track_persist
 
@@ -782,16 +803,19 @@ def k_truss(
         .distinct()
     )
     thresh = k - 2
+    ori = track_persist(_orient_pairs(p))
     for _ in range(rounds):
         if thresh <= 0:
             break  # every edge trivially meets support >= 0
-        sup = _edge_triangle_support(p)
-        p = track_persist(
-            sup.filter(F.col("sup") >= thresh).select("u", "v")
+        sup = _support_from_oriented(ori)
+        keep = sup.filter(F.col("sup") >= thresh).select("u", "v")
+        ori = track_persist(
+            ori.join(keep, ["u", "v"], "left_semi")
         ).localCheckpoint(eager=True)
-    final = _edge_triangle_support(p)
+    final = _support_from_oriented(ori)
     return (
-        p.join(final, ["u", "v"], "left")
+        ori.select("u", "v")
+        .join(final, ["u", "v"], "left")
         .select(
             F.col("u").alias(a),
             F.col("v").alias(b),

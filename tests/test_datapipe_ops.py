@@ -2692,6 +2692,46 @@ def test_ktruss_matches_naive_on_random_graph(spark):
         assert got == _naive_ktruss(und, k, rounds), (k, rounds)
 
 
+def test_ktruss_stale_orientation_support_is_exact(spark):
+    """k_truss reuses the ROUND-0 degree orientation across peels
+    (r16): support from the round-0 orientation filtered to a
+    survivor subset must equal support from RE-orienting the subset —
+    support values are orientation-independent, only the wedge-join
+    bound depends on the direction choice."""
+    import random
+
+    from striot_spark.functions.graph import (
+        _edge_triangle_support,
+        _orient_pairs,
+        _support_from_oriented,
+    )
+
+    rng = random.Random(13)
+    und = [
+        (a, b)
+        for a in range(24)
+        for b in range(a + 1, 24)
+        if rng.random() < 0.25
+    ]
+    p = spark.createDataFrame(und, "u long, v long")
+    ori0 = _orient_pairs(p).persist()
+    # survivors: drop ~30% of pairs deterministically
+    keep = [uv for uv in und if (uv[0] * 31 + uv[1]) % 10 >= 3]
+    kdf = spark.createDataFrame(keep, "u long, v long")
+    via_stale = sorted(
+        (r["u"], r["v"], r["sup"])
+        for r in _support_from_oriented(
+            ori0.join(kdf, ["u", "v"], "left_semi")
+        ).collect()
+    )
+    via_reorient = sorted(
+        (r["u"], r["v"], r["sup"])
+        for r in _edge_triangle_support(kdf).collect()
+    )
+    ori0.unpersist()
+    assert via_stale == via_reorient
+
+
 def test_weighted_pagerank_matches_integer_reference(spark):
     """Weighted PageRank on a 3-node directed cycle-with-chord: edge
     multiplicities steer the mass exactly as the integer hand-roll
