@@ -809,9 +809,12 @@ def k_truss(
             break  # every edge trivially meets support >= 0
         sup = _support_from_oriented(ori)
         keep = sup.filter(F.col("sup") >= thresh).select("u", "v")
-        ori = track_persist(
-            ori.join(keep, ["u", "v"], "left_semi")
-        ).localCheckpoint(eager=True)
+        # the eager checkpoint IS the per-round materialization; a
+        # persist under it would store a second full copy of the
+        # surviving oriented edge list that nothing ever reads
+        ori = ori.join(keep, ["u", "v"], "left_semi").localCheckpoint(
+            eager=True
+        )
     final = _support_from_oriented(ori)
     return (
         ori.select("u", "v")
@@ -1068,9 +1071,12 @@ def k_core(
                 F.col("_s").alias("s"), F.col("s").alias("d"), "w"
             )
         )
-        e = track_persist(e)
+        # a checkpointed round is already materialized — skip the
+        # persist there (it would cache a dead second copy)
         if (r + 1) % checkpoint_every == 0:
             e = e.localCheckpoint(eager=True)
+        else:
+            e = track_persist(e)
     return (
         part(e, "s")
         .groupBy("s")
@@ -2239,7 +2245,7 @@ def coreness(
     """
     from pyspark.sql import Window
 
-    from striot_spark.functions.caching import track_persist
+    from striot_spark.functions.caching import track_persist, untrack
 
     if rounds < 0:
         raise ValueError("coreness: rounds must be >= 0")
@@ -2313,7 +2319,11 @@ def coreness(
                 )
             )
         if (r + 1) % checkpoint_every == 0:
+            # the checkpoint supersedes this round's persist — drop
+            # the tracked copy once the cut has materialized
+            pre = c
             c = c.localCheckpoint(eager=True)
+            untrack(pre)
     return c.select("node", F.col("c").alias("coreness"))
 
 
@@ -2444,7 +2454,7 @@ def betweenness_pivots(
                 F.lit(k).cast("long").alias("dist"), "sigma",
             )
         )
-        state = track_persist(state.unionByName(new))
+        state = state.unionByName(new)
         frontier = new
         # each round references the previous state TWICE (union +
         # left_anti), so the analyzed plan grows ~2^rounds between
@@ -2453,9 +2463,14 @@ def betweenness_pivots(
         # growth OOMed the driver in plan-STRING generation, measured
         # not hypothetical — and so did this operator at rounds=3 on
         # a 3k-arc fixture before this cut): cap the factor with a
-        # tight cadence.
+        # tight cadence. A checkpointed round is already materialized,
+        # so it skips the persist (the sssp precedent — persisting the
+        # same union the eager checkpoint stores would hold a dead
+        # cached copy per round until release_persisted).
         if k % _cut_every(spark, n, min(checkpoint_every, 2)) == 0:
             state = state.localCheckpoint(eager=True)
+        else:
+            state = track_persist(state)
     # shortest-path DAG: per pivot, arcs one level apart, built once
     u_side = state.select(
         "pivot",
@@ -2470,7 +2485,7 @@ def betweenness_pivots(
         F.col("sigma").alias("sv"),
     )
     e2 = e.select(F.col("src").alias("es"), F.col("dst").alias("ed"))
-    dag = track_persist(
+    dag = (
         u_side.join(e2, F.col("un") == F.col("es"))
         .join(
             v_side,
@@ -2482,12 +2497,20 @@ def betweenness_pivots(
     )
     # the backward phase references dag once per level and each
     # delta chains on the previous — cut here so the delta plans
-    # start from a leaf, not from state x state x e
+    # start from a leaf, not from state x state x e. The eager
+    # checkpoint IS the materialization; a persist on top of it would
+    # store a second copy the backward phase never reads.
     dag = dag.localCheckpoint(eager=True)
     dec = "DECIMAL(38,0)"
     delta = None
     deltas = []
-    for lvl in range(rounds - 1, -1, -1):
+    # level 0 is the pivot's own row (dist 0 exists only in the
+    # initial state), so the lvl=0 backward pass produces exclusively
+    # node == pivot rows — every one discarded by the final filter.
+    # Skip it when deeper levels exist; for rounds == 1 run it so the
+    # (always-empty) result keeps the same schema/derivation.
+    levels = list(range(rounds - 1, 0, -1)) or [0]
+    for i, lvl in enumerate(levels):
         cur = dag.filter(F.col("du") == lvl)
         if delta is None:
             joined = cur.withColumn("dl", F.lit(0).cast("long"))
@@ -2501,7 +2524,7 @@ def betweenness_pivots(
                 ["pivot", "vn"],
                 "left",
             ).withColumn("dl", F.coalesce("dl", F.lit(0).cast("long")))
-        d = track_persist(
+        d = (
             joined.select(
                 "pivot",
                 F.col("un").alias("node"),
@@ -2513,6 +2536,11 @@ def betweenness_pivots(
             .groupBy("pivot", "node")
             .agg(F.sum("term").cast("long").alias("delta"))
         )
+        # intermediate deltas are read twice (next level's join + the
+        # final union); the LAST level's is read once — persisting it
+        # would store a copy with a single reader
+        if i + 1 < len(levels):
+            d = track_persist(d)
         deltas.append(d)
         delta = d
     out = deltas[0]

@@ -3564,6 +3564,21 @@ def test_betweenness_pivots_hand_computed(spark):
     assert got2 == {2: 1_000_000, 3: 1_000_000}
 
 
+def test_betweenness_pivots_rounds1_is_empty(spark):
+    """Horizon 1 has no interior nodes: the only backward level is the
+    pivot's own (dist-0) row, which the final filter drops — the result
+    is empty with the (node, bc_ppm) schema. Pins the r16 dead-level
+    skip's rounds==1 fallback."""
+    from striot_spark.functions.graph import betweenness_pivots
+
+    e = spark.createDataFrame(
+        _sym([(1, 2), (2, 3), (3, 4)]), "src long, dst long"
+    )
+    out = betweenness_pivots(e, pivots=[1, 3], rounds=1)
+    assert out.columns == ["node", "bc_ppm"]
+    assert out.collect() == []
+
+
 def test_betweenness_pivots_validation(spark):
     """Empty pivots, absent pivots, and the sigma headroom guard all
     raise at setup."""
