@@ -784,9 +784,10 @@ def k_truss(
     wedge bound only tightens, since degrees never grow under
     peeling). Per round: one wedge equi-join support computation +
     one threshold filter + one semi-join; the surviving oriented set
-    is persisted AND lineage-cut EVERY round (``localCheckpoint``): a
-    support round references it ~3× (two wedge sides + closing
-    probe), the k_core cadence rule (PERF.md §30) at its tightest.
+    is lineage-cut EVERY round (eager ``localCheckpoint`` — which IS
+    the materialization; no persist on top): a support round
+    references it ~3× (two wedge sides + closing probe), the k_core
+    cadence rule (PERF.md §30) at its tightest.
     """
     from striot_spark.functions.caching import track_persist
 
