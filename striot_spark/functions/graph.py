@@ -1016,10 +1016,12 @@ def k_core(
     Plan shape per round: one degree groupBy with map-side partials
     (shuffle carries #nodes partials) + two survivor semi-joins on the
     endpoint keys — all key equi-joins, nothing buffers a node's
-    neighborhood. The surviving edge set is persisted per round (the
-    next round reads the cache, not the lineage), and lineage is
-    truncated with ``localCheckpoint`` every ``checkpoint_every``
-    rounds — the same mechanism as ``pagerank`` but a much TIGHTER
+    neighborhood. The surviving edge set is materialized per round —
+    persisted on plain rounds, and on every ``checkpoint_every``-th
+    round lineage is instead truncated with an eager
+    ``localCheckpoint`` (which already stores the rows; persisting
+    under it would cache a dead second copy) — the same mechanism as
+    ``pagerank`` but a much TIGHTER
     default (2, not 8): each k-core round references the previous
     edge set THREE times (degree groupBy + two semi-joins), so the
     analyzed plan grows ~3^rounds between cuts — exponential, unlike
@@ -2355,8 +2357,10 @@ def betweenness_pivots(
     (every predecessor's count propagates exactly once, so the
     frontier fold equals full level-synchronous BFS). Backward phase:
     the shortest-path DAG (arcs with dist_v = dist_u + 1 per pivot) is
-    built ONCE from the persisted distance table, then Brandes'
-    dependency accumulates level by level descending:
+    built ONCE from the materialized distance table, then Brandes'
+    dependency accumulates level by level descending (the dist-0
+    level is skipped — it would only produce the pivots' own rows,
+    which the final filter discards):
 
         delta(v) = sum over DAG successors w of
                    sigma_v * (scale + delta(w)) DIV sigma_w
