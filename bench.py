@@ -152,13 +152,49 @@ def main() -> None:
     except OSError:
         pass  # stdout line below is still the contract surface
     print(json.dumps(payload))
-    # the driver's tail capture keeps only the last ~2000 chars of
-    # stdout, so the full payload line (209 per-query keys) has had its
-    # '{"metric"' prefix truncated away in every round r01-r10
-    # ("parsed": null in each BENCH_r*.json). Emit a compact summary
-    # line LAST — no per-query map, well under the capture window — so
-    # the driver always sees one complete parseable record. The full
-    # table still lands in bench_full_latest.json above.
+    # Per-query visibility for the driver (VERDICT r16 task 2): the
+    # driver's artifact capture stores only the last 2000 chars of
+    # stdout (every committed BENCH_r*.json tail is exactly 2000), so
+    # the full 250-key payload line above can never be visible whole.
+    # Emit the table again as SELF-CONTAINED chunk lines (parseable by
+    # any consumer that reads full stdout), then a "top" line with the
+    # most expensive queries — sized so that top line + summary line
+    # together fit inside the 2000-char window. Regression screening
+    # concentrates where the seconds are: the top ~40 rows cover the
+    # majority of total time. Additions only; the contract summary
+    # line stays LAST and unchanged.
+    items = sorted(timings.items())
+    chunk = 40
+    parts = [items[i : i + chunk] for i in range(0, len(items), chunk)]
+    for i, part in enumerate(parts):
+        print(
+            json.dumps(
+                {
+                    "metric": "striot_spark_bench_queries_part",
+                    "part": i + 1,
+                    "of": len(parts),
+                    "sf": sf,
+                    "queries": dict(part),
+                }
+            )
+        )
+    top = sorted(timings.items(), key=lambda kv: -kv[1])[:40]
+    print(
+        json.dumps(
+            {
+                "metric": "striot_spark_bench_top_queries",
+                "sf": sf,
+                "n_top": len(top),
+                "top_sec": round(sum(v for _, v in top), 4),
+                "rest_sec": round(total - sum(v for _, v in top), 4),
+                "queries": dict(sorted(top)),
+            }
+        )
+    )
+    # compact contract summary line LAST — no per-query map, well
+    # under the capture window — so the driver always sees one
+    # complete parseable record. The full table also lands in
+    # bench_full_latest.json above.
     print(
         json.dumps(
             {

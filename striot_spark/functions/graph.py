@@ -1030,6 +1030,11 @@ def k_core(
     plan-string generation well before rounds=16; measured, not
     hypothetical). Every 2 rounds caps the factor at 9×. Small graphs
     pin exchanges to defaultParallelism via the same gate as pagerank.
+    k_core deliberately does NOT route through ``_cut_every`` (the
+    gated cut-every-round override LPA/hits/betweenness use): the r16
+    cadence A/B measured parity for k_core — the default cadence of 2
+    already caps the 3-reference compounding at 9×, so cutting every
+    round buys nothing and costs an extra eager job per round.
     """
     from striot_spark.functions.caching import track_persist
 
@@ -2248,7 +2253,7 @@ def coreness(
     """
     from pyspark.sql import Window
 
-    from striot_spark.functions.caching import track_persist, untrack
+    from striot_spark.functions.caching import track_persist
 
     if rounds < 0:
         raise ValueError("coreness: rounds must be >= 0")
@@ -2294,7 +2299,7 @@ def coreness(
             F.col("s").alias("node"), F.col("c").alias("cn")
         )
         if max_degree is None:
-            c = track_persist(
+            c = (
                 part(x, "node")
                 .withColumn("rk", F.row_number().over(w))
                 .groupBy("node")
@@ -2312,7 +2317,7 @@ def coreness(
                 .groupBy("node", "cn")
                 .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
             )
-            c = track_persist(
+            c = (
                 counts.withColumn("cum", F.sum("cnt").over(wcum))
                 .groupBy("node")
                 .agg(
@@ -2321,12 +2326,14 @@ def coreness(
                     .alias("c")
                 )
             )
+        # materialize once per round: an eager checkpoint on cut
+        # rounds (which already stores the rows — persisting under it
+        # would pay a cache-write pass for a dead second copy), a
+        # persist otherwise — the same shape as k_core/betweenness
         if (r + 1) % checkpoint_every == 0:
-            # the checkpoint supersedes this round's persist — drop
-            # the tracked copy once the cut has materialized
-            pre = c
             c = c.localCheckpoint(eager=True)
-            untrack(pre)
+        else:
+            c = track_persist(c)
     return c.select("node", F.col("c").alias("coreness"))
 
 
@@ -2382,6 +2389,11 @@ def betweenness_pivots(
     scale path as ``harmonic_centrality_pivots`` (all-pairs Brandes
     is |V| SSSPs; pivots make it |pivots|). Returns (node, bc_ppm)
     for nodes with bc_ppm > 0.
+
+    The returned frame is built for a SINGLE action: the last backward
+    level's delta is deliberately left unpersisted (it has one reader
+    in the final union), so a caller that runs multiple actions on the
+    result (count then collect, say) should persist it first.
     """
     from striot_spark.functions.caching import track_persist
 

@@ -1618,7 +1618,7 @@ def q125_upsert_snapshot_stream(
         key_cols=["user_id"],
         order_cols=["ts", "event_id"],
         payload_cols=["event_type", "value_c"],
-        drain_shuffle_partitions=8,
+        drain_shuffle_partitions=RT.derive_drain_width(spark, src),
     )
     q.awaitTermination()
     snap = RT.read_snapshot(spark, path).filter(
@@ -1772,7 +1772,7 @@ def q138_incremental_agg_stream(
         striot_mkdtemp(prefix="striot_q138_ck_"),
         key_cols=["user_id", "event_type"],
         sum_cols=["value_c"],
-        drain_shuffle_partitions=8,
+        drain_shuffle_partitions=RT.derive_drain_width(spark, src),
     )
     q.awaitTermination()
     snap = RT.read_snapshot(spark, path).filter(
@@ -2144,7 +2144,7 @@ def q174_rollup_serve_stream(
         striot_mkdtemp(prefix="striot_q174_ck_"),
         key_cols=["minute", "event_type"],
         sum_cols=["value_c"],
-        drain_shuffle_partitions=8,
+        drain_shuffle_partitions=RT.derive_drain_width(spark, src),
     )
     q.awaitTermination()
     snap = RT.read_snapshot(spark, path)
@@ -2209,7 +2209,7 @@ def q179_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["user_id"],
         order_cols=["ts", "event_id"],
         payload_cols=["event_type", "last_cents", "last_ts"],
-        drain_shuffle_partitions=8,
+        drain_shuffle_partitions=RT.derive_drain_width(spark, src),
     )
     q.awaitTermination()
     snap = RT.read_snapshot(spark, path)
@@ -2257,7 +2257,7 @@ def q189_freshness_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["event_type"],
         order_cols=["ts", "event_id"],
         payload_cols=[],
-        drain_shuffle_partitions=8,
+        drain_shuffle_partitions=RT.derive_drain_width(spark, src),
     )
     q.awaitTermination()
     snap = RT.read_snapshot(spark, path)
@@ -2508,7 +2508,7 @@ def q225_stream_near_dup_filter(
         "doc_id",
         "text",
         ["doc_id", "lang"],
-        drain_shuffle_partitions=8,
+        drain_shuffle_partitions=RT.derive_drain_width(spark, path),
     )
     q.awaitTermination()
     return D.read_kept(spark, out)
@@ -2571,7 +2571,7 @@ def q229_stream_quantile_bins(
         striot_mkdtemp(prefix="striot_q229_ck_"),
         key_cols=["bin"],
         sum_cols=[],
-        drain_shuffle_partitions=8,
+        drain_shuffle_partitions=RT.derive_drain_width(spark, src),
     )
     q.awaitTermination()
     snap = RT.read_snapshot(spark, path)
@@ -2701,7 +2701,7 @@ def q239_lpa_stream_weighted(
         striot_mkdtemp(prefix="striot_q239_ck_"),
         key_cols=["u", "v"],
         sum_cols=[],
-        drain_shuffle_partitions=8,
+        drain_shuffle_partitions=RT.derive_drain_width(spark, src),
     )
     q.awaitTermination()
     snap = RT.read_snapshot(spark, path).select(
@@ -2759,7 +2759,7 @@ def q240_incremental_extents_stream(
         sum_cols=["value_c"],
         min_cols=["ts"],
         max_cols=["ts"],
-        drain_shuffle_partitions=8,
+        drain_shuffle_partitions=RT.derive_drain_width(spark, src),
     )
     q.awaitTermination()
     snap = RT.read_snapshot(spark, path).filter(
@@ -3033,7 +3033,7 @@ def q286_exp_histogram_stream_serve(
         striot_mkdtemp(prefix="striot_q286_ck_"),
         key_cols=["event_type", "bucket"],
         sum_cols=["v"],
-        drain_shuffle_partitions=8,
+        drain_shuffle_partitions=RT.derive_drain_width(spark, src),
     )
     q.awaitTermination()
     snap = RT.read_snapshot(spark, path)

@@ -75,76 +75,26 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # green-at-latest); r13 swept canary + the 24 r12 additions + the 24
 # r07-rowed entries + q138 (50/50 green — ledger reached 293/293
 # green-at-latest with zero never-swept for the first time).
-# ROUND-16 HEAD (executes VERDICT r15 task 1, tool-ratified against
-# `python tools/ledger.py --check` at r16 open):
+# r16 swept canary + the 47 r10-rowed entries + q247/q243 (50/50
+# green — oldest evidence advanced to r11).
+# ROUND-17 HEAD (executes VERDICT r16 task 1, tool-ratified against
+# `python tools/ledger.py --check` at r17 open):
 #   (1) q224_type_canary FIRST, as in every round;
-#   (2) the 47 r10-rowed entries (q101, q127, q132, q236..q242, q14,
-#       q35, the q65..q99 cohort), oldest ledger rows after r15
-#       rotated the r09 cohort;
-#   (3) q247_hybrid_rrf + q243_khop_reach_hll -- the two oldest r11
-#       rows.
+#   (2) the 47 remaining r11-rowed entries (q245, q246, q244, q248,
+#       the q21..q64 cohort, q01..q04), oldest ledger rows after r16
+#       rotated the r10 cohort;
+#   (3) q249_sssp_trade_proximity + q250_pagerank_stream_serve -- the
+#       two oldest r12 rows.
 # 1 + 47 + 2 = 50 exactly. After this sweep the oldest ledger
-# evidence is r11. Verify with the tool, not this prose.
+# evidence is r12. Verify with the tool, not this prose.
 _SWEEP_FIRST = [
     # (1) type canary -- keep at head position 1 in every round
     "q224_type_canary",
-    # (2) the 47 r10-rowed entries (oldest ledger rows after the r15
-    #     sweep rotated the r09 cohort)
-    "q101_sliding_stream_ooo_replay",
-    "q127_market_share",
-    "q132_bucketed_colocated_join",
-    "q236_pagerank_dangling",
-    "q237_weighted_pagerank",
-    "q238_weighted_modularity",
-    "q239_lpa_stream_weighted",
-    "q240_incremental_extents_stream",
-    "q241_khop_reach",
-    "q242_edge_neighborhood_jaccard",
-    "q14_value_histogram",
-    "q35_complete_window",
-    "q80_unpivot_money_metrics",
-    "q82_cube_counts",
-    "q83_set_ops_users",
-    "q85_length_quartiles",
-    "q87_joinw_stream",
-    "q93d_joinw_stream_money_double",
-    "q79_pivot_event_counts",
-    "q74_dedup_groups",
-    "q75_vocab_encode",
-    "q76_split_assign",
-    "q77_random_projection",
-    "q68_prefix_jaccard_pairs",
-    "q69_contamination_check",
-    "q94_cross_corpus_near_dups",
-    "q95_contamination_scores",
-    "q70_repetition_stats",
-    "q71_corpus_mix",
-    "q96_semantic_near_dups",
-    "q84_incremental_ingest_dedup",
-    "q66_null_passthrough_chain",
-    "q67_joine_positional_untimed",
-    "q65_frequent_routes_stream",
-    "q78_window_agg_stream",
-    "q86_sessionize_stream",
-    "q88_taxi_csv_dead_letter",
-    "q89_scan_stream",
-    "q90_filteracc_stream",
-    "q91_sliding_count_stream",
-    "q92_scan_stream_global",
-    "q72_priority_semi_join",
-    "q73_inactive_customers_anti_join",
-    "q81_sole_returned_supplier",
-    "q97_filteracc_stream_global",
-    "q98_docs_jsonl_dead_letter",
-    "q99_corpus_pipeline",
-    # (3) the two oldest r11 rows
-    "q247_hybrid_rrf",
-    "q243_khop_reach_hll",
-    # ---- 50-cap boundary: entries below get no driver row in r16 ----
-    # Tail is oldest-ledger-row-first (47 remaining r11 rows, then
-    # r12..r15) so the r17 head is canary + the next 49 verbatim.
-    # Tool-generated; run `python tools/ledger.py --check` rather than
-    # trusting prose.
+    # (2) the 49 oldest ledger rows (47 remaining r11 rows, then the two
+    #     oldest r12 rows q249/q250) -- executes VERDICT r16 task 1,
+    #     tool-ratified against `python tools/ledger.py --check` at r17
+    #     open. This puts the r16 k_truss rewrite (q244) and q248 under
+    #     the driver oracle. After this sweep the oldest evidence is r12.
     "q245_khop_hll_stream_serve",
     "q246_neighborhood_function",
     "q244_ktruss_edges",
@@ -194,6 +144,11 @@ _SWEEP_FIRST = [
     "q04_chop_count_window",
     "q249_sssp_trade_proximity",
     "q250_pagerank_stream_serve",
+    # ---- 50-cap boundary: entries below get no driver row in r17 ----
+    # Tail is oldest-ledger-row-first (r12 remainder, then r13..r16)
+    # so the r18 head is canary + the next 49 verbatim.
+    # Tool-generated; run `python tools/ledger.py --check` rather than
+    # trusting prose.
     "q251_degree_distribution",
     "q252_degree_assortativity",
     "q253_sssp_parents",
@@ -339,7 +294,6 @@ _SWEEP_FIRST = [
     "q185_oov_audit",
     "q186_dup_cluster_census",
     "q187_leakage_aware_split",
-    # r15-swept cohort (newest ledger rows) -- stays last in the tail
     "q225_stream_near_dup_filter",
     "q226_bloom_file_skip",
     "q227_phrase_search",
@@ -389,7 +343,57 @@ _SWEEP_FIRST = [
     "q13_percentiles",
     "q93_joinw_stream_non_nesting",
     "q100_chop_count_stream",
+    "q101_sliding_stream_ooo_replay",
+    "q127_market_share",
+    "q132_bucketed_colocated_join",
+    "q236_pagerank_dangling",
+    "q237_weighted_pagerank",
+    "q238_weighted_modularity",
+    "q239_lpa_stream_weighted",
+    "q240_incremental_extents_stream",
+    "q241_khop_reach",
+    "q242_edge_neighborhood_jaccard",
+    "q14_value_histogram",
+    "q35_complete_window",
+    "q80_unpivot_money_metrics",
+    "q82_cube_counts",
+    "q83_set_ops_users",
+    "q85_length_quartiles",
+    "q87_joinw_stream",
+    "q93d_joinw_stream_money_double",
+    "q79_pivot_event_counts",
+    "q74_dedup_groups",
+    "q75_vocab_encode",
+    "q76_split_assign",
+    "q77_random_projection",
+    "q68_prefix_jaccard_pairs",
+    "q69_contamination_check",
+    "q94_cross_corpus_near_dups",
+    "q95_contamination_scores",
+    "q70_repetition_stats",
+    "q71_corpus_mix",
+    "q96_semantic_near_dups",
+    "q84_incremental_ingest_dedup",
+    "q66_null_passthrough_chain",
+    "q67_joine_positional_untimed",
+    "q65_frequent_routes_stream",
+    "q78_window_agg_stream",
+    "q86_sessionize_stream",
+    "q88_taxi_csv_dead_letter",
+    "q89_scan_stream",
+    "q90_filteracc_stream",
+    "q91_sliding_count_stream",
+    "q92_scan_stream_global",
+    "q72_priority_semi_join",
+    "q73_inactive_customers_anti_join",
+    "q81_sole_returned_supplier",
+    "q97_filteracc_stream_global",
+    "q98_docs_jsonl_dead_letter",
+    "q99_corpus_pipeline",
+    "q247_hybrid_rrf",
+    "q243_khop_reach_hll",
 ]
+
 # Everything below the 50 cap is driver-green untouched code; order
 # among them is irrelevant to the driver. _SWEEP_LAST is now empty:
 # the r03/r04 rotation cohort moved into the r10 head (slot group 4).

@@ -2088,7 +2088,7 @@ def q245_khop_hll_stream_serve(
         key_cols=["u", "v"],
         sum_cols=[],
         gc_grace_batches=1,
-        drain_shuffle_partitions=8,
+        drain_shuffle_partitions=RT.derive_drain_width(spark, src),
     )
     q.awaitTermination()
     snap = RT.read_snapshot(spark, path).select("u", "v")
@@ -2507,7 +2507,7 @@ def q250_pagerank_stream_serve(
         key_cols=["a", "b"],
         sum_cols=[],
         gc_grace_batches=1,
-        drain_shuffle_partitions=8,
+        drain_shuffle_partitions=RT.derive_drain_width(spark, src),
     )
     q.awaitTermination()
     snap = RT.read_snapshot(spark, path).select(
@@ -3440,7 +3440,7 @@ def q267_sssp_stream_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         striot_mkdtemp(prefix="striot_q267_ck_"),
         key_cols=["a", "b"],
         sum_cols=[],
-        drain_shuffle_partitions=8,
+        drain_shuffle_partitions=RT.derive_drain_width(spark, src),
     )
     q.awaitTermination()
     snap = RT.read_snapshot(spark, path).select(
@@ -3652,7 +3652,7 @@ def q269_coreness_stream_serve(
         striot_mkdtemp(prefix="striot_q269_ck_"),
         key_cols=["k", "p"],
         sum_cols=[],
-        drain_shuffle_partitions=8,
+        drain_shuffle_partitions=RT.derive_drain_width(spark, src),
     )
     q.awaitTermination()
     snap = RT.read_snapshot(spark, path).select("k", "p")

@@ -761,6 +761,80 @@ def zip_join_stream(
     )
 
 
+#: explicit override for the bounded-drain width pin (int; <= 0 means
+#: "do not pin", i.e. keep the session width); unset = derive
+DRAIN_WIDTH_CONF = "striot.stream.drainWidth"
+#: target staged-input bytes per shuffle partition for a bounded drain:
+#: the derived width is ceil(staged_bytes / this), floored at
+#: DRAIN_WIDTH_FLOOR and capped at the SESSION width. Every stateful
+#: operator (and every foreachBatch merge) pays per-partition
+#: commit/scheduling cost per micro-batch, so tiny replays should not
+#: fan out to the session's cluster-sized width; conversely a drain
+#: over a large staged backlog keeps the session width (the cap), so
+#: the pin can only ever NARROW, never starve, a production-sized
+#: drain.
+DRAIN_TARGET_BYTES = 32 << 20
+#: floor: keeps even a one-file replay's data batch parallel enough to
+#: overlap state-store commits (measured 1.7x vs 200 on q269's drain
+#: phase, PERF §46; 8 was the r16 constant this derivation replaces)
+DRAIN_WIDTH_FLOOR = 8
+
+
+def _staged_bytes(path: str | None) -> int:
+    """Total bytes under a LOCAL staged-input directory (the bounded
+    replays in this package always stream from a local staging dir),
+    computed driver-side with no Spark job. 0 for None/missing paths."""
+    if not path:
+        return 0
+    import os as _os
+
+    p = path[len("file:"):] if path.startswith("file:") else path
+    total = 0
+    try:
+        for root, _dirs, files in _os.walk(p):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue  # manifests/markers, not data
+                try:
+                    total += _os.path.getsize(_os.path.join(root, f))
+                except OSError:
+                    pass
+    except OSError:
+        return 0
+    return total
+
+
+def derive_drain_width(
+    spark: SparkSession, staged_path: str | None = None
+) -> int | None:
+    """Shuffle-partition width for a bounded ``availableNow`` drain,
+    derived from the DATA (the staged input's on-disk size), not a
+    per-site constant (guide §2: scale-adaptive partitioning — the
+    same derive/floor/cap shape as ``functions.graph._gate_width``).
+
+    ``ceil(staged_bytes / DRAIN_TARGET_BYTES)``, floored at
+    ``DRAIN_WIDTH_FLOOR`` and capped at the session's configured
+    ``spark.sql.shuffle.partitions`` — so on an sf-scale replay the
+    width matches the measured r16 pin (8), while a drain over a
+    cluster-scale backlog derives up to the session width and the pin
+    degenerates to a no-op (a production stream's width stays the
+    cluster operator's choice). ``DRAIN_WIDTH_CONF`` overrides the
+    derivation (<= 0 disables the pin entirely)."""
+    try:
+        raw = spark.conf.get(DRAIN_WIDTH_CONF, "")
+    except Exception:
+        raw = ""
+    if raw:
+        v = int(raw)
+        return v if v > 0 else None
+    try:
+        session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        session = spark.sparkContext.defaultParallelism
+    need = -(-_staged_bytes(staged_path) // DRAIN_TARGET_BYTES)
+    return min(session, max(DRAIN_WIDTH_FLOOR, need))
+
+
 def drain_width(spark: SparkSession, parts: int | None):
     """Context manager pinning ``spark.sql.shuffle.partitions`` while a
     bounded drain STARTS (restored on exit; streaming clones the
@@ -800,7 +874,8 @@ def run_available_now(
     checkpoint_dir: str,
     mode: str = "append",
     expect_data_batches: int | None = None,
-    drain_shuffle_partitions: int | None = 8,
+    drain_shuffle_partitions: int | None | str = "derive",
+    source_path: str | None = None,
 ) -> DataFrame:
     """Drain everything currently available into an in-memory table and
     return it (batch-equivalence testing harness for streaming plans).
@@ -829,17 +904,23 @@ def run_available_now(
     tiny checkpoint writes and the drain is commit-bound, not
     compute-bound (VERDICT r14: q93 at 222s, ~all of it state-store
     churn). A bounded replay's checkpoint is fresh and throwaway, so the
-    partition count is free to choose; 8 keeps the one data batch
-    parallel while cutting the commit fan-out 25x. Pass None to leave
-    the session setting untouched — the right call for a PRODUCTION
-    continuous stream, whose state sizing must match cluster cores and
-    whose checkpoint outlives the process.
+    partition count is free to choose. The default ``"derive"`` routes
+    through ``derive_drain_width`` (staged bytes / floor / session cap /
+    ``DRAIN_WIDTH_CONF`` override — pass the staged input dir as
+    ``source_path`` so the width scales with the replay's actual
+    volume; without it the floor applies, which matches the measured
+    r16 pin of 8 at sf scale). Pass None to leave the session setting
+    untouched — the right call for a PRODUCTION continuous stream,
+    whose state sizing must match cluster cores and whose checkpoint
+    outlives the process.
 
     NOT safe for two concurrent drains on one session: the pin is a
     session conf, so an overlapping drain's restore would race it.
     Every caller in this package drains sequentially; a concurrent
     harness should pass None and set the conf once at session build."""
     spark = sdf.sparkSession
+    if drain_shuffle_partitions == "derive":
+        drain_shuffle_partitions = derive_drain_width(spark, source_path)
     restore: str | None = None
     if drain_shuffle_partitions is not None:
         restore = spark.conf.get("spark.sql.shuffle.partitions")

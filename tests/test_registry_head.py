@@ -38,28 +38,28 @@ def test_ordering_is_a_permutation_of_the_registry():
     assert set(oracles) <= set(names)
 
 
-def test_head_50_composition_round16():
-    """The r16 head the driver sweeps (VERDICT r15 task 1, ratified by
-    tools/ledger.py --check): canary, the 47 r10-rowed entries
-    (q101, q127, q132, q236-q242, q14, q35, the q65-q99 cohort) in
-    registered order, then the two oldest r11 rows q247/q243.
+def test_head_50_composition_round17():
+    """The r17 head the driver sweeps (VERDICT r16 task 1, ratified by
+    tools/ledger.py --check): canary, the 47 remaining r11-rowed
+    entries (q245/q246/q244/q248, the q21-q64 cohort, q01-q04) in
+    registered order, then the two oldest r12 rows q249/q250.
     Update alongside the registry's rotation comment when the head is
     rebuilt."""
     names = list(all_queries())[:50]
     assert names[0] == "q224_type_canary"
-    # the 47 r10-rowed entries fill slots 2-48, in registered order
+    # the 47 r11-rowed entries fill slots 2-48, in registered order
     expected = (
-        ["q101", "q127", "q132"]
-        + [f"q{i}" for i in range(236, 243)]
-        + ["q14", "q35", "q80", "q82", "q83", "q85", "q87", "q93d", "q79"]
-        + ["q74", "q75", "q76", "q77", "q68", "q69", "q94", "q95"]
-        + ["q70", "q71", "q96", "q84", "q66", "q67", "q65", "q78"]
-        + ["q86", "q88", "q89", "q90", "q91", "q92", "q72", "q73"]
-        + ["q81", "q97", "q98", "q99"]
+        ["q245", "q246", "q244", "q248"]
+        + ["q31", "q32", "q33", "q34", "q39", "q40", "q41", "q46", "q36"]
+        + ["q53", "q54", "q55", "q56", "q59", "q60", "q61"]
+        + [f"q{i}" for i in range(21, 29)]
+        + ["q37", "q38", "q42", "q43", "q44", "q45", "q29", "q48"]
+        + ["q51", "q52", "q57", "q58", "q62", "q63", "q64"]
+        + ["q01", "q02", "q03", "q04"]
     )
     assert [n.split("_")[0] for n in names[1:48]] == expected
-    # slots 49-50: the two oldest r11 rows
-    assert [n.split("_")[0] for n in names[48:]] == ["q247", "q243"]
+    # slots 49-50: the two oldest r12 rows
+    assert [n.split("_")[0] for n in names[48:]] == ["q249", "q250"]
     # every head entry is oracle-gated (zero rows-only since r12)
     oracles = all_oracles()
     assert all(n in oracles for n in names)
