@@ -2462,6 +2462,14 @@ def betweenness_pivots(
         agg = offers.groupBy("pivot", "node").agg(
             F.sum("sg").cast("long").alias("sigma")
         )
+        # NOTE (r17, measured and REJECTED): folding this anti-join
+        # into one groupBy over (state ∪ offers) — min(dist) +
+        # settled-sigma-wins — is result-identical and halves the
+        # per-round state references, but read 1.1-1.2x SLOWER over 6
+        # alternating jobprobe pairs at sf0.1: under the small-graph
+        # gate this anti-join BROADCASTS the tiny settled state (no
+        # state shuffle at all), while the fold forces a full
+        # state-through-shuffle pass every round. Keep the anti-join.
         new = track_persist(
             agg.join(
                 state.select("pivot", "node"), ["pivot", "node"],
@@ -2488,14 +2496,25 @@ def betweenness_pivots(
             state = state.localCheckpoint(eager=True)
         else:
             state = track_persist(state)
-    # shortest-path DAG: per pivot, arcs one level apart, built once
-    u_side = state.select(
+    # shortest-path DAG: per pivot, arcs one level apart, built once.
+    # Only levels the backward phase READS survive the build: u rows
+    # outside [lo, hi] produce arcs no backward level filters to (the
+    # du=0 arcs were computed, checkpointed and never read before
+    # r17), and v rows outside [lo+1, hi+1] cannot satisfy
+    # dv = du + 1 — both bounds are provably dead-row elimination.
+    levels = list(range(rounds - 1, 0, -1)) or [0]
+    lvl_lo, lvl_hi = min(levels), max(levels)
+    u_side = state.filter(
+        F.col("dist").between(lvl_lo, lvl_hi)
+    ).select(
         "pivot",
         F.col("node").alias("un"),
         F.col("dist").alias("du"),
         F.col("sigma").alias("su"),
     )
-    v_side = state.select(
+    v_side = state.filter(
+        F.col("dist").between(lvl_lo + 1, lvl_hi + 1)
+    ).select(
         F.col("pivot").alias("pv2"),
         F.col("node").alias("vn"),
         F.col("dist").alias("dv"),
@@ -2521,12 +2540,12 @@ def betweenness_pivots(
     dec = "DECIMAL(38,0)"
     delta = None
     deltas = []
-    # level 0 is the pivot's own row (dist 0 exists only in the
-    # initial state), so the lvl=0 backward pass produces exclusively
-    # node == pivot rows — every one discarded by the final filter.
-    # Skip it when deeper levels exist; for rounds == 1 run it so the
-    # (always-empty) result keeps the same schema/derivation.
-    levels = list(range(rounds - 1, 0, -1)) or [0]
+    # levels computed above the DAG build: level 0 is the pivot's own
+    # row (dist 0 exists only in the initial state), so the lvl=0
+    # backward pass produces exclusively node == pivot rows — every
+    # one discarded by the final filter. Skip it when deeper levels
+    # exist; for rounds == 1 run it so the (always-empty) result
+    # keeps the same schema/derivation.
     for i, lvl in enumerate(levels):
         cur = dag.filter(F.col("du") == lvl)
         if delta is None:

@@ -3564,6 +3564,32 @@ def test_betweenness_pivots_hand_computed(spark):
     assert got2 == {2: 1_000_000, 3: 1_000_000}
 
 
+def test_betweenness_pivots_settled_reoffer_is_discarded(spark):
+    """Pins the r17 forward-phase fold: offers arriving at an
+    ALREADY-settled node (the rows the old left_anti discarded) must
+    not perturb its dist or sigma. Triangle 1-2, 2-3, 1-3 from pivot 1:
+    node 3 settles at dist 1 / sigma 1; round 2 re-offers 3 via 2 —
+    a longer path that contributes nothing. Brandes delta(2) =
+    delta(3) = 0 here (no interior nodes on shortest paths), so the
+    observable pin is the empty positive-delta result PLUS the chain
+    1-2-3-4 + shortcut 1-3, where node 3 keeps sigma 1 via the
+    shortcut (dist 1) and delta(3) = 1 x scale (it brokers only 4),
+    while node 2 brokers nothing."""
+    from striot_spark.functions.graph import betweenness_pivots
+
+    tri = _sym([(1, 2), (2, 3), (1, 3)])
+    e = spark.createDataFrame(tri, "src long, dst long")
+    assert betweenness_pivots(e, pivots=[1], rounds=3).collect() == []
+
+    chain_cut = _sym([(1, 2), (2, 3), (3, 4), (1, 3)])
+    e2 = spark.createDataFrame(chain_cut, "src long, dst long")
+    got = {
+        r["node"]: r["bc_ppm"]
+        for r in betweenness_pivots(e2, pivots=[1], rounds=3).collect()
+    }
+    assert got == {3: 1_000_000}
+
+
 def test_betweenness_pivots_rounds1_is_empty(spark):
     """Horizon 1 has no interior nodes: the only backward level is the
     pivot's own (dist-0) row, which the final filter drops — the result
