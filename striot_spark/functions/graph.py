@@ -1330,18 +1330,24 @@ def khop_reach_hll(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    base = track_persist(
-        hll_registers(
-            e.select(
-                F.col("src").alias("node"),
-                F.col("dst").cast("string").alias("r"),
-            ),
-            ["node"],
-            "r",
-            m,
-            max_rho,
-        )
+    # ONE setup action: the arc count decides the small-graph gate and
+    # warms the persisted arc list every level reads (the betweenness
+    # validation-fold precedent — the probe is not a wasted pass)
+    spark = edges.sparkSession
+    n = _gate_width(spark, e.count())
+    base = hll_registers(
+        e.select(
+            F.col("src").alias("node"),
+            F.col("dst").cast("string").alias("r"),
+        ),
+        ["node"],
+        "r",
+        m,
+        max_rho,
     )
+    # base is read hops times (est_1 + every level's union) — under
+    # the gate cut it too, for the same plan-compounding reason
+    base = base.localCheckpoint(eager=True) if n else track_persist(base)
     regs = base
     out = hll_estimate(regs, ["node"], m, max_rho).withColumnRenamed(
         "hll_est", "est_1"
@@ -1350,11 +1356,25 @@ def khop_reach_hll(
         prop = e.join(regs, regs["node"] == e["dst"]).select(
             e["src"].alias("node"), "bucket", "reg"
         )
-        regs = track_persist(
+        merged = (
             prop.unionByName(base)
             .groupBy("node", "bucket")
             .agg(F.max("reg").alias("reg"))
         )
+        # each level references regs TWICE (the propagation join and
+        # the estimate join below), so the analyzed plan grows
+        # ~2^hops between cuts — q246's hops=3 final plan carried 70
+        # Exchange and 42 Generate nodes before this cut, all AQE
+        # re-planned per query stage (the r16 LPA/hits finding, guide
+        # §5). Under the small-graph gate cut lineage each level
+        # (localCheckpoint is pure materialization — bit-identical
+        # results); above the gate keep the persist: at 100 TB an
+        # eager per-level materialization of the N x m register table
+        # is real I/O and the plan is only hops deep.
+        if n:
+            regs = merged.localCheckpoint(eager=True)
+        else:
+            regs = track_persist(merged)
         out = out.join(
             hll_estimate(regs, ["node"], m, max_rho).withColumnRenamed(
                 "hll_est", f"est_{h}"
