@@ -128,6 +128,19 @@ def _set_session_confs(spark: SparkSession) -> None:
             )
 
 
+#: (abspath(sf_dir), table) -> inferred StructType. METADATA ONLY —
+#: never rows, never plans: every load still builds a fresh scan and
+#: every action still reads the parquet files. Re-inferring the schema
+#: costs a driver-side listing + footer-read round trip per call
+#: (~0.1s measured end-to-end, r17 fixed-cost decomposition) and the
+#: testdata tables are immutable within a process, so infer once per
+#: (dir, table) and pass the schema to the reader thereafter — what
+#: any long-lived Spark app does by defining its tables once.
+#: ``STRIOT_NO_SCHEMA_MEMO`` disables it (A/B hook, like
+#: ``STRIOT_SKIP_NTZ_CONF`` above).
+_SCHEMA_MEMO: dict[tuple[str, str], "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table.
 
@@ -137,7 +150,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     _ensure_package_shipped(spark)
     _set_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.environ.get("STRIOT_NO_SCHEMA_MEMO"):
+        df = spark.read.parquet(path)
+    else:
+        key = (os.path.abspath(sf_dir), name)
+        schema = _SCHEMA_MEMO.get(key)
+        if schema is None:
+            schema = spark.read.parquet(path).schema
+            _SCHEMA_MEMO[key] = schema
+        df = spark.read.schema(schema).parquet(path)
     for col in _NANO_TS_COLS.get(name, ()):
         field = df.schema[col]
         if field.dataType.simpleString() == "bigint":
