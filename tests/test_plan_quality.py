@@ -940,7 +940,6 @@ def test_quarter_window_graph_features_push_date_to_scan(spark, sf_dir):
     for q in (
         "q241_khop_reach",
         "q242_edge_neighborhood_jaccard",
-        "q243_khop_reach_hll",
     ):
         fmt = _formatted(spark, q, sf_dir)
         assert "GreaterThanOrEqual(l_shipdate," in fmt, q
@@ -948,13 +947,15 @@ def test_quarter_window_graph_features_push_date_to_scan(spark, sf_dir):
         plan = _executed(spark, q, sf_dir)
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
-    # q244's fixed-round peel localCheckpoints every round (the k_core
-    # cadence rule at fan-out ~5), so the FINAL plan's lineage starts
-    # at the checkpoint — the date pushdown it inherits is q241's
-    # (same pair builder); gate only the join shapes here
-    plan = _executed(spark, "q244_ktruss_edges", sf_dir)
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # q243 (r17) and q244's loops localCheckpoint under the small-graph
+    # gate (khop_hll per-level cut / the k_core cadence rule at fan-out
+    # ~5), so the FINAL plan's lineage starts at the checkpoint — the
+    # date pushdown each inherits is q241's (same pair builder); gate
+    # only the join shapes here
+    for q in ("q243_khop_reach_hll", "q244_ktruss_edges"):
+        plan = _executed(spark, q, sf_dir)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
 
 
 def test_sssp_rounds_are_keyed_joins_only(spark, sf_dir):
