@@ -1711,7 +1711,12 @@ def shared_ngram_pairs(
     only one doc expand to nothing. The final distinct runs on the
     pair-graph-sized output, not the corpus.
     """
-    grams = df.select(
+    # scatter first: the shingle scan is CPU-bound per-row work, and a
+    # single-row-group input otherwise fuses ALL of it into a 1-task
+    # scan stage (r17 jobprobe: 3.4s on one core of 32 at sf0.1) —
+    # the same treatment every other gram scan in this module applies;
+    # no-op once the input already has enough partitions (100 TB)
+    grams = scatter(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.array_distinct(shingles(F.col(text_col), ngram_n))
