@@ -3242,8 +3242,14 @@ def q214_dup_threshold_curve(
 def q215_compression_quality(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from striot_spark.core.scale import scatter
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    # the in-row 4-gram transform is CPU-bound per-row work; a single-
+    # row-group input otherwise fuses it into a 1-task scan (r17
+    # jobprobe: 1.57s on one core of 32) — scatter() is a no-op once
+    # the input has enough partitions
+    return scatter(docs).select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.expr(
